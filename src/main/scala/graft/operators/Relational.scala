@@ -1,0 +1,320 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational query pack — the SQL surface SURVEY §2.3 says the engine's
+  * internals rely on (aggregation, 2–4-way joins, windows, DISTINCT-ON
+  * emulation, semi/anti joins, JSON extraction, ordering).
+  *
+  * Numeric hygiene for oracle parity: every SUM over doubles goes through
+  * an exact DECIMAL(18,4) accumulation (order-independent, bit-identical
+  * between Spark and DuckDB) and is cast back to DOUBLE at the end.
+  * Ratios are computed in double arithmetic FROM those exact sums with
+  * the identical formula on both sides. Every query ends in a total
+  * deterministic ORDER BY.
+  *
+  * Scale notes (100 TB): filters/projections sit directly on the parquet
+  * scan (pushdown); dimension tables (region/nation/customer at TPC-H
+  * ratios) are broadcast so fact-side joins are shuffle-free; aggregations
+  * are partial (map-side combine) by construction via groupBy.agg.
+  */
+object Relational {
+  private val dec = DecimalType(18, 4)
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+  // For expressions whose TRUE decimal expansion has >4 digits (e.g. a
+  // product of three 2-decimal factors = 6 digits) a scale-4 cast lands on
+  // exact .5 boundaries where Spark (BigDecimal.HALF_UP over the exact
+  // binary value) and DuckDB (double*10^s + rint) can disagree; scale 6
+  // keeps every cast away from a rounding boundary → bit-identical sums.
+  private val dec6 = DecimalType(22, 6)
+  private def dsum6(c: org.apache.spark.sql.Column) = sum(c.cast(dec6)).cast("double")
+
+  def q1_pricing_summary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-style constrained-scan revenue: everything pushes into the scan. */
+  def q6_forecast_revenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.03 && $"l_discount" <= 0.07 &&
+              $"l_quantity" < 24.0)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin
+
+  /** 3-way join: revenue per market segment (customer broadcast). */
+  def q3_segment_revenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+    val o = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .select($"l_orderkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(dsum($"rev").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q3Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** 4-way dimension chain region→nation→customer→orders (all dims broadcast). */
+  def q5_region_orders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum($"o_totalprice").as("total_price"))
+      .orderBy($"r_name")
+  }
+
+  val q5Sql: String =
+    """SELECT r_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Latest order per customer — DISTINCT ON emulation via row_number window
+    * (SURVEY §2.3: deployments-view pattern `schema.sql:182-186`). */
+  def q_latest_order_per_customer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  val qLatestSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** Semi join: customers that have at least one priority-URGENT order. */
+  def q_semi_urgent_customers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val qSemiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join: customers with no orders at all. */
+  def q_anti_no_orders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select($"o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val qAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Top-N with deterministic tie-break. */
+  def q_top_orders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  val qTopSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** Distinct-count + multi-distinct aggregation. */
+  def q_distinct_counts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+           countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_suppkey").as("n_supps"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** JSON extraction + ordering — the catalog `metrics->>'<m>'` pattern
+    * (SURVEY §2.3, `src/orm/task.rs:116-127` in the reference). */
+  def q_json_events(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum($"k").as("sum_k"),
+           max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val qJsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Hourly tumbling-window aggregation over the event stream (batch view
+    * of the Structured Streaming query in graft.streaming). */
+  def q_events_hourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("hour", date_trunc("hour", $"ts"))
+      .groupBy($"hour", $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  val qHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running sum
+    * (the classic shuffle-once pattern: one window partition per user). */
+  def q_sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+             unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min($"event_id").as("first_event"),
+           max($"event_id").as("last_event"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val qSessionSql: String =
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events) a) b
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** Rollup-style two-level aggregate via union (grouping sets shape). */
+  def q_priority_by_status(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  val qPrioritySql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"    -> q1_pricing_summary _,
+    "q3_segment_revenue"    -> q3_segment_revenue _,
+    "q5_region_orders"      -> q5_region_orders _,
+    "q6_forecast_revenue"   -> q6_forecast_revenue _,
+    "q_latest_order_per_customer" -> q_latest_order_per_customer _,
+    "q_semi_urgent_customers" -> q_semi_urgent_customers _,
+    "q_anti_no_orders"      -> q_anti_no_orders _,
+    "q_top_orders"          -> q_top_orders _,
+    "q_distinct_counts"     -> q_distinct_counts _,
+    "q_json_events"         -> q_json_events _,
+    "q_events_hourly"       -> q_events_hourly _,
+    "q_sessionize"          -> q_sessionize _,
+    "q_priority_by_status"  -> q_priority_by_status _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary"    -> q1Sql,
+    "q3_segment_revenue"    -> q3Sql,
+    "q5_region_orders"      -> q5Sql,
+    "q6_forecast_revenue"   -> q6Sql,
+    "q_latest_order_per_customer" -> qLatestSql,
+    "q_semi_urgent_customers" -> qSemiSql,
+    "q_anti_no_orders"      -> qAntiSql,
+    "q_top_orders"          -> qTopSql,
+    "q_distinct_counts"     -> qDistinctSql,
+    "q_json_events"         -> qJsonSql,
+    "q_events_hourly"       -> qHourlySql,
+    "q_sessionize"          -> qSessionSql,
+    "q_priority_by_status"  -> qPrioritySql
+  )
+}
