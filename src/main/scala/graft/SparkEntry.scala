@@ -16,10 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles
+    operators.Relational.oracles ++
+      operators.TextAnalysis.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles
 }

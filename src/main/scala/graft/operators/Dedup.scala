@@ -1,0 +1,282 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline dedup family: exact, n-gram Jaccard, MinHash
+  * + banded LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash-aggregate on a fingerprint — the
+  *    canonical map-side-combinable groupBy; no row data moves, only
+  *    (fingerprint, id) pairs.
+  *  - ngram-Jaccard never materializes the O(n²) pair space: candidate
+  *    pairs come from an equi-join on shingles (only docs sharing a
+  *    shingle meet), i.e. shuffle is bounded by Σ df², not n².
+  *  - MinHash compresses each doc to a 32-int signature (constant size
+  *    per doc regardless of length), LSH bands turn near-dup search into
+  *    an equi-join on (band, band-signature) — the standard way to make
+  *    fuzzy dedup shuffle-joinable at cluster scale.
+  *  - All hash functions are closed-form arithmetic over md5 (no library
+  *    RNG), so the DuckDB oracle replays them exactly.
+  *
+  * Hash parity scheme shared with the oracles: H(s) = first 15 hex chars
+  * of md5(s) as a 60-bit integer; minhash_j uses universal hashing
+  * ((a_j·(H mod p) + b_j) mod p) with p = 2^31-1 and a_j, b_j derived
+  * from j arithmetically — both engines compute identical 64-bit ints.
+  */
+object Dedup {
+  private val P = 2147483647L // 2^31 - 1
+  private val NUM_HASHES = 32
+  private val BAND_ROWS = 4 // → 8 bands
+
+  /** Normalized tokens. */
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Word-3-gram shingle set (distinct), one row per (doc_id, shingle).
+    * Docs with <3 tokens produce no shingles (mirrored in oracle SQL). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"t") - 2),
+          i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+            element_at($"t", i + 2))))).as("s"))
+  }
+
+  private val shinglesSqlCte =
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |        FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |       FROM tok)""".stripMargin
+
+  /** 60-bit integer hash of a string via md5 prefix (identical in DuckDB). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val h60Sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS UBIGINT)::BIGINT"
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup: group by normalized-content fingerprint; keeper = min
+    * doc_id; emits one row per distinct content with its multiplicity. */
+  def dd_exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5(trim(lower($"text"))).as("fingerprint"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"fingerprint")
+  }
+
+  val ddExactSql: String =
+    """SELECT md5(trim(lower(text))) AS fingerprint, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- ngram jaccard
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8): candidate pairs
+    * from the shingle equi-join, intersection counted per pair, union via
+    * |A|+|B|−|A∩B|. */
+  def dd_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select($"doc_id".as("da"), $"s")
+    val b = sh.select($"doc_id".as("db"), $"s")
+    val inter = a.join(b, a("s") === b("s") && a("da") < b("db"))
+      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
+      .filter($"jaccard" >= 0.8)
+      .select($"da", $"db", $"i".as("n_common"), $"jaccard")
+      .orderBy($"da", $"db")
+  }
+
+  val ddNgramSql: String =
+    s"""WITH $shinglesSqlCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, i AS n_common,
+       |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
+       |ORDER BY da, db""".stripMargin
+
+  // ------------------------------------------------------- minhash + LSH
+  /** 32-permutation MinHash signatures, one row per (doc_id, j, minhash). */
+  private def minhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingles(s, dir)
+      .withColumn("hm", h60($"s") % P)
+      .select($"doc_id", $"hm",
+        explode(sequence(lit(0), lit(NUM_HASHES - 1))).as("j"))
+      .withColumn("a", (($"j" + 1) * 2654435761L) % P)
+      .withColumn("b", (($"j" + 1) * 40503L + 17L) % P)
+      .groupBy($"doc_id", $"j")
+      .agg(min(($"a" * $"hm" + $"b") % P).as("mh"))
+  }
+
+  private val minhashSqlCte =
+    s"""mh AS (
+       |  SELECT doc_id, j,
+       |    min((((j + 1) * 2654435761 % ${P}) * hm + ((j + 1) * 40503 + 17) % ${P}) % ${P}) AS mh
+       |  FROM (SELECT doc_id, ${h60Sql.format("s")} % ${P} AS hm FROM sh) q,
+       |       (SELECT unnest(range(0, ${NUM_HASHES})) AS j) js
+       |  GROUP BY doc_id, j)""".stripMargin
+
+  /** MinHash+LSH near-dup pairs: banded signatures (8 bands × 4 rows)
+    * generate candidates; estimated Jaccard = matching-minhash fraction;
+    * emit pairs with estimate ≥ 0.7. */
+  def dd_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mh = minhashes(s, dir).cache()
+    val bands = mh
+      .withColumn("band", floor($"j" / BAND_ROWS))
+      .groupBy($"doc_id", $"band")
+      .agg(array_join(transform(array_sort(collect_list(struct($"j", $"mh"))),
+        x => x.getField("mh").cast("string")), "-").as("sig"))
+    val cand = bands.select($"doc_id".as("da"), $"band", $"sig")
+      .join(bands.select($"doc_id".as("db"), $"band", $"sig"), Seq("band", "sig"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+    val ma = mh.select($"doc_id".as("da"), $"j", $"mh".as("mha"))
+    val mb = mh.select($"doc_id".as("db"), $"j", $"mh".as("mhb"))
+    cand.join(ma, "da").join(mb, Seq("db", "j"))
+      .groupBy($"da", $"db")
+      .agg((sum(when($"mha" === $"mhb", 1).otherwise(0)).cast("double") /
+        NUM_HASHES.toDouble).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.7)
+      .orderBy($"da", $"db")
+  }
+
+  val ddMinhashSql: String =
+    s"""WITH $shinglesSqlCte,
+       |$minhashSqlCte,
+       |bands AS (
+       |  SELECT doc_id, j // ${BAND_ROWS} AS band,
+       |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
+       |  FROM mh GROUP BY doc_id, j // ${BAND_ROWS}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT da, db,
+       |  CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / ${NUM_HASHES}.0 AS est_jaccard
+       |FROM cand JOIN mh x ON x.doc_id = da JOIN mh y ON y.doc_id = db AND y.j = x.j
+       |GROUP BY da, db
+       |HAVING CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / ${NUM_HASHES}.0 >= 0.7
+       |ORDER BY da, db""".stripMargin
+
+  // ------------------------------------------------------------- simhash
+  /** 60-bit SimHash over the distinct-token set: bit i of the signature
+    * is the sign of Σ_tokens (±1 by bit i of H(token)). One row per doc.
+    * Near-dup docs (sharing most tokens) land within small Hamming
+    * distance; pairing is done by dd_simhash_pairs. */
+  def dd_simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+      .withColumn("h", h60($"tok"))
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("i"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, cast(i as int)) & 1") === 1, 1).otherwise(-1))
+      .groupBy($"doc_id", $"i")
+      .agg(sum($"contrib").as("c"))
+      .withColumn("bitval",
+        when($"c" > 0, expr("shiftleft(cast(1 as bigint), cast(i as int))"))
+          .otherwise(lit(0L)))
+      .groupBy($"doc_id")
+      .agg(sum($"bitval").cast("long").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val ddSimhashSql: String = {
+    val h = h60Sql.format("tok")
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, $h AS h FROM tk),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th, (SELECT unnest(range(0, 60)) AS i) js
+       |  GROUP BY doc_id, i)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: 4 bands × 15 bits generate candidates
+    * (a pair within Hamming distance 3 must agree on ≥1 band), verified
+    * by exact popcount of the XOR; emit pairs with distance ≤ 6. */
+  def dd_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = dd_simhash(s, dir).cache()
+    val bands = sh.select($"doc_id", $"simhash",
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bsig", expr("shiftright(simhash, cast(band * 15 as int)) & 32767"))
+    val cand = bands.select($"doc_id".as("da"), $"simhash".as("ha"), $"band", $"bsig")
+      .join(bands.select($"doc_id".as("db"), $"simhash".as("hb"), $"band", $"bsig"),
+        Seq("band", "bsig"))
+      .filter($"da" < $"db")
+      .select($"da", $"db", $"ha", $"hb").distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter($"hamming" <= 6)
+      .select($"da", $"db", $"hamming")
+      .orderBy($"da", $"db")
+  }
+
+  val ddSimhashPairsSql: String = {
+    val h = h60Sql.format("tok")
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, $h AS h FROM tk),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th, (SELECT unnest(range(0, 60)) AS i) js
+       |  GROUP BY doc_id, i),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bsig
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |    a.simhash AS ha, b.simhash AS hb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+       |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+       |ORDER BY da, db""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"         -> dd_exact _,
+    "dd_ngram_jaccard" -> dd_ngram_jaccard _,
+    "dd_minhash_lsh"   -> dd_minhash_lsh _,
+    "dd_simhash"       -> dd_simhash _,
+    "dd_simhash_pairs" -> dd_simhash_pairs _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact"         -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramSql,
+    "dd_minhash_lsh"   -> ddMinhashSql,
+    "dd_simhash"       -> ddSimhashSql,
+    "dd_simhash_pairs" -> ddSimhashPairsSql
+  )
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * - sim_topk_cosine: brute-force exact top-k — the correctness baseline.
+  *   At cluster scale this is a broadcast of the (small) query set against
+  *   a partitioned scan of the corpus: no shuffle of the corpus at all;
+  *   per-partition top-k then a tiny final merge (Spark's TakeOrdered).
+  * - sim_neardup_cosine: threshold self-join — embedding near-dup dedup.
+  * - sim_ann_lsh: random-hyperplane LSH (8-bit signatures) — the scale
+  *   path: candidates meet via an equi-join on the bucket id, turning
+  *   O(n²) scoring into per-bucket work, the standard ANN shuffle shape.
+  *
+  * FP parity with the oracle: all cosine math is double, computed as a
+  * strict left-to-right fold (`aggregate`) from identical float inputs;
+  * hyperplanes are closed-form LCG arithmetic (no RNG state) so DuckDB
+  * replays them bit-for-bit.
+  */
+object Similarity {
+  /** dot(a, b) as a strict left-to-right double fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** Embeddings with doubled vectors and precomputed L2 norm. */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+  }
+
+  private val embSqlCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |      FROM e)""".stripMargin
+
+  /** Exact top-5 cosine neighbors for query vectors vec_id < 10. */
+  def sim_topk_cosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("vq"), $"nrm".as("nq"))
+    val c = e.select($"vec_id".as("cid"), $"v".as("vc"), $"nrm".as("nc"))
+    val scored = broadcast(q).join(c, $"qid" =!= $"cid")
+      .withColumn("cos", dot($"vq", $"vc") / ($"nq" * $"nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cid", $"cos", $"rn".cast("long").as("rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val simTopkSql: String =
+    s"""WITH $embSqlCte,
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+       |SELECT qid, cid, cos, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.45). */
+  def sim_neardup_cosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val a = e.select($"vec_id".as("da"), $"v".as("va"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("db"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, $"da" < $"db")
+      .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"cos" >= 0.45)
+      .select($"da", $"db", $"cos")
+      .orderBy($"da", $"db")
+  }
+
+  val simNeardupSql: String =
+    s"""WITH $embSqlCte
+       |SELECT a.vec_id AS da, b.vec_id AS db,
+       |  list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |    / (a.nrm * b.nrm) AS cos
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |    / (a.nrm * b.nrm) >= 0.45
+       |ORDER BY da, db""".stripMargin
+
+  // --------------------------------------------------------------- LSH ANN
+  private val NUM_PLANES = 8
+
+  /** Deterministic pseudo-random hyperplane component r(k, i) ∈ [-0.5, 0.5)
+    * via a closed-form LCG — identical arithmetic in the oracle. */
+  private def plane(k: Int): Seq[Double] =
+    (0 until 64).map { i =>
+      ((1103515245L * (k * 64 + i) + 12345L) % 2147483648L).toDouble /
+        2147483648.0 - 0.5
+    }
+
+  private def sigCol(v: Column): Column =
+    (0 until NUM_PLANES).map { k =>
+      when(dot(v, typedlit(plane(k))) > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val sigSql: String = {
+    val r = s"(CAST((1103515245 * (k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+    s"""(SELECT vec_id,
+       |   CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+       |     i -> v[i] * $r)) > 0
+       |     THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS sig
+       | FROM e, (SELECT unnest(range(0, $NUM_PLANES)) AS k) ks
+       | GROUP BY vec_id)""".stripMargin
+  }
+
+  /** LSH-bucketed approximate top-3: candidates = same 8-bit hyperplane
+    * signature bucket; exact cosine within the bucket. */
+  def sim_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("sig", sigCol($"v"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("vq"), $"nrm".as("nq"), $"sig")
+    val c = e.select($"vec_id".as("cid"), $"v".as("vc"), $"nrm".as("nc"), $"sig")
+    val scored = q.join(c, Seq("sig")).filter($"qid" =!= $"cid")
+      .withColumn("cos", dot($"vq", $"vc") / ($"nq" * $"nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"qid", $"sig", $"cid", $"cos", $"rn".cast("long").as("rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val simAnnSql: String =
+    s"""WITH $embSqlCte,
+       |sg AS $sigSql,
+       |ns AS (SELECT n.vec_id, v, nrm, sig FROM n JOIN sg ON n.vec_id = sg.vec_id),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, q.sig AS sig, c.vec_id AS cid,
+       |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM ns q JOIN ns c ON q.sig = c.sig AND q.vec_id < 10 AND c.vec_id != q.vec_id)
+       |SELECT qid, sig, cid, cos, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_cosine"    -> sim_topk_cosine _,
+    "sim_neardup_cosine" -> sim_neardup_cosine _,
+    "sim_ann_lsh"        -> sim_ann_lsh _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_cosine"    -> simTopkSql,
+    "sim_neardup_cosine" -> simNeardupSql,
+    "sim_ann_lsh"        -> simAnnSql
+  )
+}

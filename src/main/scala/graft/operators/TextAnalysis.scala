@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language-ID, quality scoring, token
+  * counting, fingerprinting, chunking). All pure `functions._` column
+  * expressions (whole-stage codegen, no UDFs), embarrassingly parallel:
+  * no shuffle except the final ORDER BY for oracle determinism — at
+  * 100 TB these run as a single map stage over the scan.
+  *
+  * Reference surface: `chunk()` (SURVEY §2.1 #chunk,
+  * `/root/reference/src/api.rs:1309-1322`) re-expressed as a
+  * fixed-window splitter; the rest are the BASELINE.json north-star
+  * text ops.
+  *
+  * Oracle-parity rule: every derived number is computed with the same
+  * IEEE-double expression tree DuckDB evaluates, from exact integer
+  * counts — so raw doubles compare bit-identically (no rounding needed).
+  */
+object TextAnalysis {
+  /** Normalized whitespace tokens, shared by all ops. */
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  private val enStops = Seq("the", "a", "of", "is", "and", "to", "in", "it")
+
+  def ta_token_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"),
+        length(trim($"text")).cast("long").as("n_chars_trim"),
+        size(array_distinct(toks($"text"))).cast("long").as("n_distinct_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val taTokenSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(trim(text)) AS BIGINT) AS n_chars_trim,
+      |  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score in [0,1]: length, punctuation density,
+    * stopword density, type-token ratio — the standard pre-training
+    * quality-filter signals. */
+  def ta_quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, c => c.isInCollection(enStops))).cast("double")
+    val nPunct = length(regexp_replace($"text", "[^.!?,;:]", "")).cast("double")
+    val nChar = length($"text").cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val score =
+      lit(0.4) * least(lit(1.0), nTok / lit(60.0)) +
+      lit(0.3) * least(lit(1.0), (nStop / nTok) * lit(5.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), (nPunct / nChar) * lit(10.0)))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        (nStop / nTok).as("stopword_ratio"),
+        (nPunct / nChar).as("punct_ratio"),
+        ttr.as("type_token_ratio"),
+        score.as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val taQualitySql: String = {
+    val t = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    val stops = enStops.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len($t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter($t, x -> x IN ($stops))) AS DOUBLE) / len($t) AS stopword_ratio,
+       |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(len(list_distinct($t)) AS DOUBLE) / len($t) AS type_token_ratio,
+       |  0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 60.0)
+       |  + 0.3 * least(1.0, (CAST(len(list_filter($t, x -> x IN ($stops))) AS DOUBLE) / len($t)) * 5.0)
+       |  + 0.3 * (1.0 - least(1.0, (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0)) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** N-gram-marker language ID: count per-language stopword hits, argmax
+    * with fixed tie-break. Returns doc-level prediction plus the labeled
+    * `lang` column so accuracy is inspectable downstream. */
+  def ta_lang_id(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    def hits(ws: Seq[String]) = size(filter(t, c => c.isInCollection(ws)))
+    val en = hits(Seq("the", "a", "of", "is", "and"))
+    val es = hits(Seq("el", "la", "de", "que", "los"))
+    val de = hits(Seq("der", "die", "und", "ist", "das"))
+    val fr = hits(Seq("le", "les", "et", "une", "est"))
+    val pred =
+      when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang".as("lang_label"), pred.as("lang_pred"),
+        en.cast("long").as("c_en"), es.cast("long").as("c_es"),
+        de.cast("long").as("c_de"), fr.cast("long").as("c_fr"))
+      .orderBy($"doc_id")
+  }
+
+  val taLangSql: String = {
+    val t = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    def h(ws: Seq[String]) =
+      s"len(list_filter($t, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    val en = h(Seq("the", "a", "of", "is", "and"))
+    val es = h(Seq("el", "la", "de", "que", "los"))
+    val de = h(Seq("der", "die", "und", "ist", "das"))
+    val fr = h(Seq("le", "les", "et", "une", "est"))
+    s"""SELECT doc_id, lang AS lang_label,
+       |  CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |       WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
+       |       WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |       WHEN $fr > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS lang_pred,
+       |  CAST($en AS BIGINT) AS c_en, CAST($es AS BIGINT) AS c_es,
+       |  CAST($de AS BIGINT) AS c_de, CAST($fr AS BIGINT) AS c_fr
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint of the normalized text (exact-dedup key). */
+  def ta_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(trim(lower($"text"))).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val taFingerprintSql: String =
+    """SELECT doc_id, md5(trim(lower(text))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Fixed-window character chunking (the `chunk()` surface): windows of
+    * 120 chars, stride 90 (30-char overlap), 1-indexed like the
+    * reference (`src/api.rs:1316` returns 1-based chunk indices). */
+  def ta_chunk_fixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nChunks = floor((length($"text") - 1) / 90).cast("int")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", posexplode(sequence(lit(0), nChunks)))
+      .select($"doc_id", (col("pos") + 1).cast("long").as("chunk_idx"),
+        expr("substring(text, pos * 90 + 1, 120)").as("chunk"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val taChunkSql: String =
+    """SELECT doc_id, CAST(i + 1 AS BIGINT) AS chunk_idx,
+      |  substr(text, CAST(i * 90 + 1 AS INTEGER), 120) AS chunk
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, ((length(text) - 1) // 90) + 1)) AS i
+      |      FROM documents) t
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_token_stats" -> ta_token_stats _,
+    "ta_quality"     -> ta_quality _,
+    "ta_lang_id"     -> ta_lang_id _,
+    "ta_fingerprint" -> ta_fingerprint _,
+    "ta_chunk_fixed" -> ta_chunk_fixed _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_token_stats" -> taTokenSql,
+    "ta_quality"     -> taQualitySql,
+    "ta_lang_id"     -> taLangSql,
+    "ta_fingerprint" -> taFingerprintSql,
+    "ta_chunk_fixed" -> taChunkSql
+  )
+}
