@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.MLQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++
+      operators.MLQueries.oracles
 }

@@ -1,0 +1,145 @@
+package graft.ml
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `quackml` metadata catalog — projects, snapshots, models,
+  * deployments, logs, files (+ the three views), mirroring
+  * `/root/reference/src/sql/schema.sql:47-209` as parquet-backed tables
+  * under a base directory.
+  *
+  * Design notes vs the reference:
+  *  - JSONB columns (hyperparams, metrics) become native typed
+  *    `map<string,string>` / `map<string,double>` parquet columns — the
+  *    `metrics->>'f1'` ordering pattern becomes a plain map lookup.
+  *  - sequences become max(id)+1 driver-side allocation; catalog writes
+  *    are tiny single-writer driver appends (the reference is likewise a
+  *    single in-process writer). The data path never contends with this.
+  *  - UPDATEs (model status/metrics) become read-modify-overwrite of the
+  *    small table — O(catalog), never O(data).
+  */
+final case class ProjectRow(id: Long, name: String, task: String, created_at: Timestamp)
+final case class SnapshotRow(id: Long, relation_name: String, y_column_name: Seq[String],
+    test_size: Double, test_sampling: String, status: String, columns_json: String,
+    created_at: Timestamp)
+final case class ModelRow(id: Long, project_id: Long, snapshot_id: Long, algorithm: String,
+    hyperparams: Map[String, String], status: String, metrics: Map[String, Double],
+    search: String, created_at: Timestamp)
+final case class DeploymentRow(id: Long, project_id: Long, model_id: Long, strategy: String,
+    created_at: Timestamp)
+final case class FileRow(id: Long, model_id: Long, path: String)
+final case class LogRow(id: Long, model_id: Long, message: String, created_at: Timestamp)
+
+class Catalog(val spark: SparkSession, val baseDir: String) {
+  import spark.implicits._
+
+  private def dir(t: String) = s"$baseDir/$t"
+  private def exists(t: String) = new java.io.File(dir(t)).exists()
+
+  private def read[T: org.apache.spark.sql.Encoder](t: String): org.apache.spark.sql.Dataset[T] =
+    if (exists(t))
+      spark.read.parquet(dir(t)).as[T]
+    else spark.emptyDataset[T]
+
+  def projects = read[ProjectRow]("projects")
+  def snapshots = read[SnapshotRow]("snapshots")
+  def models = read[ModelRow]("models")
+  def deployments = read[DeploymentRow]("deployments")
+  def files = read[FileRow]("files")
+  def logs = read[LogRow]("logs")
+
+  private def append[T: org.apache.spark.sql.Encoder](t: String, rows: Seq[T]): Unit =
+    rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(dir(t))
+
+  def nextId(t: String): Long = {
+    val ds: DataFrame = t match {
+      case "projects" => projects.toDF()
+      case "snapshots" => snapshots.toDF()
+      case "models" => models.toDF()
+      case "deployments" => deployments.toDF()
+      case "files" => files.toDF()
+      case "logs" => logs.toDF()
+    }
+    if (ds.isEmpty) 1L else ds.agg(max("id")).head().getLong(0) + 1L
+  }
+
+  private def now() = new Timestamp(System.currentTimeMillis())
+
+  def findProject(name: String): Option[ProjectRow] =
+    projects.filter($"name" === name).collect().headOption
+
+  def createProject(name: String, task: String): ProjectRow = {
+    val row = ProjectRow(nextId("projects"), name, task, now())
+    append("projects", Seq(row)); row
+  }
+
+  def createSnapshot(relation: String, yCols: Seq[String], testSize: Double,
+      sampling: String, columnsJson: String): SnapshotRow = {
+    val row = SnapshotRow(nextId("snapshots"), relation, yCols, testSize, sampling,
+      "created", columnsJson, now())
+    append("snapshots", Seq(row)); row
+  }
+
+  def createModel(projectId: Long, snapshotId: Long, algorithm: String,
+      hyperparams: Map[String, String], metrics: Map[String, Double],
+      search: String): ModelRow = {
+    val row = ModelRow(nextId("models"), projectId, snapshotId, algorithm, hyperparams,
+      "successful", metrics, search, now())
+    append("models", Seq(row)); row
+  }
+
+  def addFile(modelId: Long, path: String): FileRow = {
+    val row = FileRow(nextId("files"), modelId, path)
+    append("files", Seq(row)); row
+  }
+
+  def addLog(modelId: Long, message: String): Unit =
+    append("logs", Seq(LogRow(nextId("logs"), modelId, message, now())))
+
+  def deploy(projectId: Long, modelId: Long, strategy: String): DeploymentRow = {
+    val row = DeploymentRow(nextId("deployments"), projectId, modelId, strategy, now())
+    append("deployments", Seq(row)); row
+  }
+
+  /** Latest deployment per project — the reference's DISTINCT-ON view
+    * (`schema.sql:182-186`), via a row_number window. */
+  def deployedModels: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"project_id").orderBy($"id".desc)
+    deployments.toDF()
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      .join(projects.toDF().select($"id".as("project_id"), $"name", $"task"), "project_id")
+      .join(models.toDF().select($"id".as("model_id"), $"algorithm", $"metrics"), "model_id")
+  }
+
+  def deployedModelId(projectName: String): Option[Long] =
+    deployedModels.filter($"name" === projectName)
+      .select($"model_id").collect().headOption.map(_.getLong(0))
+
+  /** `quackml.trained_models` view (`schema.sql:145-180`). */
+  def trainedModels: DataFrame =
+    models.toDF().select($"id".as("model_id"), $"project_id", $"algorithm",
+        $"status", $"metrics", $"created_at")
+      .join(projects.toDF().select($"id".as("project_id"), $"name", $"task"), "project_id")
+
+  /** Model file path for a model id. */
+  def modelPath(modelId: Long): Option[String] =
+    files.filter($"model_id" === modelId).collect().headOption.map(_.path)
+
+  /** Best-scoring model for a project by the task's default metric —
+    * the reference's `ORDER BY metrics->>'<m>' DESC NULLS LAST`
+    * (`task.rs:116-127`) as a map lookup + orderBy. */
+  def bestModelId(projectName: String): Option[Long] = {
+    findProject(projectName).flatMap { p =>
+      val metric = Train.defaultTargetMetric(p.task)
+      val positive = Train.metricPositive(p.task)
+      val m = models.filter($"project_id" === p.id)
+        .withColumn("score", element_at($"metrics", metric))
+      val ordered =
+        if (positive) m.orderBy($"score".desc_nulls_last, $"id".desc)
+        else m.orderBy($"score".asc_nulls_last, $"id".desc)
+      ordered.select($"id").collect().headOption.map(_.getLong(0))
+    }
+  }
+}

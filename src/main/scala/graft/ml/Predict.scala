@@ -1,0 +1,164 @@
+package graft.ml
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The predict surface — reference `predict`/`predict_proba`/
+  * `predict_text` scalar functions (`/root/reference/src/api.rs:801-970`)
+  * and the model cache (`src/orm/model.rs:275-368`,
+  * `src/orm/project.rs:44-83`).
+  *
+  * Two paths, mirroring SURVEY §3.2's recommendation:
+  *  - `transform(df, project)` — the bulk path: resolve the deployed
+  *    PipelineModel once, `model.transform` (native vectorized MLlib
+  *    scoring, fuses into whole-stage codegen). This is the 100 TB path.
+  *  - `quackml_predict(features)` UDFs — row-shaped parity surface for
+  *    SQL (`SELECT quackml_predict(array(...))`): the final estimator's
+  *    `predict(Vector)` under a per-JVM cache. In local mode the cache is
+  *    process-wide exactly like the reference's; on a cluster the model
+  *    id → path map is tiny and each executor lazily loads once.
+  */
+object Predict {
+  // Keys are namespaced by catalog baseDir: two catalogs both have a
+  // "model 1", and a process can serve several catalogs (tests do).
+  private val modelCache = new ConcurrentHashMap[String, PipelineModel]()
+  private val projectCache = new ConcurrentHashMap[String, java.lang.Long]()
+  private val CacheBound = 1024 // reference flushes at 1024 (`project.rs:70-74`)
+
+  // The catalog bound for the SQL-function surface. Held in this JVM
+  // singleton so UDF closures capture NOTHING (a Scala object reference is
+  // static — serialization-safe); in local mode executors share the JVM.
+  // On a multi-node cluster the SQL functions would resolve through a
+  // broadcast id→path map instead — the bulk `transform` path is already
+  // cluster-safe.
+  @volatile private var bound: Catalog = _
+  private def boundCatalog: Catalog = {
+    val c = bound
+    require(c != null, "Predict.registerFunctions has not been called")
+    c
+  }
+
+  def clearCaches(): Unit = { modelCache.clear(); projectCache.clear() }
+
+  /** Resolve + cache the deployed model id for a project. */
+  def deployedModelId(catalog: Catalog, project: String): Long = {
+    if (projectCache.size() > CacheBound) projectCache.clear()
+    projectCache.computeIfAbsent(s"${catalog.baseDir}#$project", _ =>
+      catalog.deployedModelId(project).getOrElse(
+        throw new IllegalStateException(s"Project '$project' has no deployed model"))
+    ).longValue()
+  }
+
+  /** Load + cache a PipelineModel by id. */
+  def findCached(catalog: Catalog, modelId: Long): PipelineModel = {
+    if (modelCache.size() > CacheBound) modelCache.clear()
+    modelCache.computeIfAbsent(s"${catalog.baseDir}#$modelId", _ =>
+      PipelineModel.load(catalog.modelPath(modelId).getOrElse(
+        throw new IllegalStateException(s"Model $modelId has no persisted file"))))
+  }
+
+  def deployedModel(catalog: Catalog, project: String): PipelineModel =
+    findCached(catalog, deployedModelId(catalog, project))
+
+  /** Bulk scoring: run the deployed pipeline over a DataFrame. */
+  def transform(catalog: Catalog, project: String, df: DataFrame): DataFrame =
+    deployedModel(catalog, project).transform(df)
+
+  /** The last pipeline stage as a row-predictor. */
+  private def predictor(m: PipelineModel): org.apache.spark.ml.linalg.Vector => Double =
+    m.stages.last match {
+      case p: org.apache.spark.ml.regression.LinearRegressionModel => p.predict
+      case p: org.apache.spark.ml.classification.LogisticRegressionModel => p.predict
+      case p: org.apache.spark.ml.classification.LinearSVCModel => p.predict
+      case p: org.apache.spark.ml.regression.RandomForestRegressionModel => p.predict
+      case p: org.apache.spark.ml.classification.RandomForestClassificationModel => p.predict
+      case p: org.apache.spark.ml.regression.GBTRegressionModel => p.predict
+      case p: org.apache.spark.ml.classification.GBTClassificationModel => p.predict
+      case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
+      case other => throw new IllegalArgumentException(
+        s"no row predictor for ${other.getClass.getSimpleName}")
+    }
+
+  /** Register the SQL functions on a session, bound to a catalog:
+    * quackml_predict(project, array<float>) → float
+    * quackml_predict_proba(project, array<float>) → float  (first-class
+    *   probability only — reproducing the reference's scalar-output quirk,
+    *   `src/api.rs:893-898`)
+    * quackml_predict_text(project, varchar) → float (byte-per-feature
+    *   hack reproduced from `src/api.rs:936-940`)
+    */
+  /** Eagerly resolve + load the deployed model for every project (tiny
+    * catalog scan, driver-side). Required because the UDFs execute inside
+    * tasks, where launching nested Spark jobs (catalog reads /
+    * PipelineModel.load) is illegal — the UDF path must be pure cache
+    * hits. Mirrors the reference's process-wide warm caches. */
+  def warm(catalog: Catalog): Unit =
+    catalog.deployedModels.select(col("name"), col("model_id"))
+      .collect().foreach { r =>
+        projectCache.put(s"${catalog.baseDir}#${r.getString(0)}", r.getLong(1))
+        findCached(catalog, r.getLong(1))
+      }
+
+  private def cachedOnly(project: String): PipelineModel = {
+    val cat = boundCatalog
+    val id = projectCache.get(s"${cat.baseDir}#$project")
+    require(id != null,
+      s"Project '$project' is not warmed — deploy happened after " +
+        "registerFunctions, or the project does not exist; call Predict.warm")
+    modelCache.get(s"${cat.baseDir}#${id.longValue()}")
+  }
+
+  def registerFunctions(spark: SparkSession, catalog: Catalog): Unit = {
+    bound = catalog
+    warm(catalog)
+    spark.udf.register("quackml_predict", (project: String, features: Seq[Float]) => {
+      require(features != null && features.nonEmpty, "Empty feature vector")
+      val m = cachedOnly(project)
+      predictor(m)(Vectors.dense(features.map(_.toDouble).toArray)).toFloat
+    })
+
+    spark.udf.register("quackml_predict_proba", (project: String, features: Seq[Float]) => {
+      val m = cachedOnly(project)
+      m.stages.last match {
+        case p: org.apache.spark.ml.classification.LogisticRegressionModel =>
+          p.predictProbability(Vectors.dense(features.map(_.toDouble).toArray))(0).toFloat
+        case other => throw new IllegalArgumentException(
+          s"predict_proba unsupported for ${other.getClass.getSimpleName}")
+      }
+    })
+
+    spark.udf.register("quackml_predict_text", (project: String, text: String) => {
+      val feats = text.getBytes("UTF-8").map(b => (b & 0xff).toFloat)
+      val m = cachedOnly(project)
+      predictor(m)(Vectors.dense(feats.map(_.toDouble))).toFloat
+    })
+  }
+
+  /** Deployment strategies (`src/api.rs:695-799`): best_score,
+    * most_recent, rollback, specific. Returns the deployed model id. */
+  def deployStrategy(catalog: Catalog, project: String, strategy: String,
+      modelId: Option[Long] = None): Long = {
+    val p = catalog.findProject(project).getOrElse(
+      throw new IllegalArgumentException(s"Project '$project' does not exist"))
+    val chosen: Long = strategy match {
+      case "best_score" => catalog.bestModelId(project).get
+      case "most_recent" =>
+        catalog.models.filter(col("project_id") === p.id)
+          .orderBy(col("id").desc).select(col("id")).head().getLong(0)
+      case "rollback" =>
+        val deps = catalog.deployments.filter(col("project_id") === p.id)
+          .orderBy(col("id").desc).select(col("model_id")).collect().map(_.getLong(0))
+        deps.distinct.drop(1).headOption.getOrElse(
+          throw new IllegalStateException("No previous deployment to roll back to"))
+      case "specific" => modelId.getOrElse(
+        throw new IllegalArgumentException("specific strategy requires a model id"))
+      case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+    }
+    catalog.deploy(p.id, chosen, strategy)
+    projectCache.remove(s"${catalog.baseDir}#$project")
+    chosen
+  }
+}

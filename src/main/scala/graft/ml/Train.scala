@@ -1,0 +1,277 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.clustering.{BisectingKMeans, KMeans}
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.{PCA, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The `train()` surface — reference lifecycle at
+  * `/root/reference/src/api.rs:444-693`: find/create project → snapshot →
+  * split → preprocess → fit → metrics → persist → auto-deploy.
+  *
+  * Architecture: the reference row-loops a cursor into a dense f32 matrix
+  * and hands it to linfa/xgboost under a GIL; here the snapshot IS a
+  * DataFrame, preprocessing is column expressions + ML stages inside a
+  * `Pipeline`, and the fit is MLlib's distributed estimator. No ingest
+  * loop exists at all — the estimator consumes the partitioned scan.
+  *
+  * Algorithm policy (SURVEY §2.4): exact MLlib equivalent where one
+  * exists; documented nearest-equivalent for the boosting family
+  * (xgboost/lightgbm/… → GBT, flagged `compat=gbt` in hyperparams);
+  * hard error naming the gap otherwise — mirroring the reference's own
+  * `todo!()` holes (`src/orm/model.rs:408,433,441,445,447`).
+  */
+object Train {
+
+  final case class TrainConfig(
+      projectName: String,
+      task: String, // regression | classification | clustering | decomposition
+      relationName: String = "",
+      data: Option[DataFrame] = None,
+      yColumn: Seq[String] = Seq("target"),
+      algorithm: String = "linear",
+      hyperparams: Map[String, String] = Map.empty,
+      testSize: Double = 0.25,
+      testSampling: String = "stratified",
+      orderCols: Seq[String] = Seq.empty,
+      automaticDeploy: Boolean = true,
+      seed: Long = 42L)
+
+  def defaultTargetMetric(task: String): String = task match {
+    case "regression" => "r2"
+    case "classification" => "f1"
+    case "clustering" => "silhouette"
+    case "decomposition" => "cumulative_explained_variance"
+    case t => throw new IllegalArgumentException(s"No default target metric for task: $t")
+  }
+
+  /** Higher-is-better direction (`task.rs:97-106`). */
+  def metricPositive(task: String): Boolean = task match {
+    case "regression" | "classification" | "clustering" | "decomposition" => true
+    case "text_generation" | "text2text" => false
+    case _ => true
+  }
+
+  def valueIsBetter(task: String, value: Double, other: Double): Boolean =
+    if (metricPositive(task)) value > other else value < other
+
+  private def hp(h: Map[String, String], k: String, default: Double): Double =
+    h.get(k).map(_.toDouble).getOrElse(default)
+  private def hpi(h: Map[String, String], k: String, default: Int): Int =
+    h.get(k).map(_.toInt).getOrElse(default)
+  private def hpb(h: Map[String, String], k: String, default: Boolean): Boolean =
+    h.get(k).map(_.toBoolean).getOrElse(default)
+
+  /** (task, algorithm) → estimator. Hyperparameter names accept the
+    * reference's sklearn-style spellings (`max_iter`, `alpha`,
+    * `l1_ratio`, `n_estimators`, `max_depth`, `learning_rate`,
+    * `fit_intercept`, `n_clusters`, `n_components`). */
+  def estimatorFor(task: String, algorithm: String, h: Map[String, String],
+      seed: Long): PipelineStage = (task, algorithm) match {
+    // ---------------- regression
+    case ("regression", "linear") =>
+      new LinearRegression().setSolver("normal").setRegParam(0.0)
+        .setFitIntercept(hpb(h, "fit_intercept", true))
+    case ("regression", "ridge") =>
+      new LinearRegression().setSolver("normal")
+        .setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(0.0)
+        .setStandardization(false)
+    case ("regression", "lasso") =>
+      new LinearRegression().setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(1.0)
+        .setMaxIter(hpi(h, "max_iter", 100))
+    case ("regression", "elastic_net") =>
+      new LinearRegression().setRegParam(hp(h, "alpha", 1.0))
+        .setElasticNetParam(hp(h, "l1_ratio", 0.5)).setMaxIter(hpi(h, "max_iter", 100))
+    case ("regression", "random_forest") =>
+      new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 100))
+        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+    case ("regression", "extra_trees") =>
+      new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 100))
+        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+        .setSubsamplingRate(1.0).setFeatureSubsetStrategy("sqrt")
+    case ("regression", "gradient_boosting_trees" | "hist_gradient_boosting" |
+                        "xgboost" | "lightgbm" | "catboost" | "ada_boost") =>
+      new GBTRegressor().setMaxIter(hpi(h, "n_estimators", 10))
+        .setMaxDepth(hpi(h, "max_depth", 5))
+        .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
+    case ("regression", "stochastic_gradient_descent") =>
+      new LinearRegression().setSolver("l-bfgs")
+        .setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0001))
+    // ---------------- classification
+    case ("classification", "linear") =>
+      new LogisticRegression().setMaxIter(hpi(h, "max_iterations", hpi(h, "max_iter", 100)))
+        .setRegParam(hp(h, "alpha", 0.0)).setFitIntercept(hpb(h, "fit_intercept", true))
+        .setTol(hp(h, "gradient_tolerance", 1e-6))
+    case ("classification", "ridge") =>
+      new LogisticRegression().setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(0.0)
+        .setMaxIter(hpi(h, "max_iter", 100))
+    case ("classification", "random_forest") =>
+      new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 100))
+        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+    case ("classification", "extra_trees") =>
+      new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 100))
+        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+        .setFeatureSubsetStrategy("sqrt")
+    case ("classification", "gradient_boosting_trees" | "hist_gradient_boosting" |
+                            "xgboost" | "lightgbm" | "catboost" | "ada_boost") =>
+      new GBTClassifier().setMaxIter(hpi(h, "n_estimators", 10))
+        .setMaxDepth(hpi(h, "max_depth", 5))
+        .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
+    case ("classification", "linear_svm" | "svm") =>
+      new LinearSVC().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0))
+    case ("classification", "perceptron") =>
+      new LogisticRegression().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(0.0)
+    // ---------------- clustering
+    case ("clustering", "kmeans" | "mini_batch_kmeans") =>
+      new KMeans().setK(hpi(h, "n_clusters", 8)).setSeed(seed)
+        .setMaxIter(hpi(h, "max_iter", 300))
+    case ("clustering", "birch") =>
+      new BisectingKMeans().setK(hpi(h, "n_clusters", 8)).setSeed(seed)
+    // ---------------- decomposition
+    case ("decomposition", "pca") =>
+      new PCA().setK(hpi(h, "n_components", 2))
+    case (t, a) =>
+      throw new IllegalArgumentException(
+        s"algorithm '$a' for task '$t' has no Spark MLlib equivalent " +
+          s"(reference dispatches it to sklearn; see SURVEY §2.4 gap policy)")
+  }
+
+  /** Whether the nearest-equivalent substitution was applied. */
+  private def compatNote(algorithm: String): Map[String, String] = algorithm match {
+    case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
+         "hist_gradient_boosting" => Map("compat" -> "gbt")
+    case "perceptron" => Map("compat" -> "logistic")
+    case "mini_batch_kmeans" => Map("compat" -> "kmeans")
+    case "birch" => Map("compat" -> "bisecting_kmeans")
+    case _ => Map.empty
+  }
+
+  private def resolveRelation(spark: SparkSession, cfg: TrainConfig): DataFrame =
+    cfg.data.getOrElse {
+      if (spark.catalog.tableExists(cfg.relationName)) spark.table(cfg.relationName)
+      else spark.read.parquet(cfg.relationName)
+    }
+
+  /** End-to-end train. Returns the reference's one-row contract
+    * (project, task, algorithm, deploy) — `src/api.rs:190-193`. */
+  def train(spark: SparkSession, catalog: Catalog, cfg: TrainConfig): DataFrame = {
+    val t0 = System.nanoTime()
+    val project = catalog.findProject(cfg.projectName) match {
+      case Some(p) =>
+        require(p.task == cfg.task,
+          s"Project ${cfg.projectName} already exists with a different task: ${p.task}")
+        p
+      case None => catalog.createProject(cfg.projectName, cfg.task)
+    }
+
+    val df = resolveRelation(spark, cfg)
+    val supervised = cfg.task == "regression" || cfg.task == "classification"
+    val labelCol = cfg.yColumn.headOption.getOrElse("__no_label")
+    val featureCols = df.columns.filterNot(cfg.yColumn.contains).toSeq
+    val orderCols = if (cfg.orderCols.nonEmpty) cfg.orderCols else Seq(df.columns.head)
+
+    val snapshot = catalog.createSnapshot(cfg.relationName, cfg.yColumn, cfg.testSize,
+      cfg.testSampling, df.schema.json)
+
+    // split (stratified only makes sense for classification labels)
+    val strategy =
+      if (!supervised) Sampling.RandomSampling
+      else if (cfg.task == "regression" && cfg.testSampling == "stratified") Sampling.RandomSampling
+      else Sampling.parse(cfg.testSampling)
+    val (trainDF, testDF) =
+      if (supervised) Sampling.split(df, strategy, cfg.yColumn, orderCols, cfg.testSize, cfg.seed)
+      else (df, df)
+
+    // preprocess: index string features, assemble the rest
+    val stringCols = featureCols.filter(c => df.schema(c).dataType == StringType)
+    val numericCols = featureCols.filterNot(stringCols.contains)
+    val indexers = stringCols.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}__idx")
+        .setStringOrderType("alphabetAsc").setHandleInvalid("keep"))
+    val assembler = new VectorAssembler()
+      .setInputCols((numericCols ++ stringCols.map(c => s"${c}__idx")).toArray)
+      .setOutputCol("features")
+
+    val est = estimatorFor(cfg.task, cfg.algorithm, cfg.hyperparams, cfg.seed)
+    est match {
+      case p: org.apache.spark.ml.Predictor[_, _, _] =>
+        p.setLabelCol(labelCol).setFeaturesCol("features"); ()
+      case k: KMeans => k.setFeaturesCol("features"); ()
+      case b: BisectingKMeans => b.setFeaturesCol("features"); ()
+      case p: PCA => p.setInputCol("features").setOutputCol("pca_features"); ()
+      case _ => ()
+    }
+
+    val pipeline = new Pipeline().setStages((indexers :+ assembler :+ est).toArray)
+    val trainCast =
+      if (supervised) trainDF.withColumn(labelCol, col(labelCol).cast("double"))
+      else trainDF
+    val model = pipeline.fit(trainCast)
+    val fitTime = (System.nanoTime() - t0) / 1e9
+
+    // metrics on the test split
+    val t1 = System.nanoTime()
+    val metrics: Map[String, Double] = cfg.task match {
+      case "regression" =>
+        val pred = model.transform(testDF.withColumn(labelCol, col(labelCol).cast("double")))
+        val r = Metrics.regression(pred, labelCol, "prediction")
+        Map("r2" -> r.r2, "mean_absolute_error" -> r.mae, "mean_squared_error" -> r.mse)
+      case "classification" =>
+        val pred = model.transform(testDF.withColumn(labelCol, col(labelCol).cast("double")))
+        val rep = Metrics.classification(pred, labelCol, "prediction")
+        val base = Map("f1" -> rep.f1Macro, "f1_micro" -> rep.f1Micro,
+          "precision" -> rep.precision, "recall" -> rep.recall, "accuracy" -> rep.accuracy)
+        val classes = pred.select(col(labelCol).cast("int")).distinct().count()
+        if (classes == 2 && pred.columns.contains("probability")) {
+          val p1 = element_at(
+            org.apache.spark.ml.functions.vector_to_array(col("probability")), 2)
+          val auc = Metrics.rocAuc(
+            pred.withColumn("p1", p1.cast("double"))
+              .withColumn("y", col(labelCol).cast("double") === 1.0), "y", "p1")
+          val ll = Metrics.logLoss(
+            pred.withColumn("p1", p1.cast("double")), labelCol, "p1")
+          base + ("roc_auc" -> auc, "log_loss" -> ll)
+        } else base
+      case "clustering" =>
+        val pred = model.transform(testDF)
+        Map("silhouette" -> new ClusteringEvaluator().setFeaturesCol("features").evaluate(pred))
+      case "decomposition" =>
+        val pcaModel = model.stages.last.asInstanceOf[org.apache.spark.ml.feature.PCAModel]
+        Map("cumulative_explained_variance" -> pcaModel.explainedVariance.toArray.sum)
+      case t => throw new IllegalArgumentException(s"unsupported task: $t")
+    }
+    val scoreTime = (System.nanoTime() - t1) / 1e9
+    val allMetrics = metrics + ("fit_time" -> fitTime, "score_time" -> scoreTime)
+
+    // persist model + catalog rows
+    val modelRow = catalog.createModel(project.id, snapshot.id, cfg.algorithm,
+      cfg.hyperparams ++ compatNote(cfg.algorithm), allMetrics, "none")
+    val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
+    model.write.overwrite().save(path)
+    catalog.addFile(modelRow.id, path)
+
+    // deployment decision (`src/api.rs:600-685`)
+    val targetMetric = defaultTargetMetric(cfg.task)
+    val deployed = catalog.deployedModels
+      .filter(col("name") === cfg.projectName)
+      .select(element_at(col("metrics"), targetMetric)).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val shouldDeploy = cfg.automaticDeploy && (deployed match {
+      case None => true
+      case Some(old) => valueIsBetter(cfg.task, metrics.getOrElse(targetMetric, Double.NaN), old)
+    })
+    if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
+
+    val schema = StructType(Seq(
+      StructField("project", StringType), StructField("task", StringType),
+      StructField("algorithm", StringType), StructField("deploy", BooleanType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(cfg.projectName, cfg.task, cfg.algorithm, shouldDeploy)),
+      schema)
+  }
+}

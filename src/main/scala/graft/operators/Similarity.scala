@@ -73,9 +73,12 @@ object Similarity {
   def sim_neardup_cosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val a = e.select($"vec_id".as("da"), $"v".as("va"), $"nrm".as("na"))
+    // left side repartitioned: the corpus arrives as one parquet file =
+    // one partition, which would serialize the O(n²) scoring loop; the
+    // right side stays broadcast (nested-loop join with a tiny build).
+    val a = e.repartition(32).select($"vec_id".as("da"), $"v".as("va"), $"nrm".as("na"))
     val b = e.select($"vec_id".as("db"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, $"da" < $"db")
+    a.join(broadcast(b), $"da" < $"db")
       .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
       .filter($"cos" >= 0.45)
       .select($"da", $"db", $"cos")

@@ -1,0 +1,164 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end lifecycle specs mirroring the reference's commented train
+  * tests (`/root/reference/src/api.rs:2939-3057`): train on builtin
+  * datasets, assert the contract row, metrics sanity, deployment
+  * decisions, and the predict surface. */
+class TrainLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshCatalog() = new Catalog(spark,
+    java.nio.file.Files.createTempDirectory("graft_cat").toString)
+
+  test("regression lifecycle on diabetes: train → metrics → deploy → predict") {
+    val cat = freshCatalog()
+    val df = Datasets.diabetes(spark)
+    val out = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Diabetes", task = "regression", relationName = "quackml_diabetes",
+      data = Some(df), yColumn = Seq("target"), algorithm = "linear",
+      testSampling = "random", orderCols = Seq("age")))
+    val row = out.head()
+    assert(row.getString(0) == "Diabetes" && row.getString(1) == "regression" &&
+      row.getString(2) == "linear" && row.getBoolean(3))
+
+    val m = cat.models.collect().head
+    assert(m.metrics("r2") > 0.9, s"synthetic linear data should fit well: ${m.metrics}")
+    assert(m.metrics.contains("mean_absolute_error") && m.metrics.contains("mean_squared_error"))
+    assert(cat.deployedModelId("Diabetes").contains(m.id))
+
+    // predict surface: UDF + bulk transform
+    Predict.clearCaches()
+    Predict.registerFunctions(spark, cat)
+    val pred = spark.sql(
+      "SELECT quackml_predict('Diabetes', array(cast(0.1 as float), cast(-0.2 as float)," +
+        " cast(0.3 as float), cast(0.0 as float), cast(0.1 as float), cast(0.1 as float)," +
+        " cast(-0.1 as float), cast(0.2 as float), cast(0.0 as float), cast(0.05 as float)))")
+      .head().getFloat(0)
+    assert(!pred.isNaN)
+    val bulk = Predict.transform(cat, "Diabetes", df)
+    assert(bulk.columns.contains("prediction") && bulk.count() == 442)
+  }
+
+  test("worse second model is not auto-deployed; rollback/most_recent strategies work") {
+    val cat = freshCatalog()
+    val df = Datasets.diabetes(spark)
+    def cfg(alg: String, hp: Map[String, String] = Map.empty) = Train.TrainConfig(
+      projectName = "DeployDemo", task = "regression", relationName = "quackml_diabetes",
+      data = Some(df), yColumn = Seq("target"), algorithm = alg, hyperparams = hp,
+      testSampling = "random", orderCols = Seq("age"))
+    assert(Train.train(spark, cat, cfg("linear")).head().getBoolean(3))
+    // heavily-regularized ridge fits worse → no deploy
+    val second = Train.train(spark, cat, cfg("ridge", Map("alpha" -> "10000.0")))
+    assert(!second.head().getBoolean(3))
+    val firstId = cat.models.collect().map(_.id).min
+    assert(cat.deployedModelId("DeployDemo").contains(firstId))
+
+    // most_recent promotes the worse one, rollback goes back
+    val secondId = Predict.deployStrategy(cat, "DeployDemo", "most_recent")
+    assert(secondId == cat.models.collect().map(_.id).max)
+    assert(cat.deployedModelId("DeployDemo").contains(secondId))
+    val back = Predict.deployStrategy(cat, "DeployDemo", "rollback")
+    assert(back == firstId)
+    // best_score picks the higher-r2 model
+    assert(Predict.deployStrategy(cat, "DeployDemo", "best_score") == firstId)
+  }
+
+  test("multiclass classification on iris") {
+    val cat = freshCatalog()
+    val out = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Iris", task = "classification", relationName = "quackml_iris",
+      data = Some(Datasets.iris(spark)), yColumn = Seq("target"), algorithm = "linear",
+      testSampling = "stratified", orderCols = Seq("sepal_length")))
+    assert(out.head().getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.metrics("f1") > 0.85, s"separable classes should score high: ${m.metrics}")
+    assert(m.metrics.contains("accuracy") && m.metrics.contains("precision"))
+  }
+
+  test("binary classification on breast_cancer (boolean label) records roc_auc") {
+    val cat = freshCatalog()
+    val df = Datasets.breastCancer(spark)
+    val out = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "BC", task = "classification", relationName = "quackml_breast_cancer",
+      data = Some(df), yColumn = Seq("malignant"), algorithm = "linear",
+      testSampling = "stratified", orderCols = Seq("mean radius")))
+    assert(out.head().getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.metrics.contains("roc_auc") && m.metrics("roc_auc") > 0.5)
+  }
+
+  test("random_forest classification + gbt-compat algorithms dispatch") {
+    val cat = freshCatalog()
+    val out = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "IrisRF", task = "classification", relationName = "quackml_iris",
+      data = Some(Datasets.iris(spark)), yColumn = Seq("target"),
+      algorithm = "random_forest", hyperparams = Map("n_estimators" -> "20"),
+      testSampling = "stratified", orderCols = Seq("sepal_length")))
+    assert(out.head().getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.metrics("f1") > 0.8)
+  }
+
+  test("clustering (kmeans) and decomposition (pca) lifecycles") {
+    val cat = freshCatalog()
+    val iris = Datasets.iris(spark).drop("target")
+    val km = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Clusters", task = "clustering", relationName = "quackml_iris",
+      data = Some(iris), yColumn = Seq.empty, algorithm = "kmeans",
+      hyperparams = Map("n_clusters" -> "3")))
+    assert(km.head().getBoolean(3))
+    assert(cat.models.collect().head.metrics("silhouette") > 0.3)
+
+    val pca = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "PCA", task = "decomposition", relationName = "quackml_iris",
+      data = Some(iris), yColumn = Seq.empty, algorithm = "pca",
+      hyperparams = Map("n_components" -> "2")))
+    assert(pca.head().getBoolean(3))
+    val cev = cat.models.collect().find(_.algorithm == "pca").get
+      .metrics("cumulative_explained_variance")
+    assert(cev > 0.0 && cev <= 1.0 + 1e-9)
+  }
+
+  test("unmapped algorithm raises the documented gap error") {
+    val cat = freshCatalog()
+    val e = intercept[IllegalArgumentException] {
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = "Gap", task = "regression", relationName = "quackml_diabetes",
+        data = Some(Datasets.diabetes(spark)), yColumn = Seq("target"),
+        algorithm = "gaussian_process"))
+    }
+    assert(e.getMessage.contains("no Spark MLlib equivalent"))
+  }
+
+  test("task mismatch on existing project errors like the reference") {
+    val cat = freshCatalog()
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "P1", task = "regression", relationName = "quackml_diabetes",
+      data = Some(Datasets.diabetes(spark)), yColumn = Seq("target"),
+      testSampling = "random", orderCols = Seq("age")))
+    val e = intercept[IllegalArgumentException] {
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = "P1", task = "classification", relationName = "quackml_iris",
+        data = Some(Datasets.iris(spark)), yColumn = Seq("target")))
+    }
+    assert(e.getMessage.contains("different task"))
+  }
+
+  test("MLlib linear regression agrees with closed-form OLS") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // single feature: y = 3x + 7 exactly
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val cat = freshCatalog()
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "OLS", task = "regression", relationName = "t",
+      data = Some(df), yColumn = Seq("y"), algorithm = "linear",
+      testSampling = "random", orderCols = Seq("x")))
+    val model = Predict.deployedModel(cat, "OLS")
+    val lr = model.stages.last.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    assert(math.abs(lr.coefficients(0) - 3.0) < 1e-6)
+    assert(math.abs(lr.intercept - 7.0) < 1e-6)
+  }
+}
