@@ -1,0 +1,236 @@
+package graft.ml
+
+import org.apache.spark.ml.PipelineStage
+import org.apache.spark.ml.feature.{SQLTransformer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Column preprocessing — impute / scale / encode with the reference's
+  * semantics (`/root/reference/src/orm/snapshot.rs:90-248,1300-1335`):
+  *
+  *  - impute on missing: mean | median | mode | min | max | zero; default
+  *    is a hard error at fit time when the train split has missing values
+  *    (the reference panics per-row at runtime — we fail fast with the
+  *    same configuration hint).
+  *  - scale AFTER impute: standard (x−μ)/σ, min_max, max_abs,
+  *    robust (x−median)/(p80−p30) — ventile indices 15/5 like the
+  *    reference — or preserve. Scaling applies to encoded category codes
+  *    too (reference behavior).
+  *  - encode for categoricals: native (dictionary code), target (category
+  *    → mean label, computed on train only), one_hot (k−1 columns, last
+  *    category dropped), ordinal(values) (explicit 1-based order, unknown
+  *    value raises). NULL is always category 0 with the `__NULL__`
+  *    sentinel; unseen test-time categories become NaN (then imputed if
+  *    configured). Category codes use a canonical order — `__NULL__`
+  *    first, then lexicographic — instead of the reference's
+  *    non-deterministic first-seen order (documented deviation; the
+  *    decoded semantics are identical).
+  *  - validation: mean-impute on a categorical requires target encoding;
+  *    non-native encode on a continuous column is rejected
+  *    (`snapshot.rs:543-556`).
+  *
+  * Everything compiles to ONE `SQLTransformer` stage (pure column
+  * expressions → whole-stage codegen, no shuffles) followed by a
+  * `VectorAssembler`, so the fitted preprocessing persists inside the
+  * saved `PipelineModel` and ships to executors like any MLlib stage.
+  * Fit-time statistics come from the distributed Stats pass over the
+  * train split only — no leakage from test.
+  */
+object Preprocess {
+  sealed trait Encode
+  case object NativeEncode extends Encode
+  case object TargetEncode extends Encode
+  case object OneHotEncode extends Encode
+  final case class OrdinalEncode(values: Seq[String]) extends Encode
+
+  sealed trait Impute
+  case object ImputeError extends Impute
+  case object ImputeMean extends Impute
+  case object ImputeMedian extends Impute
+  case object ImputeMode extends Impute
+  case object ImputeMin extends Impute
+  case object ImputeMax extends Impute
+  case object ImputeZero extends Impute
+
+  sealed trait Scale
+  case object Preserve extends Scale
+  case object Standard extends Scale
+  case object MinMax extends Scale
+  case object MaxAbs extends Scale
+  case object Robust extends Scale
+
+  final case class Preprocessor(encode: Encode = NativeEncode,
+      impute: Impute = ImputeError, scale: Scale = Preserve)
+
+  final case class Fitted(stages: Seq[PipelineStage], outputCols: Seq[String],
+      featuresCol: String)
+
+  private def q(name: String) = s"`${name.replace("`", "``")}`"
+  private def sq(v: String) = s"'${v.replace("'", "''")}'"
+  val NullCategory = "__NULL__"
+
+  /** Fit the preprocessing plan on the TRAIN split. */
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: Option[String],
+      config: Map[String, Preprocessor]): Fitted = {
+    val schema = train.schema
+    val isCat = featureCols.map(c => c -> (schema(c).dataType == StringType)).toMap
+
+    // ---- validation (snapshot.rs:543-556)
+    config.foreach { case (c, p) =>
+      if (isCat.getOrElse(c, false)) {
+        if (p.impute == ImputeMean && p.encode != TargetEncode)
+          throw new IllegalArgumentException(
+            s"""Cannot impute "mean" for categorical column "$c" unless it is target-encoded — there is no "average" category; "mode" is a valid alternative.""")
+      } else if (p.encode != NativeEncode)
+        throw new IllegalArgumentException(
+          s"""It does not make sense to encode continuous column "$c"; use the default native encoding.""")
+    }
+
+    def pp(c: String) = config.getOrElse(c, Preprocessor())
+
+    // ---- phase 1: encode expressions (categorical → numeric code/mean)
+    val catCols = featureCols.filter(isCat)
+    val categoryMaps: Map[String, Seq[(String, Double)]] = catCols.map { c =>
+      val seen = train.select(col(c).cast("string")).distinct().collect()
+        .map(r => if (r.isNullAt(0)) NullCategory else r.getString(0)).toSeq
+      val hasNull = seen.contains(NullCategory)
+      val ordered =
+        (if (hasNull) Seq(NullCategory) else Seq.empty) ++
+          seen.filterNot(_ == NullCategory).sorted
+      val withCodes = pp(c).encode match {
+        case OrdinalEncode(values) =>
+          ordered.map { k =>
+            if (k == NullCategory) k -> 0.0
+            else values.indexOf(k) match {
+              case -1 => throw new IllegalArgumentException(
+                s"value is not present in ordinal: $k. Valid values: $values")
+              case i => k -> (i + 1).toDouble
+            }
+          }
+        case _ => ordered.zipWithIndex.map { case (k, i) => k -> i.toDouble }
+      }
+      c -> withCodes
+    }.toMap
+
+    val targetMeans: Map[String, (Seq[(String, Double)], Double)] =
+      catCols.filter(c => pp(c).encode == TargetEncode).map { c =>
+        val l = labelCol.getOrElse(throw new IllegalArgumentException(
+          s"target encoding for '$c' requires a label column"))
+        val rows = train.groupBy(coalesce(col(c).cast("string"), lit(NullCategory)).as("k"))
+          .agg(avg(col(l).cast("double")).as("m")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+        val global = train.agg(avg(col(l).cast("double"))).head().getDouble(0)
+        c -> (rows, global)
+      }.toMap
+
+    def encodeSql(c: String): String = {
+      val p = pp(c)
+      if (!isCat(c)) s"CAST(${q(c)} AS DOUBLE)"
+      else p.encode match {
+        case TargetEncode =>
+          val (means, global) = targetMeans(c)
+          val m = means.toMap
+          val cases = categoryMaps(c).map { case (k, _) =>
+            s"WHEN ${sq(k)} THEN CAST('${m.getOrElse(k, global)}' AS DOUBLE)"
+          }.mkString(" ")
+          s"CASE COALESCE(CAST(${q(c)} AS STRING), ${sq(NullCategory)}) $cases ELSE CAST('NaN' AS DOUBLE) END"
+        case OrdinalEncode(values) =>
+          val cases = categoryMaps(c).map { case (k, v) =>
+            s"WHEN ${sq(k)} THEN CAST('$v' AS DOUBLE)"
+          }.mkString(" ")
+          s"CASE COALESCE(CAST(${q(c)} AS STRING), ${sq(NullCategory)}) $cases ELSE " +
+            s"raise_error(concat('value is not present in ordinal: ', CAST(${q(c)} AS STRING), '. Valid values: ${values.mkString(", ")}')) END"
+        case _ => // native + one_hot share the dictionary code
+          val cases = categoryMaps(c).map { case (k, v) =>
+            s"WHEN ${sq(k)} THEN CAST('$v' AS DOUBLE)"
+          }.mkString(" ")
+          s"CASE COALESCE(CAST(${q(c)} AS STRING), ${sq(NullCategory)}) $cases ELSE CAST('NaN' AS DOUBLE) END"
+      }
+    }
+    val encoded = featureCols.map(c => c -> encodeSql(c)).toMap
+
+    // ---- phase 2: fit statistics over the ENCODED train columns
+    val needsStats = featureCols.filter { c =>
+      val p = pp(c)
+      p.impute != ImputeError && p.impute != ImputeZero || p.scale != Preserve
+    }
+    val statsMap: Map[String, Stats.NumericStats] =
+      if (needsStats.isEmpty) Map.empty
+      else {
+        val proj = needsStats.zipWithIndex.map { case (c, i) =>
+          expr(encoded(c)).as(s"e$i")
+        }
+        val encTrain = train.select(proj: _*)
+        Stats.analyzeNumeric(encTrain, needsStats.indices.map(i => s"e$i"))
+          .zip(needsStats).map { case (st, c) => c -> st }.toMap
+      }
+    val modes: Map[String, Double] = featureCols.filter(c => pp(c).impute == ImputeMode)
+      .map { c =>
+        val m = train.select(expr(encoded(c)).as("v")).filter(!isnan(col("v")) && col("v").isNotNull)
+          .groupBy(col("v")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("v")).head().getDouble(0)
+        c -> m
+      }.toMap
+
+    // fail fast on default (error) impute with missing values present.
+    // Categorical NULL is NOT missing — it becomes the __NULL__ category
+    // (code 0) like the reference; only numeric null/NaN needs imputing.
+    featureCols.filter(c => pp(c).impute == ImputeError && !isCat(c)).foreach { c =>
+      val missing = train.filter(col(c).isNull || isnan(col(c).cast("double"))).count()
+      if (missing > 0) throw new IllegalArgumentException(
+        s"""$missing missing values for "$c". Provide a preprocessor to impute, e.g. preprocess = Map("$c" -> Preprocessor(impute = ImputeMean))""")
+    }
+
+    // ---- phase 3: impute + scale wrappers → final SELECT expressions
+    def finalExprs(c: String): Seq[(String, String)] = {
+      val p = pp(c)
+      val st = statsMap.get(c)
+      val enc = encoded(c)
+      val imputeVal: Option[String] = p.impute match {
+        case ImputeError => None
+        case ImputeZero => Some("CAST(0.0 AS DOUBLE)")
+        case ImputeMean => Some(s"CAST('${st.get.mean}' AS DOUBLE)")
+        case ImputeMedian => Some(s"CAST('${st.get.median}' AS DOUBLE)")
+        case ImputeMode => Some(s"CAST('${modes(c)}' AS DOUBLE)")
+        case ImputeMin => Some(s"CAST('${st.get.min}' AS DOUBLE)")
+        case ImputeMax => Some(s"CAST('${st.get.max}' AS DOUBLE)")
+      }
+      val imputed = imputeVal match {
+        case Some(v) => s"(CASE WHEN isnan($enc) OR $enc IS NULL THEN $v ELSE $enc END)"
+        case None => enc
+      }
+      p.encode match {
+        case OneHotEncode =>
+          val k = categoryMaps(c).size
+          (0 until math.max(k - 1, 1)).map { i =>
+            (s"CAST((CAST($imputed AS INT) = $i) AS DOUBLE)", s"${c}__oh$i")
+          }
+        case _ =>
+          val scaled = p.scale match {
+            case Preserve => imputed
+            case Standard =>
+              s"(($imputed - CAST('${st.get.mean}' AS DOUBLE)) / CAST('${st.get.stdDev}' AS DOUBLE))"
+            case MinMax =>
+              s"(($imputed - CAST('${st.get.min}' AS DOUBLE)) / CAST('${st.get.max - st.get.min}' AS DOUBLE))"
+            case MaxAbs => s"($imputed / CAST('${st.get.maxAbs}' AS DOUBLE))"
+            case Robust =>
+              // (x − median) / (p80 − p30): ventile indices 15 and 5
+              val spread = st.get.ventiles(15) - st.get.ventiles(5)
+              s"(($imputed - CAST('${st.get.median}' AS DOUBLE)) / CAST('$spread' AS DOUBLE))"
+          }
+          Seq((scaled, s"${c}__proc"))
+      }
+    }
+
+    val all = featureCols.flatMap(finalExprs)
+    val selects = all.map { case (e, n) => s"$e AS ${q(n)}" }
+    val sql = s"SELECT *, ${selects.mkString(", ")} FROM __THIS__"
+    val sqlStage = new SQLTransformer().setStatement(sql)
+    val assembler = new VectorAssembler()
+      .setInputCols(all.map(_._2).toArray)
+      .setOutputCol("features")
+      .setHandleInvalid("keep")
+    Fitted(Seq(sqlStage, assembler), all.map(_._2), "features")
+  }
+}

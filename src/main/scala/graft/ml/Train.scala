@@ -39,6 +39,10 @@ object Train {
       testSize: Double = 0.25,
       testSampling: String = "stratified",
       orderCols: Seq[String] = Seq.empty,
+      preprocess: Map[String, Preprocess.Preprocessor] = Map.empty,
+      search: Option[String] = None, // "grid" | "random"
+      searchParams: Map[String, Seq[String]] = Map.empty,
+      searchArgs: Map[String, String] = Map.empty, // n_iter, cv
       automaticDeploy: Boolean = true,
       seed: Long = 42L)
 
@@ -141,6 +145,37 @@ object Train {
           s"(reference dispatches it to sklearn; see SURVEY §2.4 gap policy)")
   }
 
+  /** Cartesian product of fixed hyperparams × search_params, reference
+    * semantics (`src/orm/model.rs:451-506`): a key in both maps is an
+    * error; random search draws n_iter combos (seeded, deterministic). */
+  def allHyperparams(fixed: Map[String, String], searchParams: Map[String, Seq[String]],
+      search: Option[String], nIter: Int, seed: Long): Seq[Map[String, String]] = {
+    searchParams.keys.find(fixed.contains).foreach { k =>
+      throw new IllegalArgumentException(
+        s"`$k` cannot be present in both hyperparams and search_params. Please choose one or the other.")
+    }
+    val names = fixed.keys.toSeq ++ searchParams.keys.toSeq
+    val values: Seq[Seq[String]] =
+      fixed.values.map(Seq(_)).toSeq ++ searchParams.values.toSeq
+    val product = values.foldLeft(Seq(Seq.empty[String])) { (acc, vs) =>
+      acc.flatMap(combo => vs.map(combo :+ _))
+    }
+    val chosen = search match {
+      case Some("random") => new scala.util.Random(seed).shuffle(product).take(nIter)
+      case _ => product
+    }
+    val combos = if (chosen.isEmpty) Seq(Seq.empty[String]) else chosen
+    combos.map(vals => names.zip(vals).toMap)
+  }
+
+  /** Contiguous k-fold over the ordered train rows — the reference's
+    * `Dataset::fold` (`src/orm/dataset.rs:38-74`): fold k's validation
+    * slice is rows [k·(n/folds), (k+1)·(n/folds)). */
+  private def foldSlices(n: Long, folds: Int): Seq[(Long, Long)] = {
+    val size = n / folds
+    (0 until folds).map(k => (k * size + 1, (k + 1) * size)) // 1-based inclusive
+  }
+
   /** Whether the nearest-equivalent substitution was applied. */
   private def compatNote(algorithm: String): Map[String, String] = algorithm match {
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
@@ -187,31 +222,89 @@ object Train {
       if (supervised) Sampling.split(df, strategy, cfg.yColumn, orderCols, cfg.testSize, cfg.seed)
       else (df, df)
 
-    // preprocess: index string features, assemble the rest
-    val stringCols = featureCols.filter(c => df.schema(c).dataType == StringType)
-    val numericCols = featureCols.filterNot(stringCols.contains)
-    val indexers = stringCols.map(c =>
-      new StringIndexer().setInputCol(c).setOutputCol(s"${c}__idx")
-        .setStringOrderType("alphabetAsc").setHandleInvalid("keep"))
-    val assembler = new VectorAssembler()
-      .setInputCols((numericCols ++ stringCols.map(c => s"${c}__idx")).toArray)
-      .setOutputCol("features")
-
-    val est = estimatorFor(cfg.task, cfg.algorithm, cfg.hyperparams, cfg.seed)
-    est match {
-      case p: org.apache.spark.ml.Predictor[_, _, _] =>
-        p.setLabelCol(labelCol).setFeaturesCol("features"); ()
-      case k: KMeans => k.setFeaturesCol("features"); ()
-      case b: BisectingKMeans => b.setFeaturesCol("features"); ()
-      case p: PCA => p.setInputCol("features").setOutputCol("pca_features"); ()
-      case _ => ()
-    }
-
-    val pipeline = new Pipeline().setStages((indexers :+ assembler :+ est).toArray)
-    val trainCast =
+    // preprocess (impute/scale/encode per config) — fitted on TRAIN only,
+    // compiled into persistable pipeline stages (SQLTransformer+assembler)
+    val trainForFit =
       if (supervised) trainDF.withColumn(labelCol, col(labelCol).cast("double"))
       else trainDF
-    val model = pipeline.fit(trainCast)
+    val fitted = Preprocess.fit(trainForFit, featureCols,
+      if (supervised) Some(labelCol) else None, cfg.preprocess)
+
+    // fit preprocessing ONCE on train; folds/combos refit only the
+    // estimator over the cached processed frame (reference shape:
+    // tabular_dataset materializes once, folds slice it).
+    val preModel = new Pipeline().setStages(fitted.stages.toArray).fit(trainForFit)
+    val procTrain = preModel.transform(trainForFit).cache()
+    val testForFit =
+      if (supervised) testDF.withColumn(labelCol, col(labelCol).cast("double"))
+      else testDF
+    val procTest = preModel.transform(testForFit)
+
+    def fitOne(h: Map[String, String], data: org.apache.spark.sql.DataFrame) = {
+      val e = estimatorFor(cfg.task, cfg.algorithm, h, cfg.seed)
+      e match {
+        case p: org.apache.spark.ml.Predictor[_, _, _] =>
+          p.setLabelCol(labelCol).setFeaturesCol("features"); ()
+        case k: KMeans => k.setFeaturesCol("features"); ()
+        case b: BisectingKMeans => b.setFeaturesCol("features"); ()
+        case p: PCA => p.setInputCol("features").setOutputCol("pca_features"); ()
+        case _ => ()
+      }
+      e.asInstanceOf[org.apache.spark.ml.Estimator[_]].fit(data)
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+    }
+    def quickScore(pred: org.apache.spark.sql.DataFrame): Double = cfg.task match {
+      case "regression" => Metrics.regression(pred, labelCol, "prediction").r2
+      case "classification" => Metrics.classification(pred, labelCol, "prediction").f1Macro
+      case t => throw new IllegalArgumentException(s"search unsupported for task: $t")
+    }
+
+    // hyperparameter search (grid | random × k-fold CV), reference
+    // defaults: n_iter=10, cv=5 when searching else 1 (`model.rs:732-740`)
+    val nIter = cfg.searchArgs.get("n_iter").map(_.toInt).getOrElse(10)
+    val cv = cfg.searchArgs.get("cv").map(_.toInt)
+      .getOrElse(if (cfg.search.isDefined) 5 else 1)
+    val combos = allHyperparams(cfg.hyperparams, cfg.searchParams, cfg.search, nIter, cfg.seed)
+    val (bestHyper, searchResults) =
+      if (combos.size <= 1 && cfg.search.isEmpty) (cfg.hyperparams, "")
+      else {
+        val scores: Seq[Seq[Double]] = // combos × folds
+          if (cv >= 2) {
+            import org.apache.spark.sql.expressions.Window
+            val ord = Window.orderBy(orderCols.map(col): _*)
+            val cvd = procTrain.withColumn("__cv", row_number().over(ord)).cache()
+            val n = cvd.count()
+            val slices = foldSlices(n, cv)
+            val out = combos.map { h =>
+              slices.map { case (lo, hi) =>
+                val tr = cvd.filter(col("__cv") < lo || col("__cv") > hi)
+                val va = cvd.filter(col("__cv") >= lo && col("__cv") <= hi)
+                quickScore(fitOne(h, tr).transform(va))
+              }
+            }
+            cvd.unpersist(); out
+          } else combos.map(h => Seq(quickScore(fitOne(h, procTrain).transform(procTest))))
+        val means = scores.map(s => s.sum / s.size)
+        val bestIdx = means.zipWithIndex.maxBy { case (m, i) => (m, -i) }._2
+        def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+        def std(xs: Seq[Double]) = {
+          val m = xs.sum / xs.size
+          math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+        }
+        val paramsJson = combos.map(h =>
+          h.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
+          .mkString("[", ",", "]")
+        val json = s"""{"params":$paramsJson,"n_splits":$cv,"best_index":$bestIdx,""" +
+          s""""mean_test_score":${arr(means)},"std_test_score":${arr(scores.map(std))},""" +
+          s""""split_test_scores":${scores.map(arr).mkString("[", ",", "]")}}"""
+        (combos(bestIdx), json)
+      }
+
+    val estModel = fitOne(bestHyper, procTrain)
+    // all-transformer pipeline: fit() on an empty slice is a no-op that
+    // packages (preprocessing, estimator model) into one persistable unit
+    val model = new Pipeline().setStages(Array(preModel, estModel)).fit(trainForFit.limit(0))
+    procTrain.unpersist()
     val fitTime = (System.nanoTime() - t0) / 1e9
 
     // metrics on the test split
@@ -250,7 +343,9 @@ object Train {
 
     // persist model + catalog rows
     val modelRow = catalog.createModel(project.id, snapshot.id, cfg.algorithm,
-      cfg.hyperparams ++ compatNote(cfg.algorithm), allMetrics, "none")
+      bestHyper ++ compatNote(cfg.algorithm) ++
+        (if (searchResults.nonEmpty) Map("search_results" -> searchResults) else Map.empty),
+      allMetrics, cfg.search.getOrElse("none"))
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
     model.write.overwrite().save(path)
     catalog.addFile(modelRow.id, path)

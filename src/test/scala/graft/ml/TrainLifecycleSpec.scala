@@ -146,6 +146,38 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different task"))
   }
 
+  test("grid search with k-fold CV picks the better alpha and records results") {
+    val cat = freshCatalog()
+    val df = Datasets.diabetes(spark)
+    val out = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Search", task = "regression", relationName = "quackml_diabetes",
+      data = Some(df), yColumn = Seq("target"), algorithm = "ridge",
+      search = Some("grid"),
+      searchParams = Map("alpha" -> Seq("0.001", "10000.0")),
+      searchArgs = Map("cv" -> "3"),
+      testSampling = "random", orderCols = Seq("age")))
+    assert(out.head().getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.hyperparams("alpha") == "0.001", s"should pick the low alpha: ${m.hyperparams}")
+    val sr = m.hyperparams("search_results")
+    assert(sr.contains("\"n_splits\":3") && sr.contains("\"best_index\":0"))
+    assert(m.search == "grid")
+    assert(m.metrics("r2") > 0.9)
+  }
+
+  test("search rejects a key present in both hyperparams and search_params") {
+    val cat = freshCatalog()
+    val e = intercept[IllegalArgumentException] {
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = "SearchBad", task = "regression", relationName = "quackml_diabetes",
+        data = Some(Datasets.diabetes(spark)), yColumn = Seq("target"),
+        algorithm = "ridge", hyperparams = Map("alpha" -> "1.0"),
+        search = Some("grid"), searchParams = Map("alpha" -> Seq("0.1")),
+        testSampling = "random", orderCols = Seq("age")))
+    }
+    assert(e.getMessage.contains("cannot be present in both"))
+  }
+
   test("MLlib linear regression agrees with closed-form OLS") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
