@@ -20,7 +20,9 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.MLQueries.queries
+      operators.MLQueries.queries ++
+      operators.Multimodal.queries ++
+      operators.LLMQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +31,7 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.MLQueries.oracles
+      operators.MLQueries.oracles ++
+      operators.Multimodal.oracles ++
+      operators.LLMQueries.oracles
 }

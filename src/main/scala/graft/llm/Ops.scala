@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DataFrame-level LLM operators — the Spark mapping of the reference's
+  * vectorized scalar functions (SURVEY §2.1 #6-8, §3.3): `embed`,
+  * `rank`, `transform`, `generate`.
+  *
+  * Shape: `mapPartitions` with a per-executor cached runtime
+  * (ModelRuntimes registry) and REAL batching — the whole partition
+  * iterator is fed to the runtime in batches of `batchSize`, mirroring
+  * how an ONNX/DJL encoder wants its input, instead of the reference's
+  * row-at-a-time calls under the GIL. At 100 TB this is one map stage:
+  * no shuffle, model weights loaded once per executor, batch size
+  * bounds peak memory.
+  */
+object Ops {
+  /** Append an embedding column (`quackml_embed` batch form). Fixes the
+    * reference's column-wiring bug (`src/api.rs:1210,1218` reads the
+    * kwargs column for the text). */
+  def embedColumn(df: DataFrame, runtime: String, textCol: String,
+      outCol: String = "embedding", dim: Int = 16,
+      batchSize: Int = 256): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val rt = ModelRuntimes.get(runtime) // executor-singleton, loaded once
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = rt.embed(batch.map(r => Option(r.getString(idx)).getOrElse("")), dim)
+        batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+      }
+    }(enc)
+  }
+
+  /** Cross-encoder re-rank: score every (query × document) and return
+    * (corpus_id, score, text) per rank — reference RankResult shape
+    * (`src/bindings/transformers/mod.rs:124-164`). */
+  def rank(spark: SparkSession, runtime: String, query: String,
+      documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = documents.schema.add(StructField("score", DoubleType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = documents.schema.fieldIndex(textCol)
+    val scored = documents.mapPartitions { it =>
+      val rt = ModelRuntimes.get(runtime)
+      it.grouped(256).flatMap { batch =>
+        val scores = rt.rank(query, batch.map(r => Option(r.getString(idx)).getOrElse("")))
+        batch.zip(scores).map { case (r, s) => Row.fromSeq(r.toSeq :+ s) }
+      }
+    }(enc)
+    scored.select(col(idCol).as("corpus_id"), col("score"), col(textCol).as("text"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("corpus_id"))))
+  }
+
+  /** Task-pipeline transform over a string column. */
+  def transformColumn(df: DataFrame, runtime: String, task: String,
+      textCol: String, outCol: String = "output", batchSize: Int = 256): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, StringType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val rt = ModelRuntimes.get(runtime)
+      it.grouped(batchSize).flatMap { batch =>
+        val outs = rt.transform(task, batch.map(r => Option(r.getString(idx)).getOrElse("")))
+        batch.zip(outs).map { case (r, o) => Row.fromSeq(r.toSeq :+ o) }
+      }
+    }(enc)
+  }
+
+  /** Register the scalar SQL surface: quackml_chunk / quackml_embed /
+    * quackml_transform / quackml_generate (stub-backed by default). */
+  def registerFunctions(spark: SparkSession, runtime: String = "stub"): Unit = {
+    spark.udf.register("quackml_chunk", (splitter: String, text: String) =>
+      Chunk.chunk(splitter, text).map { case (i, c) => s"$i:$c" })
+    spark.udf.register("quackml_embed", (text: String) =>
+      ModelRuntimes.get(runtime).embed(Seq(text), 16).head.toSeq)
+    spark.udf.register("quackml_transform", (task: String, text: String) =>
+      ModelRuntimes.get(runtime).transform(task, Seq(text)).head)
+    spark.udf.register("quackml_generate", (prompt: String) =>
+      ModelRuntimes.get(runtime).generate(prompt, Map.empty))
+  }
+
+  /** `finetune` API shape: explicit unsupported error unless a capable
+    * runtime is mounted (SURVEY §7 policy — the catalog/metric plumbing
+    * exists; the HF Trainer does not run on a bare JVM). */
+  def finetune(projectName: String, task: String, runtime: String = "stub"): Nothing =
+    throw new UnsupportedOperationException(
+      s"finetune('$projectName', task => '$task') requires a training-capable " +
+        s"model runtime; '$runtime' supports inference surfaces only. " +
+        "Register a runtime via ModelRuntimes.register and retry.")
+}

@@ -1,0 +1,99 @@
+package graft.llm
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Pluggable model runtime — the seam that replaces the reference's
+  * PyO3→Python bridge (`/root/reference/src/bindings/transformers/mod.rs`).
+  * The engine (snapshotting, caching, batching, catalog bookkeeping)
+  * is runtime-agnostic; heavy model execution plugs in here (an
+  * ONNX/DJL-backed runtime on a real deployment). The deterministic
+  * StubRuntime keeps everything testable with zero native deps
+  * (SURVEY §7 "hard parts" #5).
+  */
+trait ModelRuntime extends Serializable {
+  def name: String
+  /** Batch sentence embedding (reference `transformers.py:536-579`). */
+  def embed(texts: Seq[String], dim: Int): Seq[Array[Float]]
+  /** Cross-encoder relevance scores query×documents
+    * (reference `transformers.py:509-533`). */
+  def rank(query: String, documents: Seq[String]): Seq[Double]
+  /** Task pipeline (reference `transformers.py:488-506`): task is the
+    * task string or task-JSON; returns one output per input. */
+  def transform(task: String, inputs: Seq[String]): Seq[String]
+  /** Text generation (reference `transformers.py:1085-1111`). */
+  def generate(prompt: String, config: Map[String, String]): Seq[String]
+}
+
+/** Deterministic, dependency-free runtime: embeddings are closed-form
+  * LCG projections of token hashes (L2-normalized), rank is cosine over
+  * those embeddings, transform/generate are deterministic text
+  * functions. Useful for tests AND as the oracle-checkable twin of the
+  * executor-side plumbing. */
+class StubRuntime extends ModelRuntime {
+  val name = "stub"
+  private val P = 2147483647L
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def embed(texts: Seq[String], dim: Int): Seq[Array[Float]] = texts.map { t =>
+    val toks = t.trim.toLowerCase.split("\\s+").toSeq
+    val raw = (0 until dim).map { i =>
+      val a = ((i + 1) * 2654435761L) % P
+      val b = ((i + 1) * 40503L + 17L) % P
+      toks.map(tok => (((a * (h60(tok) % P) + b) % P).toDouble / P - 0.5)).sum
+    }
+    val nrm = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(x => if (nrm == 0) 0f else (x / nrm).toFloat).toArray
+  }
+
+  def rank(query: String, documents: Seq[String]): Seq[Double] = {
+    val q = embed(Seq(query), 32).head
+    embed(documents, 32).map { d =>
+      d.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    }
+  }
+
+  def transform(task: String, inputs: Seq[String]): Seq[String] = {
+    val t = if (task.trim.startsWith("{")) {
+      // minimal task-JSON handling: {"task": "...", ...}
+      "\"task\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(task)
+        .map(_.group(1)).getOrElse(task)
+    } else task
+    t match {
+      case "summarization" => inputs.map(s => s.split("\\.").headOption.getOrElse(s).trim)
+      case "translation" | "translation_en_to_fr" => inputs.map(s => s"[fr] $s")
+      case "text-classification" | "sentiment-analysis" =>
+        inputs.map(s => if (s.toLowerCase.contains("good") || s.toLowerCase.contains("great")) "POSITIVE" else "NEGATIVE")
+      case _ => inputs.map(s => s"[$t] $s")
+    }
+  }
+
+  def generate(prompt: String, config: Map[String, String]): Seq[String] = {
+    val n = config.get("num_return_sequences").map(_.toInt).getOrElse(1)
+    val maxLen = config.get("max_length").map(_.toInt).getOrElse(64)
+    (0 until n).map(i => s"$prompt …[generated#$i]".take(maxLen))
+  }
+}
+
+/** Executor-singleton runtime cache, mirroring the reference's
+  * process-wide pipeline/encoder caches (`transformers.py:66-68`). */
+object ModelRuntimes {
+  private val factories = new ConcurrentHashMap[String, () => ModelRuntime]()
+  private val instances = new ConcurrentHashMap[String, ModelRuntime]()
+  register("stub", () => new StubRuntime)
+
+  def register(name: String, factory: () => ModelRuntime): Unit =
+    factories.put(name, factory)
+
+  def get(name: String): ModelRuntime = {
+    val f = factories.get(name)
+    require(f != null,
+      s"No model runtime '$name' registered — available: ${factories.keySet()}. " +
+        "Heavy runtimes (ONNX/DJL) must be registered at executor startup.")
+    instances.computeIfAbsent(name, _ => f())
+  }
+}

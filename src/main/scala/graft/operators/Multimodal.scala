@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing — image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted in batched
+  * `mapPartitions` (the JVM analogue of `mapInPandas`).
+  *
+  * The decode step is a STUB (this container has no image/audio codecs):
+  * `StubDecoder.decode` derives deterministic metadata + a fixed-shape
+  * feature vector from the bytes. Everything around it — the binary
+  * column, schema contract, partition batching, per-executor decoder
+  * instance, fixed-length feature output — is the real plumbing a codec
+  * drops into (swap `StubDecoder` for one wrapping javax.imageio/ffmpeg).
+  *
+  * Scale: decode is a pure map stage over the binary scan; parquet
+  * stores the blobs row-grouped so `spark.sql.files.maxPartitionBytes`
+  * bounds per-task memory; features go to a fixed-width array column
+  * that downstream ANN/dedup operators consume directly.
+  */
+object Multimodal {
+  final case class MediaMeta(nBytes: Long, format: String, checksum: Long)
+
+  /** Deterministic stand-in for a codec: metadata + 8 pooled "features"
+    * from byte windows. A real decoder replaces ONLY this object. */
+  object StubDecoder extends Serializable {
+    def sniffFormat(bytes: Array[Byte]): String =
+      if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+      else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+      else "raw"
+
+    def decode(bytes: Array[Byte]): (MediaMeta, Array[Float]) = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) & 0xFFFFFFFFL; i += 1 }
+      val meta = MediaMeta(bytes.length.toLong, sniffFormat(bytes), sum)
+      val feats = new Array[Float](8)
+      if (bytes.nonEmpty) {
+        val window = math.max(bytes.length / 8, 1)
+        var k = 0
+        while (k < 8) {
+          var acc = 0.0; var n = 0
+          var j = k * window
+          while (j < math.min((k + 1) * window, bytes.length)) {
+            acc += (bytes(j) & 0xff); n += 1; j += 1
+          }
+          feats(k) = if (n == 0) 0f else (acc / n / 255.0).toFloat
+          k += 1
+        }
+      }
+      (meta, feats)
+    }
+  }
+
+  /** documents.text reinterpreted as an opaque media blob — the testdata
+    * has no real binary column, so the bytes ARE the payload. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), $"text".cast("binary").as("payload"),
+        $"source", $"lang")
+  }
+
+  /** Batched decode: one decoder per executor, fixed output schema
+    * (media_id, n_bytes, format, checksum, features[8]). */
+  def decodeFeatures(df: DataFrame, payloadCol: String = "payload",
+      batchSize: Int = 128): DataFrame = {
+    val base = df.schema
+    val schema = StructType(base.fields ++ Seq(
+      StructField("n_bytes", LongType), StructField("format", StringType),
+      StructField("checksum", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = base.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch => // batch shape mirrors mapInPandas
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          val (meta, feats) = StubDecoder.decode(if (bytes == null) Array.empty else bytes)
+          Row.fromSeq(r.toSeq ++ Seq(meta.nBytes, meta.format, meta.checksum, feats.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Oracle-checkable query: binary metadata via the decode path. The
+    * checksum/features are stub-specific (rows-only check would apply),
+    * so the oracle covers the engine-independent parts: byte length and
+    * md5 of the payload, proving the binary column plumbing end-to-end. */
+  def mm_binary_meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(mediaTable(s, dir))
+      .select($"media_id", $"n_bytes", md5($"payload").as("digest"), $"format")
+      .orderBy($"media_id")
+  }
+
+  val mmBinaryMetaSql: String =
+    """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest, 'raw' AS format
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Full stub-decode output as a rows-only coverage query (features and
+    * checksum are stub-defined; deterministic but not SQL-expressible). */
+  def mm_decode_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(mediaTable(s, dir))
+      .select($"media_id", $"checksum", $"features")
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta"     -> mm_binary_meta _,
+    "mm_decode_features" -> mm_decode_features _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" -> mmBinaryMetaSql
+    // mm_decode_features: intentionally no oracle → rows-only check
+  )
+}

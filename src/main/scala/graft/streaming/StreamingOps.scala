@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators — a Spark-native extension beyond the
+  * reference (which has no streaming engine; SURVEY §1.1 "Streams").
+  * The same event-stream computations exposed as batch queries
+  * (q_events_hourly / q_sessionize) re-expressed over `readStream`, so
+  * a user can point the engine at a live feed:
+  *
+  *  - windowed aggregation with a watermark (late-data bound);
+  *  - stateful sessionization via flatMapGroupsWithState (30-min gap);
+  *  - streaming model scoring: the deployed PipelineModel applied to
+  *    micro-batches via `transform` inside foreachBatch.
+  *
+  * Tests drive these with the file source over the events parquet and a
+  * memory sink (processAllAvailable), which is the documented local
+  * smoke path; on a cluster the identical code runs over Kafka with a
+  * real trigger.
+  */
+final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+object StreamingOps {
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** File-source stream over an events directory (schema locked to the
+    * testdata shape, ns timestamps already truncated by the loader). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = graft.Tables.events(spark, dir).schema
+    spark.readStream.schema(batchSchema)
+      .parquet(s"$dir/events_stream") // caller stages parquet files here
+  }
+
+  /** Tumbling 1-hour windowed counts/sums with a 10-minute watermark —
+    * the streaming twin of q_events_hourly. */
+  def hourlyAggregates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful sessionization (30-minute inactivity gap) — the streaming
+    * twin of q_sessionize, via flatMapGroupsWithState. Idle sessions are
+    * flushed by EVENT-TIME timeouts driven by the watermark: processing
+    * -time timeouts would schedule no-data micro-batches forever (the
+    * query never settles under processAllAvailable), and event time is
+    * the semantically correct session clock anyway. */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    events.withWatermark("ts", "10 minutes")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None => cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.iterator
+          }
+      }.toDF()
+  }
+
+  /** Streaming inference: score each micro-batch with the deployed
+    * model — `foreachBatch(scoreBatch(catalog, project))`. */
+  def scoreBatch(catalog: graft.ml.Catalog, project: String)(
+      batch: DataFrame, batchId: Long): DataFrame =
+    graft.ml.Predict.transform(catalog, project, batch)
+}

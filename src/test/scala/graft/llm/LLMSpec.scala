@@ -1,0 +1,99 @@
+package graft.llm
+
+import graft.ml.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkSpec extends AnyFunSuite {
+  test("recursive splitter respects chunk_size and keeps content") {
+    val text = ("para one word soup here. " * 10 + "\n\n") * 5
+    val chunks = Chunk.recursiveSplit(text, chunkSize = 100, overlap = 20)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length <= 100), chunks.map(_.length).mkString(","))
+    // every non-separator word survives somewhere
+    assert(chunks.mkString(" ").contains("para one word soup"))
+  }
+
+  test("character splitter merges pieces up to size with overlap") {
+    val text = (1 to 20).map(i => s"piece$i").mkString("\n\n")
+    val chunks = Chunk.characterSplit(text, "\n\n", chunkSize = 30, overlap = 10)
+    assert(chunks.forall(_.length <= 30))
+    assert(chunks.head.startsWith("piece1"))
+  }
+
+  test("chunk() returns 1-based indices and rejects unknown splitters") {
+    val out = Chunk.chunk("recursive_character", "a b c d e f g h",
+      Map("chunk_size" -> "5", "chunk_overlap" -> "0"))
+    assert(out.head._1 == 1)
+    assert(out.map(_._1) == (1 to out.size))
+    intercept[IllegalArgumentException](Chunk.chunk("nope", "text"))
+  }
+
+  test("long unbroken text falls through to character-level splitting") {
+    val text = "x" * 250
+    val chunks = Chunk.recursiveSplit(text, chunkSize = 100, overlap = 0)
+    assert(chunks.forall(_.length <= 100))
+    assert(chunks.map(_.length).sum == 250)
+  }
+}
+
+class LLMOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stub embeddings are deterministic and L2-normalized") {
+    val rt = ModelRuntimes.get("stub")
+    val Seq(a, b) = rt.embed(Seq("hello world", "hello world"), 16)
+    assert(a.toSeq == b.toSeq)
+    val nrm = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(nrm - 1.0) < 1e-5)
+  }
+
+  test("embedColumn preserves row alignment under partitioned batching") {
+    val df = (1 to 500).map(i => (i.toLong, s"text number $i")).toDF("id", "text")
+      .repartition(7)
+    val out = Ops.embedColumn(df, "stub", "text", "emb", dim = 8, batchSize = 32)
+    val collected = out.select("id", "emb").collect()
+    assert(collected.length == 500)
+    val rt = ModelRuntimes.get("stub")
+    val spot = collected.find(_.getLong(0) == 123L).get
+    assert(spot.getSeq[Float](1) == rt.embed(Seq("text number 123"), 8).head.toSeq)
+  }
+
+  test("rank orders by score with deterministic output") {
+    val docs = Seq((1L, "spark filter join"), (2L, "completely unrelated words"),
+      (3L, "spark filter join query")).toDF("doc_id", "text")
+    val ranked = Ops.rank(spark, "stub", "spark filter join", docs, "doc_id", "text")
+      .collect()
+    assert(ranked.length == 3)
+    val scores = ranked.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("transformColumn + SQL functions (chunk/embed/transform/generate)") {
+    val df = Seq((1L, "this is good. second sentence.")).toDF("id", "text")
+    val out = Ops.transformColumn(df, "stub", "summarization", "text")
+    assert(out.select("output").head().getString(0) == "this is good")
+
+    Ops.registerFunctions(spark)
+    val sent = spark.sql("SELECT quackml_transform('sentiment-analysis', 'a good day')")
+      .head().getString(0)
+    assert(sent == "POSITIVE")
+    val chunks = spark.sql("SELECT quackml_chunk('recursive_character', 'a b c')")
+      .head().getSeq[String](0)
+    assert(chunks.nonEmpty && chunks.head.startsWith("1:"))
+    val emb = spark.sql("SELECT quackml_embed('hello')").head().getSeq[Float](0)
+    assert(emb.length == 16)
+    val gen = spark.sql("SELECT quackml_generate('prompt')").head().getSeq[String](0)
+    assert(gen.head.startsWith("prompt"))
+  }
+
+  test("finetune reports the unsupported-runtime policy error") {
+    val e = intercept[UnsupportedOperationException](Ops.finetune("P", "conversation"))
+    assert(e.getMessage.contains("model runtime"))
+  }
+
+  test("unknown runtime names a clear registration error") {
+    val e = intercept[IllegalArgumentException](ModelRuntimes.get("onnx-prod"))
+    assert(e.getMessage.contains("No model runtime"))
+  }
+}

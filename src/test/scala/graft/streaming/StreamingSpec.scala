@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.ml.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Stage the events parquet as a streaming source dir. */
+  private def stageStreamDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    graft.Tables.events(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events_stream")
+    dir
+  }
+
+  test("streaming hourly aggregation matches the batch result") {
+    val dir = stageStreamDir()
+    val stream = spark.readStream
+      .schema(graft.Tables.events(spark, sfDir).schema)
+      .parquet(s"$dir/events_stream")
+    val q = StreamingOps.hourlyAggregates(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .agg(sum("n")).head().getLong(0)
+      val batch = graft.Tables.events(spark, sfDir).count()
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // per-(hour,type) counts equal the batch groupBy
+      val batchAgg = graft.Tables.events(spark, sfDir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .count()
+      val joined = spark.table("hourly_out")
+        .join(batchAgg, Seq("hour", "event_type"))
+        .filter(col("n") =!= col("count")).count()
+      assert(joined == 0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions consistent with batch") {
+    val dir = stageStreamDir()
+    val stream = spark.readStream
+      .schema(graft.Tables.events(spark, sfDir).schema)
+      .parquet(s"$dir/events_stream")
+    val q = StreamingOps.sessionize(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_out")
+      // gap-closed sessions (batchSessions − users) always emit; each
+      // user's final session emits only if the watermark passed its
+      // event-time timeout — so the count lands in [gap-closed, all].
+      val batchSessions = graft.operators.Relational
+        .q_sessionize(spark, sfDir).count()
+      val users = graft.Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      val n = emitted.count()
+      assert(n >= batchSessions - users && n <= batchSessions,
+        s"emitted=$n batch=$batchSessions users=$users")
+      assert(emitted.filter(col("n_events") <= 0).count() == 0)
+      // emitted (user, session_start, n_events) must agree with batch
+      val batchFirst = graft.operators.Relational.q_sessionize(spark, sfDir)
+        .join(graft.Tables.events(spark, sfDir)
+            .select(col("event_id"), col("ts")),
+          col("first_event") === col("event_id"))
+        .select(col("user_id"), col("ts").as("session_start"),
+          col("n_events").as("batch_n"))
+      val disagree = emitted.join(batchFirst, Seq("user_id", "session_start"))
+        .filter(col("n_events") =!= col("batch_n")).count()
+      assert(disagree == 0)
+    } finally q.stop()
+  }
+
+  test("streaming model scoring via foreachBatch transform") {
+    import spark.implicits._
+    val cat = new graft.ml.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_stream_cat").toString)
+    val train = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    graft.ml.Train.train(spark, cat, graft.ml.Train.TrainConfig(
+      projectName = "StreamScore", task = "regression", relationName = "t",
+      data = Some(train), yColumn = Seq("y"), algorithm = "linear",
+      testSampling = "random", orderCols = Seq("x")))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_score_in").toString
+    (101 to 110).map(i => Tuple1(i.toDouble)).toDF("x")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val scoredRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$dir/in")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val scored = StreamingOps.scoreBatch(cat, "StreamScore")(batch, id)
+        scoredRows.addAndGet(scored.filter(
+          abs(col("prediction") - (col("x") * 3.0 + 7.0)) < lit(1e-4)).count())
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(scoredRows.get() == 10L)
+    } finally q.stop()
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.operators.Multimodal
+
+  test("stub decode: metadata + fixed-shape features, deterministic") {
+    val bytes = "hello multimodal world".getBytes("UTF-8")
+    val (meta, feats) = Multimodal.StubDecoder.decode(bytes)
+    assert(meta.nBytes == bytes.length && meta.format == "raw")
+    assert(feats.length == 8 && feats.forall(f => f >= 0f && f <= 1f))
+    assert(Multimodal.StubDecoder.decode(bytes)._2.toSeq == feats.toSeq)
+    // format sniffing on magic bytes
+    assert(Multimodal.StubDecoder.sniffFormat(
+      Array(0xFF.toByte, 0xD8.toByte, 0x00)) == "jpeg")
+  }
+
+  test("decodeFeatures: binary column plumbing end to end") {
+    val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val out = Multimodal.decodeFeatures(media.repartition(5))
+    val rows = out.select("media_id", "n_bytes", "features").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getSeq[Float](2).length == 8))
+  }
+}
