@@ -33,21 +33,29 @@ class StubRuntime extends ModelRuntime {
   val name = "stub"
   private val P = 2147483647L
 
-  private def h60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  private def h60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = upper 60 bits of the first 8 digest bytes
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4 // drop the low nibble (16th hex char)
   }
 
-  def embed(texts: Seq[String], dim: Int): Seq[Array[Float]] = texts.map { t =>
-    val toks = t.trim.toLowerCase.split("\\s+").toSeq
-    val raw = (0 until dim).map { i =>
-      val a = ((i + 1) * 2654435761L) % P
-      val b = ((i + 1) * 40503L + 17L) % P
-      toks.map(tok => (((a * (h60(tok) % P) + b) % P).toDouble / P - 0.5)).sum
+  def embed(texts: Seq[String], dim: Int): Seq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.map { t =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      val hms = toks.map(tok => h60(md, tok) % P) // hash each token ONCE
+      val raw = (0 until dim).map { i =>
+        val a = ((i + 1) * 2654435761L) % P
+        val b = ((i + 1) * 40503L + 17L) % P
+        hms.map(hm => (((a * hm + b) % P).toDouble / P - 0.5)).sum
+      }
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => if (nrm == 0) 0f else (x / nrm).toFloat).toArray
     }
-    val nrm = math.sqrt(raw.map(x => x * x).sum)
-    raw.map(x => if (nrm == 0) 0f else (x / nrm).toFloat).toArray
   }
 
   def rank(query: String, documents: Seq[String]): Seq[Double] = {

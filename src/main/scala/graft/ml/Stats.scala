@@ -106,8 +106,16 @@ object Stats {
     val dRow = df.agg(dAggs.head, dAggs.tail: _*).head()
     val allProbs = 0.5 +: ventileProbs
     val pctsByCol: Map[String, Seq[Double]] =
-      if (useExactPercentiles)
-        cols.map(c => c -> exactPercentiles(df, c, allProbs)).toMap
+      if (useExactPercentiles) {
+        // per-column percentile jobs are independent — run them as
+        // concurrent Spark jobs from driver threads (local[32] and any
+        // cluster schedule them in parallel)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val futs = cols.map(c => Future(c -> exactPercentiles(df, c, allProbs)))
+        Await.result(Future.sequence(futs), Duration.Inf).toMap
+      }
       else {
         val pa = cols.map(c0 => expr(
           s"approx_percentile($c0, array(${allProbs.mkString(",")}), 10000)")

@@ -112,17 +112,25 @@ object Dedup {
        |ORDER BY da, db""".stripMargin
 
   // ------------------------------------------------------- minhash + LSH
-  /** 32-permutation MinHash signatures, one row per (doc_id, j, minhash). */
+  /** 32-permutation MinHash signatures, one row per (doc_id, j, minhash).
+    * Computed as ONE wide aggregation (32 min() expressions over the
+    * shingle rows, map-side combinable) instead of a 32× row explosion —
+    * the shuffle carries one 32-long partial state per doc per partition.
+    * Unpivoted to (doc_id, j, mh) for the band/verify joins. */
   private def minhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    shingles(s, dir)
+    val aggs = (0 until NUM_HASHES).map { j =>
+      val a = ((j + 1) * 2654435761L) % P
+      val b = ((j + 1) * 40503L + 17L) % P
+      min((lit(a) * $"hm" + lit(b)) % P).as(s"mh$j")
+    }
+    val wide = shingles(s, dir)
       .withColumn("hm", h60($"s") % P)
-      .select($"doc_id", $"hm",
-        explode(sequence(lit(0), lit(NUM_HASHES - 1))).as("j"))
-      .withColumn("a", (($"j" + 1) * 2654435761L) % P)
-      .withColumn("b", (($"j" + 1) * 40503L + 17L) % P)
-      .groupBy($"doc_id", $"j")
-      .agg(min(($"a" * $"hm" + $"b") % P).as("mh"))
+      .groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    wide.select($"doc_id",
+      posexplode(array((0 until NUM_HASHES).map(j => col(s"mh$j")): _*)))
+      .select($"doc_id", $"pos".cast("int").as("j"), $"col".as("mh"))
   }
 
   private val minhashSqlCte =
@@ -183,19 +191,21 @@ object Dedup {
     * distance; pairing is done by dd_simhash_pairs. */
   def dd_simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ONE wide aggregation: 60 bit-sum expressions over the token rows
+    // (map-side combinable) instead of a 60× bit explosion; the signature
+    // folds from the 60 sums in a single projection.
+    val bitSums = (0 until 60).map { i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"c$i")
+    }
+    val sig = (0 until 60).map { i =>
+      when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
     Tables.documents(s, dir)
       .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
       .withColumn("h", h60($"tok"))
-      .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("i"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, cast(i as int)) & 1") === 1, 1).otherwise(-1))
-      .groupBy($"doc_id", $"i")
-      .agg(sum($"contrib").as("c"))
-      .withColumn("bitval",
-        when($"c" > 0, expr("shiftleft(cast(1 as bigint), cast(i as int))"))
-          .otherwise(lit(0L)))
       .groupBy($"doc_id")
-      .agg(sum($"bitval").cast("long").as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", sig.cast("long").as("simhash"))
       .orderBy($"doc_id")
   }
 
