@@ -127,6 +127,33 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   def modelPath(modelId: Long): Option[String] =
     files.filter($"model_id" === modelId).collect().headOption.map(_.path)
 
+  private val tableNames =
+    Seq("projects", "snapshots", "models", "deployments", "files", "logs")
+
+  /** `dump_all(path)` — export every catalog table (reference
+    * `src/api.rs:2319-2355`, COPY TO csv per table; we use parquet to
+    * keep the typed map/array columns lossless). */
+  def dumpAll(path: String): Unit = tableNames.foreach { t =>
+    val df: DataFrame = t match {
+      case "projects" => projects.toDF()
+      case "snapshots" => snapshots.toDF()
+      case "models" => models.toDF()
+      case "deployments" => deployments.toDF()
+      case "files" => files.toDF()
+      case "logs" => logs.toDF()
+    }
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$t")
+  }
+
+  /** `load_all(path)` — restore catalog tables from a dump
+    * (reference `src/api.rs:2357-2392`). */
+  def loadAll(path: String): Unit = tableNames.foreach { t =>
+    val src = s"$path/$t"
+    if (new java.io.File(src).exists())
+      spark.read.parquet(src).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(dir(t))
+  }
+
   /** Best-scoring model for a project by the task's default metric —
     * the reference's `ORDER BY metrics->>'<m>' DESC NULLS LAST`
     * (`task.rs:116-127`) as a map lookup + orderBy. */

@@ -137,6 +137,79 @@ object Predict {
     })
   }
 
+  /** `predict_batch` (`src/api.rs:1003-1028`): score a flat batch of
+    * feature vectors against the deployed model, driver-side. */
+  def predictBatch(catalog: Catalog, project: String,
+      features: Seq[Array[Float]]): Seq[Double] = {
+    val p = predictor(deployedModel(catalog, project))
+    features.map(f => p(Vectors.dense(f.map(_.toDouble))))
+  }
+
+  /** `predict_joint` (`src/api.rs:1030-1039`): multi-target output. The
+    * MLlib estimators are single-target; the joint surface returns the
+    * per-target vector (length 1 today, matching the reference's output
+    * shape for num_targets=1; true multi-output is a documented gap —
+    * the reference wraps sklearn MultiOutputRegressor). */
+  def predictJoint(catalog: Catalog, project: String,
+      features: Array[Float]): Seq[Double] =
+    Seq(predictor(deployedModel(catalog, project))(
+      Vectors.dense(features.map(_.toDouble))))
+
+  /** `predict_row` (`src/api.rs:1041-1058`): score a RAW row — snapshot
+    * preprocessing applies because the persisted pipeline carries the
+    * fitted SQLTransformer stages. */
+  def predictRow(catalog: Catalog, project: String, row: DataFrame): DataFrame =
+    deployedModel(catalog, project).transform(row)
+
+  /** `decompose` (`src/api.rs:1060-1080`): PCA-transform features with a
+    * deployed decomposition project. */
+  def decompose(catalog: Catalog, project: String, df: DataFrame): DataFrame = {
+    val m = deployedModel(catalog, project)
+    require(m.stages.last.isInstanceOf[org.apache.spark.ml.feature.PCAModel],
+      s"Project '$project' is not a decomposition project")
+    m.transform(df)
+  }
+
+  /** SQL metric functions — the commented sklearn_* surface
+    * (`src/api.rs:2281-2317`) as array-input UDFs over the native
+    * metric implementations. */
+  def registerMetricFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("quackml_r2", (y: Seq[Double], p: Seq[Double]) => {
+      val n = y.length
+      val mean = y.sum / n
+      val tss = y.map(v => (v - mean) * (v - mean)).sum
+      val rss = y.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum
+      1.0 - rss / tss
+    })
+    spark.udf.register("quackml_f1", (y: Seq[Int], p: Seq[Int]) => {
+      // pure-Scala confusion matrix (no Spark jobs inside a UDF) with the
+      // same binary-flip + NaN-recall semantics as Metrics.classification
+      val classes = (y ++ p).distinct.sorted
+      val idx = classes.zipWithIndex.toMap
+      val k = classes.size
+      val m = Array.ofDim[Long](k, k)
+      y.zip(p).foreach { case (t, h) => m(idx(t))(idx(h)) += 1 }
+      val per =
+        if (k == 2) Seq((m(1)(1), m(0)(1), m(1)(0)))
+        else (0 until k).map(c => (m(c)(c), m(c).sum - m(c)(c),
+          (0 until k).map(r => m(r)(c)).sum - m(c)(c)))
+      val f1s = per.map { case (tp, fp, fnn) =>
+        val r0 = tp.toDouble / (tp + fnn)
+        val r = if (r0.isNaN) 1.0 else r0
+        val pr = tp.toDouble / (tp + fp)
+        2.0 * ((pr * r) / (pr + r))
+      }
+      f1s.sum / f1s.size
+    })
+    spark.udf.register("quackml_log_loss", (y: Seq[Double], p: Seq[Double]) => {
+      val eps = 1e-15
+      -y.zip(p).map { case (yi, pi0) =>
+        val pi = math.min(math.max(pi0, eps), 1.0 - eps)
+        yi * math.log(pi) + (1.0 - yi) * math.log(1.0 - pi)
+      }.sum / y.length
+    })
+  }
+
   /** Deployment strategies (`src/api.rs:695-799`): best_score,
     * most_recent, rollback, specific. Returns the deployed model id. */
   def deployStrategy(catalog: Catalog, project: String, strategy: String,

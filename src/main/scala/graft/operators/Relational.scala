@@ -286,6 +286,82 @@ object Relational {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ROLLUP over (status, priority) — grouping-sets surface. NULL group
+    * keys sort first in both engines via explicit NULLS FIRST. */
+  def q_rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val qRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Correlated scalar subquery: per-customer order count + max price. */
+  def q_correlated_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders_v WHERE o_custkey = c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer_v ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qCorrelatedSql: String =
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** CTE + UNION ALL: high/low-value order segments. */
+  def q_cte_union(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """WITH hi AS (SELECT 'high' AS bucket, o_orderkey, o_totalprice
+        |            FROM orders_v WHERE o_totalprice >= 300000),
+        |     lo AS (SELECT 'low' AS bucket, o_orderkey, o_totalprice
+        |            FROM orders_v WHERE o_totalprice < 10000)
+        |SELECT bucket, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo) u
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  val qCteSql: String =
+    """WITH hi AS (SELECT 'high' AS bucket, o_orderkey, o_totalprice
+      |            FROM orders WHERE o_totalprice >= 300000),
+      |     lo AS (SELECT 'low' AS bucket, o_orderkey, o_totalprice
+      |            FROM orders WHERE o_totalprice < 10000)
+      |SELECT bucket, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo) u
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Pivot-style conditional aggregation: status × priority counts. */
+  def q_pivot_status(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(when($"o_orderpriority" === "1-URGENT", 1)).as("urgent"),
+        count(when($"o_orderpriority" === "2-HIGH", 1)).as("high"),
+        count(when($"o_orderpriority".isin("1-URGENT", "2-HIGH") === false, 1)).as("other"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderstatus,
+      |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+      |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+      |  count(CASE WHEN NOT o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS other
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"    -> q1_pricing_summary _,
     "q3_segment_revenue"    -> q3_segment_revenue _,
@@ -299,7 +375,11 @@ object Relational {
     "q_json_events"         -> q_json_events _,
     "q_events_hourly"       -> q_events_hourly _,
     "q_sessionize"          -> q_sessionize _,
-    "q_priority_by_status"  -> q_priority_by_status _
+    "q_priority_by_status"  -> q_priority_by_status _,
+    "q_rollup"              -> q_rollup _,
+    "q_correlated_subquery" -> q_correlated_subquery _,
+    "q_cte_union"           -> q_cte_union _,
+    "q_pivot_status"        -> q_pivot_status _
   )
 
   val oracles: Map[String, String] = Map(
@@ -315,6 +395,10 @@ object Relational {
     "q_json_events"         -> qJsonSql,
     "q_events_hourly"       -> qHourlySql,
     "q_sessionize"          -> qSessionSql,
-    "q_priority_by_status"  -> qPrioritySql
+    "q_priority_by_status"  -> qPrioritySql,
+    "q_rollup"              -> qRollupSql,
+    "q_correlated_subquery" -> qCorrelatedSql,
+    "q_cte_union"           -> qCteSql,
+    "q_pivot_status"        -> qPivotSql
   )
 }

@@ -1,0 +1,83 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dormant-but-intended API surface (SURVEY §2.1 second table):
+  * dump_all/load_all, predict_batch/joint/row, decompose, SQL metric
+  * functions. */
+class ApiSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def trained(): Catalog = {
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_api").toString)
+    val df = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Api", task = "regression", relationName = "t",
+      data = Some(df), yColumn = Seq("y"), algorithm = "linear",
+      testSampling = "random", orderCols = Seq("x")))
+    cat
+  }
+
+  test("dump_all / load_all round-trips the catalog") {
+    val cat = trained()
+    val dump = java.nio.file.Files.createTempDirectory("graft_dump").toString
+    cat.dumpAll(dump)
+    val cat2 = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_api2").toString)
+    cat2.loadAll(dump)
+    assert(cat2.projects.count() == cat.projects.count())
+    assert(cat2.models.collect().head.metrics.keySet ==
+      cat.models.collect().head.metrics.keySet)
+    assert(cat2.deployedModelId("Api") == cat.deployedModelId("Api"))
+  }
+
+  test("predict_batch / predict_joint / predict_row") {
+    val cat = trained()
+    Predict.clearCaches()
+    val preds = Predict.predictBatch(cat, "Api",
+      Seq(Array(10f), Array(20f)))
+    assert(math.abs(preds(0) - 37.0) < 1e-4 && math.abs(preds(1) - 67.0) < 1e-4)
+    val joint = Predict.predictJoint(cat, "Api", Array(10f))
+    assert(joint.length == 1 && math.abs(joint.head - 37.0) < 1e-4)
+    // predict_row: raw row through the persisted preprocessing pipeline
+    val scored = Predict.predictRow(cat, "Api", Seq((5.0, 0.0)).toDF("x", "y"))
+    assert(math.abs(scored.select("prediction").head().getDouble(0) - 22.0) < 1e-4)
+  }
+
+  test("decompose applies a deployed PCA projection and rejects non-PCA") {
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_pca").toString)
+    val iris = Datasets.iris(spark).drop("target")
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Dec", task = "decomposition", relationName = "iris",
+      data = Some(iris), yColumn = Seq.empty, algorithm = "pca",
+      hyperparams = Map("n_components" -> "2")))
+    Predict.clearCaches()
+    val out = Predict.decompose(cat, "Dec", iris)
+    assert(out.columns.contains("pca_features"))
+    assert(out.select("pca_features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size == 2)
+
+    val reg = trained()
+    intercept[IllegalArgumentException](Predict.decompose(reg, "Api", iris))
+  }
+
+  test("SQL metric functions match the native implementations") {
+    Predict.registerMetricFunctions(spark)
+    val r2 = spark.sql(
+      "SELECT quackml_r2(array(1.0d, 2.0d, 3.0d), array(2.0d, 2.0d, 2.0d))")
+      .head().getDouble(0)
+    assert(math.abs(r2) < 1e-12) // hand value from MetricsSpec
+    val f1 = spark.sql(
+      "SELECT quackml_f1(array(1, 1, 1, 0, 0, 0), array(1, 1, 0, 1, 0, 0))")
+      .head().getDouble(0)
+    val expect = 2.0 * ((2.0 / 3.0) * (2.0 / 3.0)) / (4.0 / 3.0)
+    assert(math.abs(f1 - expect) < 1e-12)
+    val ll = spark.sql(
+      "SELECT quackml_log_loss(array(1.0d, 0.0d), array(0.9d, 0.1d))")
+      .head().getDouble(0)
+    assert(math.abs(ll - (-(math.log(0.9) + math.log(0.9)) / 2.0)) < 1e-12)
+  }
+}
