@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.MLQueries.queries ++
       operators.Multimodal.queries ++
-      operators.LLMQueries.queries
+      operators.LLMQueries.queries ++
+      operators.AsOfJoin.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.MLQueries.oracles ++
       operators.Multimodal.oracles ++
-      operators.LLMQueries.oracles
+      operators.LLMQueries.oracles ++
+      operators.AsOfJoin.oracles
 }

@@ -114,8 +114,21 @@ object Datasets {
     make(spark, schema, rows, "wine")
   }
 
-  /** `load_dataset(name)` — returns the row count like the reference. */
+  /** `load_dataset(name)` — returns the row count like the reference.
+    * A name containing '/' is treated as a parquet/CSV path (the offline
+    * analogue of the reference's HuggingFace ingestion path,
+    * `src/bindings/transformers/mod.rs:519-691`: exported datasets land
+    * as files; the dynamic-schema table registration is the same). */
   def loadDataset(spark: SparkSession, name: String): Long = {
+    if (name.contains("/")) {
+      val df = if (name.endsWith(".csv"))
+        spark.read.option("header", "true").option("inferSchema", "true").csv(name)
+      else spark.read.parquet(name)
+      val viewName = name.split("/").last.replaceAll("\\.(parquet|csv)$", "")
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      df.createOrReplaceTempView(s"quackml_$viewName")
+      return df.count()
+    }
     val df = name match {
       case "diabetes" => diabetes(spark)
       case "iris" => iris(spark)

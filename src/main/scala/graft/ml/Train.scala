@@ -40,6 +40,7 @@ object Train {
       testSampling: String = "stratified",
       orderCols: Seq[String] = Seq.empty,
       preprocess: Map[String, Preprocess.Preprocessor] = Map.empty,
+      materializeSnapshot: Boolean = false,
       search: Option[String] = None, // "grid" | "random"
       searchParams: Map[String, Seq[String]] = Map.empty,
       searchArgs: Map[String, String] = Map.empty, // n_iter, cv
@@ -212,6 +213,11 @@ object Train {
 
     val snapshot = catalog.createSnapshot(cfg.relationName, cfg.yColumn, cfg.testSize,
       cfg.testSampling, df.schema.json)
+    // snapshot materialization (`snapshot.rs:641-649`): freeze the
+    // sampled input as a table under the catalog
+    if (cfg.materializeSnapshot)
+      df.write.mode("overwrite")
+        .parquet(s"${catalog.baseDir}/snapshot_${snapshot.id}")
 
     // split (stratified only makes sense for classification labels)
     val strategy =
@@ -349,6 +355,10 @@ object Train {
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
     model.write.overwrite().save(path)
     catalog.addFile(modelRow.id, path)
+    // training log (`quackml.logs` — reference `src/bindings/mod.rs:15-40`)
+    catalog.addLog(modelRow.id,
+      s"trained ${cfg.algorithm} for ${cfg.task}: " +
+        allMetrics.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(", "))
 
     // deployment decision (`src/api.rs:600-685`)
     val targetMetric = defaultTargetMetric(cfg.task)

@@ -80,5 +80,9 @@ class SamplingDatasetsSpec extends AnyFunSuite {
     assert(Datasets.loadDataset(spark, "iris") == 150L)
     assert(spark.sql("SELECT count(*) FROM quackml_iris").head().getLong(0) == 150L)
     intercept[IllegalArgumentException](Datasets.loadDataset(spark, "nope"))
+    // path-based ingestion (offline HF analogue)
+    val n = Datasets.loadDataset(spark, "/root/testdata/sf0.001/region.parquet")
+    assert(n == 5L)
+    assert(spark.sql("SELECT count(*) FROM quackml_region").head().getLong(0) == 5L)
   }
 }
