@@ -47,36 +47,57 @@ object Stats {
     * count-based shuffle is the shape that survives 100 TB (the cumsum
     * window is over DISTINCT values; for billions of distinct values the
     * upgrade path is a two-phase partition-prefix sum, same plan shape). */
-  def exactPercentiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] = {
+  def exactPercentiles(df: DataFrame, c: String, probs: Seq[Double]): Seq[Double] =
+    exactPercentilesMulti(df, Seq(c), probs)(c)
+
+  /** All columns in ONE unpivoted pass: `stack` → (col, value) rows, one
+    * count-combine shuffle, per-column cumsum windows (parallel across
+    * columns), one broadcast range-join for every (column, probability)
+    * bracket. Job count is constant in the number of columns. */
+  def exactPercentilesMulti(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double]): Map[String, Seq[Double]] = {
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val counts = df.select(col(c).cast("double").as("v"))
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'${c.replace("'", "''")}', CAST(`$c` AS DOUBLE)").mkString(", ") +
+      ") AS (cname, v)"
+    val counts = df.selectExpr(stackExpr)
       .filter(col("v").isNotNull && !isnan(col("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      .groupBy(col("cname"), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("cname")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("prev", col("cum") - col("cnt")).cache()
     try {
-      val n = cum.agg(max(col("cum"))).head().getLong(0)
-      val brackets = probs.zipWithIndex.map { case (p, i) =>
-        val pos = p * (n - 1) // 0-based fractional order statistic
-        (i, math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L,
+      val ns = cum.groupBy(col("cname")).agg(max(col("cum")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val brackets: Seq[(String, Int, Long, Long, Double)] = for {
+        c <- cols
+        (p, i) <- probs.zipWithIndex
+      } yield {
+        val pos = p * (ns(c) - 1) // 0-based fractional order statistic
+        (c, i, math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L,
           pos - math.floor(pos))
       }
-      val pdf = spark.createDataFrame(brackets).toDF("i", "lo", "hi", "frac")
-      val vlo = cum.join(broadcast(pdf),
-          col("prev") < col("lo") && col("lo") <= col("cum"))
-        .select(col("i"), col("frac"), col("v").as("vlo"))
-      val vhi = cum.join(broadcast(pdf.select(col("i").as("i2"), col("hi"))),
-          col("prev") < col("hi") && col("hi") <= col("cum"))
-        .select(col("i2"), col("v").as("vhi"))
+      // order-statistic extraction WITHOUT a range join: the needed ranks
+      // per column ride in as a map literal; a codegen'd lambda filter +
+      // explode emits only the crossing rows (≤ 2·|probs| per column)
+      val rankMap: Map[String, Seq[Long]] =
+        brackets.groupBy(_._1).map { case (c, bs) =>
+          c -> bs.flatMap(b => Seq(b._3, b._4)).distinct.sorted
+        }
+      val matched = cum
+        .withColumn("__ranks", element_at(typedlit(rankMap), col("cname")))
+        .select(col("cname"), col("v"),
+          explode(filter(col("__ranks"),
+            r => col("prev") < r && r <= col("cum"))).as("rank"))
+        .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(1)).toMap
       // (1−frac)·lo + frac·hi — DuckDB quantile_cont's exact expression
-      // shape (lo + (hi−lo)·frac differs in the last ulp).
-      val res = vlo.join(vhi, col("i") === col("i2"))
-        .select(col("i"),
-          ((lit(1.0) - col("frac")) * col("vlo") + col("frac") * col("vhi")).as("value"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      probs.indices.map(res).toSeq
+      // shape; Scala doubles perform the identical IEEE ops.
+      val res = brackets.map { case (c, i, lo, hi, frac) =>
+        (c, i) -> ((1.0 - frac) * matched((c, lo)) + frac * matched((c, hi)))
+      }.toMap
+      cols.map(c => c -> probs.indices.map(i => res((c, i))).toSeq).toMap
     } finally cum.unpersist()
   }
 
@@ -89,7 +110,13 @@ object Stats {
     * everything non-distinct (map-side partial aggs + percentile
     * buffers once), pass 2 is distinct counts only (cheap). */
   def analyzeNumeric(df: DataFrame, cols: Seq[String],
-      useExactPercentiles: Boolean = true): Seq[NumericStats] = {
+      useExactPercentiles: Boolean = true,
+      withVentiles: Boolean = true): Seq[NumericStats] = {
+    // the three passes (scalar aggs, distinct counts, percentiles) are
+    // independent jobs — run them concurrently from driver threads
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val aggs: Seq[Column] = cols.flatMap { c0 =>
       val c = col(c0).cast("double")
       Seq(
@@ -101,21 +128,12 @@ object Stats {
         count(when(c.isNull || isnan(c), 1)).as(s"${c0}__missing"),
         count(c).as(s"${c0}__n"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rowF = Future(df.agg(aggs.head, aggs.tail: _*).head())
     val dAggs = cols.map(c0 => countDistinct(col(c0).cast("double")).as(s"${c0}__distinct"))
-    val dRow = df.agg(dAggs.head, dAggs.tail: _*).head()
-    val allProbs = 0.5 +: ventileProbs
-    val pctsByCol: Map[String, Seq[Double]] =
-      if (useExactPercentiles) {
-        // per-column percentile jobs are independent — run them as
-        // concurrent Spark jobs from driver threads (local[32] and any
-        // cluster schedule them in parallel)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val futs = cols.map(c => Future(c -> exactPercentiles(df, c, allProbs)))
-        Await.result(Future.sequence(futs), Duration.Inf).toMap
-      }
+    val dRowF = Future(df.agg(dAggs.head, dAggs.tail: _*).head())
+    val allProbs = if (withVentiles) 0.5 +: ventileProbs else Seq(0.5)
+    val pctsF: Future[Map[String, Seq[Double]]] = Future {
+      if (useExactPercentiles) exactPercentilesMulti(df, cols, allProbs)
       else {
         val pa = cols.map(c0 => expr(
           s"approx_percentile($c0, array(${allProbs.mkString(",")}), 10000)")
@@ -123,6 +141,9 @@ object Stats {
         val pr = df.agg(pa.head, pa.tail: _*).head()
         cols.map(c => c -> pr.getAs[scala.collection.Seq[Double]](s"${c}__pcts").toSeq).toMap
       }
+    }
+    val (row, dRow, pctsByCol) = Await.result(
+      for (a <- rowF; b <- dRowF; c <- pctsF) yield (a, b, c), Duration.Inf)
     cols.map { c =>
       def d(f: String) = row.getAs[Double](s"${c}__$f")
       def l(f: String) = row.getAs[Long](s"${c}__$f")
@@ -138,7 +159,7 @@ object Stats {
 
   /** Render analyzeNumeric as a DataFrame (one row per column). */
   def numericSummaryDF(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
-    val stats = analyzeNumeric(df, cols)
+    val stats = analyzeNumeric(df, cols, withVentiles = false) // median only
     val rows = stats.map(s => Row(s.name, s.min, s.max, s.maxAbs, s.mean,
       s.median, s.variance, s.stdDev, s.missing, s.distinct))
     val schema = StructType(Seq(
@@ -150,13 +171,14 @@ object Stats {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Ventiles as a (col_name, p, value) DataFrame. */
+  /** Ventiles as a (col_name, p, value) DataFrame — percentile pass
+    * only, no scalar/distinct jobs. */
   def ventilesDF(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
-    val stats = analyzeNumeric(df, cols)
+    val pcts = exactPercentilesMulti(df, cols, ventileProbs)
     val rows = for {
-      s <- stats
-      (p, v) <- ventileProbs.zip(s.ventiles)
-    } yield Row(s.name, p, v)
+      c <- cols
+      (p, v) <- ventileProbs.zip(pcts(c))
+    } yield Row(c, p, v)
     val schema = StructType(Seq(
       StructField("col_name", StringType), StructField("p", DoubleType),
       StructField("value", DoubleType)))
