@@ -153,15 +153,83 @@ object Similarity {
        |  FROM pairs) t
        |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
 
+  // --------------------------------------------------------------- IVF ANN
+  /** IVF-style ANN: a coarse quantizer (4 closed-form centroids — in
+    * production, k-means cell centers) partitions the corpus into cells;
+    * queries probe their own cell (nprobe=1) and rank by exact cosine.
+    * The inverted-file shape at scale: the corpus is PARTITIONED by cell
+    * id (a real deployment writes it partitioned/bucketed by cell), so a
+    * probe touches 1/k of the data and candidates meet via the cell
+    * equi-join, never a cross join. */
+  private def centroid(k: Int): Seq[Double] =
+    (0 until 64).map { i =>
+      ((1103515245L * (k * 64 + i) + 12345L) % 2147483648L).toDouble /
+        2147483648.0 - 0.5
+    }
+
+  private def cellCol(v: Column): Column = {
+    val dists = (0 until 4).map(k =>
+      aggregate(zip_with(v, typedlit(centroid(k)), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x))
+    when(dists(0) <= dists(1) && dists(0) <= dists(2) && dists(0) <= dists(3), 0L)
+      .when(dists(1) <= dists(2) && dists(1) <= dists(3), 1L)
+      .when(dists(2) <= dists(3), 2L).otherwise(3L)
+  }
+
+  def sim_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("cell", cellCol($"v"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("vq"), $"nrm".as("nq"), $"cell")
+    val c = e.select($"vec_id".as("cid"), $"v".as("vc"), $"nrm".as("nc"), $"cell")
+    val scored = q.join(c, Seq("cell")).filter($"qid" =!= $"cid")
+      .withColumn("cos", dot($"vq", $"vc") / ($"nq" * $"nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"qid", $"cell", $"cid", $"cos", $"rn".cast("long").as("rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val simIvfSql: String = {
+    def d(k: Int) =
+      s"""list_sum(list_transform(range(1, len(v) + 1),
+         |  i -> (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
+         |    / 2147483648.0 - 0.5))
+         |    * (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
+         |    / 2147483648.0 - 0.5))))""".stripMargin
+    s"""WITH $embSqlCte,
+       |cells AS (
+       |  SELECT n.vec_id, v, nrm,
+       |    CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+       |         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+       |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cell
+       |  FROM (SELECT vec_id, v, nrm, ${d(0)} AS d0, ${d(1)} AS d1,
+       |          ${d(2)} AS d2, ${d(3)} AS d3 FROM n) n),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, q.cell AS cell, c.vec_id AS cid,
+       |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM cells q JOIN cells c ON q.cell = c.cell
+       |    AND q.vec_id < 10 AND c.vec_id != q.vec_id)
+       |SELECT qid, cell, cid, cos, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine"    -> sim_topk_cosine _,
     "sim_neardup_cosine" -> sim_neardup_cosine _,
-    "sim_ann_lsh"        -> sim_ann_lsh _
+    "sim_ann_lsh"        -> sim_ann_lsh _,
+    "sim_ann_ivf"        -> sim_ann_ivf _
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine"    -> simTopkSql,
     "sim_neardup_cosine" -> simNeardupSql,
-    "sim_ann_lsh"        -> simAnnSql
+    "sim_ann_lsh"        -> simAnnSql,
+    "sim_ann_ivf"        -> simIvfSql
   )
 }
