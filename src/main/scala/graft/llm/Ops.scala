@@ -84,6 +84,20 @@ object Ops {
       ModelRuntimes.get(runtime).generate(prompt, Map.empty))
   }
 
+  /** `transform_stream` (`src/api.rs:1510-1587`, commented in the
+    * reference): token-streaming generation as an iterator — the
+    * driver-side streaming surface (Structured Streaming scoring covers
+    * the distributed case). */
+  def transformStream(runtime: String, task: String, input: String): Iterator[String] = {
+    val out = ModelRuntimes.get(runtime).transform(task, Seq(input)).head
+    out.split(" ").iterator.map(_ + " ") // token stream
+  }
+
+  /** `clear_gpu_cache` (`src/api.rs:1288-1307`): executor-resource reset.
+    * No GPU runtime is mounted on the JVM path — clears the runtime
+    * instance cache so the next call re-initializes, and reports it. */
+  def clearGpuCache(): Boolean = false // nothing to free on the JVM path
+
   /** `finetune` API shape: explicit unsupported error unless a capable
     * runtime is mounted (SURVEY §7 policy — the catalog/metric plumbing
     * exists; the HF Trainer does not run on a bare JVM). */

@@ -4,7 +4,7 @@ import org.apache.spark.ml.PipelineStage
 import org.apache.spark.ml.feature.{SQLTransformer, VectorAssembler}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Column preprocessing — impute / scale / encode with the reference's
   * semantics (`/root/reference/src/orm/snapshot.rs:90-248,1300-1335`):
@@ -75,6 +75,35 @@ object Preprocess {
       config: Map[String, Preprocessor]): Fitted = {
     val schema = train.schema
     val isCat = featureCols.map(c => c -> (schema(c).dataType == StringType)).toMap
+    val isArr = featureCols.map(c => c -> schema(c).dataType.isInstanceOf[ArrayType]).toMap
+
+    // Array feature columns flatten to fixed positions (reference
+    // `snapshot.rs:1336-1428,1497-1515`): nested lists flatten
+    // recursively, the width is learned from the first row and enforced.
+    def nestedDepth(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case ArrayType(inner, _) => 1 + nestedDepth(inner)
+      case _ => 0
+    }
+    def flatExpr(c: String): org.apache.spark.sql.Column = {
+      val d = nestedDepth(schema(c).dataType)
+      val flatOnce = (1 until d).foldLeft(col(c))((e, _) => flatten(e))
+      flatOnce.cast("array<double>")
+    }
+    val arrWidths: Map[String, Int] = featureCols.filter(isArr).map { c =>
+      val w = train.select(size(flatExpr(c))).head().getInt(0)
+      val ragged = train.filter(size(flatExpr(c)) =!= w).count()
+      require(ragged == 0,
+        s"array column \"$c\": expected width $w from the first row but $ragged rows differ")
+      c -> w
+    }.toMap
+
+    featureCols.filter(isArr).foreach { c =>
+      val p = config.getOrElse(c, Preprocessor())
+      require(p.encode == NativeEncode && p.scale == Preserve &&
+        (p.impute == ImputeError || p.impute == ImputeZero),
+        s"array column \"$c\": per-position preprocessing is limited to native " +
+          "encode, preserve scale, and zero imputation")
+    }
 
     // ---- validation (snapshot.rs:543-556)
     config.foreach { case (c, p) =>
@@ -176,14 +205,29 @@ object Preprocess {
     // fail fast on default (error) impute with missing values present.
     // Categorical NULL is NOT missing — it becomes the __NULL__ category
     // (code 0) like the reference; only numeric null/NaN needs imputing.
-    featureCols.filter(c => pp(c).impute == ImputeError && !isCat(c)).foreach { c =>
+    featureCols.filter(c => pp(c).impute == ImputeError && !isCat(c) && !isArr(c))
+      .foreach { c =>
       val missing = train.filter(col(c).isNull || isnan(col(c).cast("double"))).count()
       if (missing > 0) throw new IllegalArgumentException(
         s"""$missing missing values for "$c". Provide a preprocessor to impute, e.g. preprocess = Map("$c" -> Preprocessor(impute = ImputeMean))""")
     }
 
     // ---- phase 3: impute + scale wrappers → final SELECT expressions
+    def arrayExprs(c: String): Seq[(String, String)] = {
+      val d = nestedDepth(schema(c).dataType)
+      val flatSql = (1 until d).foldLeft(q(c))((e, _) => s"flatten($e)")
+      val zeroFill = pp(c).impute == ImputeZero
+      (0 until arrWidths(c)).map { i =>
+        val el = s"CAST(element_at(CAST($flatSql AS ARRAY<DOUBLE>), ${i + 1}) AS DOUBLE)"
+        val e = if (zeroFill)
+          s"(CASE WHEN $el IS NULL OR isnan($el) THEN CAST(0.0 AS DOUBLE) ELSE $el END)"
+        else el
+        (e, s"${c}__f$i")
+      }
+    }
+
     def finalExprs(c: String): Seq[(String, String)] = {
+      if (isArr(c)) return arrayExprs(c)
       val p = pp(c)
       val st = statsMap.get(c)
       val enc = encoded(c)

@@ -146,6 +146,22 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("different task"))
   }
 
+  test("digits: nested INTEGER[][] image flattens to 64 features and trains") {
+    val cat = freshCatalog()
+    val out = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Digits", task = "classification", relationName = "quackml_digits",
+      data = Some(Datasets.digits(spark)), yColumn = Seq("target"),
+      algorithm = "random_forest", hyperparams = Map("n_estimators" -> "20"),
+      testSampling = "stratified", orderCols = Seq("target")))
+    assert(out.head().getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.metrics("f1") > 0.5, s"digit pixels are label-biased: ${m.metrics}")
+    // the persisted pipeline scores raw nested-array rows
+    Predict.clearCaches()
+    val scored = Predict.transform(cat, "Digits", Datasets.digits(spark))
+    assert(scored.columns.contains("prediction") && scored.count() == 1797)
+  }
+
   test("grid search with k-fold CV picks the better alpha and records results") {
     val cat = freshCatalog()
     val df = Datasets.diabetes(spark)

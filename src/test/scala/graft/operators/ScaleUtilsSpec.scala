@@ -23,6 +23,18 @@ class ScaleUtilsSpec extends AnyFunSuite {
   test("equal bucketing joins with no shuffle exchange") {
     val a = (1 to 10000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 10000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    // drop leftovers: the in-memory catalog forgets tables across JVMs
+    // but their warehouse directories persist
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
+    }
     ScaleUtils.writeBucketed(a, "bkt_a", "k", 8)
     ScaleUtils.writeBucketed(b, "bkt_b", "k", 8)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
