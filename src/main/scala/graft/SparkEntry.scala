@@ -23,7 +23,8 @@ object SparkEntry {
       operators.MLQueries.queries ++
       operators.Multimodal.queries ++
       operators.LLMQueries.queries ++
-      operators.AsOfJoin.queries
+      operators.AsOfJoin.queries ++
+      operators.ScaleUtils.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.MLQueries.oracles ++
       operators.Multimodal.oracles ++
       operators.LLMQueries.oracles ++
-      operators.AsOfJoin.oracles
+      operators.AsOfJoin.oracles ++
+      operators.ScaleUtils.oracles
 }

@@ -274,9 +274,52 @@ object Dedup {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** Df-capped variant — the 100 TB lever: shingles appearing in more
+    * than DF_CAP documents are dropped BEFORE the pair join, bounding the
+    * join fan-out at Σ min(df, cap)² (standard web-dedup practice). The
+    * Jaccard denominators still use the full shingle-set sizes, so scores
+    * are a lower bound of the exact ones. */
+  private val DF_CAP = 50
+
+  def dd_ngram_jaccard_capped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= DF_CAP).select($"s")
+    val shRare = sh.join(broadcast(rare), "s")
+    val a = shRare.select($"doc_id".as("da"), $"s")
+    val b = shRare.select($"doc_id".as("db"), $"s")
+    val inter = a.join(b, a("s") === b("s") && a("da") < b("db"))
+      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
+      .filter($"jaccard" >= 0.7)
+      .select($"da", $"db", $"i".as("n_common"), $"jaccard")
+      .orderBy($"da", $"db")
+  }
+
+  val ddNgramCappedSql: String =
+    s"""WITH $shinglesSqlCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${DF_CAP}),
+       |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, i AS n_common,
+       |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.7
+       |ORDER BY da, db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> dd_exact _,
     "dd_ngram_jaccard" -> dd_ngram_jaccard _,
+    "dd_ngram_jaccard_capped" -> dd_ngram_jaccard_capped _,
     "dd_minhash_lsh"   -> dd_minhash_lsh _,
     "dd_simhash"       -> dd_simhash _,
     "dd_simhash_pairs" -> dd_simhash_pairs _
@@ -285,6 +328,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_exact"         -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramSql,
+    "dd_ngram_jaccard_capped" -> ddNgramCappedSql,
     "dd_minhash_lsh"   -> ddMinhashSql,
     "dd_simhash"       -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql
