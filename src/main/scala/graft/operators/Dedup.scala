@@ -142,27 +142,32 @@ object Dedup {
        |  GROUP BY doc_id, j)""".stripMargin
 
   /** MinHash+LSH near-dup pairs: banded signatures (8 bands × 4 rows)
-    * generate candidates; estimated Jaccard = matching-minhash fraction;
-    * emit pairs with estimate ≥ 0.7. */
+    * generate candidates; estimated Jaccard = matching-minhash fraction
+    * computed by comparing the two signature ARRAYS elementwise
+    * (zip_with) — no per-hash re-join; emit pairs with estimate ≥ 0.7. */
   def dd_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val mh = minhashes(s, dir).cache()
-    val bands = mh
-      .withColumn("band", floor($"j" / BAND_ROWS))
-      .groupBy($"doc_id", $"band")
-      .agg(array_join(transform(array_sort(collect_list(struct($"j", $"mh"))),
-        x => x.getField("mh").cast("string")), "-").as("sig"))
-    val cand = bands.select($"doc_id".as("da"), $"band", $"sig")
-      .join(bands.select($"doc_id".as("db"), $"band", $"sig"), Seq("band", "sig"))
+    val sigArr = minhashes(s, dir)
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"j", $"mh"))),
+        x => x.getField("mh")).as("sig"))
+      .cache()
+    val bands = sigArr.select($"doc_id",
+        explode(sequence(lit(0), lit(NUM_HASHES / BAND_ROWS - 1))).as("band"), $"sig")
+      .withColumn("bsig", array_join(transform(
+        slice($"sig", $"band" * BAND_ROWS + 1, lit(BAND_ROWS)), _.cast("string")), "-"))
+    val cand = bands.select($"doc_id".as("da"), $"band", $"bsig")
+      .join(bands.select($"doc_id".as("db"), $"band", $"bsig"), Seq("band", "bsig"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
-    val ma = mh.select($"doc_id".as("da"), $"j", $"mh".as("mha"))
-    val mb = mh.select($"doc_id".as("db"), $"j", $"mh".as("mhb"))
-    cand.join(ma, "da").join(mb, Seq("db", "j"))
-      .groupBy($"da", $"db")
-      .agg((sum(when($"mha" === $"mhb", 1).otherwise(0)).cast("double") /
-        NUM_HASHES.toDouble).as("est_jaccard"))
+    cand
+      .join(sigArr.select($"doc_id".as("da"), $"sig".as("sa")), "da")
+      .join(sigArr.select($"doc_id".as("db"), $"sig".as("sb")), "db")
+      .withColumn("est_jaccard",
+        aggregate(zip_with($"sa", $"sb", (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / NUM_HASHES.toDouble)
       .filter($"est_jaccard" >= 0.7)
+      .select($"da", $"db", $"est_jaccard")
       .orderBy($"da", $"db")
   }
 
