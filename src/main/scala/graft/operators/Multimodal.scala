@@ -102,14 +102,45 @@ object Multimodal {
       |  md5(text) AS digest, 'raw' AS format
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** Full stub-decode output as a rows-only coverage query (features and
-    * checksum are stub-defined; deterministic but not SQL-expressible). */
+  /** Full stub-decode output, exploded to scalar rows so the gate can
+    * hash it: (media_id, checksum, dim, value). The DuckDB oracle
+    * replays the stub math closed-form (documents.text is pure ASCII at
+    * every SF, so `ord` == byte value), proving the mapPartitions decode
+    * plumbing preserves row/vector alignment — same pattern as
+    * llm_embed_stub. */
   def mm_decode_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decodeFeatures(mediaTable(s, dir))
-      .select($"media_id", $"checksum", $"features")
-      .orderBy($"media_id")
+      .select($"media_id", $"checksum", posexplode($"features"))
+      .select($"media_id", $"checksum", $"pos".cast("long").as("dim"),
+        $"col".as("value"))
+      .orderBy($"media_id", $"dim")
   }
+
+  /** Closed-form replay of StubDecoder.decode: rolling 32-bit polynomial
+    * checksum via list_reduce; 8 windowed byte averages with the same
+    * window arithmetic (floor(len/8) min 1, tail bytes beyond 8*w
+    * dropped) and the same double-division order `sum / n / 255.0`
+    * before the REAL cast, so values compare bit-identical. */
+  val mmDecodeFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |    list_transform(range(1, length(text)+1),
+      |      j -> CAST(ord(text[j]) AS BIGINT)) AS bytes,
+      |    CAST(length(text) AS BIGINT) AS len
+      |  FROM documents),
+      |ck AS (
+      |  SELECT media_id, bytes, len,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+      |      (a, x) -> (a*31 + x) % 4294967296) AS checksum,
+      |    greatest(len // 8, 1) AS w
+      |  FROM b)
+      |SELECT media_id, checksum, CAST(k AS BIGINT) AS dim,
+      |  CASE WHEN least((k+1)*w, len) - k*w <= 0 THEN CAST(0.0 AS REAL)
+      |       ELSE CAST(list_sum(bytes[k*w+1 : least((k+1)*w, len)])::DOUBLE
+      |            / (least((k+1)*w, len) - k*w) / 255.0 AS REAL) END AS value
+      |FROM ck, (SELECT unnest(range(0, 8)) AS k) ks
+      |ORDER BY media_id, dim""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> mm_binary_meta _,
@@ -117,7 +148,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
-    "mm_binary_meta" -> mmBinaryMetaSql
-    // mm_decode_features: intentionally no oracle → rows-only check
+    "mm_binary_meta"     -> mmBinaryMetaSql,
+    "mm_decode_features" -> mmDecodeFeaturesSql
   )
 }
