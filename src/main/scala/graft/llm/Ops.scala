@@ -40,7 +40,6 @@ object Ops {
     * (`src/bindings/transformers/mod.rs:124-164`). */
   def rank(spark: SparkSession, runtime: String, query: String,
       documents: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val schema = documents.schema.add(StructField("score", DoubleType))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val idx = documents.schema.fieldIndex(textCol)
@@ -51,9 +50,11 @@ object Ops {
         batch.zip(scores).map { case (r, s) => Row.fromSeq(r.toSeq :+ s) }
       }
     }(enc)
-    scored.select(col(idCol).as("corpus_id"), col("score"), col(textCol).as("text"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("corpus_id"))))
+    // global rank via the range-partitioned two-phase numbering, not an
+    // unpartitioned window — the whole corpus never hits a single task
+    graft.operators.Distributed.withRowNumber(
+      scored.select(col(idCol).as("corpus_id"), col("score"), col(textCol).as("text")),
+      "rank", Seq(col("score").desc, col("corpus_id")))
   }
 
   /** Task-pipeline transform over a string column. */

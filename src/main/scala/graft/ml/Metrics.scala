@@ -126,18 +126,22 @@ object Metrics {
   }
 
   /** Tie-aware ROC-AUC: AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻).
-    * Midranks come from one global sort window — a single range-partitioned
-    * shuffle at scale; algebraically equal to the reference's sweep. */
+    * The full relation collapses to per-distinct-score counts first (one
+    * map-combinable shuffle); the midrank of a tie group is then
+    * closed-form from the exclusive prefix count — `prev + (cnt+1)/2` —
+    * computed by the two-phase distributed prefix sum, so no stage ever
+    * funnels through one task. Algebraically equal to the reference's
+    * threshold sweep (`metrics.rs:221-253`). */
   def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): Double = {
-    import org.apache.spark.sql.expressions.Window
     val scored = df.select(col(labelCol).cast("boolean").as("y"), col(scoreCol).cast("double").as("s"))
-    val w = Window.orderBy(col("s"))
-    val ranked = scored
-      .withColumn("r", row_number().over(w).cast("double"))
-      .groupBy(col("s")).agg(avg(col("r")).as("midrank"), sum(when(col("y"), 1L).otherwise(0L)).as("np"),
-        count(lit(1)).as("cnt"))
-    val row = ranked.agg(
-      sum(col("midrank") * col("np")).as("sumPos"),
+    val counts = scored.groupBy(col("s")).agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("cnt"))
+    val cum = graft.operators.Distributed
+      .groupedPrefixSum(counts, Seq.empty, Seq(col("s")), "cnt", "cum")
+    val midrank = col("cum") - col("cnt") + (col("cnt") + lit(1)) / lit(2.0)
+    val row = cum.agg(
+      sum(midrank * col("np")).as("sumPos"),
       sum(col("np")).as("nPos"),
       sum(col("cnt")).as("nAll")).head()
     val (sumPos, nPos, nAll) = (row.getDouble(0), row.getLong(1), row.getLong(2))

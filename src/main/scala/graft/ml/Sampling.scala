@@ -48,17 +48,24 @@ object Sampling {
   }
 
   /** Apply a sampling strategy, producing a deterministic ordering column
-    * `__order` used by the head/tail split. */
+    * `__order` used by the head/tail split. Global numbering goes through
+    * `Distributed.withRowNumber` (range-partitioned two-phase), never an
+    * unpartitioned window — every stage stays parallel at cluster scale.
+    * Random permutations materialize `rand(seed)` into a column first;
+    * they are reproducible for a fixed input partitioning (same files,
+    * same conf), which is the Spark-native analogue of the reference's
+    * seeded `ORDER BY RANDOM()`. */
   def ordered(df: DataFrame, strategy: Strategy, labelCols: Seq[String],
       orderCols: Seq[String], seed: Long): DataFrame = strategy match {
     case RandomSampling =>
-      val w = Window.orderBy((rand(seed) +: orderCols.map(col)): _*)
-      df.withColumn("__order", row_number().over(w))
+      val tagged = df.withColumn("__rand", rand(seed))
+      graft.operators.Distributed
+        .withRowNumber(tagged, "__order", col("__rand") +: orderCols.map(col))
+        .drop("__rand")
     case LastSampling =>
       // "table order" is undefined on a distributed store; we require an
       // explicit natural-order key (e.g. the primary key / ingest time).
-      val w = Window.orderBy(orderCols.map(col): _*)
-      df.withColumn("__order", row_number().over(w))
+      graft.operators.Distributed.withRowNumber(df, "__order", orderCols.map(col))
     case StratifiedSampling =>
       // Proportional interleave: rank within class by rand, then order
       // globally by the FRACTIONAL within-class position rn/|class|. The
@@ -67,15 +74,17 @@ object Sampling {
       // head/tail split produces a single-class test set. Fractional
       // position keeps every class uniformly spread, so any head/tail cut
       // is label-balanced (this is the fix, like the projection-bug fix).
+      // The within-class windows are partitioned by label — parallel.
       val inClass = Window.partitionBy(labelCols.map(col): _*)
         .orderBy((rand(seed) +: orderCols.map(col)): _*)
       val classN = Window.partitionBy(labelCols.map(col): _*)
-      val global = Window.orderBy(
-        (Seq(col("__frac"), rand(seed + 1)) ++ orderCols.map(col)): _*)
-      df.withColumn("__rn", row_number().over(inClass))
+      val tagged = df.withColumn("__rn", row_number().over(inClass))
         .withColumn("__frac", col("__rn").cast("double") / count(lit(1)).over(classN))
-        .withColumn("__order", row_number().over(global))
-        .drop("__rn", "__frac")
+        .withColumn("__rand", rand(seed + 1))
+      graft.operators.Distributed
+        .withRowNumber(tagged, "__order",
+          Seq(col("__frac"), col("__rand")) ++ orderCols.map(col))
+        .drop("__rn", "__frac", "__rand")
   }
 
   /** Head/tail split after ordering: first numTrain rows are train. */

@@ -57,16 +57,18 @@ object Stats {
   def exactPercentilesMulti(df: DataFrame, cols: Seq[String],
       probs: Seq[Double]): Map[String, Seq[Double]] = {
     val spark = df.sparkSession
-    import org.apache.spark.sql.expressions.Window
     val stackExpr = s"stack(${cols.size}, " +
       cols.map(c => s"'${c.replace("'", "''")}', CAST(`$c` AS DOUBLE)").mkString(", ") +
       ") AS (cname, v)"
     val counts = df.selectExpr(stackExpr)
       .filter(col("v").isNotNull && !isnan(col("v")))
       .groupBy(col("cname"), col("v")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("cname")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    // two-phase partition-prefix sum: parallelism is bounded by the range
+    // partitioning of (cname, v), not by the number of columns — the
+    // per-column cumsum window capped parallelism at |cols| and put each
+    // column's whole distinct set in one task
+    val cum = graft.operators.Distributed
+      .groupedPrefixSum(counts, Seq("cname"), Seq(col("v")), "cnt", "cum")
       .withColumn("prev", col("cum") - col("cnt")).cache()
     try {
       val ns = cum.groupBy(col("cname")).agg(max(col("cum")).as("n"))
@@ -186,20 +188,27 @@ object Stats {
   }
 
   /** 20-bin equi-width histogram per column: bin = min(19,
-    * ⌊(x−min)/(max−min)·20⌋), counts per (col, bin). One extra scan. */
+    * ⌊(x−min)/(max−min)·20⌋), counts per (col, bin). Exactly two scans
+    * regardless of column count: one agg carries every column's min/max,
+    * then one unpivoted groupBy bins all columns together (the previous
+    * shape ran a separate min/max job + count scan per column). */
   def histogramDF(df: DataFrame, cols: Seq[String], bins: Int = 20): DataFrame = {
+    val mmAggs = cols.flatMap { c0 =>
+      val c = col(c0).cast("double")
+      Seq(min(c).as(s"${c0}__mn"), max(c).as(s"${c0}__mx"))
+    }
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
     val per = cols.map { c0 =>
       val c = col(c0).cast("double")
-      val mm = df.agg(min(c).as("mn"), max(c).as("mx")).head()
-      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
-      df.select(
-        lit(c0).as("col_name"),
+      val (mn, mx) = (mm.getAs[Double](s"${c0}__mn"), mm.getAs[Double](s"${c0}__mx"))
+      struct(lit(c0).as("col_name"),
         least(lit(bins - 1),
           floor((c - lit(mn)) / (lit(mx) - lit(mn)) * bins)).cast("long").as("bin"))
-        .groupBy(col("col_name"), col("bin"))
-        .agg(count(lit(1)).as("n"))
     }
-    per.reduce(_ unionAll _).orderBy(col("col_name"), col("bin"))
+    df.select(explode(array(per: _*)).as("cb"))
+      .groupBy(col("cb.col_name").as("col_name"), col("cb.bin").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("col_name"), col("bin"))
   }
 
   /** Mode per (categorical) column: highest count, ties broken by the

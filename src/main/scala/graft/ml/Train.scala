@@ -45,6 +45,10 @@ object Train {
       searchParams: Map[String, Seq[String]] = Map.empty,
       searchArgs: Map[String, String] = Map.empty, // n_iter, cv
       automaticDeploy: Boolean = true,
+      // true = reference-parity ordered split + contiguous CV folds
+      // (exact counts, needs a global ordering pass); false (default) =
+      // shuffle-free hash split + hash-mod folds — the cluster-scale path
+      orderedSplit: Boolean = false,
       seed: Long = 42L)
 
   def defaultTargetMetric(task: String): String = task match {
@@ -213,20 +217,41 @@ object Train {
 
     val snapshot = catalog.createSnapshot(cfg.relationName, cfg.yColumn, cfg.testSize,
       cfg.testSampling, df.schema.json)
-    // snapshot materialization (`snapshot.rs:641-649`): freeze the
-    // sampled input as a table under the catalog
-    if (cfg.materializeSnapshot)
-      df.write.mode("overwrite")
-        .parquet(s"${catalog.baseDir}/snapshot_${snapshot.id}")
 
-    // split (stratified only makes sense for classification labels)
+    // split (stratified only makes sense for classification labels).
+    // Default path: seeded hash split — per-row membership test, zero
+    // shuffles, no count job; a uniform hash is stratified in
+    // expectation per class. `last` sampling and absolute test counts
+    // need the ordered head/tail cut; orderedSplit=true opts into it for
+    // exact reference-parity sizes.
     val strategy =
       if (!supervised) Sampling.RandomSampling
       else if (cfg.task == "regression" && cfg.testSampling == "stratified") Sampling.RandomSampling
       else Sampling.parse(cfg.testSampling)
     val (trainDF, testDF) =
-      if (supervised) Sampling.split(df, strategy, cfg.yColumn, orderCols, cfg.testSize, cfg.seed)
-      else (df, df)
+      if (!supervised) (df, df)
+      else if (!cfg.orderedSplit && strategy != Sampling.LastSampling && cfg.testSize <= 1.0) {
+        // hash the WHOLE row, not a subset: hashing a low-cardinality
+        // key (e.g. the label used as order key) correlates membership
+        // with that key and can put entire classes on one side
+        val (tr, te) = Sampling.splitByFraction(df, df.columns.toSeq, cfg.testSize, cfg.seed)
+        // tiny-relation fallback: binomial noise can empty a side on
+        // small inputs — take the exact ordered cut instead (isEmpty
+        // reads at most one partition, negligible at scale)
+        if (tr.isEmpty || te.isEmpty)
+          Sampling.split(df, strategy, cfg.yColumn, orderCols, cfg.testSize, cfg.seed)
+        else (tr, te)
+      } else Sampling.split(df, strategy, cfg.yColumn, orderCols, cfg.testSize, cfg.seed)
+
+    // snapshot materialization (`snapshot.rs:641-649`): the reference
+    // CTAS's the SAMPLED query, so freeze the post-split frames — not
+    // the raw input — as tables under the catalog
+    if (cfg.materializeSnapshot) {
+      trainDF.write.mode("overwrite")
+        .parquet(s"${catalog.baseDir}/snapshot_${snapshot.id}/train")
+      testDF.write.mode("overwrite")
+        .parquet(s"${catalog.baseDir}/snapshot_${snapshot.id}/test")
+    }
 
     // preprocess (impute/scale/encode per config) — fitted on TRAIN only,
     // compiled into persistable pipeline stages (SQLTransformer+assembler)
@@ -276,16 +301,29 @@ object Train {
       else {
         val scores: Seq[Seq[Double]] = // combos × folds
           if (cv >= 2) {
-            import org.apache.spark.sql.expressions.Window
-            val ord = Window.orderBy(orderCols.map(col): _*)
-            val cvd = procTrain.withColumn("__cv", row_number().over(ord)).cache()
-            val n = cvd.count()
-            val slices = foldSlices(n, cv)
+            // fold membership predicates: hash-mod fold ids by default
+            // (one map-stage column, no global ordering); contiguous
+            // reference-parity slices under orderedSplit (distributed
+            // two-phase row numbering, never a single-partition window)
+            val (cvd, folds): (DataFrame, Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)]) =
+              if (cfg.orderedSplit) {
+                val d = graft.operators.Distributed
+                  .withRowNumber(procTrain, "__cv", orderCols.map(col)).cache()
+                val slices = foldSlices(d.count(), cv)
+                (d, slices.map { case (lo, hi) =>
+                  (col("__cv") < lo || col("__cv") > hi,
+                    col("__cv") >= lo && col("__cv") <= hi)
+                })
+              } else {
+                val d = procTrain.withColumn("__cv",
+                  pmod(xxhash64((lit(cfg.seed + 7) +: orderCols.map(col)): _*),
+                    lit(cv.toLong))).cache()
+                (d, (0 until cv).map(k =>
+                  (col("__cv") =!= k, col("__cv") === k)))
+              }
             val out = combos.map { h =>
-              slices.map { case (lo, hi) =>
-                val tr = cvd.filter(col("__cv") < lo || col("__cv") > hi)
-                val va = cvd.filter(col("__cv") >= lo && col("__cv") <= hi)
-                quickScore(fitOne(h, tr).transform(va))
+              folds.map { case (trP, vaP) =>
+                quickScore(fitOne(h, cvd.filter(trP)).transform(cvd.filter(vaP)))
               }
             }
             cvd.unpersist(); out

@@ -65,7 +65,7 @@ class LLMOpsSpec extends AnyFunSuite {
     val ranked = Ops.rank(spark, "stub", "spark filter join", docs, "doc_id", "text")
       .collect()
     assert(ranked.length == 3)
-    val scores = ranked.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+    val scores = ranked.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
