@@ -78,25 +78,50 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------- ngram jaccard
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.8): candidate pairs
-    * from the shingle equi-join, intersection counted per pair, union via
-    * |A|+|B|−|A∩B|. */
-  def dd_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+  /** N-gram Jaccard near-dup pairs. The OPERATOR DEFAULT is df-capped
+    * (`dfCap = Some(50)`): shingles appearing in more documents are
+    * dropped before the pair join, bounding the candidate fan-out at
+    * Σ min(df, cap)² — standard web-dedup practice, the only shape that
+    * survives a hot shingle at 100 TB. `dfCap = None` selects the exact
+    * all-pairs baseline, guarded: the operator first computes the actual
+    * fan-out Σ df² (one tiny agg over per-shingle counts) and refuses to
+    * run past `maxFanout` instead of melting the shuffle. */
+  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double,
+      dfCap: Option[Int] = Some(DF_CAP),
+      maxFanout: Long = 2000000000L): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select($"doc_id".as("da"), $"s")
-    val b = sh.select($"doc_id".as("db"), $"s")
+    val joinable = dfCap match {
+      case Some(cap) =>
+        val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+          .filter($"df" <= cap).select($"s")
+        sh.join(broadcast(rare), "s")
+      case None =>
+        val fanout = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+          .agg(sum($"df" * $"df")).head().getLong(0)
+        require(fanout <= maxFanout,
+          s"exact all-pairs n-gram Jaccard would generate $fanout candidate " +
+            s"comparisons (> $maxFanout); use the df-capped default " +
+            s"(dfCap = Some($DF_CAP)) or dd_minhash_lsh")
+        sh
+    }
+    val a = joinable.select($"doc_id".as("da"), $"s")
+    val b = joinable.select($"doc_id".as("db"), $"s")
     val inter = a.join(b, a("s") === b("s") && a("da") < b("db"))
       .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
       .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
       .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
-      .filter($"jaccard" >= 0.8)
+      .filter($"jaccard" >= threshold)
       .select($"da", $"db", $"i".as("n_common"), $"jaccard")
       .orderBy($"da", $"db")
   }
+
+  /** Exact (uncapped, guarded) baseline at threshold 0.8. */
+  def dd_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir, 0.8, dfCap = None)
 
   val ddNgramSql: String =
     s"""WITH $shinglesSqlCte,
@@ -279,32 +304,14 @@ object Dedup {
        |ORDER BY da, db""".stripMargin
   }
 
-  /** Df-capped variant — the 100 TB lever: shingles appearing in more
-    * than DF_CAP documents are dropped BEFORE the pair join, bounding the
-    * join fan-out at Σ min(df, cap)² (standard web-dedup practice). The
-    * Jaccard denominators still use the full shingle-set sizes, so scores
+  /** Default document-frequency cap for ngramJaccardPairs. The Jaccard
+    * denominators still use the full shingle-set sizes, so capped scores
     * are a lower bound of the exact ones. */
   private val DF_CAP = 50
 
-  def dd_ngram_jaccard_capped(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = shingles(s, dir).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= DF_CAP).select($"s")
-    val shRare = sh.join(broadcast(rare), "s")
-    val a = shRare.select($"doc_id".as("da"), $"s")
-    val b = shRare.select($"doc_id".as("db"), $"s")
-    val inter = a.join(b, a("s") === b("s") && a("da") < b("db"))
-      .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
-      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
-      .withColumn("jaccard", $"i".cast("double") / ($"na" + $"nb" - $"i"))
-      .filter($"jaccard" >= 0.7)
-      .select($"da", $"db", $"i".as("n_common"), $"jaccard")
-      .orderBy($"da", $"db")
-  }
+  /** Df-capped operator default at threshold 0.7. */
+  def dd_ngram_jaccard_capped(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir, 0.7)
 
   val ddNgramCappedSql: String =
     s"""WITH $shinglesSqlCte,

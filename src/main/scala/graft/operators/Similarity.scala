@@ -69,20 +69,38 @@ object Similarity {
        |  FROM pairs) t
        |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.45). */
-  def sim_neardup_cosine(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = emb(s, dir)
+  /** Rows above which the brute-force near-dup refuses to run: the plan
+    * broadcasts the whole corpus into a nested-loop join — O(n²) compute
+    * plus a driver/executor-memory broadcast — so past this bound the
+    * bucketed paths (`sim_ann_lsh`, `sim_ann_ivf`) are the answer. */
+  val NEARDUP_MAX_ROWS = 200000L
+
+  /** Exact embedding-cosine near-duplicate pairs over a small corpus.
+    * GUARDED: counts the corpus first and errors past `maxRows`, routing
+    * callers to the LSH/IVF ANN operators — the all-pairs baseline is a
+    * correctness oracle, not a scale path. */
+  def nearDupBruteForce(e: DataFrame, threshold: Double,
+      maxRows: Long = NEARDUP_MAX_ROWS): DataFrame = {
+    val n = e.count()
+    require(n <= maxRows,
+      s"brute-force cosine near-dup is O(n²) and broadcasts the corpus " +
+        s"($n rows > $maxRows); use sim_ann_lsh or sim_ann_ivf instead")
     // left side repartitioned: the corpus arrives as one parquet file =
     // one partition, which would serialize the O(n²) scoring loop; the
     // right side stays broadcast (nested-loop join with a tiny build).
-    val a = e.repartition(32).select($"vec_id".as("da"), $"v".as("va"), $"nrm".as("na"))
-    val b = e.select($"vec_id".as("db"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(broadcast(b), $"da" < $"db")
-      .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
-      .filter($"cos" >= 0.45)
-      .select($"da", $"db", $"cos")
-      .orderBy($"da", $"db")
+    val a = e.repartition(32).select(col("vec_id").as("da"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("db"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("da") < col("db"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("da"), col("db"), col("cos"))
+  }
+
+  /** Gate query: threshold 0.45 over the sf corpus. */
+  def sim_neardup_cosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nearDupBruteForce(emb(s, dir), 0.45).orderBy($"da", $"db")
   }
 
   val simNeardupSql: String =
