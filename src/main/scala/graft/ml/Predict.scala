@@ -67,20 +67,27 @@ object Predict {
   def transform(catalog: Catalog, project: String, df: DataFrame): DataFrame =
     deployedModel(catalog, project).transform(df)
 
+  /** Pipeline stages usable as row-predictors (multi-target pipelines
+    * carry one per target, after the preprocessing stage). */
+  private val rowPredictor: PartialFunction[org.apache.spark.ml.Transformer,
+      org.apache.spark.ml.linalg.Vector => Double] = {
+    case p: org.apache.spark.ml.regression.LinearRegressionModel => p.predict
+    case p: org.apache.spark.ml.classification.LogisticRegressionModel => p.predict
+    case p: org.apache.spark.ml.classification.LinearSVCModel => p.predict
+    case p: org.apache.spark.ml.regression.RandomForestRegressionModel => p.predict
+    case p: org.apache.spark.ml.classification.RandomForestClassificationModel => p.predict
+    case p: org.apache.spark.ml.regression.GBTRegressionModel => p.predict
+    case p: org.apache.spark.ml.classification.GBTClassificationModel => p.predict
+    case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
+  }
+
+  private def predictors(m: PipelineModel): Seq[org.apache.spark.ml.linalg.Vector => Double] =
+    m.stages.toSeq.collect(rowPredictor)
+
   /** The last pipeline stage as a row-predictor. */
   private def predictor(m: PipelineModel): org.apache.spark.ml.linalg.Vector => Double =
-    m.stages.last match {
-      case p: org.apache.spark.ml.regression.LinearRegressionModel => p.predict
-      case p: org.apache.spark.ml.classification.LogisticRegressionModel => p.predict
-      case p: org.apache.spark.ml.classification.LinearSVCModel => p.predict
-      case p: org.apache.spark.ml.regression.RandomForestRegressionModel => p.predict
-      case p: org.apache.spark.ml.classification.RandomForestClassificationModel => p.predict
-      case p: org.apache.spark.ml.regression.GBTRegressionModel => p.predict
-      case p: org.apache.spark.ml.classification.GBTClassificationModel => p.predict
-      case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
-      case other => throw new IllegalArgumentException(
-        s"no row predictor for ${other.getClass.getSimpleName}")
-    }
+    predictors(m).lastOption.getOrElse(throw new IllegalArgumentException(
+      s"no row predictor for ${m.stages.last.getClass.getSimpleName}"))
 
   /** Register the SQL functions on a session, bound to a catalog:
     * quackml_predict(project, array<float>) → float
@@ -123,7 +130,12 @@ object Predict {
     spark.udf.register("quackml_predict_proba", (project: String, features: Seq[Float]) => {
       val m = cachedOnly(project)
       m.stages.last match {
-        case p: org.apache.spark.ml.classification.LogisticRegressionModel =>
+        // any probabilistic classifier (logistic, RF, GBT, ...) serves
+        // probabilities, matching the reference (`src/orm/model.rs:955-965`);
+        // the scalar output is the FIRST class probability — the
+        // reference's scalar-output quirk (`src/api.rs:893-898`)
+        case p: org.apache.spark.ml.classification.ProbabilisticClassificationModel[
+            org.apache.spark.ml.linalg.Vector @unchecked, _] =>
           p.predictProbability(Vectors.dense(features.map(_.toDouble).toArray))(0).toFloat
         case other => throw new IllegalArgumentException(
           s"predict_proba unsupported for ${other.getClass.getSimpleName}")
@@ -145,15 +157,16 @@ object Predict {
     features.map(f => p(Vectors.dense(f.map(_.toDouble))))
   }
 
-  /** `predict_joint` (`src/api.rs:1030-1039`): multi-target output. The
-    * MLlib estimators are single-target; the joint surface returns the
-    * per-target vector (length 1 today, matching the reference's output
-    * shape for num_targets=1; true multi-output is a documented gap —
-    * the reference wraps sklearn MultiOutputRegressor). */
+  /** `predict_joint` (`src/api.rs:1030-1039`): multi-target output, one
+    * value per target column. Multi-target pipelines (trained with
+    * several y_columns, the reference's sklearn MultiOutputRegressor
+    * shape at `sklearn.py:119-134`) carry one fitted regressor per
+    * target; each scores the same feature vector. */
   def predictJoint(catalog: Catalog, project: String,
-      features: Array[Float]): Seq[Double] =
-    Seq(predictor(deployedModel(catalog, project))(
-      Vectors.dense(features.map(_.toDouble))))
+      features: Array[Float]): Seq[Double] = {
+    val v = Vectors.dense(features.map(_.toDouble))
+    predictors(deployedModel(catalog, project)).map(_(v))
+  }
 
   /** `predict_row` (`src/api.rs:1041-1058`): score a RAW row — snapshot
     * preprocessing applies because the persisted pipeline carries the

@@ -211,6 +211,11 @@ object Train {
 
     val df = resolveRelation(spark, cfg)
     val supervised = cfg.task == "regression" || cfg.task == "classification"
+    // multi-output regression (reference: sklearn MultiOutputRegressor,
+    // `sklearn.py:119-134`): one fitted regressor per target column
+    val multiTarget = cfg.task == "regression" && cfg.yColumn.size > 1
+    if (multiTarget) require(cfg.search.isEmpty && cfg.searchParams.isEmpty,
+      "hyperparameter search is single-target only")
     val labelCol = cfg.yColumn.headOption.getOrElse("__no_label")
     val featureCols = df.columns.filterNot(cfg.yColumn.contains).toSeq
     val orderCols = if (cfg.orderCols.nonEmpty) cfg.orderCols else Seq(df.columns.head)
@@ -255,9 +260,10 @@ object Train {
 
     // preprocess (impute/scale/encode per config) — fitted on TRAIN only,
     // compiled into persistable pipeline stages (SQLTransformer+assembler)
-    val trainForFit =
-      if (supervised) trainDF.withColumn(labelCol, col(labelCol).cast("double"))
-      else trainDF
+    def castTargets(d: DataFrame): DataFrame =
+      if (supervised) cfg.yColumn.foldLeft(d)((acc, t) => acc.withColumn(t, col(t).cast("double")))
+      else d
+    val trainForFit = castTargets(trainDF)
     val fitted = Preprocess.fit(trainForFit, featureCols,
       if (supervised) Some(labelCol) else None, cfg.preprocess)
 
@@ -266,16 +272,19 @@ object Train {
     // tabular_dataset materializes once, folds slice it).
     val preModel = new Pipeline().setStages(fitted.stages.toArray).fit(trainForFit)
     val procTrain = preModel.transform(trainForFit).cache()
-    val testForFit =
-      if (supervised) testDF.withColumn(labelCol, col(labelCol).cast("double"))
-      else testDF
+    val testForFit = castTargets(testDF)
     val procTest = preModel.transform(testForFit)
 
-    def fitOne(h: Map[String, String], data: org.apache.spark.sql.DataFrame) = {
+    /** Output column for target index i ("prediction" for the first —
+      * the single-target contract is unchanged). */
+    def predColFor(i: Int) = if (i == 0) "prediction" else s"prediction_$i"
+
+    def fitOne(h: Map[String, String], data: org.apache.spark.sql.DataFrame,
+        labelC: String = labelCol, predC: String = "prediction") = {
       val e = estimatorFor(cfg.task, cfg.algorithm, h, cfg.seed)
       e match {
         case p: org.apache.spark.ml.Predictor[_, _, _] =>
-          p.setLabelCol(labelCol).setFeaturesCol("features"); ()
+          p.setLabelCol(labelC).setFeaturesCol("features").setPredictionCol(predC); ()
         case k: KMeans => k.setFeaturesCol("features"); ()
         case b: BisectingKMeans => b.setFeaturesCol("features"); ()
         case p: PCA => p.setInputCol("features").setOutputCol("pca_features"); ()
@@ -344,10 +353,15 @@ object Train {
         (combos(bestIdx), json)
       }
 
-    val estModel = fitOne(bestHyper, procTrain)
+    // one estimator per target (single-target = one stage, unchanged)
+    val estStages =
+      if (multiTarget) cfg.yColumn.zipWithIndex.map { case (t, i) =>
+        fitOne(bestHyper, procTrain, t, predColFor(i))
+      } else Seq(fitOne(bestHyper, procTrain))
     // all-transformer pipeline: fit() on an empty slice is a no-op that
-    // packages (preprocessing, estimator model) into one persistable unit
-    val model = new Pipeline().setStages(Array(preModel, estModel)).fit(trainForFit.limit(0))
+    // packages (preprocessing, estimator models) into one persistable unit
+    val model = new Pipeline().setStages((preModel +: estStages).toArray)
+      .fit(trainForFit.limit(0))
     procTrain.unpersist()
     val fitTime = (System.nanoTime() - t0) / 1e9
 
@@ -355,9 +369,21 @@ object Train {
     val t1 = System.nanoTime()
     val metrics: Map[String, Double] = cfg.task match {
       case "regression" =>
-        val pred = model.transform(testDF.withColumn(labelCol, col(labelCol).cast("double")))
-        val r = Metrics.regression(pred, labelCol, "prediction")
-        Map("r2" -> r.r2, "mean_absolute_error" -> r.mae, "mean_squared_error" -> r.mse)
+        val pred = model.transform(castTargets(testDF))
+        if (multiTarget) {
+          // uniform average across targets — sklearn
+          // MultiOutputRegressor.score semantics — plus per-target r2
+          val per = cfg.yColumn.zipWithIndex.map { case (t, i) =>
+            Metrics.regression(pred, t, predColFor(i))
+          }
+          def avg(f: Metrics.RegressionReport => Double) = per.map(f).sum / per.size
+          Map("r2" -> avg(_.r2), "mean_absolute_error" -> avg(_.mae),
+            "mean_squared_error" -> avg(_.mse)) ++
+            per.zipWithIndex.map { case (r, i) => s"r2_$i" -> r.r2 }
+        } else {
+          val r = Metrics.regression(pred, labelCol, "prediction")
+          Map("r2" -> r.r2, "mean_absolute_error" -> r.mae, "mean_squared_error" -> r.mse)
+        }
       case "classification" =>
         val pred = model.transform(testDF.withColumn(labelCol, col(labelCol).cast("double")))
         val rep = Metrics.classification(pred, labelCol, "prediction")

@@ -46,6 +46,55 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(math.abs(scored.select("prediction").head().getDouble(0) - 22.0) < 1e-4)
   }
 
+  test("multi-output regression on linnerud: 3 targets, predict_joint length 3") {
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_joint").toString)
+    val df = Datasets.linnerud(spark)
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Joint", task = "regression", relationName = "quackml_linnerud",
+      data = Some(df), yColumn = Seq("weight", "waist", "pulse"),
+      algorithm = "linear", testSampling = "random", orderCols = Seq("chins")))
+    val m = cat.models.collect().head
+    assert(m.metrics.contains("r2") && m.metrics.contains("r2_2"))
+    Predict.clearCaches()
+    val joint = Predict.predictJoint(cat, "Joint", Array(5f, 100f, 60f))
+    assert(joint.length == 3 && joint.forall(v => !v.isNaN))
+    // the bulk transform carries one prediction column per target
+    val scored = Predict.transform(cat, "Joint", df)
+    assert(scored.columns.contains("prediction") &&
+      scored.columns.contains("prediction_1") && scored.columns.contains("prediction_2"))
+    // search is single-target only
+    intercept[IllegalArgumentException] {
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = "Joint2", task = "regression", relationName = "t",
+        data = Some(df), yColumn = Seq("weight", "waist"), algorithm = "ridge",
+        search = Some("grid"), searchParams = Map("alpha" -> Seq("0.1", "1.0"))))
+    }
+  }
+
+  test("predict_proba serves probabilities for RF and GBT classifiers") {
+    // separable binary data so class probabilities are meaningful
+    val df = (1 to 200).map { i =>
+      val y = if (i % 2 == 0) 1 else 0
+      (i.toDouble % 7, y * 10.0 + (i % 3), y)
+    }.toDF("f1", "f2", "label")
+    for (alg <- Seq("random_forest", "xgboost")) {
+      val cat = new Catalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft_proba_$alg").toString)
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = s"P_$alg", task = "classification", relationName = "t",
+        data = Some(df), yColumn = Seq("label"), algorithm = alg,
+        hyperparams = Map("n_estimators" -> "10"),
+        testSampling = "stratified", orderCols = Seq("f1")))
+      Predict.clearCaches()
+      Predict.registerFunctions(spark, cat)
+      val proba = spark.sql(
+        s"SELECT quackml_predict_proba('P_$alg', array(cast(1.0 as float), cast(0.0 as float)))")
+        .head().getFloat(0)
+      assert(proba >= 0.0f && proba <= 1.0f, s"$alg proba out of range: $proba")
+    }
+  }
+
   test("decompose applies a deployed PCA projection and rejects non-PCA") {
     val cat = new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_pca").toString)
