@@ -5,13 +5,38 @@ import scala.collection.mutable.ArrayBuffer
 /** Text chunking — the reference's `chunk(splitter, text, kwargs)`
   * surface (`/root/reference/src/api.rs:1309-1322`, LangChain splitters
   * at `src/bindings/langchain/langchain.py:12-29`). Pure Scala, no
-  * Python: the two splitters that cover the reference's practical use
-  * are `character` (fixed separator) and `recursive_character`
-  * (hierarchical separators with merge-to-size), with 1-based output
-  * indices like the reference.
+  * Python. All seven reference splitters dispatch: `character` (fixed
+  * separator), `recursive_character` (hierarchical separators with
+  * merge-to-size), `markdown`/`latex`/`python` (the same recursive
+  * engine with LangChain's published separator hierarchies), and
+  * `nltk`/`spacy` (sentence-boundary splitters — here a punctuation
+  * regex stands in for the tokenizer models, which don't ship on a bare
+  * JVM; chunk merge semantics are LangChain's). 1-based output indices
+  * like the reference.
   */
 object Chunk {
   val DefaultSeparators: Seq[String] = Seq("\n\n", "\n", " ", "")
+
+  /** LangChain MarkdownTextSplitter separators: headings first, then
+    * horizontal rules, then the character defaults. */
+  val MarkdownSeparators: Seq[String] = Seq(
+    "\n## ", "\n### ", "\n#### ", "\n##### ", "\n###### ",
+    "\n\n***\n\n", "\n\n---\n\n", "\n\n___\n\n",
+    "\n\n", "\n", " ", "")
+
+  /** LangChain LatexTextSplitter separators: sectioning commands, then
+    * environments, then math delimiters. */
+  val LatexSeparators: Seq[String] = Seq(
+    "\n\\chapter{", "\n\\section{", "\n\\subsection{", "\n\\subsubsection{",
+    "\n\\begin{enumerate}", "\n\\begin{itemize}", "\n\\begin{description}",
+    "\n\\begin{list}", "\n\\begin{quote}", "\n\\begin{quotation}",
+    "\n\\begin{verse}", "\n\\begin{verbatim}", "\n\\begin{align}",
+    "$$", "$", " ", "")
+
+  /** LangChain PythonCodeTextSplitter separators: class/def boundaries
+    * first. */
+  val PythonSeparators: Seq[String] = Seq(
+    "\nclass ", "\ndef ", "\n\tdef ", "\n\n", "\n", " ", "")
 
   /** LangChain-style character splitter: split on one separator, then
     * greedily merge adjacent pieces up to chunkSize with overlap. */
@@ -78,6 +103,15 @@ object Chunk {
     out.filter(_.trim.nonEmpty).toSeq
   }
 
+  /** Sentence-boundary split (the nltk/spacy splitter shape): sentences
+    * end at ./!/? followed by whitespace; merged like LangChain's
+    * NLTKTextSplitter (separator "\n\n"). */
+  def sentenceSplit(text: String, chunkSize: Int = 4000,
+      overlap: Int = 200): Seq[String] = {
+    val sentences = text.split("(?<=[.!?])\\s+").toSeq
+    merge(sentences, "\n\n", chunkSize, overlap)
+  }
+
   /** Dispatch like the reference's splitter argument; returns 1-based
     * (index, chunk) pairs (`src/api.rs:1316`). */
   def chunk(splitter: String, text: String,
@@ -88,8 +122,13 @@ object Chunk {
       case "character" =>
         characterSplit(text, kwargs.getOrElse("separator", "\n\n"), size, overlap)
       case "recursive_character" => recursiveSplit(text, size, overlap)
+      case "markdown" => recursiveSplit(text, size, overlap, MarkdownSeparators)
+      case "latex" => recursiveSplit(text, size, overlap, LatexSeparators)
+      case "python" => recursiveSplit(text, size, overlap, PythonSeparators)
+      case "nltk" | "spacy" => sentenceSplit(text, size, overlap)
       case other => throw new IllegalArgumentException(
-        s"unknown splitter: $other (supported: character, recursive_character)")
+        s"unknown splitter: $other (supported: character, recursive_character, " +
+          "markdown, latex, python, nltk, spacy)")
     }
     chunks.zipWithIndex.map { case (c, i) => (i + 1, c) }
   }

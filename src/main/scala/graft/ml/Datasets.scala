@@ -114,13 +114,87 @@ object Datasets {
     make(spark, schema, rows, "wine")
   }
 
+  /** The reference's HF dtype → column-type map
+    * (`src/bindings/transformers/mod.rs:571-593`), in Spark types.
+    * list/dict land as STRING holding JSON text (the JSONB analogue);
+    * unknown dtypes error exactly like the reference's bail. */
+  def hfDataType(dtype: String): DataType = dtype match {
+    case "string" | "large_string" => StringType
+    case "dict" | "list" => StringType
+    case "int64" => LongType
+    case "int32" => IntegerType
+    case "int16" | "int8" => ShortType
+    case "float64" => DoubleType
+    case "float32" | "float16" => FloatType
+    case "bool" => BooleanType
+    case other => throw new IllegalArgumentException(
+      s"unhandled dataset feature while reading dataset: $other")
+  }
+
+  /** Offline HuggingFace ingestion: a saved-dataset directory holding
+    * `dataset_info.json` plus parquet files — either flat, or one
+    * subdirectory per split (`datasets.save_to_disk` layout with parquet
+    * shards). The declared features drive the schema through
+    * `hfDataType`; each split registers as `quackml_<name>[_<split>]`.
+    * Returns total ingested rows, like `load_dataset` does. */
+  def loadHFDataset(spark: SparkSession, dir: String): Long = {
+    val root = new java.io.File(dir)
+    val infoFile = new java.io.File(root, "dataset_info.json")
+    require(infoFile.exists,
+      s"$dir is not a saved dataset directory (no dataset_info.json)")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val info = mapper.readTree(infoFile)
+    val featsNode = info.get("features")
+    require(featsNode != null && featsNode.isObject,
+      "dataset_info.json is missing the `features` object")
+    // feature value shapes: "int64" | {"dtype": "int64", ...} |
+    // {"_type": "Sequence"/other non-scalar} → list/dict
+    val features: Seq[(String, DataType)] = {
+      val it = featsNode.fields()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, DataType)]
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue
+        val dtype =
+          if (v.isTextual) v.asText
+          else if (v.has("dtype")) v.get("dtype").asText
+          else if (v.has("_type") && v.get("_type").asText == "Sequence") "list"
+          else "dict"
+        buf += e.getKey -> hfDataType(dtype)
+      }
+      buf.toSeq
+    }
+    val name = Option(info.get("dataset_name")).map(_.asText)
+      .getOrElse(root.getName).replaceAll("[^A-Za-z0-9_]", "_")
+    def ingest(parquetDir: java.io.File, viewName: String): Long = {
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.parquet(parquetDir.getPath)
+      val typed = df.select(features.map { case (c, t) => col(c).cast(t) }: _*)
+      typed.createOrReplaceTempView(viewName)
+      typed.count()
+    }
+    def hasParquet(d: java.io.File) =
+      d.listFiles != null && d.listFiles.exists(_.getName.endsWith(".parquet"))
+    if (hasParquet(root)) ingest(root, s"quackml_$name")
+    else {
+      val splits = root.listFiles.filter(f => f.isDirectory && hasParquet(f))
+      require(splits.nonEmpty, s"no parquet files under $dir")
+      splits.sortBy(_.getName)
+        .map(s => ingest(s, s"quackml_${name}_${s.getName}")).sum
+    }
+  }
+
   /** `load_dataset(name)` — returns the row count like the reference.
-    * A name containing '/' is treated as a parquet/CSV path (the offline
-    * analogue of the reference's HuggingFace ingestion path,
-    * `src/bindings/transformers/mod.rs:519-691`: exported datasets land
+    * A name containing '/' is treated as a path: a saved-dataset
+    * directory (see `loadHFDataset`) or a bare parquet/CSV file — the
+    * offline analogue of the reference's HuggingFace ingestion path
+    * (`src/bindings/transformers/mod.rs:519-691`: exported datasets land
     * as files; the dynamic-schema table registration is the same). */
   def loadDataset(spark: SparkSession, name: String): Long = {
     if (name.contains("/")) {
+      val f = new java.io.File(name)
+      if (f.isDirectory && new java.io.File(f, "dataset_info.json").exists)
+        return loadHFDataset(spark, name)
       val df = if (name.endsWith(".csv"))
         spark.read.option("header", "true").option("inferSchema", "true").csv(name)
       else spark.read.parquet(name)

@@ -28,6 +28,43 @@ class ChunkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Chunk.chunk("nope", "text"))
   }
 
+  test("markdown splitter breaks at headings before anything else") {
+    val text = "intro line\n## Section One\nbody one body one\n## Section Two\nbody two"
+    val chunks = Chunk.chunk("markdown", text,
+      Map("chunk_size" -> "40", "chunk_overlap" -> "0")).map(_._2)
+    assert(chunks.size >= 2)
+    assert(chunks.exists(_.contains("Section One")))
+    assert(chunks.exists(_.contains("Section Two")))
+    // heading boundaries respected: no chunk contains both sections
+    assert(!chunks.exists(c => c.contains("Section One") && c.contains("Section Two")))
+  }
+
+  test("latex splitter breaks at sectioning commands") {
+    val text = "\\documentclass{article}\n\\section{A}\naaa aaa aaa\n\\section{B}\nbbb bbb"
+    val chunks = Chunk.chunk("latex", text,
+      Map("chunk_size" -> "40", "chunk_overlap" -> "0")).map(_._2)
+    assert(chunks.size >= 2)
+    assert(!chunks.exists(c => c.contains("{A}") && c.contains("{B}")))
+  }
+
+  test("python splitter keeps def boundaries") {
+    val text = "import os\n\ndef first():\n    return 1\n\ndef second():\n    return 2\n"
+    val chunks = Chunk.chunk("python", text,
+      Map("chunk_size" -> "40", "chunk_overlap" -> "0")).map(_._2)
+    assert(!chunks.exists(c => c.contains("first") && c.contains("second")))
+  }
+
+  test("nltk/spacy sentence splitters merge whole sentences") {
+    val text = "One sentence here. Another one follows! A third asks? Fourth ends."
+    val chunks = Chunk.chunk("nltk", text,
+      Map("chunk_size" -> "45", "chunk_overlap" -> "0")).map(_._2)
+    assert(chunks.forall(_.length <= 45))
+    // sentences never split mid-way: each chunk is whole sentences
+    assert(chunks.forall(c => c.split("\n\n").forall(s => "[.!?]$".r.findFirstIn(s.trim).isDefined)))
+    assert(Chunk.chunk("spacy", text, Map("chunk_size" -> "45", "chunk_overlap" -> "0"))
+      == Chunk.chunk("nltk", text, Map("chunk_size" -> "45", "chunk_overlap" -> "0")))
+  }
+
   test("long unbroken text falls through to character-level splitting") {
     val text = "x" * 250
     val chunks = Chunk.recursiveSplit(text, chunkSize = 100, overlap = 0)

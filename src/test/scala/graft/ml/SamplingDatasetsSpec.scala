@@ -49,6 +49,41 @@ class SamplingDatasetsSpec extends AnyFunSuite {
     assert(tr1.intersect(te1).isEmpty)
   }
 
+  test("HF saved-dataset directory ingests with the reference dtype map") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hf").toFile
+    // mixed-dtype fixture: two splits of parquet shards + dataset_info.json
+    val rows = Seq(
+      ("alpha", 1L, 7, 0.5, 1.25f, true, """["a","b"]"""),
+      ("beta", 2L, 8, 1.5, 2.5f, false, """["c"]"""))
+    val df = rows.toDF("text", "id64", "id32", "score64", "score32", "flag", "tags")
+    df.limit(1).write.parquet(s"$dir/train")
+    df.write.parquet(s"$dir/test")
+    val info = """{"dataset_name": "fixture", "features": {
+      "text": {"dtype": "string", "_type": "Value"},
+      "id64": "int64",
+      "id32": {"dtype": "int32", "_type": "Value"},
+      "score64": {"dtype": "float64", "_type": "Value"},
+      "score32": {"dtype": "float16", "_type": "Value"},
+      "flag": {"dtype": "bool", "_type": "Value"},
+      "tags": {"_type": "Sequence", "feature": {"dtype": "string"}}}}"""
+    java.nio.file.Files.write(
+      new java.io.File(dir, "dataset_info.json").toPath, info.getBytes)
+
+    assert(Datasets.loadDataset(spark, dir.getPath) == 3L)
+    val train = spark.table("quackml_fixture_train")
+    assert(train.count() == 1)
+    val test = spark.table("quackml_fixture_test")
+    assert(test.count() == 2)
+    val types = test.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("text") == StringType && types("id64") == LongType &&
+      types("id32") == IntegerType && types("score64") == DoubleType &&
+      types("score32") == FloatType && types("flag") == BooleanType &&
+      types("tags") == StringType) // JSON text — the JSONB analogue
+    // unknown dtype errors like the reference's bail
+    intercept[IllegalArgumentException](Datasets.hfDataType("timestamp[s]"))
+  }
+
   test("builtin datasets reproduce the reference schemas (FIXTURES.md §1)") {
     val d = Datasets.diabetes(spark)
     assert(d.count() == 442)
