@@ -70,6 +70,10 @@ object Preprocess {
   private def sq(v: String) = s"'${v.replace("'", "''")}'"
   val NullCategory = "__NULL__"
 
+  /** Driver-side guard: category dictionaries compile into CASE-WHEN SQL
+    * inside the persisted pipeline, so their size is bounded. */
+  val MaxCategories = 100000
+
   /** Fit the preprocessing plan on the TRAIN split. */
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: Option[String],
       config: Map[String, Preprocessor]): Fitted = {
@@ -121,8 +125,17 @@ object Preprocess {
     // ---- phase 1: encode expressions (categorical → numeric code/mean)
     val catCols = featureCols.filter(isCat)
     val categoryMaps: Map[String, Seq[(String, Double)]] = catCols.map { c =>
-      val seen = train.select(col(c).cast("string")).distinct().collect()
+      // the fitted dictionary compiles into driver-side CASE-WHEN SQL, so
+      // cap what we pull back: limit(cap+1) bounds the collect itself (a
+      // runaway-cardinality column can't OOM the driver before the check)
+      val seen = train.select(col(c).cast("string")).distinct()
+        .limit(MaxCategories + 1).collect()
         .map(r => if (r.isNullAt(0)) NullCategory else r.getString(0)).toSeq
+      require(seen.length <= MaxCategories,
+        s"""categorical column "$c" exceeds $MaxCategories distinct values; """ +
+          "hash or frequency-cap it upstream, or target-encode against a " +
+          "pre-aggregated mean table — a dictionary this size cannot be " +
+          "compiled into the pipeline")
       val hasNull = seen.contains(NullCategory)
       val ordered =
         (if (hasNull) Seq(NullCategory) else Seq.empty) ++
