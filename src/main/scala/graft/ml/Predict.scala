@@ -81,8 +81,22 @@ object Predict {
     case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
   }
 
-  private def predictors(m: PipelineModel): Seq[org.apache.spark.ml.linalg.Vector => Double] =
-    m.stages.toSeq.collect(rowPredictor)
+  private def flatStages(m: PipelineModel): Seq[org.apache.spark.ml.Transformer] =
+    m.stages.toSeq.flatMap {
+      case pm: PipelineModel => flatStages(pm)
+      case t => Seq(t)
+    }
+
+  private def predictors(m: PipelineModel): Seq[org.apache.spark.ml.linalg.Vector => Double] = {
+    val fs = flatStages(m)
+    val base = fs.collect(rowPredictor)
+    // an RFF stage sits between the assembled features and the linear
+    // model (kernel-approx svm) — compose it into the row path
+    fs.collectFirst { case r: RFFTransformer => r } match {
+      case Some(r) => base.map(f => (v: org.apache.spark.ml.linalg.Vector) => f(r.expand(v)))
+      case None => base
+    }
+  }
 
   /** The last pipeline stage as a row-predictor. */
   private def predictor(m: PipelineModel): org.apache.spark.ml.linalg.Vector => Double =

@@ -131,8 +131,31 @@ object Train {
       new GBTClassifier().setMaxIter(hpi(h, "n_estimators", 10))
         .setMaxDepth(hpi(h, "max_depth", 5))
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
-    case ("classification", "linear_svm" | "svm") =>
+    case ("classification", "linear_svm") =>
       new LinearSVC().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0))
+    case ("classification", "svm") =>
+      // reference `svm` defaults to the rbf (gaussian) kernel
+      // (`linfa.rs:241-328`); kernel machines don't scale past a
+      // single-node Gram matrix, so the Spark-first equivalent is the
+      // RFF feature map + a linear SVM (see RFFTransformer). kernel =
+      // 'linear' opts into the plain LinearSVC.
+      if (h.getOrElse("kernel", "rbf") == "linear")
+        new LinearSVC().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0))
+      else new Pipeline().setStages(Array(
+        new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
+          .setNumComponents(hpi(h, "n_components", 100))
+          .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
+        new LinearSVC().setMaxIter(hpi(h, "max_iter", 100))
+          .setRegParam(hp(h, "alpha", 0.0)).setFeaturesCol("rff_features")))
+    case ("regression", "svm") =>
+      // SVR approximation: RFF map + linear least squares (epsilon-
+      // insensitive loss is not in MLlib; squared loss documented)
+      new Pipeline().setStages(Array(
+        new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
+          .setNumComponents(hpi(h, "n_components", 100))
+          .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
+        new LinearRegression().setRegParam(hp(h, "alpha", 1.0))
+          .setMaxIter(hpi(h, "max_iter", 100)).setFeaturesCol("rff_features")))
     case ("classification", "perceptron") =>
       new LogisticRegression().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(0.0)
     // ---------------- clustering
@@ -185,6 +208,7 @@ object Train {
   private def compatNote(algorithm: String): Map[String, String] = algorithm match {
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
+    case "svm" => Map("compat" -> "rff_kernel_approx")
     case "perceptron" => Map("compat" -> "logistic")
     case "mini_batch_kmeans" => Map("compat" -> "kmeans")
     case "birch" => Map("compat" -> "bisecting_kmeans")
@@ -285,6 +309,12 @@ object Train {
       e match {
         case p: org.apache.spark.ml.Predictor[_, _, _] =>
           p.setLabelCol(labelC).setFeaturesCol("features").setPredictionCol(predC); ()
+        case pl: Pipeline => // RFF + linear stage: featuresCol pre-wired
+          pl.getStages.foreach {
+            case p: org.apache.spark.ml.Predictor[_, _, _] =>
+              p.setLabelCol(labelC).setPredictionCol(predC); ()
+            case _ => ()
+          }
         case k: KMeans => k.setFeaturesCol("features"); ()
         case b: BisectingKMeans => b.setFeaturesCol("features"); ()
         case p: PCA => p.setInputCol("features").setOutputCol("pca_features"); ()
@@ -298,6 +328,16 @@ object Train {
       case "classification" => Metrics.classification(pred, labelCol, "prediction").f1Macro
       case t => throw new IllegalArgumentException(s"search unsupported for task: $t")
     }
+    /** One (fit, score) cell of the search matrix → (score, fit_time,
+      * score_time) — the timings feed search_results parity. */
+    def scoredFit(h: Map[String, String], tr: org.apache.spark.sql.DataFrame,
+        va: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val t0 = System.nanoTime()
+      val m = fitOne(h, tr)
+      val t1 = System.nanoTime()
+      val sc = quickScore(m.transform(va))
+      (sc, (t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
+    }
 
     // hyperparameter search (grid | random × k-fold CV), reference
     // defaults: n_iter=10, cv=5 when searching else 1 (`model.rs:732-740`)
@@ -308,7 +348,7 @@ object Train {
     val (bestHyper, searchResults) =
       if (combos.size <= 1 && cfg.search.isEmpty) (cfg.hyperparams, "")
       else {
-        val scores: Seq[Seq[Double]] = // combos × folds
+        val scores: Seq[Seq[(Double, Double, Double)]] = // combos × folds
           if (cv >= 2) {
             // fold membership predicates: hash-mod fold ids by default
             // (one map-stage column, no global ordering); contiguous
@@ -332,24 +372,41 @@ object Train {
               }
             val out = combos.map { h =>
               folds.map { case (trP, vaP) =>
-                quickScore(fitOne(h, cvd.filter(trP)).transform(cvd.filter(vaP)))
+                scoredFit(h, cvd.filter(trP), cvd.filter(vaP))
               }
             }
             cvd.unpersist(); out
-          } else combos.map(h => Seq(quickScore(fitOne(h, procTrain).transform(procTest))))
-        val means = scores.map(s => s.sum / s.size)
+          } else combos.map(h => Seq(scoredFit(h, procTrain, procTest)))
+        val means = scores.map(s => s.map(_._1).sum / s.size)
         val bestIdx = means.zipWithIndex.maxBy { case (m, i) => (m, -i) }._2
         def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+        def mean(xs: Seq[Double]) = xs.sum / xs.size
         def std(xs: Seq[Double]) = {
-          val m = xs.sum / xs.size
+          val m = mean(xs)
           math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
         }
+        // full reference search_results shape (`src/orm/model.rs:716-895`):
+        // per-combo fit/score-time mean+std, per-FOLD split{k}_test_score
+        // vectors across combos, and one param_<name> vector per swept key
         val paramsJson = combos.map(h =>
           h.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
           .mkString("[", ",", "]")
+        val testScores = scores.map(_.map(_._1))
+        val fitTimes = scores.map(_.map(_._2))
+        val scoreTimes = scores.map(_.map(_._3))
+        val nFolds = scores.head.size
+        val splitKeys = (0 until nFolds).map { k =>
+          s""""split${k}_test_score":${arr(testScores.map(_(k)))}"""
+        }.mkString(",")
+        val paramKeys = combos(bestIdx).keys.toSeq.sorted.map { p =>
+          s""""param_$p":${combos.map(h => "\"" + h.getOrElse(p, "") + "\"")
+            .mkString("[", ",", "]")}"""
+        }.mkString(",")
         val json = s"""{"params":$paramsJson,"n_splits":$cv,"best_index":$bestIdx,""" +
-          s""""mean_test_score":${arr(means)},"std_test_score":${arr(scores.map(std))},""" +
-          s""""split_test_scores":${scores.map(arr).mkString("[", ",", "]")}}"""
+          s""""mean_fit_time":${arr(fitTimes.map(mean))},"std_fit_time":${arr(fitTimes.map(std))},""" +
+          s""""mean_score_time":${arr(scoreTimes.map(mean))},"std_score_time":${arr(scoreTimes.map(std))},""" +
+          s""""mean_test_score":${arr(means)},"std_test_score":${arr(testScores.map(std))},""" +
+          splitKeys + (if (paramKeys.nonEmpty) "," + paramKeys else "") + "}"
         (combos(bestIdx), json)
       }
 

@@ -121,6 +121,52 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(cev > 0.0 && cev <= 1.0 + 1e-9)
   }
 
+  test("rbf svm (RFF kernel approximation) separates circular classes a linear model cannot") {
+    import spark.implicits._
+    // label = inside/outside a circle: zero linear signal
+    val df = (0 until 400).map { i =>
+      val a = 2.0 * math.Pi * (i % 100) / 100.0
+      val r = if (i % 2 == 0) 0.5 else 2.0
+      (r * math.cos(a) + 0.01 * (i % 7), r * math.sin(a) + 0.01 * (i % 5), i % 2)
+    }.toDF("x1", "x2", "label")
+    val cat = freshCatalog()
+    val out = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Rbf", task = "classification", relationName = "t",
+      data = Some(df), yColumn = Seq("label"), algorithm = "svm",
+      hyperparams = Map("n_components" -> "200", "gamma" -> "1.0"),
+      testSampling = "stratified", orderCols = Seq("x1")))
+    assert(out.head().getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.metrics("f1") > 0.9, s"rbf should separate circles: ${m.metrics}")
+    assert(m.hyperparams("compat") == "rff_kernel_approx")
+
+    // the persisted pipeline (custom RFF stage) reloads and serves rows
+    Predict.clearCaches()
+    Predict.registerFunctions(spark, cat)
+    val inside = spark.sql(
+      "SELECT quackml_predict('Rbf', array(cast(0.4 as float), cast(0.1 as float)))")
+      .head().getFloat(0)
+    val outside = spark.sql(
+      "SELECT quackml_predict('Rbf', array(cast(2.0 as float), cast(0.1 as float)))")
+      .head().getFloat(0)
+    assert(inside != outside, "inner and outer points must classify differently")
+
+    // svm regression (RFF + least squares) round-trips too
+    val reg = (0 until 200).map { i =>
+      val x = i / 20.0 - 5.0
+      (x, math.sin(x))
+    }.toDF("x", "y")
+    val out2 = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "RbfReg", task = "regression", relationName = "t",
+      data = Some(reg), yColumn = Seq("y"), algorithm = "svm",
+      hyperparams = Map("n_components" -> "200", "gamma" -> "1.0", "alpha" -> "0.001"),
+      testSampling = "random", orderCols = Seq("x")))
+    assert(out2.head().getBoolean(3))
+    val regModels = cat.models.collect().filter(_.metrics.contains("r2"))
+    assert(regModels.exists(_.metrics("r2") > 0.8),
+      s"rff regression should fit sin(x): ${regModels.map(_.metrics).mkString(";")}")
+  }
+
   test("unmapped algorithm raises the documented gap error") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException] {
@@ -177,6 +223,10 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(m.hyperparams("alpha") == "0.001", s"should pick the low alpha: ${m.hyperparams}")
     val sr = m.hyperparams("search_results")
     assert(sr.contains("\"n_splits\":3") && sr.contains("\"best_index\":0"))
+    // full reference search_results shape
+    assert(sr.contains("\"mean_fit_time\":") && sr.contains("\"std_score_time\":"))
+    assert(sr.contains("\"split0_test_score\":") && sr.contains("\"split2_test_score\":"))
+    assert(sr.contains("\"param_alpha\":[\"0.001\",\"10000.0\"]"))
     assert(m.search == "grid")
     assert(m.metrics("r2") > 0.9)
   }
