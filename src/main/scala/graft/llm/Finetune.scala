@@ -1,0 +1,123 @@
+package graft.llm
+
+import graft.ml.{Catalog, Metrics, Sampling}
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `finetune` — a RUNNABLE text-classification path on the bare JVM.
+  *
+  * The reference's finetune (`src/api.rs:2133-2216`,
+  * `transformers.py:876-1111`) runs an HF Trainer over a pretrained
+  * transformer; that requires a neural runtime this container does not
+  * ship. The surface is closed honestly instead of erroring: the text
+  * column embeds through the named ModelRuntime (distributed
+  * mapPartitions, any registered runtime — `hashing_tf` by default,
+  * an ONNX encoder when mounted) and a logistic head fits on the
+  * embeddings — exactly the "frozen encoder + trained classification
+  * head" shape, with the same project/snapshot/model/deploy catalog
+  * lifecycle as `train()`. Other finetune tasks (QA, summarization,
+  * translation, generation) still raise the documented
+  * unsupported-runtime error from `Ops.finetune`.
+  */
+object Finetune {
+  final case class FinetuneConfig(
+      projectName: String,
+      task: String = "text-classification",
+      relationName: String = "",
+      data: Option[DataFrame] = None,
+      textCol: String = "text",
+      labelCol: String = "label",
+      runtime: String = "hashing_tf",
+      dim: Int = 256,
+      testSize: Double = 0.25,
+      hyperparams: Map[String, String] = Map.empty,
+      automaticDeploy: Boolean = true,
+      seed: Long = 42L)
+
+  def finetune(spark: SparkSession, catalog: Catalog, cfg: FinetuneConfig): DataFrame = {
+    require(cfg.task == "text-classification",
+      s"finetune task '${cfg.task}' needs a training-capable neural runtime; " +
+        "only text-classification (frozen-encoder head) runs on this JVM — " +
+        "see Ops.finetune for the unsupported-task contract")
+    val t0 = System.nanoTime()
+    val project = catalog.findProject(cfg.projectName) match {
+      case Some(p) =>
+        require(p.task == cfg.task,
+          s"Project ${cfg.projectName} already exists with a different task: ${p.task}")
+        p
+      case None => catalog.createProject(cfg.projectName, cfg.task)
+    }
+    val df = cfg.data.getOrElse(spark.table(cfg.relationName))
+    val snapshot = catalog.createSnapshot(cfg.relationName, Seq(cfg.labelCol),
+      cfg.testSize, "random", df.schema.json)
+
+    // frozen encoder: one distributed embed pass, then the head trains
+    // on the cached vectors
+    val embedded = Ops.embedColumn(df.select(col(cfg.textCol), col(cfg.labelCol)),
+        cfg.runtime, cfg.textCol, "emb", dim = cfg.dim)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
+      .withColumn("y", col(cfg.labelCol).cast("double"))
+    val (trainDF0, testDF0) = Sampling.splitByFraction(
+      embedded, Seq(cfg.textCol), cfg.testSize, cfg.seed)
+    val (trainDF, testDF) =
+      if (trainDF0.isEmpty || testDF0.isEmpty) (embedded, embedded) else (trainDF0, testDF0)
+    val lr = new LogisticRegression()
+      .setLabelCol("y").setFeaturesCol("features")
+      .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
+      .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
+    val head = new Pipeline().setStages(Array(lr)).fit(trainDF.cache())
+    val fitTime = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val rep = Metrics.classification(head.transform(testDF), "y", "prediction")
+    trainDF.unpersist()
+    val metrics = Map(
+      "f1" -> rep.f1Macro, "accuracy" -> rep.accuracy,
+      "precision" -> rep.precision, "recall" -> rep.recall,
+      "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
+
+    val modelRow = catalog.createModel(project.id, snapshot.id,
+      s"finetune:${cfg.runtime}",
+      cfg.hyperparams ++ Map("runtime" -> cfg.runtime, "dim" -> cfg.dim.toString),
+      metrics, "none")
+    val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
+    head.write.overwrite().save(path)
+    catalog.addFile(modelRow.id, path)
+    catalog.addLog(modelRow.id,
+      s"finetuned ${cfg.runtime} head for ${cfg.task}: " +
+        metrics.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(", "))
+
+    val deployed = catalog.deployedModels
+      .filter(col("name") === cfg.projectName)
+      .select(element_at(col("metrics"), "f1")).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val shouldDeploy = cfg.automaticDeploy &&
+      deployed.forall(old => rep.f1Macro > old)
+    if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
+
+    val schema = StructType(Seq(
+      StructField("project", StringType), StructField("task", StringType),
+      StructField("algorithm", StringType), StructField("deploy", BooleanType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(cfg.projectName, cfg.task, s"finetune:${cfg.runtime}", shouldDeploy)),
+      schema)
+  }
+
+  /** Score raw text with a finetuned project: embed with the SAME
+    * runtime/dim recorded at finetune time, then the logistic head. */
+  def classifyText(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, textCol: String = "text"): DataFrame = {
+    val modelId = catalog.deployedModelId(project).getOrElse(
+      throw new IllegalStateException(s"Project '$project' has no deployed model"))
+    val hp = catalog.models.collect().find(_.id == modelId).get.hyperparams
+    val head = graft.ml.Predict.findCached(catalog, modelId)
+    val embedded = Ops.embedColumn(df, hp("runtime"), textCol, "emb",
+        dim = hp("dim").toInt)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
+    head.transform(embedded)
+  }
+}

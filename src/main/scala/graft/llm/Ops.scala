@@ -99,12 +99,16 @@ object Ops {
     * instance cache so the next call re-initializes, and reports it. */
   def clearGpuCache(): Boolean = false // nothing to free on the JVM path
 
-  /** `finetune` API shape: explicit unsupported error unless a capable
-    * runtime is mounted (SURVEY §7 policy — the catalog/metric plumbing
-    * exists; the HF Trainer does not run on a bare JVM). */
+  /** `finetune` API shape for the tasks that NEED a neural trainer
+    * (question-answering, summarization, translation, text-generation —
+    * `transformers.py:876-1111`): explicit unsupported error unless a
+    * capable runtime is mounted (SURVEY §7 policy). text-classification
+    * HAS a runnable path — the frozen-encoder + logistic-head lifecycle
+    * in [[Finetune.finetune]]. */
   def finetune(projectName: String, task: String, runtime: String = "stub"): Nothing =
     throw new UnsupportedOperationException(
       s"finetune('$projectName', task => '$task') requires a training-capable " +
         s"model runtime; '$runtime' supports inference surfaces only. " +
-        "Register a runtime via ModelRuntimes.register and retry.")
+        "text-classification runs via graft.llm.Finetune; for other tasks " +
+        "register a runtime via ModelRuntimes.register and retry.")
 }

@@ -87,12 +87,68 @@ class StubRuntime extends ModelRuntime {
   }
 }
 
+/** Signed feature-hashing text encoder — a REAL sparse-projection
+  * representation (hashing trick: Weinberger et al., "Feature Hashing
+  * for Large Scale Multitask Learning", ICML 2009; sklearn's
+  * HashingVectorizer is the canonical implementation): unigrams +
+  * bigrams hash into `dim` buckets with a sign bit, counts are
+  * sublinear-tf weighted (1 + ln tf) and L2-normalized. Unlike the
+  * StubRuntime's arbitrary projection, cosine over these vectors is a
+  * meaningful lexical similarity — good enough to drive rank(),
+  * near-dup detection, and the finetune classification head on a bare
+  * JVM. A neural runtime (ONNX/DJL) registers through the same seam
+  * when its jars are present. */
+class HashingTfRuntime extends ModelRuntime {
+  val name = "hashing_tf"
+
+  private def terms(t: String): Seq[String] = {
+    val toks = t.trim.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString("_")).toSeq
+  }
+
+  def embed(texts: Seq[String], dim: Int): Seq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.map { t =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      terms(t).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+      val v = new Array[Double](dim)
+      counts.foreach { case (w, tf) =>
+        md.reset()
+        val d = md.digest(w.getBytes("UTF-8"))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        val bucket = ((h >>> 1) % dim).toInt
+        val sign = if ((h & 1L) == 1L) 1.0 else -1.0
+        v(bucket) += sign * (1.0 + math.log(tf))
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => if (nrm == 0) 0f else (x / nrm).toFloat)
+    }
+  }
+
+  def rank(query: String, documents: Seq[String]): Seq[Double] = {
+    val q = embed(Seq(query), 512).head
+    embed(documents, 512).map(d =>
+      d.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+  }
+
+  // task pipelines stay deterministic text functions (no generative
+  // model on a bare JVM) — same surface as the stub
+  private val textOps = new StubRuntime
+  def transform(task: String, inputs: Seq[String]): Seq[String] =
+    textOps.transform(task, inputs)
+  def generate(prompt: String, config: Map[String, String]): Seq[String] =
+    textOps.generate(prompt, config)
+}
+
 /** Executor-singleton runtime cache, mirroring the reference's
   * process-wide pipeline/encoder caches (`transformers.py:66-68`). */
 object ModelRuntimes {
   private val factories = new ConcurrentHashMap[String, () => ModelRuntime]()
   private val instances = new ConcurrentHashMap[String, ModelRuntime]()
   register("stub", () => new StubRuntime)
+  register("hashing_tf", () => new HashingTfRuntime)
 
   def register(name: String, factory: () => ModelRuntime): Unit =
     factories.put(name, factory)

@@ -129,6 +129,54 @@ class LLMOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("model runtime"))
   }
 
+  test("hashing_tf runtime: cosine reflects lexical similarity") {
+    val rt = ModelRuntimes.get("hashing_tf")
+    val Seq(a, b, c) = rt.embed(Seq(
+      "spark query engine with filters and joins",
+      "query engine for spark joins and filters",
+      "bananas are yellow fruit entirely unrelated"), 256).map(_.map(_.toDouble))
+    def cos(x: Seq[Double], y: Seq[Double]) = x.zip(y).map(t => t._1 * t._2).sum
+    assert(cos(a.toSeq, b.toSeq) > cos(a.toSeq, c.toSeq) + 0.2,
+      s"similar docs must score higher: ${cos(a.toSeq, b.toSeq)} vs ${cos(a.toSeq, c.toSeq)}")
+    // rank surfaces the lexically closest document first
+    val ranked = Ops.rank(spark, "hashing_tf", "spark filter join",
+      Seq((1L, "spark filter join query"), (2L, "completely different words"))
+        .toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(ranked.minBy(_.getAs[Long]("rank")).getAs[Long]("corpus_id") == 1L)
+  }
+
+  test("finetune text-classification: frozen encoder + logistic head lifecycle") {
+    val cat = new graft.ml.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_ft").toString)
+    val pos = Seq("great product works well", "good quality really great",
+      "excellent good value works", "great good excellent service")
+    val neg = Seq("terrible broke bad quality", "awful bad waste of money",
+      "bad terrible does not work", "awful broken bad service")
+    val df = (0 until 40).map { i =>
+      val p = i % 2 == 0
+      val base = if (p) pos(i % 4) else neg(i % 4)
+      (s"$base item$i", if (p) 1 else 0)
+    }.toDF("text", "label")
+    val out = Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+      projectName = "Sentiment", data = Some(df)))
+    val row = out.head()
+    assert(row.getString(1) == "text-classification" && row.getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.algorithm == "finetune:hashing_tf")
+    assert(m.metrics("f1") > 0.7, s"separable vocab should classify: ${m.metrics}")
+    // raw-text scoring path reloads the head and re-embeds with the
+    // recorded runtime/dim
+    graft.ml.Predict.clearCaches()
+    val scored = Finetune.classifyText(spark, cat, "Sentiment",
+      Seq("really great good product", "awful terrible bad").toDF("text"))
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(scored(0) == 1.0 && scored(1) == 0.0, scored.mkString(","))
+    // non-classification tasks keep the policy error
+    intercept[IllegalArgumentException](Finetune.finetune(spark, cat,
+      Finetune.FinetuneConfig(projectName = "QA", task = "question-answering",
+        data = Some(df))))
+  }
+
   test("unknown runtime names a clear registration error") {
     val e = intercept[IllegalArgumentException](ModelRuntimes.get("onnx-prod"))
     assert(e.getMessage.contains("No model runtime"))
