@@ -112,7 +112,9 @@ class HashingTfRuntime extends ModelRuntime {
       val counts = scala.collection.mutable.HashMap.empty[String, Int]
       terms(t).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
       val v = new Array[Double](dim)
-      counts.foreach { case (w, tf) =>
+      // sorted term order → bucket sums accumulate in a defined order,
+      // so the vector is bit-reproducible (and DuckDB-replayable)
+      counts.toSeq.sortBy(_._1).foreach { case (w, tf) =>
         md.reset()
         val d = md.digest(w.getBytes("UTF-8"))
         var h = 0L
