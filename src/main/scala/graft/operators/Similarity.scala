@@ -237,17 +237,83 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Multi-probe IVF (nprobe=2): each query probes its TWO nearest
+    * cells — the standard recall lever, same cell equi-join plan (probe
+    * list explodes query-side only; the corpus stays partitioned by its
+    * single cell). At scale, raising nprobe trades one extra partition
+    * read per query for recall, never a cross join. */
+  def sim_ann_ivf_probe2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val dists = (0 until 4).map { k =>
+      struct(
+        aggregate(zip_with($"v", typedlit(centroid(k)), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        lit(k.toLong).as("k"))
+    }
+    val probes = e.filter($"vec_id" < 10)
+      .withColumn("probe",
+        explode(transform(slice(array_sort(array(dists: _*)), 1, 2), x => x.getField("k"))))
+      .select($"vec_id".as("qid"), $"v".as("vq"), $"nrm".as("nq"), $"probe".as("cell"))
+    val c = e.withColumn("cell", cellCol($"v"))
+      .select($"vec_id".as("cid"), $"v".as("vc"), $"nrm".as("nc"), $"cell")
+    val scored = probes.join(c, Seq("cell")).filter($"qid" =!= $"cid")
+      .withColumn("cos", dot($"vq", $"vc") / ($"nq" * $"nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"qid", $"cid", $"cos", $"rn".cast("long").as("rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val simIvfProbe2Sql: String = {
+    def d(k: Int) =
+      s"""list_sum(list_transform(range(1, len(v) + 1),
+         |  i -> (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
+         |    / 2147483648.0 - 0.5))
+         |    * (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
+         |    / 2147483648.0 - 0.5))))""".stripMargin
+    s"""WITH $embSqlCte,
+       |dd AS (SELECT vec_id, v, nrm, ${d(0)} AS d0, ${d(1)} AS d1,
+       |         ${d(2)} AS d2, ${d(3)} AS d3 FROM n),
+       |cells AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+       |         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+       |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cell
+       |  FROM dd),
+       |probes AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(unnest(list_transform(
+       |      list_sort([{'d': d0, 'k': 0}, {'d': d1, 'k': 1},
+       |                 {'d': d2, 'k': 2}, {'d': d3, 'k': 3}])[1:2],
+       |      x -> x.k)) AS BIGINT) AS cell
+       |  FROM dd WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM probes q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id)
+       |SELECT qid, cid, cos, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine"    -> sim_topk_cosine _,
     "sim_neardup_cosine" -> sim_neardup_cosine _,
     "sim_ann_lsh"        -> sim_ann_lsh _,
-    "sim_ann_ivf"        -> sim_ann_ivf _
+    "sim_ann_ivf"        -> sim_ann_ivf _,
+    "sim_ann_ivf_probe2" -> sim_ann_ivf_probe2 _
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine"    -> simTopkSql,
     "sim_neardup_cosine" -> simNeardupSql,
     "sim_ann_lsh"        -> simAnnSql,
-    "sim_ann_ivf"        -> simIvfSql
+    "sim_ann_ivf"        -> simIvfSql,
+    "sim_ann_ivf_probe2" -> simIvfProbe2Sql
   )
 }

@@ -93,4 +93,18 @@ object StreamingOps {
   def scoreBatch(catalog: graft.ml.Catalog, project: String)(
       batch: DataFrame, batchId: Long): DataFrame =
     graft.ml.Predict.transform(catalog, project, batch)
+
+  /** Streaming exact dedup — the streaming twin of dd_exact: documents
+    * keyed by content fingerprint, first arrival wins, duplicates
+    * dropped. `dropDuplicates` keeps per-key state; the watermark bounds
+    * it (a fingerprint older than the watermark can be evicted because a
+    * late duplicate would be dropped by the watermark anyway). At
+    * cluster scale state is per-key in the state store, sharded by the
+    * same hash shuffle the batch groupBy uses. */
+  def dedupExact(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(trim(lower(col(textCol)))))
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicates("fingerprint")
 }

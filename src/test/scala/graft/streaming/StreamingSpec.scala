@@ -76,6 +76,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup matches the batch distinct-fingerprint count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd_stream").toString
+    // documents with injected duplicates, timestamped for the watermark
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").limit(100)
+    val dup = docs.unionAll(docs.limit(40)) // 40 exact duplicates
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    dup.coalesce(1).write.mode("overwrite").parquet(s"$dir/docs_stream")
+    val stream = spark.readStream.schema(dup.schema).parquet(s"$dir/docs_stream")
+    val q = StreamingOps.dedupExact(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").count()
+      val batchDistinct = dup.select(md5(trim(lower($"text")))).distinct().count()
+      assert(streamed == batchDistinct, s"streamed=$streamed batch=$batchDistinct")
+    } finally q.stop()
+  }
+
   test("streaming model scoring via foreachBatch transform") {
     import spark.implicits._
     val cat = new graft.ml.Catalog(spark,
