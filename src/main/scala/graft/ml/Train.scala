@@ -111,6 +111,33 @@ object Train {
     case ("regression", "stochastic_gradient_descent") =>
       new LinearRegression().setSolver("l-bfgs")
         .setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0001))
+    case ("regression", "huber") =>
+      // exact loss family: MLlib huber == sklearn HuberRegressor
+      // (epsilon default 1.35 matches; L2 regularization only)
+      new LinearRegression().setLoss("huber")
+        .setEpsilon(hp(h, "epsilon", 1.35))
+        .setRegParam(hp(h, "alpha", 0.0001)).setMaxIter(hpi(h, "max_iter", 100))
+    case ("regression", "kernel_ridge" | "nu_svm") =>
+      // kernel machines scale via the RFF feature map + ridge (see svm);
+      // nu_svm's nu-parameterization has no MLlib analogue — flagged
+      new Pipeline().setStages(Array(
+        new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
+          .setNumComponents(hpi(h, "n_components", 100))
+          .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
+        new LinearRegression().setSolver("normal")
+          .setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(0.0)
+          .setStandardization(false).setFeaturesCol("rff_features")))
+    case ("regression", "bayesian_ridge") =>
+      // nearest equivalent: ridge (BayesianRidge learns its own alpha;
+      // the point estimate is ridge-shaped) — flagged compat
+      new LinearRegression().setSolver("normal")
+        .setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(0.0)
+        .setStandardization(false)
+    case ("regression", "bagging") =>
+      // bagging-of-trees == random forest with ALL features per split
+      new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 10))
+        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+        .setFeatureSubsetStrategy("all")
     // ---------------- classification
     case ("classification", "linear") =>
       new LogisticRegression().setMaxIter(hpi(h, "max_iterations", hpi(h, "max_iter", 100)))
@@ -158,6 +185,17 @@ object Train {
           .setMaxIter(hpi(h, "max_iter", 100)).setFeaturesCol("rff_features")))
     case ("classification", "perceptron") =>
       new LogisticRegression().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(0.0)
+    case ("classification", "nu_svm") =>
+      new Pipeline().setStages(Array(
+        new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
+          .setNumComponents(hpi(h, "n_components", 100))
+          .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
+        new LinearSVC().setMaxIter(hpi(h, "max_iter", 100))
+          .setRegParam(hp(h, "alpha", 0.0)).setFeaturesCol("rff_features")))
+    case ("classification", "bagging") =>
+      new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 10))
+        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+        .setFeatureSubsetStrategy("all")
     // ---------------- clustering
     case ("clustering", "kmeans" | "mini_batch_kmeans") =>
       new KMeans().setK(hpi(h, "n_clusters", 8)).setSeed(seed)
@@ -208,7 +246,9 @@ object Train {
   private def compatNote(algorithm: String): Map[String, String] = algorithm match {
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
-    case "svm" => Map("compat" -> "rff_kernel_approx")
+    case "svm" | "kernel_ridge" | "nu_svm" => Map("compat" -> "rff_kernel_approx")
+    case "bayesian_ridge" => Map("compat" -> "ridge_point_estimate")
+    case "bagging" => Map("compat" -> "bagged_trees")
     case "perceptron" => Map("compat" -> "logistic")
     case "mini_batch_kmeans" => Map("compat" -> "kmeans")
     case "birch" => Map("compat" -> "bisecting_kmeans")

@@ -167,6 +167,24 @@ class TrainLifecycleSpec extends AnyFunSuite {
       s"rff regression should fit sin(x): ${regModels.map(_.metrics).mkString(";")}")
   }
 
+  test("huber / kernel_ridge / bayesian_ridge / bagging dispatch and fit") {
+    import spark.implicits._
+    val df = (1 to 120).map(i => (i.toDouble, 2.0 * i + 5.0 + (i % 7) * 0.1)).toDF("x", "y")
+    for (alg <- Seq("huber", "kernel_ridge", "bayesian_ridge", "bagging")) {
+      val cat = freshCatalog()
+      val out = Train.train(spark, cat, Train.TrainConfig(
+        projectName = s"A_$alg", task = "regression", relationName = "t",
+        data = Some(df), yColumn = Seq("y"), algorithm = alg,
+        hyperparams = if (alg == "kernel_ridge") Map("alpha" -> "0.001") else Map.empty,
+        testSampling = "random", orderCols = Seq("x")))
+      assert(out.head().getBoolean(3), alg)
+      val m = cat.models.collect().head
+      assert(m.metrics("r2") > 0.5, s"$alg on near-linear data: ${m.metrics}")
+      if (alg == "huber") assert(!m.hyperparams.contains("compat"))
+      if (alg == "bayesian_ridge") assert(m.hyperparams("compat") == "ridge_point_estimate")
+    }
+  }
+
   test("unmapped algorithm raises the documented gap error") {
     val cat = freshCatalog()
     val e = intercept[IllegalArgumentException] {
