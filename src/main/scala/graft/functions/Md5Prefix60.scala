@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the engine's 60-bit string hash
+  * H(s) = first 15 hex digits of md5(s) as a BIGINT — the fingerprint
+  * primitive under MinHash, SimHash, and the LSH embeddings (and the
+  * one DuckDB replays as `('0x'||substr(md5(s),1,15))::UBIGINT`).
+  *
+  * The composed form `conv(substring(md5(s),1,15),16,10)` materializes
+  * a 32-char hex string, substrings it, and radix-parses it back per
+  * row; this expression goes digest bytes → long directly, stays inside
+  * whole-stage codegen (`doGenCode` emits a static call), and allocates
+  * nothing but the digest. Exactly equal to the composed form for all
+  * inputs: value = (first 8 digest bytes as a big-endian unsigned 64)
+  * >>> 4.
+  */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  // input typing handled by the registry builder (casts to string)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_h60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix60.hash(($c).getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+object Md5Prefix60 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static codegen target: md5 digest → upper 60 bits of the first 8
+    * bytes (drop the 16th hex nibble), matching `StubRuntime.h60` and
+    * the DuckDB oracle expression bit for bit. */
+  def hash(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** Session wiring for the native functions. `register` installs into an
+  * existing session's function registry (idempotent); the
+  * `GraftExtensions` class is the `spark.sql.extensions` entry point
+  * for cluster deployments (`--conf
+  * spark.sql.extensions=graft.functions.GraftExtensions`). */
+object GraftFunctions {
+  val h60Info = new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_h60")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_h60"), h60Info,
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_h60 takes exactly one argument")
+        Md5Prefix60(Cast(children.head, StringType))
+      })
+}
+
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("graft_h60"), GraftFunctions.h60Info,
+      (children: Seq[Expression]) => Md5Prefix60(Cast(children.head, StringType))))
+}

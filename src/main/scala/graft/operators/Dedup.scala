@@ -55,9 +55,15 @@ object Dedup {
       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
       |       FROM tok)""".stripMargin
 
-  /** 60-bit integer hash of a string via md5 prefix (identical in DuckDB). */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit integer hash of a string via md5 prefix (identical in
+    * DuckDB). Served by the native codegen expression `graft_h60`
+    * (graft.functions.Md5Prefix60) — digest bytes → long with no hex
+    * string round-trip, same value as
+    * `conv(substring(md5(c),1,15),16,10)`. */
+  private def h60(s: SparkSession, c: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("graft_h60", c)
+  }
 
   private val h60Sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS UBIGINT)::BIGINT"
 
@@ -150,7 +156,7 @@ object Dedup {
       min((lit(a) * $"hm" + lit(b)) % P).as(s"mh$j")
     }
     val wide = shingles(s, dir)
-      .withColumn("hm", h60($"s") % P)
+      .withColumn("hm", h60(s, $"s") % P)
       .groupBy($"doc_id")
       .agg(aggs.head, aggs.tail: _*)
     wide.select($"doc_id",
@@ -232,7 +238,7 @@ object Dedup {
     }.reduce(_ + _)
     Tables.documents(s, dir)
       .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
-      .withColumn("h", h60($"tok"))
+      .withColumn("h", h60(s, $"tok"))
       .groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id", sig.cast("long").as("simhash"))
