@@ -86,6 +86,119 @@ object Multimodal {
     }(enc)
   }
 
+  /** Stub "resize": sample `size` bytes at evenly-spaced positions
+    * pos(j) = floor(j·len/size) — the byte-level analogue of
+    * nearest-neighbor image downsampling. A real codec swaps the
+    * sampler for pixel-space interpolation; the batched per-executor
+    * plumbing (binary in, fixed-width binary out) is identical. */
+  def resize(df: DataFrame, size: Int = 16, payloadCol: String = "payload",
+      batchSize: Int = 128): DataFrame = {
+    val base = df.schema
+    val schema = StructType(base.fields :+ StructField("thumb", BinaryType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = base.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.empty[Byte])
+          val thumb =
+            if (bytes.isEmpty) Array.empty[Byte]
+            else Array.tabulate(size)(j => bytes((j.toLong * bytes.length / size).toInt))
+          Row.fromSeq(r.toSeq :+ thumb)
+        }
+      }
+    }(enc)
+  }
+
+  /** Stub "frame sampling": treat the payload as `nFrames` fixed-width
+    * frames (video analogue), keep every `stride`-th frame, emit one
+    * row per kept frame with the frame's rolling checksum. Real
+    * decoders replace the fixed-width splitter with container parsing;
+    * the explode-shaped output (media_id, frame_idx, ...) and batched
+    * execution carry over. */
+  def frameSample(df: DataFrame, nFrames: Int = 8, stride: Int = 2,
+      payloadCol: String = "payload", idCol: String = "media_id",
+      batchSize: Int = 128): DataFrame = {
+    val base = df.schema
+    val schema = StructType(Seq(
+      StructField("media_id", base(base.fieldIndex(idCol)).dataType),
+      StructField("frame_idx", LongType),
+      StructField("frame_bytes", LongType),
+      StructField("frame_checksum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pIdx = base.fieldIndex(payloadCol)
+    val iIdx = base.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val bytes = Option(r.getAs[Array[Byte]](pIdx)).getOrElse(Array.empty[Byte])
+          val id = r.get(iIdx)
+          val w = math.max(bytes.length / nFrames, 1)
+          (0 until nFrames by stride).flatMap { f =>
+            val lo = f * w
+            val hi = math.min((f + 1) * w, bytes.length)
+            if (lo >= bytes.length) None
+            else {
+              var sum = 0L
+              var i = lo
+              while (i < hi) { sum = (sum * 31 + (bytes(i) & 0xff)) & 0xFFFFFFFFL; i += 1 }
+              Some(Row(id, f.toLong, (hi - lo).toLong, sum))
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Gate: evenly-sampled 16-byte thumbnail, checked by byte length +
+    * md5 digest. The oracle rebuilds the thumbnail from the sampled
+    * characters (ASCII corpus: chars == bytes) and hashes it — proving
+    * the sampling arithmetic and the binary-out plumbing. */
+  def mm_resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    resize(mediaTable(s, dir))
+      .select($"media_id", length($"thumb").cast("long").as("thumb_len"),
+        md5($"thumb").as("thumb_digest"))
+      .orderBy($"media_id")
+  }
+
+  val mmResizeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS len
+      |  FROM documents)
+      |SELECT media_id, CAST(16 AS BIGINT) AS thumb_len,
+      |  md5(list_aggregate(
+      |    list_transform(range(0, 16), j -> text[CAST(j * len // 16 AS BIGINT) + 1]),
+      |    'string_agg', '')) AS thumb_digest
+      |FROM b ORDER BY media_id""".stripMargin
+
+  /** Gate: every-2nd-of-8 frame checksums. Oracle replays the frame
+    * window arithmetic and the rolling checksum via list_reduce. */
+  def mm_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    frameSample(mediaTable(s, dir))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  val mmFrameSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |    list_transform(range(1, length(text)+1),
+      |      j -> CAST(ord(text[j]) AS BIGINT)) AS bytes,
+      |    CAST(length(text) AS BIGINT) AS len,
+      |    greatest(length(text) // 8, 1) AS w
+      |  FROM documents),
+      |frames AS (
+      |  SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+      |    least((f+1)*w, len) - f*w AS n,
+      |    bytes[f*w+1 : least((f+1)*w, len)] AS fb
+      |  FROM b, (SELECT unnest([0, 2, 4, 6]) AS f) fs
+      |  WHERE f*w < len)
+      |SELECT media_id, frame_idx, CAST(n AS BIGINT) AS frame_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), fb),
+      |    (a, x) -> (a*31 + x) % 4294967296) AS frame_checksum
+      |FROM frames ORDER BY media_id, frame_idx""".stripMargin
+
   /** Oracle-checkable query: binary metadata via the decode path. The
     * checksum/features are stub-specific (rows-only check would apply),
     * so the oracle covers the engine-independent parts: byte length and
@@ -144,11 +257,15 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> mm_binary_meta _,
-    "mm_decode_features" -> mm_decode_features _
+    "mm_decode_features" -> mm_decode_features _,
+    "mm_resize"          -> mm_resize _,
+    "mm_frame_sample"    -> mm_frame_sample _
   )
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta"     -> mmBinaryMetaSql,
-    "mm_decode_features" -> mmDecodeFeaturesSql
+    "mm_decode_features" -> mmDecodeFeaturesSql,
+    "mm_resize"          -> mmResizeSql,
+    "mm_frame_sample"    -> mmFrameSampleSql
   )
 }
