@@ -314,6 +314,39 @@ object MLQueries {
     """SELECT 'contract_demo' AS project, 'regression' AS task,
       |  'linear' AS algorithm, CAST(true AS BOOLEAN) AS deploy""".stripMargin
 
+  /** Multi-output lifecycle (linnerud, 3 targets — one regressor per
+    * y_column): first model into a fresh catalog always deploys, so the
+    * contract row is deterministic. */
+  def ml_train_joint(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_catalog_j").toString
+    val cat = new Catalog(s, base)
+    Train.train(s, cat, Train.TrainConfig(
+      projectName = "joint_demo", task = "regression",
+      relationName = "quackml_linnerud", data = Some(Datasets.linnerud(s)),
+      yColumn = Seq("weight", "waist", "pulse"), algorithm = "linear",
+      testSampling = "random", orderCols = Seq("chins")))
+  }
+
+  val mlTrainJointSql: String =
+    """SELECT 'joint_demo' AS project, 'regression' AS task,
+      |  'linear' AS algorithm, CAST(true AS BOOLEAN) AS deploy""".stripMargin
+
+  /** rbf-svm lifecycle (RFF feature map + linear stage) on diabetes. */
+  def ml_train_svm_rbf(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_catalog_s").toString
+    val cat = new Catalog(s, base)
+    Train.train(s, cat, Train.TrainConfig(
+      projectName = "svm_demo", task = "regression",
+      relationName = "quackml_diabetes", data = Some(Datasets.diabetes(s)),
+      yColumn = Seq("target"), algorithm = "svm",
+      hyperparams = Map("n_components" -> "100"),
+      testSampling = "random", orderCols = Seq("age")))
+  }
+
+  val mlTrainSvmSql: String =
+    """SELECT 'svm_demo' AS project, 'regression' AS task,
+      |  'svm' AS algorithm, CAST(true AS BOOLEAN) AS deploy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_col_stats"      -> ml_col_stats _,
     "ml_ventiles"       -> ml_ventiles _,
@@ -326,7 +359,9 @@ object MLQueries {
     "ml_ols_regr"       -> ml_ols_regr _,
     "ml_ols_predict"    -> ml_ols_predict _,
     "ml_kmeans_assign"  -> ml_kmeans_assign _,
-    "ml_train_contract" -> ml_train_contract _
+    "ml_train_contract" -> ml_train_contract _,
+    "ml_train_joint"    -> ml_train_joint _,
+    "ml_train_svm_rbf"  -> ml_train_svm_rbf _
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +376,8 @@ object MLQueries {
     "ml_ols_regr"       -> mlOlsSql,
     "ml_ols_predict"    -> mlOlsPredictSql,
     "ml_kmeans_assign"  -> mlKmeansSql,
-    "ml_train_contract" -> mlTrainContractSql
+    "ml_train_contract" -> mlTrainContractSql,
+    "ml_train_joint"    -> mlTrainJointSql,
+    "ml_train_svm_rbf"  -> mlTrainSvmSql
   )
 }
