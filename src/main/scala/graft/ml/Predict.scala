@@ -98,9 +98,12 @@ object Predict {
     }
   }
 
-  /** The last pipeline stage as a row-predictor. */
+  /** The FIRST fitted model as a row-predictor: on multi-target
+    * pipelines scalar predict serves target 0, matching transform()'s
+    * 'prediction' column and the reference's scalar-output quirk
+    * (`src/api.rs:893-898`); predictJoint returns the full vector. */
   private def predictor(m: PipelineModel): org.apache.spark.ml.linalg.Vector => Double =
-    predictors(m).lastOption.getOrElse(throw new IllegalArgumentException(
+    predictors(m).headOption.getOrElse(throw new IllegalArgumentException(
       s"no row predictor for ${m.stages.last.getClass.getSimpleName}"))
 
   /** Register the SQL functions on a session, bound to a catalog:

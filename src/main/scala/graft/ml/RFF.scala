@@ -17,10 +17,10 @@ import org.apache.spark.sql.types.StructType
   * `/root/reference/src/bindings/linfa.rs:241-328`) to data that no
   * single-node kernel matrix can hold.
   *
-  * Weights are DERIVED, not stored: a closed-form LCG + Box–Muller on
-  * (seed, i, j) regenerates W and b anywhere from the params alone, so
-  * the stage persists via DefaultParamsWritable and executors rebuild
-  * identical weights with no broadcast.
+  * Weights are DERIVED, not stored: a closed-form splitmix64 hash +
+  * Box–Muller on (seed, i, j) regenerates W and b anywhere from the
+  * params alone, so the stage persists via DefaultParamsWritable and
+  * executors rebuild identical weights with no broadcast.
   */
 class RFFTransformer(override val uid: String) extends Transformer
     with DefaultParamsWritable {
@@ -42,11 +42,19 @@ class RFFTransformer(override val uid: String) extends Transformer
   def setGamma(v: Double): this.type = set(gamma, v)
   def setSeed(v: Long): this.type = set(seed, v)
 
-  private def u(i: Long): Double =
-    (((1103515245L * (i + $(seed) * 977L) + 12345L) % 2147483648L + 2147483648L)
-      % 2147483648L).toDouble / 2147483648.0
+  /** splitmix64 finalizer — full-avalanche mixing, so consecutive
+    * indices yield statistically independent uniforms. A plain LCG here
+    * makes u(2i+1) a constant offset of u(2i) (mod 1) and the Box–Muller
+    * output a 1-D curve instead of N(0,1). */
+  private def u(i: Long): Double = {
+    var z = i * 0x9E3779B97F4A7C15L + $(seed) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z >>> 11).toDouble / 9007199254740992.0 // 2^53
+  }
 
-  /** Standard normal via Box–Muller on two derived uniforms. */
+  /** Standard normal via Box–Muller on two independently-mixed uniforms. */
   private def normal(i: Long): Double = {
     val u1 = math.max(u(2 * i), 1e-12)
     val u2 = u(2 * i + 1)

@@ -404,8 +404,15 @@ object Train {
                     col("__cv") >= lo && col("__cv") <= hi)
                 })
               } else {
+                // hash the WHOLE row (every non-vector column), not just
+                // orderCols: a low-cardinality order key (or one that
+                // correlates with the label) would make folds degenerate
+                // or empty — the same rule the split path applies above
+                val hashCols = procTrain.schema.fields
+                  .filter(_.dataType != org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+                  .map(f => col(f.name)).toSeq
                 val d = procTrain.withColumn("__cv",
-                  pmod(xxhash64((lit(cfg.seed + 7) +: orderCols.map(col)): _*),
+                  pmod(xxhash64((lit(cfg.seed + 7) +: hashCols): _*),
                     lit(cv.toLong))).cache()
                 (d, (0 until cv).map(k =>
                   (col("__cv") =!= k, col("__cv") === k)))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe replacements for unpartitioned window functions.
   *
@@ -18,7 +19,11 @@ import org.apache.spark.sql.types.LongType
   *     O(partitions + groups) rows collected, never O(rows));
   *  3. a map stage that adds the offset to the local running value.
   *
-  * The shuffle files written in step 1 are reused by both jobs.
+  * The sorted RDD is PERSISTED across the two jobs: both phases must see
+  * byte-identical partition contents, and relying on shuffle-file reuse
+  * alone breaks if the files are evicted and a non-deterministic
+  * upstream recomputes differently. The cache is released by Spark's
+  * ContextCleaner once the result is materialized and dereferenced.
   *
   * Callers must pass a TOTAL order (include a tiebreak key) for a
   * deterministic result, and must materialize non-deterministic order
@@ -39,7 +44,10 @@ object Distributed {
     val sorted = df.repartitionByRange(shufflePartitions(df), order: _*)
       .sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    // zipWithIndex runs a count job then a map job — pin the partition
+    // contents between them (see scaladoc above)
+    val pinned = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val rdd = pinned.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)
@@ -60,7 +68,7 @@ object Distributed {
     val schema = sorted.schema
     val gIdx = groupCols.map(schema.fieldIndex)
     val vIdx = schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd
+    val rdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     // phase 2: per-(partition, group) totals, in group order of appearance
     val partTotals: Array[(Int, Seq[(Seq[Any], Long)])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>

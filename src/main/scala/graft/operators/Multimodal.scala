@@ -166,7 +166,8 @@ object Multimodal {
     """WITH b AS (
       |  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS len
       |  FROM documents)
-      |SELECT media_id, CAST(16 AS BIGINT) AS thumb_len,
+      |SELECT media_id,
+      |  CASE WHEN len = 0 THEN CAST(0 AS BIGINT) ELSE CAST(16 AS BIGINT) END AS thumb_len,
       |  md5(list_aggregate(
       |    list_transform(range(0, 16), j -> text[CAST(j * len // 16 AS BIGINT) + 1]),
       |    'string_agg', '')) AS thumb_digest
