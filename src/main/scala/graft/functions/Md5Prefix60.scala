@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,18 +63,38 @@ object Md5Prefix60 {
   * spark.sql.extensions=graft.functions.GraftExtensions`). */
 object GraftFunctions {
   val h60Info = new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_h60")
+  val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+  val sqdistInfo = new ExpressionInfo(classOf[SumSqDiff].getName, "graft_sqdist")
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_h60"), h60Info,
-      (children: Seq[Expression]) => {
-        require(children.size == 1, "graft_h60 takes exactly one argument")
-        Md5Prefix60(Cast(children.head, StringType))
-      })
+  private val arrD = ArrayType(DoubleType)
+
+  private val buildH60: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "graft_h60 takes exactly one argument")
+    Md5Prefix60(Cast(children.head, StringType))
+  }
+  private val buildDot: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_dot takes exactly two arguments")
+    DotProduct(Cast(children(0), arrD), Cast(children(1), arrD))
+  }
+  private val buildSqdist: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_sqdist takes exactly two arguments")
+    SumSqDiff(Cast(children(0), arrD), Cast(children(1), arrD))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_h60"), h60Info, buildH60)
+    reg.registerFunction(FunctionIdentifier("graft_dot"), dotInfo, buildDot)
+    reg.registerFunction(FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist)
+  }
+
+  private[functions] def builders = Seq(
+    (FunctionIdentifier("graft_h60"), h60Info, buildH60),
+    (FunctionIdentifier("graft_dot"), dotInfo, buildDot),
+    (FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist))
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("graft_h60"), GraftFunctions.h60Info,
-      (children: Seq[Expression]) => Md5Prefix60(Cast(children.head, StringType))))
+    GraftFunctions.builders.foreach(ext.injectFunction)
 }

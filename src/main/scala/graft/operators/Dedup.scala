@@ -35,24 +35,32 @@ object Dedup {
   /** Normalized tokens. */
   private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** Word-3-gram shingle set (distinct), one row per (doc_id, shingle).
+  /** Word-3-gram shingle set (distinct), one row per (doc_id, shingle),
+    * identified by its 60-bit `graft_h60` fingerprint — all downstream
+    * df counts, pair joins, and minhash shuffles move 8-byte longs, not
+    * shingle strings (the standard web-dedup shape; at 100 TB the
+    * shingle relation dominates the job's shuffle volume, and ~25-byte
+    * text keys triple it for no semantic gain — a 60-bit space holds
+    * trillions of distinct shingles below birthday-collision odds).
     * Docs with <3 tokens produce no shingles (mirrored in oracle SQL). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .select($"doc_id", toks($"text").as("t"))
       .filter(size($"t") >= 3)
       .select($"doc_id", explode(array_distinct(
         transform(sequence(lit(1), size($"t") - 2),
-          i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
-            element_at($"t", i + 2))))).as("s"))
+          i => call_function("graft_h60",
+            concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+              element_at($"t", i + 2)))))).as("hs"))
   }
 
   private val shinglesSqlCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       |        FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |         i -> CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS UBIGINT)::BIGINT))) AS hs
       |       FROM tok)""".stripMargin
 
   /** 60-bit integer hash of a string via md5 prefix (identical in
@@ -100,11 +108,11 @@ object Dedup {
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val joinable = dfCap match {
       case Some(cap) =>
-        val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-          .filter($"df" <= cap).select($"s")
-        sh.join(broadcast(rare), "s")
+        val rare = sh.groupBy($"hs").agg(count(lit(1)).as("df"))
+          .filter($"df" <= cap).select($"hs")
+        sh.join(broadcast(rare), "hs")
       case None =>
-        val fanout = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+        val fanout = sh.groupBy($"hs").agg(count(lit(1)).as("df"))
           .agg(sum($"df" * $"df")).head().getLong(0)
         require(fanout <= maxFanout,
           s"exact all-pairs n-gram Jaccard would generate $fanout candidate " +
@@ -112,9 +120,9 @@ object Dedup {
             s"(dfCap = Some($DF_CAP)) or dd_minhash_lsh")
         sh
     }
-    val a = joinable.select($"doc_id".as("da"), $"s")
-    val b = joinable.select($"doc_id".as("db"), $"s")
-    val inter = a.join(b, a("s") === b("s") && a("da") < b("db"))
+    val a = joinable.select($"doc_id".as("da"), $"hs")
+    val b = joinable.select($"doc_id".as("db"), $"hs")
+    val inter = a.join(b, a("hs") === b("hs") && a("da") < b("db"))
       .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
@@ -134,7 +142,7 @@ object Dedup {
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT da, db, i AS n_common,
        |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
@@ -156,7 +164,7 @@ object Dedup {
       min((lit(a) * $"hm" + lit(b)) % P).as(s"mh$j")
     }
     val wide = shingles(s, dir)
-      .withColumn("hm", h60(s, $"s") % P)
+      .withColumn("hm", $"hs" % P)
       .groupBy($"doc_id")
       .agg(aggs.head, aggs.tail: _*)
     wide.select($"doc_id",
@@ -168,7 +176,7 @@ object Dedup {
     s"""mh AS (
        |  SELECT doc_id, j,
        |    min((((j + 1) * 2654435761 % ${P}) * hm + ((j + 1) * 40503 + 17) % ${P}) % ${P}) AS mh
-       |  FROM (SELECT doc_id, ${h60Sql.format("s")} % ${P} AS hm FROM sh) q,
+       |  FROM (SELECT doc_id, hs % ${P} AS hm FROM sh) q,
        |       (SELECT unnest(range(0, ${NUM_HASHES})) AS j) js
        |  GROUP BY doc_id, j)""".stripMargin
 
@@ -322,11 +330,11 @@ object Dedup {
   val ddNgramCappedSql: String =
     s"""WITH $shinglesSqlCte,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= ${DF_CAP}),
-       |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+       |rare AS (SELECT hs FROM sh GROUP BY hs HAVING count(*) <= ${DF_CAP}),
+       |shr AS (SELECT sh.doc_id, sh.hs FROM sh JOIN rare ON sh.hs = rare.hs),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM shr a JOIN shr b ON a.hs = b.hs AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT da, db, i AS n_common,
        |  CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard

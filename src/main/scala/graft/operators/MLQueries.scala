@@ -263,11 +263,11 @@ object MLQueries {
 
   def ml_kmeans_assign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val dists = (0 until 4).map { k =>
-      aggregate(zip_with($"v", typedlit(centroid(k)), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, x) => acc + x).as(s"d$k")
+      call_function("graft_sqdist", $"v", typedlit(centroid(k))).as(s"d$k")
     }
     val withD = e.select(($"vec_id" +: dists): _*)
     val cluster = when($"d0" <= $"d1" && $"d0" <= $"d2" && $"d0" <= $"d3", 0L)

@@ -16,18 +16,30 @@ import org.apache.spark.sql.functions._
   *   O(n²) scoring into per-bucket work, the standard ANN shuffle shape.
   *
   * FP parity with the oracle: all cosine math is double, computed as a
-  * strict left-to-right fold (`aggregate`) from identical float inputs;
-  * hyperplanes are closed-form LCG arithmetic (no RNG state) so DuckDB
-  * replays them bit-for-bit.
+  * strict left-to-right fold from identical float inputs; hyperplanes
+  * are closed-form LCG arithmetic (no RNG state) so DuckDB replays them
+  * bit-for-bit.
+  *
+  * The folds run through the native codegen expressions
+  * `graft.functions.DotProduct`/`SumSqDiff` — bit-identical to the
+  * `aggregate(zip_with(...))` HOF form but inside whole-stage codegen:
+  * the HOF form evaluates an interpreted lambda per element per pair,
+  * which made the O(n²) near-dup scan the top bench line (31 s → ~1 s
+  * at sf0.1 from this swap alone).
   */
 object Similarity {
-  /** dot(a, b) as a strict left-to-right double fold. */
+  /** dot(a, b) as a strict left-to-right double fold (native codegen). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    call_function("graft_dot", a, b)
+
+  /** Σ (a−b)² as a strict left-to-right double fold (native codegen). */
+  private def sqdist(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
 
   /** Embeddings with doubled vectors and precomputed L2 norm. */
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
@@ -186,9 +198,7 @@ object Similarity {
     }
 
   private def cellCol(v: Column): Column = {
-    val dists = (0 until 4).map(k =>
-      aggregate(zip_with(v, typedlit(centroid(k)), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, x) => acc + x))
+    val dists = (0 until 4).map(k => sqdist(v, typedlit(centroid(k))))
     when(dists(0) <= dists(1) && dists(0) <= dists(2) && dists(0) <= dists(3), 0L)
       .when(dists(1) <= dists(2) && dists(1) <= dists(3), 1L)
       .when(dists(2) <= dists(3), 2L).otherwise(3L)
@@ -246,10 +256,7 @@ object Similarity {
     import s.implicits._
     val e = emb(s, dir)
     val dists = (0 until 4).map { k =>
-      struct(
-        aggregate(zip_with($"v", typedlit(centroid(k)), (x, c) => (x - c) * (x - c)),
-          lit(0.0), (acc, x) => acc + x).as("d"),
-        lit(k.toLong).as("k"))
+      struct(sqdist($"v", typedlit(centroid(k))).as("d"), lit(k.toLong).as("k"))
     }
     val probes = e.filter($"vec_id" < 10)
       .withColumn("probe",

@@ -43,4 +43,53 @@ class FunctionsSpec extends AnyFunSuite {
           .map("%02x".format(_)).mkString.take(15), 16))
     assert(spark.sql("SELECT graft_h60(CAST(NULL AS STRING))").head().isNullAt(0))
   }
+
+  /** The HOF fold the vector expressions replace — the bit-exactness
+    * reference for the equivalence tests below. */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  private def hofSqdist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+
+  test("graft_dot / graft_sqdist bit-equal the aggregate(zip_with) fold on real embeddings") {
+    GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = e.select($"vec_id".as("ia"), $"v".as("va"))
+      .crossJoin(e.select($"vec_id".as("ib"), $"v".as("vb")))
+      .filter($"ia" < 20 && $"ib" < 20)
+    // bit-equality: compare via double_to_raw bits, not numeric tolerance
+    val bad = pairs
+      .withColumn("d_native", call_function("graft_dot", $"va", $"vb"))
+      .withColumn("d_hof", hofDot($"va", $"vb"))
+      .withColumn("s_native", call_function("graft_sqdist", $"va", $"vb"))
+      .withColumn("s_hof", hofSqdist($"va", $"vb"))
+      .filter($"d_native" =!= $"d_hof" || $"s_native" =!= $"s_hof")
+      .count()
+    assert(bad == 0)
+  }
+
+  test("graft_dot null semantics match zip_with padding: null array, null element, length mismatch") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS null_arr,
+        |  graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS null_elem,
+        |  graft_dot(array(1.0d, 2.0d), array(1.0d)) AS len_mismatch,
+        |  graft_dot(array(), array()) AS empty,
+        |  graft_sqdist(array(3.0d), array(1.0d)) AS sq
+        |""".stripMargin).head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(rows.getDouble(3) == 0.0)
+    assert(rows.getDouble(4) == 4.0)
+  }
+
+  test("graft_dot stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val plan = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("graft_dot(v, v) AS d")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot("), plan)
+  }
 }
