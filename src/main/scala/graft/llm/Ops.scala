@@ -22,12 +22,24 @@ object Ops {
     * kwargs column for the text). */
   def embedColumn(df: DataFrame, runtime: String, textCol: String,
       outCol: String = "embedding", dim: Int = 16,
-      batchSize: Int = 256): DataFrame = {
+      batchSize: Int = 256): DataFrame =
+    embedColumnWith(df, textCol, outCol, dim, batchSize)(
+      () => ModelRuntimes.get(runtime)) // executor-singleton, loaded once
+
+  /** Instance form: ships the runtime's state (e.g. a fitted
+    * [[Word2VecRuntime]] vocabulary) inside the task closure, so it
+    * works across JVMs without name-based registry setup on executors. */
+  def embedColumn(df: DataFrame, runtime: ModelRuntime, textCol: String,
+      outCol: String, dim: Int): DataFrame =
+    embedColumnWith(df, textCol, outCol, dim, 256)(() => runtime)
+
+  private def embedColumnWith(df: DataFrame, textCol: String, outCol: String,
+      dim: Int, batchSize: Int)(rtf: () => ModelRuntime): DataFrame = {
     val schema = df.schema.add(StructField(outCol, ArrayType(FloatType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val idx = df.schema.fieldIndex(textCol)
     df.mapPartitions { it =>
-      val rt = ModelRuntimes.get(runtime) // executor-singleton, loaded once
+      val rt = rtf()
       it.grouped(batchSize).flatMap { batch =>
         val vecs = rt.embed(batch.map(r => Option(r.getString(idx)).getOrElse("")), dim)
         batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
