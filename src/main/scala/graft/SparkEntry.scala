@@ -23,6 +23,7 @@ object SparkEntry {
       operators.MLQueries.queries ++
       operators.Multimodal.queries ++
       operators.LLMQueries.queries ++
+      operators.TextMetricsQueries.queries ++
       operators.AsOfJoin.queries ++
       operators.ScaleUtils.queries
 
@@ -36,6 +37,7 @@ object SparkEntry {
       operators.MLQueries.oracles ++
       operators.Multimodal.oracles ++
       operators.LLMQueries.oracles ++
+      operators.TextMetricsQueries.oracles ++
       operators.AsOfJoin.oracles ++
       operators.ScaleUtils.oracles
 }

@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed LLM text metrics — the JVM-native half of the reference's
+  * fine-tuning metric surface (SURVEY §2.6):
+  *
+  * - ROUGE-1/ROUGE-2 precision/recall/f per (prediction, reference) pair
+  *   (reference `transformers.py:672-682` via `Rouge().get_scores`,
+  *   reported under rouge_ngram_* / rouge_bigram_*).
+  * - Corpus BLEU-4 with brevity penalty and NIST-style geometric
+  *   smoothing for zero n-gram matches, scaled ×100
+  *   (`transformers.py:671` via sacrebleu `corpus_score`).
+  * - Perplexity = exp(total NLL / token count) (`transformers.py:831-874`)
+  *   instantiated over a unigram language model FITTED DISTRIBUTIVELY on
+  *   the corpus — the classical LM form of the same formula; a neural LM
+  *   plugs in through [[ModelRuntime]] when mounted.
+  *
+  * Scale shape: everything is a map stage over pairs (per-row n-gram
+  * overlap via higher-order functions — no shuffle at all) followed by
+  * one global agg (BLEU/perplexity) or nothing (per-pair ROUGE). No
+  * UDFs; all expressions stay inside whole-stage codegen.
+  *
+  * FP parity with DuckDB oracles: per-pair values are ratios/products of
+  * exactly-represented integer counts (bit-identical IEEE ops on both
+  * engines); corpus aggregates expose the raw BIGINT counts and emit the
+  * derived score as REAL to absorb last-ulp libm differences.
+  */
+object TextMetrics {
+  /** U+0001 never appears in whitespace-split tokens. */
+  private val SEP = "\u0001"
+
+  /** Whitespace tokens of trimmed, lower-cased text (empty-safe). */
+  def tokens(c: Column): Column =
+    filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+
+  /** All n-grams of a token array as SEP-joined strings (multiset). */
+  def ngrams(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(SEP, slice(toks, i, lit(n)))))
+
+  /** Clipped multiset overlap Σ_g min(count_pred(g), count_ref(g)) — the
+    * shared kernel of ROUGE and BLEU. Pure per-row column expression:
+    * O(|distinct|·(|gp|+|gr|)) on short texts beats shipping every
+    * n-gram through a shuffle, and it keeps the operator shuffle-free. */
+  def clippedOverlap(gp: Column, gr: Column): Column =
+    aggregate(
+      transform(array_distinct(gp),
+        g => least(size(filter(gp, x => x === g)), size(filter(gr, x => x === g)))),
+      lit(0L), (acc, x) => acc + x)
+
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+
+  private def fScore(p: Column, r: Column): Column =
+    when(p + r === 0.0, lit(0.0)).otherwise(lit(2.0) * p * r / (p + r))
+
+  /** Per-pair ROUGE-1 and ROUGE-2 p/r/f. Input needs `predCol`/`refCol`
+    * string columns; appends r1_p, r1_r, r1_f, r2_p, r2_r, r2_f.
+    * The reference reports the avg over pairs (`avg=True`); use
+    * [[rougeAvg]] for that roll-up. */
+  def rougePairs(pairs: DataFrame, predCol: String, refCol: String): DataFrame = {
+    val tp = tokens(col(predCol)); val tr = tokens(col(refCol))
+    def block(n: Int, tag: String)(df: DataFrame): DataFrame = {
+      val gp = ngrams(tp, n); val gr = ngrams(tr, n)
+      val ov = clippedOverlap(gp, gr)
+      df.withColumn(s"${tag}_ov", ov)
+        .withColumn(s"${tag}_p", ratio(col(s"${tag}_ov"), size(gp)))
+        .withColumn(s"${tag}_r", ratio(col(s"${tag}_ov"), size(gr)))
+        .withColumn(s"${tag}_f", fScore(col(s"${tag}_p"), col(s"${tag}_r")))
+        .drop(s"${tag}_ov")
+    }
+    block(2, "r2")(block(1, "r1")(pairs))
+  }
+
+  /** Macro-average of the per-pair scores — the `avg=True` dict shape
+    * (rouge_ngram_f1 etc., reference `transformers.py:674-681`). */
+  def rougeAvg(pairs: DataFrame, predCol: String, refCol: String): DataFrame =
+    rougePairs(pairs, predCol, refCol).agg(
+      avg("r1_f").as("rouge_ngram_f1"),
+      avg("r1_p").as("rouge_ngram_precision"),
+      avg("r1_r").as("rouge_ngram_recall"),
+      avg("r2_f").as("rouge_bigram_f1"),
+      avg("r2_p").as("rouge_bigram_precision"),
+      avg("r2_r").as("rouge_bigram_recall"))
+
+  /** Corpus BLEU-4: one row with the exact BIGINT match/total counts per
+    * order, pred/ref lengths, brevity penalty, and the ×100 score.
+    *
+    * Precisions are percentages; a zero-match order n takes the smoothed
+    * value 100/(2^k · total_n) where k counts zero-match orders so far —
+    * the NIST geometric smoothing that is sacrebleu's default. BP =
+    * exp(1 − ref_len/pred_len) when the corpus prediction is shorter
+    * than the reference, else 1. Score = BP · exp(Σ ln p_n / 4).
+    */
+  def bleuCorpus(pairs: DataFrame, predCol: String, refCol: String): DataFrame = {
+    val tp = tokens(col(predCol)); val tr = tokens(col(refCol))
+    val perPair = pairs.select(
+      (1 to 4).flatMap { n =>
+        val gp = ngrams(tp, n); val gr = ngrams(tr, n)
+        Seq(clippedOverlap(gp, gr).as(s"m$n"), size(gp).cast("long").as(s"t$n"))
+      } ++ Seq(size(tp).cast("long").as("plen"), size(tr).cast("long").as("rlen")): _*)
+    val sums = perPair.agg(
+      sum("m1").as("match_1"), sum("t1").as("total_1"),
+      sum("m2").as("match_2"), sum("t2").as("total_2"),
+      sum("m3").as("match_3"), sum("t3").as("total_3"),
+      sum("m4").as("match_4"), sum("t4").as("total_4"),
+      sum("plen").as("pred_len"), sum("rlen").as("ref_len"))
+    // smooth_n = 2^(#zero-match orders ≤ n); precisions as percentages
+    val zeros = (1 to 4).map(n => when(col(s"match_$n") === 0, 1).otherwise(0))
+    val smoothExp = (n: Int) => zeros.take(n).reduce(_ + _)
+    val p = (1 to 4).map { n =>
+      when(col(s"total_$n") === 0, lit(0.0))
+        .when(col(s"match_$n") === 0,
+          lit(100.0) / (pow(lit(2.0), smoothExp(n)) * col(s"total_$n")))
+        .otherwise(lit(100.0) * col(s"match_$n") / col(s"total_$n"))
+    }
+    val bp = when(col("pred_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") / col("pred_len")))
+    val score = when(p.map(_ === 0.0).reduce(_ || _), lit(0.0))
+      .otherwise(bp * exp(p.map(x => log(x)).reduce(_ + _) / 4))
+    sums.withColumn("brevity_penalty", bp.cast("float"))
+      .withColumn("bleu", score.cast("float"))
+  }
+
+  /** Unigram-LM perplexity of a text column over its own corpus: fit
+    * p(w) = c(w)/N by one explode + groupBy (map-side combinable), then
+    * PPL = exp(−Σ_tokens ln p(w) / N) = exp(ln N − Σ_words c·ln(c)/N).
+    * The Σ c·ln(c) form sums one term per DISTINCT word, not per token —
+    * at 100 TB the agg is |vocab|-sized, not corpus-sized. */
+  def perplexityUnigram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(
+        exp(log(col("total_tokens").cast("double")) -
+          col("clnc") / col("total_tokens").cast("double")).cast("float").as("perplexity"),
+        col("total_tokens"), col("vocab_size"))
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import graft.llm.TextMetrics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle gates for the LLM text-metric surface (SURVEY §2.6 —
+  * reference `transformers.py:650-874`). Evaluation pairs are
+  * (documents.text, next document's text): adjacent synthetic docs share
+  * template vocabulary, so ROUGE/BLEU land in a realistic mid-range
+  * instead of degenerate 0/1.
+  *
+  * FP-parity notes (see TextMetrics scaladoc): per-pair ROUGE values are
+  * ratios/products of exact integer counts — compared raw, bit-exact.
+  * Corpus BLEU/perplexity expose exact BIGINT counts and cast the final
+  * libm-dependent scalar to REAL.
+  */
+object TextMetricsQueries {
+  /** Adjacent-document (prediction, reference) pairs. */
+  private def pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"text")
+    d.select($"doc_id", $"text".as("pred"))
+      .join(d.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")), Seq("doc_id"))
+  }
+
+  private val pairsSqlCte =
+    """tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |pr AS (
+      |  SELECT d.doc_id, d.t AS tp, r.t AS tr
+      |  FROM tk d JOIN tk r ON r.doc_id = d.doc_id + 1)""".stripMargin
+
+  /** n-gram list over a token-array SQL expression, SEP = chr(1) —
+    * mirrors TextMetrics.ngrams. */
+  private def ngramSql(t: String, n: Int): String =
+    if (n == 1) t
+    else {
+      val parts = (0 until n).map(j => s"$t[i + $j]").mkString(" || chr(1) || ")
+      s"list_transform(range(1, len($t) - ${n - 2}), i -> $parts)"
+    }
+
+  private def overlapSql(gp: String, gr: String): String =
+    s"""coalesce(list_sum(list_transform(list_distinct($gp),
+       |  g -> least(len(list_filter($gp, x -> x = g)),
+       |             len(list_filter($gr, x -> x = g))))), 0)""".stripMargin
+
+  // ------------------------------------------------------------- ROUGE
+  def lm_rouge_pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextMetrics.rougePairs(pairs(s, dir), "pred", "ref")
+      .select($"doc_id", $"r1_p", $"r1_r", $"r1_f", $"r2_p", $"r2_r", $"r2_f")
+      .orderBy($"doc_id")
+  }
+
+  val lmRougeSql: String =
+    s"""WITH $pairsSqlCte,
+       |g AS (
+       |  SELECT doc_id, tp AS gp1, tr AS gr1,
+       |    ${ngramSql("tp", 2)} AS gp2, ${ngramSql("tr", 2)} AS gr2
+       |  FROM pr),
+       |ov AS (
+       |  SELECT doc_id,
+       |    ${overlapSql("gp1", "gr1")} AS ov1, len(gp1) AS np1, len(gr1) AS nr1,
+       |    ${overlapSql("gp2", "gr2")} AS ov2, len(gp2) AS np2, len(gr2) AS nr2
+       |  FROM g),
+       |prr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN np1 = 0 THEN 0.0 ELSE CAST(ov1 AS DOUBLE) / CAST(np1 AS DOUBLE) END AS r1_p,
+       |    CASE WHEN nr1 = 0 THEN 0.0 ELSE CAST(ov1 AS DOUBLE) / CAST(nr1 AS DOUBLE) END AS r1_r,
+       |    CASE WHEN np2 = 0 THEN 0.0 ELSE CAST(ov2 AS DOUBLE) / CAST(np2 AS DOUBLE) END AS r2_p,
+       |    CASE WHEN nr2 = 0 THEN 0.0 ELSE CAST(ov2 AS DOUBLE) / CAST(nr2 AS DOUBLE) END AS r2_r
+       |  FROM ov)
+       |SELECT doc_id, r1_p, r1_r,
+       |  CASE WHEN r1_p + r1_r = 0.0 THEN 0.0 ELSE 2.0 * r1_p * r1_r / (r1_p + r1_r) END AS r1_f,
+       |  r2_p, r2_r,
+       |  CASE WHEN r2_p + r2_r = 0.0 THEN 0.0 ELSE 2.0 * r2_p * r2_r / (r2_p + r2_r) END AS r2_f
+       |FROM prr ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- BLEU
+  def lm_bleu_corpus(s: SparkSession, dir: String): DataFrame =
+    TextMetrics.bleuCorpus(pairs(s, dir), "pred", "ref")
+
+  val lmBleuSql: String = {
+    val perN = (1 to 4).map { n =>
+      s"""    ${overlapSql(ngramSql("tp", n), ngramSql("tr", n))} AS m$n,
+         |    len(${ngramSql("tp", n)}) AS t$n""".stripMargin
+    }.mkString(",\n")
+    val sums = (1 to 4).map(n =>
+      s"CAST(sum(m$n) AS BIGINT) AS match_$n, CAST(sum(t$n) AS BIGINT) AS total_$n")
+      .mkString(", ")
+    // smooth_k = 2^(#zero-match orders ≤ n), NIST geometric smoothing
+    val z = (1 to 4).map(n => s"CASE WHEN match_$n = 0 THEN 1 ELSE 0 END")
+    val p = (1 to 4).map { n =>
+      val k = z.take(n).mkString(" + ")
+      s"""CASE WHEN total_$n = 0 THEN 0.0
+         |  WHEN match_$n = 0 THEN 100.0 / (power(2.0, $k) * total_$n)
+         |  ELSE 100.0 * match_$n / total_$n END""".stripMargin
+    }
+    s"""WITH $pairsSqlCte,
+       |per AS (
+       |  SELECT
+       |$perN,
+       |    len(tp) AS plen, len(tr) AS rlen
+       |  FROM pr),
+       |sums AS (
+       |  SELECT $sums,
+       |    CAST(sum(plen) AS BIGINT) AS pred_len, CAST(sum(rlen) AS BIGINT) AS ref_len
+       |  FROM per),
+       |sc AS (
+       |  SELECT *,
+       |    CASE WHEN pred_len >= ref_len THEN 1.0
+       |         ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / pred_len) END AS bp,
+       |    ${p(0)} AS p1, ${p(1)} AS p2, ${p(2)} AS p3, ${p(3)} AS p4
+       |  FROM sums)
+       |SELECT match_1, total_1, match_2, total_2, match_3, total_3,
+       |  match_4, total_4, pred_len, ref_len,
+       |  CAST(bp AS REAL) AS brevity_penalty,
+       |  CAST(CASE WHEN p1 = 0.0 OR p2 = 0.0 OR p3 = 0.0 OR p4 = 0.0 THEN 0.0
+       |       ELSE bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4) END AS REAL) AS bleu
+       |FROM sc""".stripMargin
+  }
+
+  // -------------------------------------------------------- Perplexity
+  def lm_perplexity_unigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextMetrics.perplexityUnigram(
+      Tables.documents(s, dir).select($"text"), "text")
+  }
+
+  val lmPerplexitySql: String =
+    """WITH tk AS (
+      |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |w AS (SELECT unnest(t) AS w FROM tk),
+      |c AS (SELECT w, count(*) AS c FROM w GROUP BY w)
+      |SELECT
+      |  CAST(exp(ln(CAST(sum(c) AS DOUBLE))
+      |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE)) AS REAL) AS perplexity,
+      |  CAST(sum(c) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab_size
+      |FROM c""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_rouge_pairs"        -> lm_rouge_pairs _,
+    "lm_bleu_corpus"        -> lm_bleu_corpus _,
+    "lm_perplexity_unigram" -> lm_perplexity_unigram _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lm_rouge_pairs"        -> lmRougeSql,
+    "lm_bleu_corpus"        -> lmBleuSql,
+    "lm_perplexity_unigram" -> lmPerplexitySql
+  )
+}
