@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
+      operators.Components.queries ++
       operators.Similarity.queries ++
       operators.MLQueries.queries ++
       operators.Multimodal.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
+      operators.Components.oracles ++
       operators.Similarity.oracles ++
       operators.MLQueries.oracles ++
       operators.Multimodal.oracles ++

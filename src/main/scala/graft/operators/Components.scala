@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pairs + canonical-document
+  * selection — the step that turns pairwise dedup output
+  * (`dd_simhash_pairs`, `dd_minhash_lsh`, …) into the thing a training
+  * pipeline actually needs: ONE kept document per duplicate cluster.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round joins labels across edges and
+  * takes the per-node min; fixpoint when no label shrinks. Each round
+  * is one keyed shuffle (join + groupBy-min) — the classic MapReduce CC
+  * shape. Rounds = graph diameter; near-dup clusters are near-cliques,
+  * so 2–3 rounds in practice. At adversarial diameters the same loop
+  * accepts the large-star/small-star edge rewriting (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) which cuts
+  * rounds to O(log n) — the per-round plan is identical.
+  *
+  * `localCheckpoint` truncates lineage each round: without it the plan
+  * doubles per iteration and the driver re-optimizes an exponentially
+  * growing tree. The per-round `count` that drives convergence is
+  * O(|V|) metadata, not corpus data.
+  *
+  * Canonical pick: per component keep the LONGEST text (ties → lowest
+  * doc_id) — the usual "best representative" heuristic; any scoring
+  * column slots into the same max(struct(...)) aggregate.
+  */
+object Components {
+  /** Labels every node that appears in `edges` with the minimum node id
+    * reachable from it. Returns (id, comp). */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("u"))
+      .union(edges.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("u")))
+      .cache()
+    var labels = und.select(col("v").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("u"), col("comp").as("uc")), "u")
+        .groupBy(col("v").as("id")).agg(min("uc").as("nc"))
+      val next = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("comp"), col("nc")).as("comp"),
+          (col("nc") < col("comp")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
+      it += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Gate: component id (= min reachable doc_id) for every document that
+    * appears in a simhash near-dup pair. */
+  def dd_components(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(Dedup.dd_simhash_pairs(s, dir), "da", "db")
+      .select($"id".as("doc_id"), $"comp".as("component"))
+      .orderBy($"doc_id")
+  }
+
+  /** Gate: one row per duplicate cluster — size and the canonical
+    * (longest text, ties → lowest id) document to KEEP. */
+  def dd_canonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = dd_components(s, dir)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+    labels.join(docs, "doc_id")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"len", (-$"doc_id").as("nid"))).as("m"))
+      .select($"component", $"n_members",
+        (-$"m.nid").as("canonical_doc"), $"m.len".as("canonical_len"))
+      .orderBy($"component")
+  }
+
+  /** Simhash pair replay (the dd_simhash_pairs oracle minus its final
+    * ORDER BY) as a CTE prefix ending in `edges(da, db)`. */
+  private val edgesSqlCte: String = {
+    val h = Dedup.h60Sql.format("tok")
+    s"""tk AS (SELECT doc_id,
+       |    unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, $h AS h FROM tk),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th, (SELECT unnest(range(0, 60)) AS i) js
+       |  GROUP BY doc_id, i),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bsig
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |edges AS (SELECT da, db FROM cand),
+       |und AS (SELECT da AS v, db AS u FROM edges
+       |        UNION ALL SELECT db AS v, da AS u FROM edges),
+       |reach AS (
+       |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM und) n
+       |  UNION
+       |  SELECT r.v, e.u FROM reach r JOIN und e ON e.v = r.u),
+       |comps AS (
+       |  SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v)""".stripMargin
+  }
+
+  val ddComponentsSql: String =
+    s"""WITH RECURSIVE $edgesSqlCte
+       |SELECT doc_id, component FROM comps ORDER BY doc_id""".stripMargin
+
+  val ddCanonicalSql: String =
+    s"""WITH RECURSIVE $edgesSqlCte,
+       |mem AS (
+       |  SELECT c.component, c.doc_id, CAST(length(d.text) AS BIGINT) AS len
+       |  FROM comps c JOIN documents d ON d.doc_id = c.doc_id),
+       |ranked AS (
+       |  SELECT component, doc_id, len,
+       |    row_number() OVER (PARTITION BY component ORDER BY len DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY component) AS n_members
+       |  FROM mem)
+       |SELECT component, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS canonical_doc, len AS canonical_len
+       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_components" -> dd_components _,
+    "dd_canonical"  -> dd_canonical _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dd_components" -> ddComponentsSql,
+    "dd_canonical"  -> ddCanonicalSql
+  )
+}

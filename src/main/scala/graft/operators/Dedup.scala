@@ -73,7 +73,7 @@ object Dedup {
     call_function("graft_h60", c)
   }
 
-  private val h60Sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS UBIGINT)::BIGINT"
+  private[operators] val h60Sql = "CAST(('0x' || substr(md5(%s), 1, 15)) AS UBIGINT)::BIGINT"
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup: group by normalized-content fingerprint; keeper = min

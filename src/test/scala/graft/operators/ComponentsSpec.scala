@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.ml.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("labels two separate components and a chain with their min ids") {
+    // component A: clique {1,2,3}; component B: CHAIN 10-11-12-13 (forces
+    // multi-round propagation); component C: singleton edge {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L)).toDF("a", "b")
+    val labels = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges within the diameter bound") {
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Components.connectedComponents(edges, "a", "b").collect()
+    assert(labels.forall(_.getLong(1) == 0L))
+    assert(labels.length == 13)
+  }
+
+  test("edge direction does not matter") {
+    val edges = Seq((5L, 2L), (2L, 9L)).toDF("a", "b") // min id on the 'b' side
+    val labels = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(5L -> 2L, 2L -> 2L, 9L -> 2L))
+  }
+}
