@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Components.queries ++
+      operators.PipelineOps.queries ++
       operators.Similarity.queries ++
       operators.MLQueries.queries ++
       operators.Multimodal.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++
       operators.Components.oracles ++
+      operators.PipelineOps.oracles ++
       operators.Similarity.oracles ++
       operators.MLQueries.oracles ++
       operators.Multimodal.oracles ++

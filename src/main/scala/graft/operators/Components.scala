@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: iterative min-label propagation. Every node starts
   * labeled with its own id; each round joins labels across edges and
-  * takes the per-node min; fixpoint when no label shrinks. Each round
-  * is one keyed shuffle (join + groupBy-min) — the classic MapReduce CC
-  * shape. Rounds = graph diameter; near-dup clusters are near-cliques,
-  * so 2–3 rounds in practice. At adversarial diameters the same loop
-  * accepts the large-star/small-star edge rewriting (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) which cuts
-  * rounds to O(log n) — the per-round plan is identical.
+  * takes the per-node min, then POINTER-JUMPS (comp' = comp(comp(v)))
+  * so label trees halve in height each round; fixpoint when no label
+  * shrinks. Each round is two keyed shuffles (neighbor join +
+  * groupBy-min, then the jump self-join) and converges in
+  * O(log diameter) rounds — near-dup clusters are near-cliques, so 2–3
+  * rounds in practice. The same loop accepts the large-star/small-star
+  * edge rewriting (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14) when edge multisets themselves need shrinking.
   *
   * `localCheckpoint` truncates lineage each round: without it the plan
   * doubles per iteration and the driver re-optimizes an exponentially
@@ -33,8 +34,12 @@ object Components {
     * reachable from it. Returns (id, comp). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val und = edges.select(col(aCol).cast("long").as("v"), col(bCol).cast("long").as("u"))
-      .union(edges.select(col(bCol).cast("long").as("v"), col(aCol).cast("long").as("u")))
+    // materialize the (possibly expensive) pair plan ONCE — the union
+    // below reads both directions from this cache, not two plan runs
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint()
+    val und = e.select(col("a").as("v"), col("b").as("u"))
+      .union(e.select(col("b").as("v"), col("a").as("u")))
       .cache()
     var labels = und.select(col("v").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -45,9 +50,17 @@ object Components {
       val nbrMin = und
         .join(labels.select(col("id").as("u"), col("comp").as("uc")), "u")
         .groupBy(col("v").as("id")).agg(min("uc").as("nc"))
-      val next = labels.join(nbrMin, Seq("id"))
+      val viaNbr = labels.join(nbrMin, Seq("id"))
         .select(col("id"), least(col("comp"), col("nc")).as("comp"),
           (col("nc") < col("comp")).as("chg"))
+        .localCheckpoint() // materialized once; the self-join below reads it twice
+      // pointer jumping (path compression): follow the label one hop —
+      // comp' = comp(comp(v)) — so label trees halve in height each
+      // round and convergence is O(log diameter), not O(diameter)
+      val next = viaNbr
+        .join(viaNbr.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"),
+          (col("chg") || coalesce(col("cc") < col("comp"), lit(false))).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
@@ -61,7 +74,7 @@ object Components {
     * appears in a simhash near-dup pair. */
   def dd_components(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    connectedComponents(Dedup.dd_simhash_pairs(s, dir), "da", "db")
+    connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db")
       .select($"id".as("doc_id"), $"comp".as("component"))
       .orderBy($"doc_id")
   }
@@ -70,7 +83,10 @@ object Components {
     * (longest text, ties → lowest id) document to KEEP. */
   def dd_canonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val labels = dd_components(s, dir)
+    // straight from the CC labels — dd_components' final global sort is
+    // presentation-only and would cost a full range shuffle here
+    val labels = connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db")
+      .select($"id".as("doc_id"), $"comp".as("component"))
     val docs = Tables.documents(s, dir)
       .select($"doc_id", length($"text").cast("long").as("len"))
     labels.join(docs, "doc_id")

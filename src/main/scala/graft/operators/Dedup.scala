@@ -43,7 +43,7 @@ object Dedup {
     * text keys triple it for no semantic gain — a 60-bit space holds
     * trillions of distinct shingles below birthday-collision odds).
     * Docs with <3 tokens produce no shingles (mirrored in oracle SQL). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
@@ -56,7 +56,7 @@ object Dedup {
               element_at($"t", i + 2)))))).as("hs"))
   }
 
-  private val shinglesSqlCte =
+  private[operators] val shinglesSqlCte =
     """tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       |        FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
@@ -68,7 +68,7 @@ object Dedup {
     * (graft.functions.Md5Prefix60) — digest bytes → long with no hex
     * string round-trip, same value as
     * `conv(substring(md5(c),1,15),16,10)`. */
-  private def h60(s: SparkSession, c: Column): Column = {
+  private[operators] def h60(s: SparkSession, c: Column): Column = {
     graft.functions.GraftFunctions.register(s)
     call_function("graft_h60", c)
   }
@@ -272,7 +272,13 @@ object Dedup {
   /** SimHash near-dup pairs: 4 bands × 15 bits generate candidates
     * (a pair within Hamming distance 3 must agree on ≥1 band), verified
     * by exact popcount of the XOR; emit pairs with distance ≤ 6. */
-  def dd_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+  def dd_simhash_pairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsUnordered(s, dir).orderBy(col("da"), col("db"))
+
+  /** Pair generation without the gate's presentation sort — consumers
+    * that aggregate the pairs (connected components) skip a full sort
+    * of the pair relation. */
+  private[operators] def simhashPairsUnordered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = dd_simhash(s, dir).cache()
     val bands = sh.select($"doc_id", $"simhash",
@@ -287,7 +293,6 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter($"hamming" <= 6)
       .select($"da", $"db", $"hamming")
-      .orderBy($"da", $"db")
   }
 
   val ddSimhashPairsSql: String = {

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a pretraining data pipeline runs after
+  * dedup/quality filtering — domain mixing, sequence packing, and
+  * benchmark decontamination.
+  *
+  * All decisions are deterministic functions of content/id hashes, never
+  * RNG state: re-running the pipeline (or recomputing a lost partition)
+  * reproduces the same sample bit-for-bit, which is what makes these ops
+  * safe under speculative execution and partition retries at scale.
+  */
+object PipelineOps {
+  /** Tokens-per-pack budget for ds_pack_sequences (a context window). */
+  val PACK_BUDGET = 2048L
+
+  /** Minimum shared distinct shingles for a contamination hit. */
+  val CONTAM_MIN_SHINGLES = 5L
+
+  // ------------------------------------------------------ domain mixing
+  /** Deterministic domain-mixing sample: per-source keep rates (here a
+    * closed form of the source index; in production a config map),
+    * applied by thresholding a 60-bit content hash — the standard
+    * "sample by hash" so the decision is stable across runs and
+    * executors. Pure map stage: no shuffle, no RNG.
+    *
+    * Keep rule (integer-only, oracle-identical): keep iff
+    * `h60('mix|' || doc_id) mod 1000 < permille(source)` with
+    * `permille = (1 + source_index mod 10) * 100` — i.e. rates
+    * 0.1 .. 1.0 stepped by source.
+    */
+  def ds_mix_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val permille = (lit(1L) + substring($"source", 4, 10).cast("long") % 10) * 100
+    Tables.documents(s, dir)
+      .withColumn("permille", permille)
+      .withColumn("h", Dedup.h60(s, concat(lit("mix|"), $"doc_id".cast("string"))))
+      .filter($"h" % 1000 < $"permille")
+      .select($"doc_id", $"source", $"permille")
+      .orderBy($"doc_id")
+  }
+
+  val dsMixSampleSql: String = {
+    val h = Dedup.h60Sql.format("'mix|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source,
+       |  (1 + CAST(substr(source, 4) AS BIGINT) % 10) * 100 AS permille
+       |FROM documents
+       |WHERE $h % 1000 < (1 + CAST(substr(source, 4) AS BIGINT) % 10) * 100
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------- sequence packing
+  /** Concat-and-chunk sequence packing: documents in a defined order are
+    * laid head-to-tail into fixed token-budget packs; a doc's pack id is
+    * its EXCLUSIVE running token count divided by the budget (docs may
+    * straddle a boundary — exactly how pretraining concat-packing fills
+    * context windows). The running sum comes from the two-phase
+    * distributed prefix sum, never a global window: every stage stays
+    * partition-parallel at corpus scale. */
+  def ds_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withTokens = Tables.documents(s, dir)
+      .select($"doc_id",
+        size(filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+    Distributed.groupedPrefixSum(withTokens, Seq.empty, Seq($"doc_id"),
+        "n_tokens", "cum_tokens")
+      .withColumn("pack_id", expr(s"(cum_tokens - n_tokens) div $PACK_BUDGET"))
+      .select($"doc_id", $"n_tokens", $"cum_tokens", $"pack_id")
+      .orderBy($"doc_id")
+  }
+
+  val dsPackSequencesSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM tk)
+       |SELECT doc_id, n_tokens, cum_tokens,
+       |  (cum_tokens - n_tokens) // $PACK_BUDGET AS pack_id
+       |FROM cum ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- decontamination
+  /** Benchmark decontamination: flag corpus documents sharing ≥ K
+    * distinct 3-gram shingles with any benchmark document (here: the
+    * first 20 docs stand in for an eval set). The benchmark side is
+    * always small → broadcast; the corpus side is a map + partial-agg
+    * stage keyed by (doc, bench) — no corpus-vs-corpus fan-out, so the
+    * shape is linear in corpus size regardless of scale. */
+  def dd_contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingles(s, dir)
+    val bench = sh.filter($"doc_id" < 20)
+      .select($"doc_id".as("bench_id"), $"hs")
+    val corpus = sh.filter($"doc_id" >= 20)
+    corpus.join(broadcast(bench), "hs")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("n_common"))
+      .filter($"n_common" >= CONTAM_MIN_SHINGLES)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  val ddContaminationSql: String =
+    s"""WITH ${Dedup.shinglesSqlCte}
+       |SELECT c.doc_id, b.doc_id AS bench_id,
+       |  CAST(count(*) AS BIGINT) AS n_common
+       |FROM sh c JOIN sh b ON c.hs = b.hs AND c.doc_id >= 20 AND b.doc_id < 20
+       |GROUP BY c.doc_id, b.doc_id
+       |HAVING count(*) >= $CONTAM_MIN_SHINGLES
+       |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_mix_sample"     -> ds_mix_sample _,
+    "ds_pack_sequences" -> ds_pack_sequences _,
+    "dd_contamination"  -> dd_contamination _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ds_mix_sample"     -> dsMixSampleSql,
+    "ds_pack_sequences" -> dsPackSequencesSql,
+    "dd_contamination"  -> ddContaminationSql
+  )
+}
