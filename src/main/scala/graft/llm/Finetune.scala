@@ -74,9 +74,11 @@ object Finetune {
     val t1 = System.nanoTime()
     val rep = Metrics.classification(head.transform(testDF), "y", "prediction")
     trainDF.unpersist()
+    // weighted averages, matching the reference's text-classification
+    // eval (sklearn average="weighted", transformers.py:719-721)
     val metrics = Map(
-      "f1" -> rep.f1Macro, "accuracy" -> rep.accuracy,
-      "precision" -> rep.precision, "recall" -> rep.recall,
+      "f1" -> rep.f1Weighted, "accuracy" -> rep.accuracy,
+      "precision" -> rep.precisionWeighted, "recall" -> rep.recallWeighted,
       "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
 
     val modelRow = catalog.createModel(project.id, snapshot.id,
@@ -95,7 +97,7 @@ object Finetune {
       .select(element_at(col("metrics"), "f1")).collect().headOption
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     val shouldDeploy = cfg.automaticDeploy &&
-      deployed.forall(old => rep.f1Macro > old)
+      deployed.forall(old => rep.f1Weighted > old)
     if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
 
     val schema = StructType(Seq(

@@ -30,7 +30,10 @@ object Metrics {
 
   final case class ClassificationReport(
       accuracy: Double, precision: Double, recall: Double,
-      f1Macro: Double, f1Micro: Double, matrix: Map[(Int, Int), Long])
+      f1Macro: Double, f1Micro: Double, matrix: Map[(Int, Int), Long],
+      precisionWeighted: Double = Double.NaN,
+      recallWeighted: Double = Double.NaN,
+      f1Weighted: Double = Double.NaN)
 
   /** Build the confusion matrix distributively and derive the report.
     * `labelCol`/`predCol` must be integer class values; classes present in
@@ -84,9 +87,32 @@ object Metrics {
     }
     val f1Macro = f1s.sum / f1s.size
 
+    // support-weighted averages (sklearn average="weighted", the form the
+    // reference's text-classification eval reports — transformers.py:719-721).
+    // Computed over EVERY class (the binary sklearn flip above collapses
+    // `per` to the positive class only); undefined per-class values → 0,
+    // sklearn's zero_division default.
+    val fullPer = (0 until k).map { c =>
+      val tp = m(c)(c)
+      val fp = (0 until k).map(r => m(r)(c)).sum - tp
+      val fnn = m(c).sum - tp
+      (tp, fp, fnn, m(c).sum) // support = row sum (true count of class c)
+    }
+    val supportTotal = fullPer.map(_._4).sum.toDouble
+    def z(x: Double) = if (x.isNaN) 0.0 else x
+    def wavg(f: ((Long, Long, Long, Long)) => Double): Double =
+      fullPer.map(c => z(f(c)) * c._4).sum / supportTotal
+    val pW = wavg { case (tp, fp, _, _) => tp.toDouble / (tp + fp) }
+    val rW = wavg { case (tp, _, fnn, _) => tp.toDouble / (tp + fnn) }
+    val fW = wavg { case (tp, fp, fnn, _) =>
+      val p = tp.toDouble / (tp + fp); val r = tp.toDouble / (tp + fnn)
+      val f = 2.0 * p * r / (p + r); if (f.isNaN) 0.0 else f
+    }
+
     val matrix = (for (i <- 0 until k; j <- 0 until k if m(i)(j) != 0)
       yield ((classes(i), classes(j)), m(i)(j))).toMap
-    ClassificationReport(accuracy, precision, recall, f1Macro, f1Micro, matrix)
+    ClassificationReport(accuracy, precision, recall, f1Macro, f1Micro, matrix,
+      pW, rW, fW)
   }
 
   final case class RegressionReport(r2: Double, mae: Double, mse: Double, n: Long)

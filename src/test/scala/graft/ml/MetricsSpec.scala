@@ -85,4 +85,25 @@ class MetricsSpec extends AnyFunSuite {
     val clamped = Seq((1.0, 0.0)).toDF("y", "p")
     assert(!Metrics.logLoss(clamped, "y", "p").isInfinite)
   }
+
+  test("weighted f1/precision/recall match a hand-run sklearn example") {
+    // labels: 0,0,0,1,1,2 ; preds: 0,0,1,1,1,0  (support 3/2/1)
+    // class 0: p=2/3 r=2/3 f=2/3 ; class 1: p=2/3 r=1 f=4/5 ; class 2: p=0 r=0 f=0
+    // weighted: p = (3·2/3 + 2·2/3 + 0)/6, r = (3·2/3 + 2·1)/6, f = (3·2/3 + 2·4/5)/6
+    val df = Seq((0, 0), (0, 0), (0, 1), (1, 1), (1, 1), (2, 0)).toDF("label", "pred")
+    val rep = Metrics.classification(df, "label", "pred")
+    assert(math.abs(rep.precisionWeighted - (3 * 2.0 / 3 + 2 * 2.0 / 3) / 6) < 1e-12)
+    assert(math.abs(rep.recallWeighted - (3 * 2.0 / 3 + 2 * 1.0) / 6) < 1e-12)
+    assert(math.abs(rep.f1Weighted - (3 * 2.0 / 3 + 2 * 0.8) / 6) < 1e-12)
+  }
+
+  test("weighted metrics use both classes in the binary case") {
+    // labels: 1,1,1,0,0,0 ; preds: 1,1,0,1,0,0
+    // class1: p=2/3 r=2/3 f=2/3 ; class0: p=2/3 r=2/3 f=2/3 → weighted = 2/3
+    val df = Seq((1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0)).toDF("label", "pred")
+    val rep = Metrics.classification(df, "label", "pred")
+    assert(math.abs(rep.f1Weighted - 2.0 / 3) < 1e-12)
+    assert(math.abs(rep.precisionWeighted - 2.0 / 3) < 1e-12)
+    assert(math.abs(rep.recallWeighted - 2.0 / 3) < 1e-12)
+  }
 }
