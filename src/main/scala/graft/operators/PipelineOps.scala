@@ -32,15 +32,20 @@ object PipelineOps {
     * `permille = (1 + source_index mod 10) * 100` — i.e. rates
     * 0.1 .. 1.0 stepped by source.
     */
+  /** The keep rule as a stateless transform over ANY documents frame —
+    * batch or streaming (no state, no watermark, no sort): the same
+    * expressions run under `readStream` unchanged. */
+  def mixSample(s: SparkSession, docs: DataFrame): DataFrame = {
+    val permille = (lit(1L) + substring(col("source"), 4, 10).cast("long") % 10) * 100
+    docs.withColumn("permille", permille)
+      .withColumn("h", Dedup.h60(s, concat(lit("mix|"), col("doc_id").cast("string"))))
+      .filter(col("h") % 1000 < col("permille"))
+      .select(col("doc_id"), col("source"), col("permille"))
+  }
+
   def ds_mix_sample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val permille = (lit(1L) + substring($"source", 4, 10).cast("long") % 10) * 100
-    Tables.documents(s, dir)
-      .withColumn("permille", permille)
-      .withColumn("h", Dedup.h60(s, concat(lit("mix|"), $"doc_id".cast("string"))))
-      .filter($"h" % 1000 < $"permille")
-      .select($"doc_id", $"source", $"permille")
-      .orderBy($"doc_id")
+    mixSample(s, Tables.documents(s, dir)).orderBy($"doc_id")
   }
 
   val dsMixSampleSql: String = {

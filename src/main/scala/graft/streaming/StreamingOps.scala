@@ -107,4 +107,12 @@ object StreamingOps {
       .withColumn("fingerprint", md5(trim(lower(col(textCol)))))
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicates("fingerprint")
+
+  /** Streaming corpus prep: the batch domain-mixing keep rule applied to
+    * a live document feed. Stateless (hash threshold, no RNG, no state
+    * store) — the decision for a document is identical whether it
+    * arrives in a batch scan or a micro-batch, which is exactly why the
+    * sampling is hash-based and not `rand()`-based. */
+  def mixSampleStream(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.operators.PipelineOps.mixSample(spark, docs)
 }

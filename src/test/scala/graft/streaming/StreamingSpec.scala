@@ -96,6 +96,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mix-sample keeps exactly the batch rows (hash rule is stateless)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix_stream").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").limit(200)
+    docs.coalesce(2).write.mode("overwrite").parquet(s"$dir/docs_stream")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/docs_stream")
+    val q = StreamingOps.mixSampleStream(spark, stream).writeStream
+      .outputMode("append").format("memory").queryName("mix_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mix_out")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.PipelineOps.mixSample(spark, docs)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming model scoring via foreachBatch transform") {
     import spark.implicits._
     val cat = new graft.ml.Catalog(spark,
