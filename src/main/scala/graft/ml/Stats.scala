@@ -67,12 +67,14 @@ object Stats {
     // partitioning of (cname, v), not by the number of columns — the
     // per-column cumsum window capped parallelism at |cols| and put each
     // column's whole distinct set in one task
-    val cum = graft.operators.Distributed
-      .groupedPrefixSum(counts, Seq("cname"), Seq(col("v")), "cnt", "cum")
-      .withColumn("prev", col("cum") - col("cnt")).cache()
+    val (cum0, totals) = graft.operators.Distributed
+      .groupedPrefixSumWithTotals(counts, Seq("cname"), Seq(col("v")), "cnt", "cum")
+    val cum = cum0.withColumn("prev", col("cum") - col("cnt")).cache()
     try {
-      val ns = cum.groupBy(col("cname")).agg(max(col("cum")).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // per-column row counts fall out of the prefix sum's own metadata —
+      // no extra aggregation pass over the cumulative relation
+      val ns: Map[String, Long] =
+        totals.map { case (k, n) => k.head.asInstanceOf[String] -> n }
       val brackets: Seq[(String, Int, Long, Long, Double)] = for {
         c <- cols
         (p, i) <- probs.zipWithIndex

@@ -60,7 +60,16 @@ object Distributed {
     * partitions + groups entries. Pass `groupCols = Seq.empty` for one
     * global prefix sum. */
   def groupedPrefixSum(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
-      valueCol: String, outCol: String): DataFrame = {
+      valueCol: String, outCol: String): DataFrame =
+    groupedPrefixSumWithTotals(df, groupCols, order, valueCol, outCol)._1
+
+  /** As [[groupedPrefixSum]], but also returns the per-group grand
+    * totals — they fall out of the phase-2 metadata for free, saving
+    * callers (percentiles need n per column) a full extra pass over the
+    * result. */
+  def groupedPrefixSumWithTotals(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], valueCol: String,
+      outCol: String): (DataFrame, Map[Seq[Any], Long]) = {
     val spark = df.sparkSession
     val sortKeys = groupCols.map(col) ++ order
     val sorted = df.repartitionByRange(shufflePartitions(df), sortKeys: _*)
@@ -102,6 +111,7 @@ object Distributed {
         Row.fromSeq(r.toSeq :+ run)
       }
     }
-    spark.createDataFrame(out, schema.add(outCol, LongType, nullable = false))
+    (spark.createDataFrame(out, schema.add(outCol, LongType, nullable = false)),
+      running.toMap)
   }
 }
