@@ -126,6 +126,21 @@ object TextMetrics {
       .withColumn("bleu", score.cast("float"))
   }
 
+  /** Exact-match rate — the QA metric the reference scaffolds
+    * (`transformers.py:769-829`; its implementation effectively returns
+    * 0 — incomplete upstream, completed here): predictions count as hits
+    * when they equal the reference after whitespace/case normalization
+    * (the SQuAD-style normalization minus article stripping). Returns
+    * one row: n_pairs, n_match, exact_match. */
+  def exactMatch(pairs: DataFrame, predCol: String, refCol: String): DataFrame = {
+    val norm = (c: Column) => concat_ws(" ", tokens(c))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(norm(col(predCol)) === norm(col(refCol)), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("exact_match",
+        (col("n_match").cast("double") / col("n_pairs").cast("double")).cast("float"))
+  }
+
   /** Unigram-LM perplexity of a text column over its own corpus: fit
     * p(w) = c(w)/N by one explode + groupBy (map-side combinable), then
     * PPL = exp(−Σ_tokens ln p(w) / N) = exp(ln N − Σ_words c·ln(c)/N).

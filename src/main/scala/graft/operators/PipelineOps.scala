@@ -122,15 +122,48 @@ object PipelineOps {
        |HAVING count(*) >= $CONTAM_MIN_SHINGLES
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ corpus report
+  /** Per-(source, lang) corpus profile — the dashboard a data curator
+    * reads before deciding mixing rates: volume, token mass, exact-dup
+    * pressure (distinct fingerprints vs docs), mean length. One groupBy;
+    * the single distinct-agg keeps Catalyst's Expand to ×2. */
+  def ds_corpus_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0)).cast("long"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        countDistinct(md5(trim(lower($"text")))).as("n_distinct"),
+        sum($"n_chars").as("sum_chars"))
+      .select($"source", $"lang", $"n_docs", $"total_tokens", $"n_distinct",
+        ($"sum_chars".cast("double") / $"n_docs".cast("double")).as("avg_chars"))
+      .orderBy($"source", $"lang")
+  }
+
+  val dsCorpusStatsSql: String =
+    """SELECT source, lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+      |  CAST(count(DISTINCT md5(trim(lower(text)))) AS BIGINT) AS n_distinct,
+      |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_mix_sample"     -> ds_mix_sample _,
     "ds_pack_sequences" -> ds_pack_sequences _,
+    "ds_corpus_stats"   -> ds_corpus_stats _,
     "dd_contamination"  -> dd_contamination _
   )
 
   val oracles: Map[String, String] = Map(
     "ds_mix_sample"     -> dsMixSampleSql,
     "ds_pack_sequences" -> dsPackSequencesSql,
+    "ds_corpus_stats"   -> dsCorpusStatsSql,
     "dd_contamination"  -> ddContaminationSql
   )
 }

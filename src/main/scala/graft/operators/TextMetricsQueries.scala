@@ -124,6 +124,36 @@ object TextMetricsQueries {
        |FROM sc""".stripMargin
   }
 
+  // ------------------------------------------------------- Exact match
+  /** Deterministic mixed pairs: every third document's "prediction"
+    * differs only by case/whitespace (normalized hit); the rest get a
+    * token appended (miss) — exercises the normalization, lands at ~1/3. */
+  def lm_exact_match(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.documents(s, dir).select(
+      $"text".as("pred"),
+      when($"doc_id" % 3 === 0, concat(upper($"text"), lit("  ")))
+        .otherwise(concat($"text", lit(" extra"))).as("ref"))
+    TextMetrics.exactMatch(pairs, "pred", "ref")
+  }
+
+  val lmExactMatchSql: String = {
+    val norm = (x: String) =>
+      s"array_to_string(list_filter(regexp_split_to_array(trim(lower($x)), '\\s+'), t -> len(t) > 0), ' ')"
+    s"""WITH p AS (
+       |  SELECT text AS pred,
+       |    CASE WHEN doc_id % 3 = 0 THEN upper(text) || '  '
+       |         ELSE text || ' extra' END AS ref
+       |  FROM documents),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN ${norm("pred")} = ${norm("ref")} THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM p)
+       |SELECT n_pairs, n_match,
+       |  CAST(CAST(n_match AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS REAL) AS exact_match
+       |FROM agg""".stripMargin
+  }
+
   // -------------------------------------------------------- Perplexity
   def lm_perplexity_unigram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -147,12 +177,14 @@ object TextMetricsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_rouge_pairs"        -> lm_rouge_pairs _,
     "lm_bleu_corpus"        -> lm_bleu_corpus _,
+    "lm_exact_match"        -> lm_exact_match _,
     "lm_perplexity_unigram" -> lm_perplexity_unigram _
   )
 
   val oracles: Map[String, String] = Map(
     "lm_rouge_pairs"        -> lmRougeSql,
     "lm_bleu_corpus"        -> lmBleuSql,
+    "lm_exact_match"        -> lmExactMatchSql,
     "lm_perplexity_unigram" -> lmPerplexitySql
   )
 }

@@ -75,6 +75,17 @@ class TextMetricsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Float]("perplexity") - expect.toFloat) < 1e-6f)
   }
 
+  test("exact match normalizes case and whitespace but not content") {
+    val df = Seq(
+      ("The  Cat ", "the cat"),     // hit: case + spacing normalized
+      ("a b c", "a b d"),           // miss: content differs
+      ("", "   ")).toDF("p", "r")   // hit: both normalize to empty
+    val row = TextMetrics.exactMatch(df, "p", "r").head()
+    assert(row.getAs[Long]("n_pairs") == 3L)
+    assert(row.getAs[Long]("n_match") == 2L)
+    assert(math.abs(row.getAs[Float]("exact_match") - 2f / 3) < 1e-6f)
+  }
+
   test("uniform corpus perplexity equals vocabulary size") {
     val df = Seq("w1 w2 w3 w4").toDF("t")
     val row = TextMetrics.perplexityUnigram(df, "t").head()
