@@ -76,8 +76,11 @@ object Finetune {
     trainDF.unpersist()
     // weighted averages, matching the reference's text-classification
     // eval (sklearn average="weighted", transformers.py:719-721)
+    // "f1" is ALWAYS the weighted value from here on (deploy compares
+    // like with like); the macro value rides along under its own key
     val metrics = Map(
-      "f1" -> rep.f1Weighted, "accuracy" -> rep.accuracy,
+      "f1" -> rep.f1Weighted, "f1_macro" -> rep.f1Macro,
+      "accuracy" -> rep.accuracy,
       "precision" -> rep.precisionWeighted, "recall" -> rep.recallWeighted,
       "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
 

@@ -26,12 +26,15 @@ object Ops {
     embedColumnWith(df, textCol, outCol, dim, batchSize)(
       () => ModelRuntimes.get(runtime)) // executor-singleton, loaded once
 
-  /** Instance form: ships the runtime's state (e.g. a fitted
-    * [[Word2VecRuntime]] vocabulary) inside the task closure, so it
-    * works across JVMs without name-based registry setup on executors. */
+  /** Instance form: BROADCASTS the runtime's state (e.g. a fitted
+    * [[Word2VecRuntime]] vocabulary) so executors fetch it once each,
+    * instead of every task binary carrying the full state; works across
+    * JVMs without name-based registry setup on executors. */
   def embedColumn(df: DataFrame, runtime: ModelRuntime, textCol: String,
-      outCol: String, dim: Int): DataFrame =
-    embedColumnWith(df, textCol, outCol, dim, 256)(() => runtime)
+      outCol: String, dim: Int): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(runtime)
+    embedColumnWith(df, textCol, outCol, dim, 256)(() => bc.value)
+  }
 
   private def embedColumnWith(df: DataFrame, textCol: String, outCol: String,
       dim: Int, batchSize: Int)(rtf: () => ModelRuntime): DataFrame = {

@@ -75,8 +75,9 @@ object Word2VecRuntime {
       minCount: Int = 2, maxIter: Int = 1, seed: Long = 42L,
       numPartitions: Int = 1): Word2VecRuntime = {
     val tokens = corpus
-      .select(split(trim(lower(col(textCol))), "\\s+").as("__toks"))
-      .filter(size(col("__toks")) > 0)
+      .select(filter(split(trim(lower(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("__toks"))
+      .filter(size(col("__toks")) > 0) // whitespace-only docs → [] → dropped
     val model = new org.apache.spark.ml.feature.Word2Vec()
       .setInputCol("__toks").setOutputCol("__vec")
       .setVectorSize(dim).setMinCount(minCount)

@@ -98,41 +98,19 @@ object Components {
       .orderBy($"component")
   }
 
-  /** Simhash pair replay (the dd_simhash_pairs oracle minus its final
-    * ORDER BY) as a CTE prefix ending in `edges(da, db)`. */
-  private val edgesSqlCte: String = {
-    val h = Dedup.h60Sql.format("tok")
-    s"""tk AS (SELECT doc_id,
-       |    unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
-       |  FROM documents),
-       |th AS (SELECT doc_id, $h AS h FROM tk),
-       |bits AS (
-       |  SELECT doc_id, i,
-       |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
-       |  FROM th, (SELECT unnest(range(0, 60)) AS i) js
-       |  GROUP BY doc_id, i),
-       |sig AS (
-       |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bsig
-       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-       |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
-       |edges AS (SELECT da, db FROM cand),
-       |und AS (SELECT da AS v, db AS u FROM edges
-       |        UNION ALL SELECT db AS v, da AS u FROM edges),
+  /** Reachability closure over the SHARED simhash pair CTE
+    * (`Dedup.simhashPairsSqlCte`) — one SQL definition of the pair set
+    * for both the pair gate and these component gates. */
+  private val edgesSqlCte: String =
+    s"""${Dedup.simhashPairsSqlCte},
+       |und AS (SELECT da AS v, db AS u FROM spairs
+       |        UNION ALL SELECT db AS v, da AS u FROM spairs),
        |reach AS (
        |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM und) n
        |  UNION
        |  SELECT r.v, e.u FROM reach r JOIN und e ON e.v = r.u),
        |comps AS (
        |  SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v)""".stripMargin
-  }
 
   val ddComponentsSql: String =
     s"""WITH RECURSIVE $edgesSqlCte

@@ -295,9 +295,13 @@ object Dedup {
       .select($"da", $"db", $"hamming")
   }
 
-  val ddSimhashPairsSql: String = {
+  /** Shared CTE prefix ending in `spairs(da, db, hamming)` — the single
+    * SQL definition of the simhash near-dup pair set, used by the
+    * dd_simhash_pairs oracle AND the connected-components oracles so the
+    * pair semantics can never silently diverge between gates. */
+  private[operators] val simhashPairsSqlCte: String = {
     val h = h60Sql.format("tok")
-    s"""WITH tk AS (SELECT doc_id,
+    s"""tk AS (SELECT doc_id,
        |    unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
        |  FROM documents),
        |th AS (SELECT doc_id, $h AS h FROM tk),
@@ -317,11 +321,15 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
        |    a.simhash AS ha, b.simhash AS hb
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-       |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(ha, hb)) <= 6
-       |ORDER BY da, db""".stripMargin
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |spairs AS (
+       |  SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(ha, hb)) <= 6)""".stripMargin
   }
+
+  val ddSimhashPairsSql: String =
+    s"""WITH $simhashPairsSqlCte
+       |SELECT da, db, hamming FROM spairs ORDER BY da, db""".stripMargin
 
   /** Default document-frequency cap for ngramJaccardPairs. The Jaccard
     * denominators still use the full shingle-set sizes, so capped scores

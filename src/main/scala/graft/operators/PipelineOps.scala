@@ -36,7 +36,10 @@ object PipelineOps {
     * batch or streaming (no state, no watermark, no sort): the same
     * expressions run under `readStream` unchanged. */
   def mixSample(s: SparkSession, docs: DataFrame): DataFrame = {
-    val permille = (lit(1L) + substring(col("source"), 4, 10).cast("long") % 10) * 100
+    // non-numeric / missing source suffix → index 0 → minimum rate, on
+    // BOTH engines (Spark cast and DuckDB TRY_CAST both yield null)
+    val idx = coalesce(substring(col("source"), 4, 18).cast("long") % 10, lit(0L))
+    val permille = (lit(1L) + idx) * 100
     docs.withColumn("permille", permille)
       .withColumn("h", Dedup.h60(s, concat(lit("mix|"), col("doc_id").cast("string"))))
       .filter(col("h") % 1000 < col("permille"))
@@ -50,10 +53,10 @@ object PipelineOps {
 
   val dsMixSampleSql: String = {
     val h = Dedup.h60Sql.format("'mix|' || CAST(doc_id AS VARCHAR)")
-    s"""SELECT doc_id, source,
-       |  (1 + CAST(substr(source, 4) AS BIGINT) % 10) * 100 AS permille
+    val pm = "(1 + coalesce(TRY_CAST(substr(source, 4, 18) AS BIGINT) % 10, 0)) * 100"
+    s"""SELECT doc_id, source, $pm AS permille
        |FROM documents
-       |WHERE $h % 1000 < (1 + CAST(substr(source, 4) AS BIGINT) % 10) * 100
+       |WHERE $h % 1000 < $pm
        |ORDER BY doc_id""".stripMargin
   }
 

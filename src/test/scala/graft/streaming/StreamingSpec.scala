@@ -99,17 +99,19 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming mix-sample keeps exactly the batch rows (hash rule is stateless)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mix_stream").toString
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id", $"source").limit(200)
-    docs.coalesce(2).write.mode("overwrite").parquet(s"$dir/docs_stream")
-    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/docs_stream")
+    graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source").orderBy($"doc_id").limit(200)
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/docs_stream")
+    // batch side reads the SAME files back — both sides see one row set
+    val staged = spark.read.parquet(s"$dir/docs_stream")
+    val stream = spark.readStream.schema(staged.schema).parquet(s"$dir/docs_stream")
     val q = StreamingOps.mixSampleStream(spark, stream).writeStream
       .outputMode("append").format("memory").queryName("mix_out").start()
     try {
       q.processAllAvailable()
       val streamed = spark.table("mix_out")
         .select($"doc_id").collect().map(_.getLong(0)).toSet
-      val batch = graft.operators.PipelineOps.mixSample(spark, docs)
+      val batch = graft.operators.PipelineOps.mixSample(spark, staged)
         .select($"doc_id").collect().map(_.getLong(0)).toSet
       assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
       assert(batch.nonEmpty)
