@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.TextAnalysis.queries ++
+      operators.CorpusQuality.queries ++
       operators.Dedup.queries ++
       operators.Components.queries ++
       operators.PipelineOps.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.TextAnalysis.oracles ++
+      operators.CorpusQuality.oracles ++
       operators.Dedup.oracles ++
       operators.Components.oracles ++
       operators.PipelineOps.oracles ++

@@ -22,9 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
   /** Normalized whitespace tokens, shared by all ops. */
-  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+  private[operators] def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
   private val enStops = Seq("the", "a", "of", "is", "and", "to", "in", "it")
+
+  /** The heuristic quality score in [0,1] as a reusable column expression
+    * over a raw text column — shared by ta_quality and the
+    * percentile-threshold pruning operator (CorpusQuality), so both
+    * gates score with the one expression tree. */
+  private[operators] def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, c => c.isInCollection(enStops))).cast("double")
+    val nPunct = length(regexp_replace(text, "[^.!?,;:]", "")).cast("double")
+    val nChar = length(text).cast("double")
+    lit(0.4) * least(lit(1.0), nTok / lit(60.0)) +
+      lit(0.3) * least(lit(1.0), (nStop / nTok) * lit(5.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), (nPunct / nChar) * lit(10.0)))
+  }
+
+  /** The same score as DuckDB SQL over a `text` column (oracle twin). */
+  private[operators] val qualityScoreSql: String = {
+    val t = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    val stops = enStops.map(w => s"'$w'").mkString(", ")
+    s"""0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 60.0)
+       |  + 0.3 * least(1.0, (CAST(len(list_filter($t, x -> x IN ($stops))) AS DOUBLE) / len($t)) * 5.0)
+       |  + 0.3 * (1.0 - least(1.0, (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0))""".stripMargin
+  }
 
   def ta_token_stats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -54,10 +78,7 @@ object TextAnalysis {
     val nPunct = length(regexp_replace($"text", "[^.!?,;:]", "")).cast("double")
     val nChar = length($"text").cast("double")
     val ttr = size(array_distinct(t)).cast("double") / nTok
-    val score =
-      lit(0.4) * least(lit(1.0), nTok / lit(60.0)) +
-      lit(0.3) * least(lit(1.0), (nStop / nTok) * lit(5.0)) +
-      lit(0.3) * (lit(1.0) - least(lit(1.0), (nPunct / nChar) * lit(10.0)))
+    val score = qualityScore($"text")
     Tables.documents(s, dir)
       .select($"doc_id",
         nTok.cast("long").as("n_tokens"),
