@@ -355,13 +355,48 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.7
        |ORDER BY da, db""".stripMargin
 
+  // --------------------------------------------- bloom-prefiltered overlap
+  /** Per-document overlap with a reference set (here: docs 0–19 stand in
+    * for an eval benchmark), accelerated by a Bloom prefilter — the
+    * 100 TB decontamination shape: the benchmark's shingle set is
+    * compressed to a Bloom filter built driver-side and shipped in a
+    * broadcast (MBs for 10⁸ shingles at 1% fpp, vs GBs for the exact
+    * set), so ~99% of corpus shingles are dropped IN THE MAP STAGE
+    * before any shuffle. Survivors are confirmed by an exact broadcast
+    * semi-join against the true set, so the OUTPUT is exact regardless
+    * of the filter's false-positive rate — the Bloom stage is purely a
+    * shuffle-volume optimization, which is why a plain-join oracle can
+    * gate it. */
+  def dd_bloom_membership(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    val bench = sh.filter($"doc_id" < 20).select($"hs").distinct()
+    val bf = bench.stat.bloomFilter("hs", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContain(h))
+    sh.filter($"doc_id" >= 20)
+      .filter(mightContain($"hs"))
+      .join(broadcast(bench), Seq("hs"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_bench_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val ddBloomMembershipSql: String =
+    s"""WITH $shinglesSqlCte,
+       |bench AS (SELECT DISTINCT hs FROM sh WHERE doc_id < 20)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_shingles
+       |FROM sh JOIN bench USING (hs)
+       |WHERE doc_id >= 20
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> dd_exact _,
     "dd_ngram_jaccard" -> dd_ngram_jaccard _,
     "dd_ngram_jaccard_capped" -> dd_ngram_jaccard_capped _,
     "dd_minhash_lsh"   -> dd_minhash_lsh _,
     "dd_simhash"       -> dd_simhash _,
-    "dd_simhash_pairs" -> dd_simhash_pairs _
+    "dd_simhash_pairs" -> dd_simhash_pairs _,
+    "dd_bloom_membership" -> dd_bloom_membership _
   )
 
   val oracles: Map[String, String] = Map(
@@ -370,6 +405,7 @@ object Dedup {
     "dd_ngram_jaccard_capped" -> ddNgramCappedSql,
     "dd_minhash_lsh"   -> ddMinhashSql,
     "dd_simhash"       -> ddSimhashSql,
-    "dd_simhash_pairs" -> ddSimhashPairsSql
+    "dd_simhash_pairs" -> ddSimhashPairsSql,
+    "dd_bloom_membership" -> ddBloomMembershipSql
   )
 }

@@ -308,12 +308,63 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** kNN-graph construction: top-3 in-cell cosine neighbors for EVERY
+    * node (not just a query set) — the edge list that graph-based dedup
+    * clustering and NN-descent-style ANN refinement start from.
+    *
+    * Scale shape: the within-cell self-join is quadratic in CELL size,
+    * not corpus size — with #cells grown proportionally to the corpus
+    * (cell population bounded by the coarse quantizer), total work stays
+    * linear and every cell is an independent partition. The per-node
+    * top-k is a keyed window (partitionBy src), partition-parallel. */
+  def sim_knn_graph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).withColumn("cell", cellCol($"v"))
+    val a = e.select($"vec_id".as("src"), $"v".as("va"), $"nrm".as("na"), $"cell")
+    val b = e.select($"vec_id".as("dst"), $"v".as("vb"), $"nrm".as("nb"), $"cell")
+    val scored = a.join(b, Seq("cell")).filter($"src" =!= $"dst")
+      .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cos".desc, $"dst")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"src", $"dst", $"cos", $"rn".cast("long").as("rank"))
+      .orderBy($"src", $"rank")
+  }
+
+  val simKnnGraphSql: String = {
+    def d(k: Int) =
+      s"""list_sum(list_transform(range(1, len(v) + 1),
+         |  i -> (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
+         |    / 2147483648.0 - 0.5))
+         |    * (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
+         |    / 2147483648.0 - 0.5))))""".stripMargin
+    s"""WITH $embSqlCte,
+       |cells AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+       |         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+       |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cell
+       |  FROM (SELECT vec_id, v, nrm, ${d(0)} AS d0, ${d(1)} AS d1,
+       |          ${d(2)} AS d2, ${d(3)} AS d3 FROM n) n),
+       |pairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |      / (a.nrm * b.nrm) AS cos
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id != b.vec_id)
+       |SELECT src, dst, cos, CAST(rn AS BIGINT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |  FROM pairs) t
+       |WHERE rn <= 3 ORDER BY src, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine"    -> sim_topk_cosine _,
     "sim_neardup_cosine" -> sim_neardup_cosine _,
     "sim_ann_lsh"        -> sim_ann_lsh _,
     "sim_ann_ivf"        -> sim_ann_ivf _,
-    "sim_ann_ivf_probe2" -> sim_ann_ivf_probe2 _
+    "sim_ann_ivf_probe2" -> sim_ann_ivf_probe2 _,
+    "sim_knn_graph"      -> sim_knn_graph _
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,6 +372,7 @@ object Similarity {
     "sim_neardup_cosine" -> simNeardupSql,
     "sim_ann_lsh"        -> simAnnSql,
     "sim_ann_ivf"        -> simIvfSql,
-    "sim_ann_ivf_probe2" -> simIvfProbe2Sql
+    "sim_ann_ivf_probe2" -> simIvfProbe2Sql,
+    "sim_knn_graph"      -> simKnnGraphSql
   )
 }
