@@ -65,8 +65,10 @@ object GraftFunctions {
   val h60Info = new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_h60")
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   val sqdistInfo = new ExpressionInfo(classOf[SumSqDiff].getName, "graft_sqdist")
+  val cellInfo = new ExpressionInfo(classOf[NearestCentroid].getName, "graft_cell")
 
   private val arrD = ArrayType(DoubleType)
+  private val arrArrD = ArrayType(arrD)
 
   private val buildH60: Seq[Expression] => Expression = { children =>
     require(children.size == 1, "graft_h60 takes exactly one argument")
@@ -80,18 +82,24 @@ object GraftFunctions {
     require(children.size == 2, "graft_sqdist takes exactly two arguments")
     SumSqDiff(Cast(children(0), arrD), Cast(children(1), arrD))
   }
+  private val buildCell: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_cell takes exactly two arguments")
+    NearestCentroid(Cast(children(0), arrD), Cast(children(1), arrArrD))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier("graft_h60"), h60Info, buildH60)
     reg.registerFunction(FunctionIdentifier("graft_dot"), dotInfo, buildDot)
     reg.registerFunction(FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist)
+    reg.registerFunction(FunctionIdentifier("graft_cell"), cellInfo, buildCell)
   }
 
   private[functions] def builders = Seq(
     (FunctionIdentifier("graft_h60"), h60Info, buildH60),
     (FunctionIdentifier("graft_dot"), dotInfo, buildDot),
-    (FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist))
+    (FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist),
+    (FunctionIdentifier("graft_cell"), cellInfo, buildCell))
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Coarse quantizer for the IVF / kNN-graph similarity family: maps an
+  * `array<double>` embedding to a cell id in `[0, numCells)`.
+  *
+  * The quantizer is THE scale lever for this family: every in-cell
+  * operation (IVF probe, kNN-graph self-join) is quadratic in CELL
+  * population, so keeping cells bounded — by growing `numCells` with the
+  * corpus — is what keeps total work linear at 100 TB. Two
+  * implementations:
+  *
+  *  - [[LcgQuantizer]]: 4 closed-form pseudo-random centroids. Exactly
+  *    replayable in ANSI SQL, so it anchors the DuckDB correctness
+  *    gates — but its cell count is a constant, which makes it a
+  *    correctness twin, not a scale path.
+  *  - [[KMeansQuantizer]]: centroids TRAINED with MLlib k-means (on the
+  *    corpus or a sample), k sized to bound cell population. Assignment
+  *    runs through the native codegen expression `graft_cell`, so the
+  *    corpus-side scan stays inside whole-stage codegen at any k.
+  */
+trait CoarseQuantizer extends Serializable {
+  def numCells: Int
+
+  /** Cell id for one vector (argmin squared distance, ties → lower id). */
+  def cellCol(v: Column): Column
+
+  /** The `nprobe` nearest cell ids, nearest first — the query-side
+    * multi-probe list. Query sets are small, so this composable form
+    * (sort k distance structs) is fine even where the corpus side needs
+    * the native single-call assignment. */
+  def probeCol(v: Column, nprobe: Int): Column
+
+  /** Centroid for cell k, exposed for specs and plan audits. */
+  def centroid(k: Int): Seq[Double]
+
+  protected def sqdist(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
+
+  /** Default probe list via a sorted array of (distance, id) structs —
+    * generated-code size grows with numCells, acceptable query-side. */
+  protected def probeBySort(v: Column, nprobe: Int): Column = {
+    val dists = (0 until numCells).map { k =>
+      struct(sqdist(v, typedlit(centroid(k))).as("d"), lit(k.toLong).as("k"))
+    }
+    transform(slice(array_sort(array(dists: _*)), 1, nprobe), x => x.getField("k"))
+  }
+}
+
+/** The 4-cell closed-form LCG quantizer — the DuckDB-replayable oracle
+  * twin (see `Similarity.simIvfSql` for the matching SQL arithmetic). */
+object LcgQuantizer extends CoarseQuantizer {
+  override val numCells: Int = 4
+
+  override def centroid(k: Int): Seq[Double] =
+    (0 until 64).map { i =>
+      ((1103515245L * (k * 64 + i) + 12345L) % 2147483648L).toDouble /
+        2147483648.0 - 0.5
+    }
+
+  override def cellCol(v: Column): Column = {
+    val dists = (0 until 4).map(k => sqdist(v, typedlit(centroid(k))))
+    when(dists(0) <= dists(1) && dists(0) <= dists(2) && dists(0) <= dists(3), 0L)
+      .when(dists(1) <= dists(2) && dists(1) <= dists(3), 1L)
+      .when(dists(2) <= dists(3), 2L).otherwise(3L)
+  }
+
+  override def probeCol(v: Column, nprobe: Int): Column = probeBySort(v, nprobe)
+}
+
+/** Trained k-means coarse quantizer. Centroids ride into the plan as a
+  * single `array<array<double>>` literal; assignment is one native
+  * `graft_cell` call per row (codegen at any k), so the 100 TB corpus
+  * scan never leaves whole-stage codegen and never shuffles — the cell
+  * id is computed map-side and becomes the partition/bucket key. */
+final class KMeansQuantizer(val centroids: Array[Array[Double]]) extends CoarseQuantizer {
+  require(centroids.nonEmpty, "KMeansQuantizer needs at least one centroid")
+  override def numCells: Int = centroids.length
+  override def centroid(k: Int): Seq[Double] = centroids(k).toSeq
+
+  private def centLit: Column = typedlit(centroids.map(_.toSeq).toSeq)
+
+  override def cellCol(v: Column): Column = call_function("graft_cell", v, centLit)
+
+  override def probeCol(v: Column, nprobe: Int): Column = probeBySort(v, nprobe)
+}
+
+object KMeansQuantizer {
+  /** Fit k-means centroids on the `v` column of `e`.
+    *
+    * At 100 TB the fit runs on `sampleFraction` of the corpus (k-means
+    * cell centers converge on a sample; assignment of the full corpus
+    * is the map-only `graft_cell` pass) and `k` is sized as
+    * corpus_rows / target_cell_rows so the downstream in-cell joins
+    * stay bounded. Deterministic under a fixed seed.
+    */
+  def fit(e: DataFrame, k: Int, seed: Long = 42L,
+      sampleFraction: Double = 1.0): KMeansQuantizer = {
+    val sample = if (sampleFraction >= 1.0) e else e.sample(sampleFraction, seed)
+    val feats = sample.select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").fit(feats)
+    new KMeansQuantizer(model.clusterCenters.map(_.toArray))
+  }
+
+  /** k sized from the corpus: rows / targetCellRows, clamped to
+    * [2, maxK]. The knob a 1000-executor deployment would set. */
+  def chooseK(rows: Long, targetCellRows: Long, maxK: Int = 65536): Int =
+    math.max(2, math.min(maxK, math.ceil(rows.toDouble / targetCellRows).toInt))
+}

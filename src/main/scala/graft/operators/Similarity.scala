@@ -184,39 +184,42 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
 
   // --------------------------------------------------------------- IVF ANN
-  /** IVF-style ANN: a coarse quantizer (4 closed-form centroids — in
-    * production, k-means cell centers) partitions the corpus into cells;
-    * queries probe their own cell (nprobe=1) and rank by exact cosine.
-    * The inverted-file shape at scale: the corpus is PARTITIONED by cell
-    * id (a real deployment writes it partitioned/bucketed by cell), so a
-    * probe touches 1/k of the data and candidates meet via the cell
-    * equi-join, never a cross join. */
-  private def centroid(k: Int): Seq[Double] =
-    (0 until 64).map { i =>
-      ((1103515245L * (k * 64 + i) + 12345L) % 2147483648L).toDouble /
-        2147483648.0 - 0.5
-    }
-
-  private def cellCol(v: Column): Column = {
-    val dists = (0 until 4).map(k => sqdist(v, typedlit(centroid(k))))
-    when(dists(0) <= dists(1) && dists(0) <= dists(2) && dists(0) <= dists(3), 0L)
-      .when(dists(1) <= dists(2) && dists(1) <= dists(3), 1L)
-      .when(dists(2) <= dists(3), 2L).otherwise(3L)
+  /** IVF-style ANN, generic in the coarse quantizer: cells partition the
+    * corpus; queries probe their `nprobe` nearest cells and rank by
+    * exact cosine. The inverted-file shape at scale: the corpus is
+    * PARTITIONED by cell id (a real deployment writes it partitioned/
+    * bucketed by cell), so a probe touches 1/k of the data and
+    * candidates meet via the cell equi-join, never a cross join. The
+    * probe list explodes QUERY-side only; the corpus keeps its single
+    * map-computed cell. Gates run [[LcgQuantizer]] (DuckDB-replayable);
+    * the scale path is a trained [[KMeansQuantizer]] with k sized to
+    * bound cell population. */
+  def annIvf(e: DataFrame, quant: CoarseQuantizer, queryPred: Column,
+      topK: Int = 3, nprobe: Int = 1): DataFrame = {
+    val probes =
+      if (nprobe == 1)
+        e.filter(queryPred).withColumn("cell", quant.cellCol(col("v")))
+      else
+        e.filter(queryPred)
+          .withColumn("cell", explode(quant.probeCol(col("v"), nprobe)))
+    val q = probes.select(col("vec_id").as("qid"), col("v").as("vq"),
+      col("nrm").as("nq"), col("cell"))
+    val c = e.withColumn("cell", quant.cellCol(col("v")))
+      .select(col("vec_id").as("cid"), col("v").as("vc"),
+        col("nrm").as("nc"), col("cell"))
+    val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot(col("vq"), col("vc")) / (col("nq") * col("nc")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("cell"), col("cid"), col("cos"),
+        col("rn").cast("long").as("rank"))
   }
 
   def sim_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).withColumn("cell", cellCol($"v"))
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"v".as("vq"), $"nrm".as("nq"), $"cell")
-    val c = e.select($"vec_id".as("cid"), $"v".as("vc"), $"nrm".as("nc"), $"cell")
-    val scored = q.join(c, Seq("cell")).filter($"qid" =!= $"cid")
-      .withColumn("cos", dot($"vq", $"vc") / ($"nq" * $"nc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
-      .select($"qid", $"cell", $"cid", $"cos", $"rn".cast("long").as("rank"))
+    annIvf(emb(s, dir), LcgQuantizer, col("vec_id") < 10)
       .orderBy($"qid", $"rank")
   }
 
@@ -254,23 +257,8 @@ object Similarity {
     * read per query for recall, never a cross join. */
   def sim_ann_ivf_probe2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
-    val dists = (0 until 4).map { k =>
-      struct(sqdist($"v", typedlit(centroid(k))).as("d"), lit(k.toLong).as("k"))
-    }
-    val probes = e.filter($"vec_id" < 10)
-      .withColumn("probe",
-        explode(transform(slice(array_sort(array(dists: _*)), 1, 2), x => x.getField("k"))))
-      .select($"vec_id".as("qid"), $"v".as("vq"), $"nrm".as("nq"), $"probe".as("cell"))
-    val c = e.withColumn("cell", cellCol($"v"))
-      .select($"vec_id".as("cid"), $"v".as("vc"), $"nrm".as("nc"), $"cell")
-    val scored = probes.join(c, Seq("cell")).filter($"qid" =!= $"cid")
-      .withColumn("cos", dot($"vq", $"vc") / ($"nq" * $"nc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
-      .select($"qid", $"cid", $"cos", $"rn".cast("long").as("rank"))
+    annIvf(emb(s, dir), LcgQuantizer, col("vec_id") < 10, nprobe = 2)
+      .select($"qid", $"cid", $"cos", $"rank")
       .orderBy($"qid", $"rank")
   }
 
@@ -308,28 +296,51 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
   }
 
-  /** kNN-graph construction: top-3 in-cell cosine neighbors for EVERY
+  /** Rows per cell above which the kNN-graph self-join refuses to run:
+    * in-cell work is quadratic in cell population, so a fat cell means
+    * the quantizer's k is too small for the corpus — the fix is a
+    * bigger-k [[KMeansQuantizer]], not a longer wait. */
+  val KNN_MAX_CELL_ROWS = 20000L
+
+  /** kNN-graph construction: top-k in-cell cosine neighbors for EVERY
     * node (not just a query set) — the edge list that graph-based dedup
     * clustering and NN-descent-style ANN refinement start from.
     *
     * Scale shape: the within-cell self-join is quadratic in CELL size,
     * not corpus size — with #cells grown proportionally to the corpus
-    * (cell population bounded by the coarse quantizer), total work stays
-    * linear and every cell is an independent partition. The per-node
-    * top-k is a keyed window (partitionBy src), partition-parallel. */
+    * (a trained [[KMeansQuantizer]] with k = rows / target_cell_rows),
+    * total work stays linear and every cell is an independent
+    * partition. GUARDED: counts the fattest cell first and errors past
+    * `maxCellRows`, routing callers to a larger quantizer — the same
+    * convention as `nearDupBruteForce`. The per-node top-k is a keyed
+    * window (partitionBy src), partition-parallel. */
+  def knnGraph(e: DataFrame, quant: CoarseQuantizer, topK: Int = 3,
+      maxCellRows: Long = KNN_MAX_CELL_ROWS): DataFrame = {
+    val cells = e.withColumn("cell", quant.cellCol(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fattest = cells.groupBy(col("cell")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    require(fattest <= maxCellRows,
+      s"kNN-graph in-cell join is quadratic in cell population and the " +
+        s"fattest cell has $fattest rows > $maxCellRows; refit the " +
+        s"quantizer with larger k (KMeansQuantizer.fit with " +
+        s"k ≈ rows/${maxCellRows / 2}) instead of scaling this plan")
+    val a = cells.select(col("vec_id").as("src"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = cells.select(col("vec_id").as("dst"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val scored = a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("src"), col("dst"), col("cos"), col("rn").cast("long").as("rank"))
+  }
+
   def sim_knn_graph(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).withColumn("cell", cellCol($"v"))
-    val a = e.select($"vec_id".as("src"), $"v".as("va"), $"nrm".as("na"), $"cell")
-    val b = e.select($"vec_id".as("dst"), $"v".as("vb"), $"nrm".as("nb"), $"cell")
-    val scored = a.join(b, Seq("cell")).filter($"src" =!= $"dst")
-      .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"src").orderBy($"cos".desc, $"dst")
-    scored.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
-      .select($"src", $"dst", $"cos", $"rn".cast("long").as("rank"))
-      .orderBy($"src", $"rank")
+    knnGraph(emb(s, dir), LcgQuantizer).orderBy($"src", $"rank")
   }
 
   val simKnnGraphSql: String = {
