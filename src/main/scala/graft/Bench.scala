@@ -51,7 +51,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+    println(line)
+    // the driver captures stdout with a bounded tail — the r6 capture
+    // lost the trailing dd_* timings — so the full vector also lands as
+    // a file artifact every run, keeping rounds comparable query by query
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_results.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -66,6 +66,12 @@ object GraftFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   val sqdistInfo = new ExpressionInfo(classOf[SumSqDiff].getName, "graft_sqdist")
   val cellInfo = new ExpressionInfo(classOf[NearestCentroid].getName, "graft_cell")
+  val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    "graft_bloom_agg")
+  val bloomMightInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    "graft_might_contain")
 
   private val arrD = ArrayType(DoubleType)
   private val arrArrD = ArrayType(arrD)
@@ -86,6 +92,20 @@ object GraftFunctions {
     require(children.size == 2, "graft_cell takes exactly two arguments")
     NearestCentroid(Cast(children(0), arrD), Cast(children(1), arrArrD))
   }
+  // Spark's own runtime-filter Bloom pair, surfaced by name: the agg
+  // builds a serialized filter (binary), might_contain tests a long
+  // against a foldable filter INSIDE whole-stage codegen — the
+  // replacement for a boxed mightContain UDF in the dedup prefilter.
+  private val buildBloomAgg: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_bloom_agg takes (value, estimatedNumItems)")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      children(0), children(1))
+  }
+  private val buildBloomMight: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_might_contain takes (bloomFilter, value)")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      children(0), children(1))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -93,13 +113,17 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier("graft_dot"), dotInfo, buildDot)
     reg.registerFunction(FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist)
     reg.registerFunction(FunctionIdentifier("graft_cell"), cellInfo, buildCell)
+    reg.registerFunction(FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg)
+    reg.registerFunction(FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight)
   }
 
   private[functions] def builders = Seq(
     (FunctionIdentifier("graft_h60"), h60Info, buildH60),
     (FunctionIdentifier("graft_dot"), dotInfo, buildDot),
     (FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist),
-    (FunctionIdentifier("graft_cell"), cellInfo, buildCell))
+    (FunctionIdentifier("graft_cell"), cellInfo, buildCell),
+    (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg),
+    (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight))
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

@@ -49,20 +49,37 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   def files = read[FileRow]("files")
   def logs = read[LogRow]("logs")
 
+  /** Catalog appends serialize per (catalog, table): concurrent jobs
+    * appending to one directory share the committer's `_temporary/0`
+    * staging path, and either job's commit-cleanup deletes the other's
+    * in-flight files. The write is O(metadata) — a handful of rows — so
+    * a lock costs nothing and the DATA path never takes it. */
   private def append[T: org.apache.spark.sql.Encoder](t: String, rows: Seq[T]): Unit =
-    rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(dir(t))
-
-  def nextId(t: String): Long = {
-    val ds: DataFrame = t match {
-      case "projects" => projects.toDF()
-      case "snapshots" => snapshots.toDF()
-      case "models" => models.toDF()
-      case "deployments" => deployments.toDF()
-      case "files" => files.toDF()
-      case "logs" => logs.toDF()
+    Catalog.writeLock(baseDir, t).synchronized {
+      rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(dir(t))
     }
-    if (ds.isEmpty) 1L else ds.agg(max("id")).head().getLong(0) + 1L
+
+  private def tableDf(t: String): DataFrame = t match {
+    case "projects" => projects.toDF()
+    case "snapshots" => snapshots.toDF()
+    case "models" => models.toDF()
+    case "deployments" => deployments.toDF()
+    case "files" => files.toDF()
+    case "logs" => logs.toDF()
   }
+
+  /** Ids come from a process-wide monotonic counter per (catalog, table),
+    * seeded from max(id) on first use — parquet has no sequences, and a
+    * bare max(id)+1 read races under concurrent trainers sharing the
+    * driver (both read the same max before either appends). The counter
+    * makes in-process allocation safe; writers in DIFFERENT processes
+    * still need the single-writer discipline the reference assumes. */
+  def nextId(t: String): Long =
+    Catalog.counters.computeIfAbsent((baseDir, t), _ => {
+      val ds = tableDf(t)
+      new java.util.concurrent.atomic.AtomicLong(
+        if (ds.isEmpty) 0L else ds.agg(max("id")).head().getLong(0))
+    }).incrementAndGet()
 
   private def now() = new Timestamp(System.currentTimeMillis())
 
@@ -149,9 +166,13 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * (reference `src/api.rs:2357-2392`). */
   def loadAll(path: String): Unit = tableNames.foreach { t =>
     val src = s"$path/$t"
-    if (new java.io.File(src).exists())
+    if (new java.io.File(src).exists()) {
       spark.read.parquet(src).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(dir(t))
+      // restored ids supersede whatever this process allocated — drop
+      // the counter so the next nextId re-seeds from the loaded table
+      Catalog.counters.remove((baseDir, t))
+    }
   }
 
   /** Best-scoring model for a project by the task's default metric —
@@ -169,4 +190,16 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
       ordered.select($"id").collect().headOption.map(_.getLong(0))
     }
   }
+}
+
+object Catalog {
+  /** Process-wide id allocators keyed by (catalog baseDir, table). */
+  private val counters = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.atomic.AtomicLong]()
+
+  /** Per-(catalog, table) append locks — see `Catalog.append`. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Object]()
+  private[ml] def writeLock(baseDir: String, t: String): Object =
+    locks.computeIfAbsent((baseDir, t), _ => new Object)
 }

@@ -64,10 +64,14 @@ object CorpusQuality {
     * aggregations, then a co-partitioned join back on doc_id. */
   def ta_repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached: consumed by both the top2 aggregation and the final
+    // select, and the tokenize + gram construction is the dominant
+    // map-stage cost — without the cache it would execute twice
     val docs = Tables.documents(s, dir)
       .select($"doc_id", toksNE($"text").as("t"))
       .select($"doc_id", size($"t").cast("long").as("n_tokens"),
         grams($"t", 2).as("g2"), grams($"t", 3).as("g3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val top2 = docs.select($"doc_id", explode($"g2").as("g"))
       .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))

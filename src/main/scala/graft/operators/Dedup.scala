@@ -369,13 +369,25 @@ object Dedup {
     * gate it. */
   def dd_bloom_membership(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val sh = shingles(s, dir)
-    val bench = sh.filter($"doc_id" < 20).select($"hs").distinct()
-    val bf = bench.stat.bloomFilter("hs", 100000L, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContain(h))
+    val bench = sh.filter($"doc_id" < 20).select($"hs").distinct().cache()
+    // size the filter from the ACTUAL benchmark cardinality (a fixed
+    // expectedNumItems silently degrades fpp — and the prefilter's
+    // pruning power — once the benchmark outgrows it); the count rides
+    // the same cached frame the filter build scans
+    val nBench = math.max(bench.count(), 1L)
+    // Spark's native runtime-filter Bloom pair: the agg builds the
+    // serialized filter distributed (map-combinable), and the filter
+    // bytes enter the corpus scan as a foldable literal tested by the
+    // codegen'd might_contain — same mechanics as Catalyst's own
+    // injected row-level runtime filters, replacing the boxed per-row
+    // UDF this stage used to pay on every corpus shingle
+    val bfBytes = bench
+      .agg(call_function("graft_bloom_agg", $"hs", lit(nBench)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
     sh.filter($"doc_id" >= 20)
-      .filter(mightContain($"hs"))
+      .filter(call_function("graft_might_contain", lit(bfBytes), $"hs"))
       .join(broadcast(bench), Seq("hs"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_bench_shingles"))
       .orderBy($"doc_id")

@@ -36,9 +36,13 @@ object TextAnalysis {
     val nStop = size(filter(t, c => c.isInCollection(enStops))).cast("double")
     val nPunct = length(regexp_replace(text, "[^.!?,;:]", "")).cast("double")
     val nChar = length(text).cast("double")
+    // nChar = 0 (empty doc) would make the punct term 0/0 = NaN, and the
+    // engines disagree on NaN ordering in downstream percentiles — treat
+    // an empty doc as punct-free instead (same CASE in the SQL twins)
     lit(0.4) * least(lit(1.0), nTok / lit(60.0)) +
       lit(0.3) * least(lit(1.0), (nStop / nTok) * lit(5.0)) +
-      lit(0.3) * (lit(1.0) - least(lit(1.0), (nPunct / nChar) * lit(10.0)))
+      lit(0.3) * (lit(1.0) - least(lit(1.0),
+        when(nChar > 0, (nPunct / nChar) * lit(10.0)).otherwise(lit(0.0))))
   }
 
   /** The same score as DuckDB SQL over a `text` column (oracle twin). */
@@ -47,7 +51,9 @@ object TextAnalysis {
     val stops = enStops.map(w => s"'$w'").mkString(", ")
     s"""0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 60.0)
        |  + 0.3 * least(1.0, (CAST(len(list_filter($t, x -> x IN ($stops))) AS DOUBLE) / len($t)) * 5.0)
-       |  + 0.3 * (1.0 - least(1.0, (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0))""".stripMargin
+       |  + 0.3 * (1.0 - least(1.0, CASE WHEN length(text) > 0
+       |      THEN (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0
+       |      ELSE 0.0 END))""".stripMargin
   }
 
   def ta_token_stats(s: SparkSession, dir: String): DataFrame = {
@@ -99,7 +105,9 @@ object TextAnalysis {
        |  CAST(len(list_distinct($t)) AS DOUBLE) / len($t) AS type_token_ratio,
        |  0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 60.0)
        |  + 0.3 * least(1.0, (CAST(len(list_filter($t, x -> x IN ($stops))) AS DOUBLE) / len($t)) * 5.0)
-       |  + 0.3 * (1.0 - least(1.0, (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0)) AS quality_score
+       |  + 0.3 * (1.0 - least(1.0, CASE WHEN length(text) > 0
+       |      THEN (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0
+       |      ELSE 0.0 END)) AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

@@ -129,4 +129,21 @@ class ApiSurfaceSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(ll - (-(math.log(0.9) + math.log(0.9)) / 2.0)) < 1e-12)
   }
+
+  test("concurrent catalog creates allocate distinct monotonic ids") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_conc").toString)
+    val ids = Await.result(
+      Future.sequence((1 to 8).map(i =>
+        Future(cat.createProject(s"Conc$i", "regression").id))),
+      2.minutes)
+    assert(ids.toSet.size == 8, s"duplicate ids allocated: $ids")
+    assert(cat.projects.count() == 8)
+    // a sibling handle on the SAME catalog shares the allocator
+    val cat2 = new Catalog(spark, cat.baseDir)
+    assert(cat2.createProject("Conc9", "regression").id == ids.max + 1)
+  }
 }
