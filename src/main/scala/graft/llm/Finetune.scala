@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** `finetune` — a RUNNABLE text-classification path on the bare JVM.
+/** `finetune` — RUNNABLE text-classification paths on the bare JVM.
   *
   * The reference's finetune (`src/api.rs:2133-2216`,
   * `transformers.py:876-1111`) runs an HF Trainer over a pretrained
@@ -18,17 +18,29 @@ import org.apache.spark.sql.types._
   * an ONNX encoder when mounted) and a logistic head fits on the
   * embeddings — exactly the "frozen encoder + trained classification
   * head" shape, with the same project/snapshot/model/deploy catalog
-  * lifecycle as `train()`. Other finetune tasks (QA, summarization,
-  * translation, generation) still raise the documented
-  * unsupported-runtime error from `Ops.finetune`.
+  * lifecycle as `train()`.
+  *
+  * `text-pair-classification` (NLI/paraphrase shape,
+  * `transformers.py:1401-1453`) rides the same path: the reference
+  * feeds the (text1, text2) pair to a pair-aware tokenizer; here the
+  * pair is joined with a separator token before the frozen encoder —
+  * the sequence-pair packing a pair tokenizer performs, made explicit.
+  * Other finetune tasks (QA, summarization, translation, generation)
+  * still raise the documented unsupported-runtime error from
+  * `Ops.finetune`.
   */
 object Finetune {
+  /** Separator between the members of a text pair — the JVM analog of
+    * the tokenizer's `[SEP]` in `tokenizer(text1, text2)`. */
+  val PAIR_SEP = " [SEP] "
+
   final case class FinetuneConfig(
       projectName: String,
       task: String = "text-classification",
       relationName: String = "",
       data: Option[DataFrame] = None,
       textCol: String = "text",
+      text2Col: String = "text2",
       labelCol: String = "label",
       runtime: String = "hashing_tf",
       dim: Int = 256,
@@ -37,11 +49,15 @@ object Finetune {
       automaticDeploy: Boolean = true,
       seed: Long = 42L)
 
+  private val RUNNABLE_TASKS = Set("text-classification", "text-pair-classification")
+
   def finetune(spark: SparkSession, catalog: Catalog, cfg: FinetuneConfig): DataFrame = {
-    require(cfg.task == "text-classification",
+    require(RUNNABLE_TASKS.contains(cfg.task),
       s"finetune task '${cfg.task}' needs a training-capable neural runtime; " +
-        "only text-classification (frozen-encoder head) runs on this JVM — " +
-        "see Ops.finetune for the unsupported-task contract")
+        "only text-classification and text-pair-classification " +
+        "(frozen-encoder head) run on this JVM — see Ops.finetune for the " +
+        "unsupported-task contract")
+    val isPair = cfg.task == "text-pair-classification"
     val t0 = System.nanoTime()
     val project = catalog.findProject(cfg.projectName) match {
       case Some(p) =>
@@ -50,9 +66,17 @@ object Finetune {
         p
       case None => catalog.createProject(cfg.projectName, cfg.task)
     }
-    val df = cfg.data.getOrElse(spark.table(cfg.relationName))
+    val df0 = cfg.data.getOrElse(spark.table(cfg.relationName))
     val snapshot = catalog.createSnapshot(cfg.relationName, Seq(cfg.labelCol),
-      cfg.testSize, "random", df.schema.json)
+      cfg.testSize, "random", df0.schema.json)
+
+    // text-pair: pack the pair into one sequence before the frozen
+    // encoder (map-stage concat — the pair tokenizer's job, explicit)
+    val df =
+      if (isPair)
+        df0.select(concat(col(cfg.textCol), lit(PAIR_SEP), col(cfg.text2Col))
+          .as(cfg.textCol), col(cfg.labelCol))
+      else df0
 
     // frozen encoder: one distributed embed pass, then the head trains
     // on the cached vectors
@@ -86,7 +110,8 @@ object Finetune {
 
     val modelRow = catalog.createModel(project.id, snapshot.id,
       s"finetune:${cfg.runtime}",
-      cfg.hyperparams ++ Map("runtime" -> cfg.runtime, "dim" -> cfg.dim.toString),
+      cfg.hyperparams ++ Map("runtime" -> cfg.runtime, "dim" -> cfg.dim.toString,
+        "task" -> cfg.task, "text2_col" -> (if (isPair) cfg.text2Col else "")),
       metrics, "none")
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
     head.write.overwrite().save(path)
@@ -113,14 +138,21 @@ object Finetune {
   }
 
   /** Score raw text with a finetuned project: embed with the SAME
-    * runtime/dim recorded at finetune time, then the logistic head. */
+    * runtime/dim recorded at finetune time, then the logistic head.
+    * Text-pair projects re-pack (textCol, text2_col) with the recorded
+    * separator before embedding, mirroring the training-time packing. */
   def classifyText(spark: SparkSession, catalog: Catalog, project: String,
       df: DataFrame, textCol: String = "text"): DataFrame = {
     val modelId = catalog.deployedModelId(project).getOrElse(
       throw new IllegalStateException(s"Project '$project' has no deployed model"))
     val hp = catalog.models.collect().find(_.id == modelId).get.hyperparams
     val head = graft.ml.Predict.findCached(catalog, modelId)
-    val embedded = Ops.embedColumn(df, hp("runtime"), textCol, "emb",
+    val input = hp.get("text2_col").filter(_.nonEmpty) match {
+      case Some(t2) =>
+        df.withColumn(textCol, concat(col(textCol), lit(PAIR_SEP), col(t2)))
+      case None => df
+    }
+    val embedded = Ops.embedColumn(input, hp("runtime"), textCol, "emb",
         dim = hp("dim").toInt)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
     head.transform(embedded)

@@ -124,6 +124,7 @@ object Ops {
     throw new UnsupportedOperationException(
       s"finetune('$projectName', task => '$task') requires a training-capable " +
         s"model runtime; '$runtime' supports inference surfaces only. " +
-        "text-classification runs via graft.llm.Finetune; for other tasks " +
-        "register a runtime via ModelRuntimes.register and retry.")
+        "text-classification and text-pair-classification run via " +
+        "graft.llm.Finetune; for other tasks register a runtime via " +
+        "ModelRuntimes.register and retry.")
 }

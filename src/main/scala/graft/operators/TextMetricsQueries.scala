@@ -80,6 +80,58 @@ object TextMetricsQueries {
        |  CASE WHEN r2_p + r2_r = 0.0 THEN 0.0 ELSE 2.0 * r2_p * r2_r / (r2_p + r2_r) END AS r2_f
        |FROM prr ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- summarization eval (ft_)
+  /** Summarization-task metric path, end to end, on a deterministic
+    * extractive baseline (the reference's summarization finetune
+    * evaluates with ROUGE — `transformers.py:650-682`; the TRAINING
+    * needs a neural runtime, the EVAL contract does not): candidate =
+    * lead-30-token summary, pseudo-gold reference = tail-30-token
+    * summary (the synthetic docs have no sentence punctuation or gold
+    * summaries; lead-vs-tail shares template vocabulary, so precision,
+    * recall, and F all land non-degenerate). Per-doc values are ratios
+    * of exact integer counts — bit-exact against the oracle. */
+  def ft_summarize_eval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = Tables.documents(s, dir).select($"doc_id",
+      concat_ws(" ", slice(t, lit(1), lit(30))).as("pred"),
+      concat_ws(" ", slice(t, greatest(size(t) - 29, lit(1)), lit(30))).as("ref"))
+    TextMetrics.rougePairs(d, "pred", "ref")
+      .select($"doc_id", $"r1_p", $"r1_r", $"r1_f", $"r2_p", $"r2_r", $"r2_f")
+      .orderBy($"doc_id")
+  }
+
+  val ftSummarizeSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |pr AS (
+       |  SELECT doc_id, t[1:30] AS tp,
+       |    t[greatest(len(t) - 29, 1):len(t)] AS tr
+       |  FROM tk),
+       |g AS (
+       |  SELECT doc_id, tp AS gp1, tr AS gr1,
+       |    ${ngramSql("tp", 2)} AS gp2, ${ngramSql("tr", 2)} AS gr2
+       |  FROM pr),
+       |ov AS (
+       |  SELECT doc_id,
+       |    ${overlapSql("gp1", "gr1")} AS ov1, len(gp1) AS np1, len(gr1) AS nr1,
+       |    ${overlapSql("gp2", "gr2")} AS ov2, len(gp2) AS np2, len(gr2) AS nr2
+       |  FROM g),
+       |prr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN np1 = 0 THEN 0.0 ELSE CAST(ov1 AS DOUBLE) / CAST(np1 AS DOUBLE) END AS r1_p,
+       |    CASE WHEN nr1 = 0 THEN 0.0 ELSE CAST(ov1 AS DOUBLE) / CAST(nr1 AS DOUBLE) END AS r1_r,
+       |    CASE WHEN np2 = 0 THEN 0.0 ELSE CAST(ov2 AS DOUBLE) / CAST(np2 AS DOUBLE) END AS r2_p,
+       |    CASE WHEN nr2 = 0 THEN 0.0 ELSE CAST(ov2 AS DOUBLE) / CAST(nr2 AS DOUBLE) END AS r2_r
+       |  FROM ov)
+       |SELECT doc_id, r1_p, r1_r,
+       |  CASE WHEN r1_p + r1_r = 0.0 THEN 0.0 ELSE 2.0 * r1_p * r1_r / (r1_p + r1_r) END AS r1_f,
+       |  r2_p, r2_r,
+       |  CASE WHEN r2_p + r2_r = 0.0 THEN 0.0 ELSE 2.0 * r2_p * r2_r / (r2_p + r2_r) END AS r2_f
+       |FROM prr ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- BLEU
   def lm_bleu_corpus(s: SparkSession, dir: String): DataFrame =
     TextMetrics.bleuCorpus(pairs(s, dir), "pred", "ref")
@@ -178,13 +230,15 @@ object TextMetricsQueries {
     "lm_rouge_pairs"        -> lm_rouge_pairs _,
     "lm_bleu_corpus"        -> lm_bleu_corpus _,
     "lm_exact_match"        -> lm_exact_match _,
-    "lm_perplexity_unigram" -> lm_perplexity_unigram _
+    "lm_perplexity_unigram" -> lm_perplexity_unigram _,
+    "ft_summarize_eval"     -> ft_summarize_eval _
   )
 
   val oracles: Map[String, String] = Map(
     "lm_rouge_pairs"        -> lmRougeSql,
     "lm_bleu_corpus"        -> lmBleuSql,
     "lm_exact_match"        -> lmExactMatchSql,
-    "lm_perplexity_unigram" -> lmPerplexitySql
+    "lm_perplexity_unigram" -> lmPerplexitySql,
+    "ft_summarize_eval"     -> ftSummarizeSql
   )
 }

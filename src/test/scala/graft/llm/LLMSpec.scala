@@ -181,4 +181,44 @@ class LLMOpsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](ModelRuntimes.get("onnx-prod"))
     assert(e.getMessage.contains("No model runtime"))
   }
+
+  test("finetune text-pair-classification: pair packing + head lifecycle") {
+    val cat = new graft.ml.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_ftp").toString)
+    // paraphrase-style pairs: label 1 = shared vocabulary, 0 = disjoint
+    val para = Seq(
+      ("the spark engine joins tables", "spark engine joining the tables"),
+      ("filters push to the scan", "the scan receives pushed filters"),
+      ("broadcast the small side", "small side gets broadcast"),
+      ("shuffle on the group key", "group key drives the shuffle"))
+    val non = Seq(
+      ("the spark engine joins tables", "bananas are yellow fruit"),
+      ("filters push to the scan", "the weather is rainy today"),
+      ("broadcast the small side", "music theory is fascinating"),
+      ("shuffle on the group key", "cooking pasta takes minutes"))
+    val df = (0 until 40).map { i =>
+      val p = i % 2 == 0
+      val (a, b) = if (p) para(i % 4) else non(i % 4)
+      (s"$a t$i", s"$b t$i", if (p) 1 else 0)
+    }.toDF("text1", "text2", "label")
+    val out = Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+      projectName = "Paraphrase", task = "text-pair-classification",
+      data = Some(df), textCol = "text1", text2Col = "text2"))
+    val row = out.head()
+    assert(row.getString(1) == "text-pair-classification" && row.getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.algorithm == "finetune:hashing_tf")
+    assert(m.hyperparams("text2_col") == "text2")
+    assert(m.metrics("f1") > 0.7, s"separable pairs should classify: ${m.metrics}")
+    // deployment decision recorded like any train()
+    assert(cat.deployedModelId("Paraphrase").contains(m.id))
+    // raw-pair scoring re-packs (text1, text2) with the recorded separator
+    graft.ml.Predict.clearCaches()
+    val scored = Finetune.classifyText(spark, cat, "Paraphrase",
+      Seq(("joins tables in the spark engine", "the spark engine joins tables"),
+        ("filters push to the scan", "bananas are yellow fruit"))
+        .toDF("text1", "text2"), textCol = "text1")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(scored(0) == 1.0 && scored(1) == 0.0, scored.mkString(","))
+  }
 }
