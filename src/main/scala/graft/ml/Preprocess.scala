@@ -34,6 +34,8 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * expressions → whole-stage codegen, no shuffles) followed by a
   * `VectorAssembler`, so the fitted preprocessing persists inside the
   * saved `PipelineModel` and ships to executors like any MLlib stage.
+  * Dictionaries past [[HighCardinality]] get a `StringIndexerModel`
+  * pre-stage instead of CASE-WHEN branches — see the val's scaladoc.
   * Fit-time statistics come from the distributed Stats pass over the
   * train split only — no leakage from test.
   */
@@ -70,9 +72,19 @@ object Preprocess {
   private def sq(v: String) = s"'${v.replace("'", "''")}'"
   val NullCategory = "__NULL__"
 
-  /** Driver-side guard: category dictionaries compile into CASE-WHEN SQL
-    * inside the persisted pipeline, so their size is bounded. */
+  /** Driver-side guard: category dictionaries are collected to the
+    * driver at fit time, so their size is bounded. */
   val MaxCategories = 100000
+
+  /** Dictionary size above which encoding stops compiling into CASE-WHEN
+    * SQL: at thousands of branches the generated Janino method blows the
+    * 64KB limit and the whole projection silently falls back to
+    * interpreted mode. Above this, the dictionary becomes a
+    * [[org.apache.spark.ml.feature.StringIndexerModel]] stage (a
+    * broadcast hash lookup, O(1) per row at any cardinality) plus a tiny
+    * CASE on the index — both persist inside the PipelineModel like the
+    * SQL stage does. */
+  val HighCardinality = 1000
 
   /** Fit the preprocessing plan on the TRAIN split. */
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: Option[String],
@@ -166,9 +178,62 @@ object Preprocess {
         c -> (rows, global)
       }.toMap
 
+    // ---- high-cardinality dictionaries → StringIndexerModel pre-stages
+    val highCard: Set[String] = catCols
+      .filter(c => categoryMaps(c).size > HighCardinality).toSet
+    highCard.filter(c => pp(c).encode == OneHotEncode).foreach { c =>
+      throw new IllegalArgumentException(
+        s"""one-hot encoding "$c" would create ${categoryMaps(c).size} columns; """ +
+          s"one_hot is capped at $HighCardinality categories — use native or " +
+          "target encoding for high-cardinality columns")
+    }
+    val preStages: Seq[org.apache.spark.ml.Transformer] =
+      if (highCard.isEmpty) Seq.empty
+      else {
+        val keys = highCard.toSeq.sorted.map(c =>
+          s"COALESCE(CAST(${q(c)} AS STRING), ${sq(NullCategory)}) AS ${q(s"${c}__catkey")}")
+        val keyStage = new SQLTransformer().setStatement(
+          s"SELECT *, ${keys.mkString(", ")} FROM __THIS__")
+        val indexers = highCard.toSeq.sorted.map { c =>
+          new org.apache.spark.ml.feature.StringIndexerModel(
+              categoryMaps(c).map(_._1).toArray)
+            .setInputCol(s"${c}__catkey").setOutputCol(s"${c}__idx")
+            .setHandleInvalid("keep") // unseen/new-null → index k, caught below
+        }
+        keyStage +: indexers
+      }
+    // fit-statistics inputs must see the indexer outputs
+    val preTrain = preStages.foldLeft(train)((df, st) => st.transform(df))
+
     def encodeSql(c: String): String = {
       val p = pp(c)
       if (!isCat(c)) s"CAST(${q(c)} AS DOUBLE)"
+      else if (highCard(c)) {
+        val k = categoryMaps(c).size
+        val idx = q(s"${c}__idx")
+        p.encode match {
+          case TargetEncode =>
+            val (means, global) = targetMeans(c)
+            val m = means.toMap
+            // code → mean as ONE foldable array literal (constant-folded
+            // to a single ArrayData object, never into generated code)
+            val arr = categoryMaps(c)
+              .map { case (key, _) => s"CAST('${m.getOrElse(key, global)}' AS DOUBLE)" }
+              .mkString("ARRAY(", ", ", ")")
+            s"CASE WHEN $idx >= $k THEN CAST('NaN' AS DOUBLE) " +
+              s"ELSE element_at($arr, CAST($idx AS INT) + 1) END"
+          case OrdinalEncode(values) =>
+            val arr = categoryMaps(c)
+              .map { case (_, v) => s"CAST('$v' AS DOUBLE)" }
+              .mkString("ARRAY(", ", ", ")")
+            s"CASE WHEN $idx >= $k THEN raise_error(concat('value is not present " +
+              s"in ordinal: ', CAST(${q(c)} AS STRING), '. Valid values: " +
+              s"${values.mkString(", ")}')) " +
+              s"ELSE element_at($arr, CAST($idx AS INT) + 1) END"
+          case _ => // native: the code IS the canonical index
+            s"CASE WHEN $idx >= $k THEN CAST('NaN' AS DOUBLE) ELSE $idx END"
+        }
+      }
       else p.encode match {
         case TargetEncode =>
           val (means, global) = targetMeans(c)
@@ -203,13 +268,13 @@ object Preprocess {
         val proj = needsStats.zipWithIndex.map { case (c, i) =>
           expr(encoded(c)).as(s"e$i")
         }
-        val encTrain = train.select(proj: _*)
+        val encTrain = preTrain.select(proj: _*)
         Stats.analyzeNumeric(encTrain, needsStats.indices.map(i => s"e$i"))
           .zip(needsStats).map { case (st, c) => c -> st }.toMap
       }
     val modes: Map[String, Double] = featureCols.filter(c => pp(c).impute == ImputeMode)
       .map { c =>
-        val m = train.select(expr(encoded(c)).as("v")).filter(!isnan(col("v")) && col("v").isNotNull)
+        val m = preTrain.select(expr(encoded(c)).as("v")).filter(!isnan(col("v")) && col("v").isNotNull)
           .groupBy(col("v")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("v")).head().getDouble(0)
         c -> m
@@ -288,6 +353,6 @@ object Preprocess {
       .setInputCols(all.map(_._2).toArray)
       .setOutputCol("features")
       .setHandleInvalid("keep")
-    Fitted(Seq(sqlStage, assembler), all.map(_._2), "features")
+    Fitted(preStages ++ Seq(sqlStage, assembler), all.map(_._2), "features")
   }
 }

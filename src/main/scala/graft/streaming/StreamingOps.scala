@@ -21,6 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * real trigger.
   */
 final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+final case class PackState(cumTokens: Long)
 
 object StreamingOps {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -115,4 +116,45 @@ object StreamingOps {
     * sampling is hash-based and not `rand()`-based. */
   def mixSampleStream(spark: SparkSession, docs: DataFrame): DataFrame =
     graft.operators.PipelineOps.mixSample(spark, docs)
+
+  final case class PackOut(doc_id: Long, n_tokens: Long, cum_tokens: Long,
+      pack_id: Long)
+
+  /** Streaming twin of ds_pack_sequences: the packing prefix sum as a
+    * stateful incremental fold. Packing is an ORDERED fold by contract
+    * (pack_id depends on every earlier document's token count), so the
+    * stream keeps ONE running-total state cell and folds each
+    * micro-batch in doc_id order on top of it — O(1) state (a single
+    * long), Append output, no watermark needed (NoTimeout state never
+    * expires).
+    *
+    * Scale note: a single state key means a single-task fold per
+    * micro-batch — inherent to the global-prefix contract, and fine
+    * because the per-doc work is adding a precomputed token count (the
+    * tokenize runs map-parallel BEFORE the fold). A 1000-executor
+    * deployment that needs parallel packing shards the stream (e.g. by
+    * source) and packs per shard, exactly like the batch operator's
+    * grouped prefix sum with a non-empty key. */
+  def packSequencesStream(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val budget = graft.operators.PipelineOps.PACK_BUDGET
+    docs
+      .withColumn("n_tokens",
+        size(filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0))
+          .cast("long"))
+      .select(col("doc_id").cast("long"), col("n_tokens")).as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Long)], state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, n) =>
+            cum += n
+            PackOut(id, n, cum, (cum - n) / budget)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }.toDF()
+  }
 }

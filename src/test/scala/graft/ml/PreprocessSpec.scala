@@ -122,6 +122,57 @@ class PreprocessSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("continuous"))
   }
 
+  test("high-cardinality native dictionary goes through a StringIndexerModel stage") {
+    // 10k categories: the CASE-WHEN form would exceed Janino's method
+    // limit and drop the projection out of codegen; the indexer path
+    // must (a) be chosen, (b) keep the canonical code order, (c) map
+    // unseen to NaN, and (d) survive pipeline persistence
+    val cats = (0 until 10000).map(i => f"cat_$i%05d")
+    val train = cats.map(c => (c, 1.0)).toDF("c", "y")
+    val fitted = Preprocess.fit(train, Seq("c"), None, Map.empty)
+    assert(fitted.stages.exists(_.isInstanceOf[org.apache.spark.ml.feature.StringIndexerModel]),
+      s"expected an indexer stage, got ${fitted.stages.map(_.getClass.getSimpleName)}")
+    // the SQL stage must stay small — no compiled-in dictionary
+    val sqlLen = fitted.stages.collect {
+      case s: org.apache.spark.ml.feature.SQLTransformer => s.getStatement.length
+    }.max
+    assert(sqlLen < 20000, s"SQL statement still carries the dictionary: $sqlLen chars")
+    val model = new Pipeline().setStages(fitted.stages.toArray).fit(train)
+    val test = Seq("cat_00000", "cat_09999", "cat_00042", "never_seen").toDF("c")
+    val out = model.transform(test).select("features").collect()
+      .map(_.getAs[Vector](0)(0))
+    assert(out(0) == 0.0 && out(1) == 9999.0 && out(2) == 42.0)
+    assert(out(3).isNaN, s"unseen category must be NaN, got ${out(3)}")
+    // round-trips through ML persistence like the SQL-only path
+    val dir = java.nio.file.Files.createTempDirectory("graft_hc").toString
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    assert(loaded.transform(test).select("features").collect()
+      .map(_.getAs[Vector](0)(0)).take(3).sameElements(Array(0.0, 9999.0, 42.0)))
+  }
+
+  test("high-cardinality target encoding uses the foldable code→mean array") {
+    val n = Preprocess.HighCardinality + 50
+    val cats = (0 until n).map(i => f"c$i%05d")
+    // label = i mod 7 so per-category means are distinct and exact
+    val train = cats.zipWithIndex.map { case (c, i) => (c, (i % 7).toDouble) }
+      .toDF("c", "y")
+    val (out, _) = apply(train, train.limit(5), Seq("c"), Some("y"),
+      Map("c" -> Preprocessor(encode = TargetEncode)))
+    val got = vec(out).map(_(0))
+    assert(got == Seq(0.0, 1.0, 2.0, 3.0, 4.0), got)
+  }
+
+  test("one_hot past the high-cardinality cap is rejected with routing") {
+    val cats = (0 to Preprocess.HighCardinality).map(i => f"c$i%05d")
+    val train = cats.map(c => (c, 1.0)).toDF("c", "y")
+    val e = intercept[IllegalArgumentException] {
+      Preprocess.fit(train, Seq("c"), None,
+        Map("c" -> Preprocessor(encode = OneHotEncode)))
+    }
+    assert(e.getMessage.contains("one_hot is capped"))
+  }
+
   test("preprocessing persists inside the saved PipelineModel") {
     val train = Seq((Some("a"), Some(1.0), 10.0), (Some("b"), Some(2.0), 20.0),
       (None, None, 30.0)).toDF("c", "x", "y")

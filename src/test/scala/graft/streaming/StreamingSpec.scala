@@ -148,6 +148,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(scoredRows.get() == 10L)
     } finally q.stop()
   }
+
+  test("streaming sequence packing matches the batch prefix sum across micro-batches") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    // two files + maxFilesPerTrigger=1 → the running total must carry
+    // across micro-batch boundaries through the state store
+    docs.filter($"doc_id" < 250).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    docs.filter($"doc_id" >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = StreamingOps.packSequencesStream(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_out").start()
+    try {
+      q.processAllAvailable()
+      val batch = graft.operators.PipelineOps.ds_pack_sequences(spark, sfDir)
+      val streamed = spark.table("pack_out")
+      assert(streamed.count() == batch.count())
+      val disagree = streamed.join(batch.withColumnRenamed("pack_id", "batch_pack")
+          .withColumnRenamed("cum_tokens", "batch_cum"), Seq("doc_id", "n_tokens"))
+        .filter(col("pack_id") =!= col("batch_pack") ||
+          col("cum_tokens") =!= col("batch_cum")).count()
+      assert(disagree == 0, s"$disagree docs diverge from the batch packing")
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
