@@ -127,12 +127,39 @@ object Train {
         new LinearRegression().setSolver("normal")
           .setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(0.0)
           .setStandardization(false).setFeaturesCol("rff_features")))
+    // ------- Gram-solver family (one distributed sufficient-stats pass
+    // + O(p³) driver math — see GramSolvers scaladoc for the exactness
+    // ledger; these were the reference's sklearn-only remainder)
     case ("regression", "bayesian_ridge") =>
-      // nearest equivalent: ridge (BayesianRidge learns its own alpha;
-      // the point estimate is ridge-shaped) — flagged compat
-      new LinearRegression().setSolver("normal")
-        .setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(0.0)
-        .setStandardization(false)
+      new GramRegression().setSolver("bayesian_ridge")
+        .setMaxIter(hpi(h, "n_iter", 300)).setTol(hp(h, "tol", 1e-3))
+    case ("regression", "automatic_relevance_determination") =>
+      new GramRegression().setSolver("ard")
+        .setMaxIter(hpi(h, "n_iter", 300)).setTol(hp(h, "tol", 1e-3))
+    case ("regression", "orthogonal_matching_pursuit") =>
+      new GramRegression().setSolver("omp")
+        .setNNonzero(hpi(h, "n_nonzero_coefs", 0))
+    case ("regression", "least_angle") =>
+      new GramRegression().setSolver("lars")
+        .setNNonzero(hpi(h, "n_nonzero_coefs", 0))
+    case ("regression", "lasso_least_angle") =>
+      new GramRegression().setSolver("lasso_lars").setAlpha(hp(h, "alpha", 1.0))
+    case ("regression", "ransac") =>
+      new GramRegression().setSolver("ransac")
+        .setMaxTrials(hpi(h, "max_trials", 100)).setSeed(seed)
+    case ("regression", "theil_sen") =>
+      new GramRegression().setSolver("theil_sen")
+        .setMaxSubpopulation(hpi(h, "max_subpopulation", 1000)).setSeed(seed)
+    case ("regression", "quantile") =>
+      new GramRegression().setSolver("quantile")
+        .setQuantileTau(hp(h, "quantile", 0.5)).setAlpha(hp(h, "alpha", 1.0))
+        .setMaxIter(hpi(h, "max_iter", 50))
+    case ("regression", "passive_aggressive") =>
+      new GramRegression().setSolver("passive_aggressive")
+        .setRegC(hp(h, "C", 1.0)).setEpsilon(hp(h, "epsilon", 0.1))
+    case ("classification", "passive_aggressive") =>
+      new GramRegression().setSolver("passive_aggressive_binary")
+        .setRegC(hp(h, "C", 1.0))
     case ("regression", "bagging") =>
       // bagging-of-trees == random forest with ALL features per split
       new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 10))

@@ -1,0 +1,162 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Functional recovery tests for the Gram-solver family — each solver
+  * must recover a known generating model from synthetic data, which is
+  * the behavioral contract (the reference's sklearn bindings are not
+  * available to diff against in this container). */
+class GramSolversSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def assemble(df: DataFrame, cols: Seq[String]): DataFrame =
+    new VectorAssembler().setInputCols(cols.toArray).setOutputCol("features")
+      .transform(df)
+
+  /** y = 3x + 7 with deterministic small noise. */
+  private lazy val line: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    assemble((1 to 200).map { i =>
+      val x = i / 20.0
+      (x, 3.0 * x + 7.0 + rnd.nextGaussian() * 0.05)
+    }.toDF("x", "y"), Seq("x"))
+  }
+
+  private def fit(solver: String, df: DataFrame,
+      tune: GramRegression => GramRegression = identity): GraftLinearModel =
+    tune(new GramRegression().setSolver(solver))
+      .setLabelCol("y").setFeaturesCol("features").fit(df)
+
+  test("bayesian_ridge recovers the generating line") {
+    val m = fit("bayesian_ridge", line)
+    assert(math.abs(m.coeffs(0) - 3.0) < 0.02, m.coeffs)
+    assert(math.abs(m.intercept - 7.0) < 0.1, m.intercept)
+  }
+
+  test("ard shrinks irrelevant features and keeps the true one") {
+    val rnd = new scala.util.Random(11)
+    val df = assemble((1 to 300).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val x3 = rnd.nextGaussian(); val x4 = rnd.nextGaussian()
+      (x1, x2, x3, x4, 5.0 * x1 + 1.0 + rnd.nextGaussian() * 0.05)
+    }.toDF("x1", "x2", "x3", "x4", "y"), Seq("x1", "x2", "x3", "x4"))
+    val m = fit("ard", df)
+    assert(math.abs(m.coeffs(0) - 5.0) < 0.05, m.coeffs)
+    (1 to 3).foreach(i => assert(math.abs(m.coeffs(i)) < 0.05,
+      s"irrelevant feature $i not shrunk: ${m.coeffs}"))
+  }
+
+  test("omp selects the true sparse support") {
+    val rnd = new scala.util.Random(13)
+    val df = assemble((1 to 300).map { _ =>
+      val xs = Array.fill(6)(rnd.nextGaussian())
+      (xs(0), xs(1), xs(2), xs(3), xs(4), xs(5),
+        4.0 * xs(1) - 2.0 * xs(4) + rnd.nextGaussian() * 0.05)
+    }.toDF("a", "b", "c", "d", "e", "f", "y"), Seq("a", "b", "c", "d", "e", "f"))
+    val m = fit("omp", df, _.setNNonzero(2))
+    val nz = m.coeffs.toArray.zipWithIndex.filter(x => math.abs(x._1) > 1e-6).map(_._2)
+    assert(nz.toSet == Set(1, 4), s"support ${nz.toSeq}, coeffs ${m.coeffs}")
+    assert(math.abs(m.coeffs(1) - 4.0) < 0.05 && math.abs(m.coeffs(4) + 2.0) < 0.05)
+  }
+
+  test("lars at full saturation equals OLS; lasso_lars at high alpha is null") {
+    val rnd = new scala.util.Random(17)
+    val df = assemble((1 to 300).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (x1, x2, 2.0 * x1 - 3.0 * x2 + 0.5 + rnd.nextGaussian() * 0.05)
+    }.toDF("x1", "x2", "y"), Seq("x1", "x2"))
+    val m = fit("lars", df, _.setNNonzero(2))
+    assert(math.abs(m.coeffs(0) - 2.0) < 0.05 && math.abs(m.coeffs(1) + 3.0) < 0.05,
+      m.coeffs)
+    val sparse = fit("lasso_lars", df, _.setAlpha(1e6))
+    assert(sparse.coeffs.toArray.forall(c => math.abs(c) < 1e-9), sparse.coeffs)
+    // small alpha ≈ OLS
+    val dense = fit("lasso_lars", df, _.setAlpha(1e-4))
+    assert(math.abs(dense.coeffs(0) - 2.0) < 0.1 && math.abs(dense.coeffs(1) + 3.0) < 0.1,
+      dense.coeffs)
+  }
+
+  test("ransac recovers the line under 30% gross outliers where OLS breaks") {
+    val rnd = new scala.util.Random(19)
+    val df = assemble((1 to 300).map { i =>
+      val x = i / 30.0
+      val y = if (i % 10 < 3) 200.0 + rnd.nextGaussian() // gross outliers
+              else 3.0 * x + 7.0 + rnd.nextGaussian() * 0.05
+      (x, y)
+    }.toDF("x", "y"), Seq("x"))
+    val m = fit("ransac", df)
+    assert(math.abs(m.coeffs(0) - 3.0) < 0.1, m.coeffs)
+    assert(math.abs(m.intercept - 7.0) < 0.5, m.intercept)
+  }
+
+  test("theil_sen is robust to the same outliers") {
+    val rnd = new scala.util.Random(23)
+    val df = assemble((1 to 300).map { i =>
+      val x = i / 30.0
+      val y = if (i % 10 < 3) 200.0 + rnd.nextGaussian()
+              else 3.0 * x + 7.0 + rnd.nextGaussian() * 0.05
+      (x, y)
+    }.toDF("x", "y"), Seq("x"))
+    val m = fit("theil_sen", df)
+    assert(math.abs(m.coeffs(0) - 3.0) < 0.4, m.coeffs)
+    assert(math.abs(m.intercept - 7.0) < 1.5, m.intercept)
+  }
+
+  test("quantile regression: residual mass below the fit tracks tau") {
+    val rnd = new scala.util.Random(29)
+    val df = assemble((1 to 500).map { i =>
+      val x = i / 50.0
+      (x, 2.0 * x + 1.0 + math.abs(rnd.nextGaussian()) * 2.0) // one-sided noise
+    }.toDF("x", "y"), Seq("x"))
+    val m = fit("quantile", df, _.setQuantileTau(0.9).setAlpha(1e-4))
+    val below = df.collect().count { r =>
+      r.getDouble(1) <= m.coeffs(0) * r.getDouble(0) + m.intercept
+    }.toDouble / 500.0
+    assert(math.abs(below - 0.9) < 0.08, s"P(y <= fit) = $below, want ~0.9")
+  }
+
+  test("passive_aggressive: regression tracks the line, classification separates") {
+    val m = fit("passive_aggressive", line)
+    assert(math.abs(m.coeffs(0) - 3.0) < 0.5, m.coeffs)
+    val rnd = new scala.util.Random(31)
+    val cls = assemble((1 to 400).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (x1, x2, if (x1 + x2 > 0) 1.0 else 0.0)
+    }.toDF("x1", "x2", "y"), Seq("x1", "x2"))
+    val mc = fit("passive_aggressive_binary", cls)
+    val acc = mc.transform(cls).filter($"prediction" === $"y").count() / 400.0
+    assert(acc > 0.95, s"accuracy $acc")
+  }
+
+  test("GraftLinearModel round-trips through Pipeline persistence") {
+    val pipe = new Pipeline().setStages(Array(
+      new GramRegression().setSolver("bayesian_ridge")
+        .setLabelCol("y").setFeaturesCol("features")))
+    val model = pipe.fit(line)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gram").toString
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = model.transform(line).select("prediction").collect().map(_.getDouble(0))
+    val b = loaded.transform(line).select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
+  test("Train.train lifecycle runs the gram algorithms end to end") {
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_gramtrain").toString)
+    val df = (1 to 200).map(i => (i / 20.0, 3.0 * (i / 20.0) + 7.0)).toDF("x", "y")
+    Seq("bayesian_ridge", "orthogonal_matching_pursuit", "theil_sen").foreach { alg =>
+      val out = Train.train(spark, cat, Train.TrainConfig(
+        projectName = s"Gram_$alg", task = "regression", relationName = "t",
+        data = Some(df), yColumn = Seq("y"), algorithm = alg,
+        testSampling = "random", orderCols = Seq("x")))
+      val r2 = cat.models.collect()
+        .filter(m => m.algorithm == alg).map(_.metrics("r2")).max
+      assert(r2 > 0.99, s"$alg r2=$r2")
+    }
+  }
+}
