@@ -229,6 +229,12 @@ object Train {
         .setMaxIter(hpi(h, "max_iter", 300))
     case ("clustering", "birch") =>
       new BisectingKMeans().setK(hpi(h, "n_clusters", 8)).setSeed(seed)
+    case ("clustering", "mean_shift") =>
+      new MeanShift().setBandwidth(hp(h, "bandwidth", -1.0))
+        .setMaxIter(hpi(h, "max_iter", 30))
+    case ("clustering", "affinity_propagation") =>
+      new AffinityPropagation().setDamping(hp(h, "damping", 0.5))
+        .setMaxIter(hpi(h, "max_iter", 200))
     // ---------------- decomposition
     case ("decomposition", "pca") =>
       new PCA().setK(hpi(h, "n_components", 2))

@@ -343,6 +343,20 @@ object Similarity {
     knnGraph(emb(s, dir), LcgQuantizer).orderBy($"src", $"rank")
   }
 
+  /** The SCALE path through the same operator: kNN graph over a TRAINED
+    * k-means quantizer, k sized from the corpus so cell population (and
+    * therefore in-cell join cost) stays bounded as the corpus grows.
+    * k-means is not ANSI-SQL-expressible, so this entry has no DuckDB
+    * oracle — the driver records the weaker rows-only check; the
+    * hash-exact twin is `sim_knn_graph` (LCG cells), and QuantizerSpec
+    * proves the cell-population contract. */
+  def sim_knn_graph_trained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val k = KMeansQuantizer.chooseK(e.count(), targetCellRows = 500L)
+    knnGraph(e, KMeansQuantizer.fit(e, k), topK = 3).orderBy($"src", $"rank")
+  }
+
   val simKnnGraphSql: String = {
     def d(k: Int) =
       s"""list_sum(list_transform(range(1, len(v) + 1),
@@ -375,7 +389,8 @@ object Similarity {
     "sim_ann_lsh"        -> sim_ann_lsh _,
     "sim_ann_ivf"        -> sim_ann_ivf _,
     "sim_ann_ivf_probe2" -> sim_ann_ivf_probe2 _,
-    "sim_knn_graph"      -> sim_knn_graph _
+    "sim_knn_graph"      -> sim_knn_graph _,
+    "sim_knn_graph_trained" -> sim_knn_graph_trained _
   )
 
   val oracles: Map[String, String] = Map(
