@@ -132,6 +132,50 @@ object TextMetricsQueries {
        |  CASE WHEN r2_p + r2_r = 0.0 THEN 0.0 ELSE 2.0 * r2_p * r2_r / (r2_p + r2_r) END AS r2_f
        |FROM prr ORDER BY doc_id""".stripMargin
 
+  /** Question-answering metric path (squad-style EM + token F1 —
+    * `transformers.py` QA eval contract) on a deterministic extractive
+    * baseline: predicted answer = lead-10 tokens, pseudo-gold = tokens
+    * 6–15 (overlapping window, so F1 lands mid-range; short docs make
+    * the windows coincide, so EM is exercised non-degenerately too).
+    * F1 = 2·|clipped common|/(|pred|+|gold|), ratios of exact integer
+    * counts — bit-exact vs the oracle. */
+  def ft_qa_eval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    Tables.documents(s, dir)
+      .select($"doc_id", slice(t, 1, 10).as("tp"), slice(t, 6, 10).as("tg"))
+      .select($"doc_id",
+        size($"tp").cast("long").as("n_pred"),
+        size($"tg").cast("long").as("n_gold"),
+        TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
+        when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
+      .withColumn("f1",
+        when($"n_pred" + $"n_gold" > 0,
+          lit(2.0) * $"n_common".cast("double") /
+            ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  val ftQaSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, t[1:10] AS tp, t[6:15] AS tg FROM tk),
+       |ov AS (
+       |  SELECT doc_id,
+       |    CAST(len(tp) AS BIGINT) AS n_pred, CAST(len(tg) AS BIGINT) AS n_gold,
+       |    CAST(${overlapSql("tp", "tg")} AS BIGINT) AS n_common,
+       |    CASE WHEN array_to_string(tp, ' ') = array_to_string(tg, ' ')
+       |         THEN 1 ELSE 0 END AS em0
+       |  FROM w)
+       |SELECT doc_id, n_pred, n_gold, n_common, CAST(em0 AS BIGINT) AS em,
+       |  CASE WHEN n_pred + n_gold > 0
+       |       THEN 2.0 * CAST(n_common AS DOUBLE) / CAST(n_pred + n_gold AS DOUBLE)
+       |       ELSE 0.0 END AS f1
+       |FROM ov ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- BLEU
   def lm_bleu_corpus(s: SparkSession, dir: String): DataFrame =
     TextMetrics.bleuCorpus(pairs(s, dir), "pred", "ref")
@@ -231,7 +275,8 @@ object TextMetricsQueries {
     "lm_bleu_corpus"        -> lm_bleu_corpus _,
     "lm_exact_match"        -> lm_exact_match _,
     "lm_perplexity_unigram" -> lm_perplexity_unigram _,
-    "ft_summarize_eval"     -> ft_summarize_eval _
+    "ft_summarize_eval"     -> ft_summarize_eval _,
+    "ft_qa_eval"            -> ft_qa_eval _
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,6 +284,7 @@ object TextMetricsQueries {
     "lm_bleu_corpus"        -> lmBleuSql,
     "lm_exact_match"        -> lmExactMatchSql,
     "lm_perplexity_unigram" -> lmPerplexitySql,
-    "ft_summarize_eval"     -> ftSummarizeSql
+    "ft_summarize_eval"     -> ftSummarizeSql,
+    "ft_qa_eval"            -> ftQaSql
   )
 }
