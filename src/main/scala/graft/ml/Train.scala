@@ -160,6 +160,38 @@ object Train {
     case ("classification", "passive_aggressive") =>
       new GramRegression().setSolver("passive_aggressive_binary")
         .setRegC(hp(h, "C", 1.0))
+    case ("regression", "gaussian_process") =>
+      // GP with an RBF kernel ≡ Bayesian linear regression over the RFF
+      // feature map (Rahimi & Recht) — the posterior mean converges to
+      // the exact GP mean as n_components grows; the exact O(n³) solve
+      // has no scale path, so this is the principled approximation,
+      // flagged compat=rff_gp_approx
+      new Pipeline().setStages(Array(
+        new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
+          .setNumComponents(hpi(h, "n_components", 200))
+          .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
+        new GramRegression().setSolver("bayesian_ridge")
+          .setFeaturesCol("rff_features")))
+    case ("classification", "gaussian_process") =>
+      // GP classifier analog: RFF map + logistic head (the parametric
+      // stand-in for the Laplace-approximated GP posterior), flagged
+      new Pipeline().setStages(Array(
+        new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
+          .setNumComponents(hpi(h, "n_components", 200))
+          .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
+        new LogisticRegression().setMaxIter(hpi(h, "max_iter", 100))
+          .setFeaturesCol("rff_features")))
+    case ("classification", "stochastic_gradient_descent") =>
+      // sklearn SGDClassifier's default loss is hinge → linear SVM
+      new LinearSVC().setMaxIter(hpi(h, "max_iter", 100))
+        .setRegParam(hp(h, "alpha", 0.0001))
+    case ("regression", "xgboost_random_forest") =>
+      // XGBoost's random-forest mode (bagged trees, no boosting)
+      new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 100))
+        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+    case ("classification", "xgboost_random_forest") =>
+      new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 100))
+        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
     case ("regression", "bagging") =>
       // bagging-of-trees == random forest with ALL features per split
       new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 10))

@@ -145,6 +145,26 @@ class GramSolversSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("gaussian_process (RFF + bayesian ridge) fits a nonlinearity plain linear cannot") {
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_gp").toString)
+    val df = (0 until 400).map { i =>
+      val x = i / 400.0 * 3.0
+      (x, math.sin(2.0 * x))
+    }.toDF("x", "y")
+    def r2Of(alg: String, proj: String): Double = {
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = proj, task = "regression", relationName = "t",
+        data = Some(df), yColumn = Seq("y"), algorithm = alg,
+        testSampling = "random", orderCols = Seq("x")))
+      cat.models.collect().filter(_.algorithm == alg).map(_.metrics("r2")).max
+    }
+    val gp = r2Of("gaussian_process", "GP")
+    val lin = r2Of("linear", "Lin")
+    assert(gp > 0.95, s"GP r2=$gp")
+    assert(gp > lin + 0.2, s"GP r2=$gp should beat linear r2=$lin on sin(2x)")
+  }
+
   test("Train.train lifecycle runs the gram algorithms end to end") {
     val cat = new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_gramtrain").toString)

@@ -191,7 +191,7 @@ class TrainLifecycleSpec extends AnyFunSuite {
       Train.train(spark, cat, Train.TrainConfig(
         projectName = "Gap", task = "regression", relationName = "quackml_diabetes",
         data = Some(Datasets.diabetes(spark)), yColumn = Seq("target"),
-        algorithm = "gaussian_process"))
+        algorithm = "dbscan")) // in the reference enum, unmapped both sides
     }
     assert(e.getMessage.contains("no Spark MLlib equivalent"))
   }
