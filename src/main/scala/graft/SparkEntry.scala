@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Components.queries ++
       operators.PipelineOps.queries ++
       operators.Similarity.queries ++
+      operators.Dbscan.queries ++
       operators.MLQueries.queries ++
       operators.Multimodal.queries ++
       operators.LLMQueries.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.Components.oracles ++
       operators.PipelineOps.oracles ++
       operators.Similarity.oracles ++
+      operators.Dbscan.oracles ++
       operators.MLQueries.oracles ++
       operators.Multimodal.oracles ++
       operators.LLMQueries.oracles ++

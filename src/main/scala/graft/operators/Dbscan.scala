@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Density clustering (DBSCAN) over the embeddings table — an enum
+  * entry the reference declares (`src/orm/algorithm.rs:11` `dbscan`)
+  * but never dispatches; here it runs Spark-first and oracle-gated.
+  *
+  * Semantics (sklearn contract): core point iff |N_eps(p)| ≥ minPts
+  * counting p itself; clusters = connected components of the core-core
+  * eps-graph; border points (non-core with ≥1 core neighbor) join a
+  * cluster; the rest are noise (cluster −1). One deviation, documented:
+  * sklearn assigns a border point to the FIRST cluster that visits it
+  * (scan-order dependent); here it joins the MINIMUM cluster label
+  * among its core neighbors — deterministic, so a SQL oracle can replay
+  * it. Everything else is exact.
+  *
+  * Scale shape: the eps-pair generation is the only quadratic stage, so
+  * it follows the repo's guard-and-route convention — the exact variant
+  * counts the corpus and refuses past `maxRows` (same bound as
+  * `nearDupBruteForce`, same broadcast nested-loop plan, left side
+  * repartitioned); `dbscanBucketed` is the scale path: pairs meet via a
+  * coarse-quantizer cell equi-join (exact within cells, cross-cell
+  * edges missed — recall grows with nprobe-style cell merging, the
+  * standard approximate-DBSCAN trade). Everything downstream of the
+  * pair list — degrees, core flags, components (O(log d) pointer
+  * jumping), border assignment — is map-combinable joins/aggregations
+  * at any scale.
+  */
+object Dbscan {
+  private def sqdist(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
+
+  /** Pair list → (vec_id, cluster, is_core); see object doc. `pairs`
+    * must hold each undirected eps-edge once as (i < j). */
+  private def label(ids: DataFrame, pairs: DataFrame, minPts: Int): DataFrame = {
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = p.select(col("i").as("id")).union(p.select(col("j").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val core = ids.join(deg, Seq("id"), "left")
+      .select(col("id"), (coalesce(col("deg"), lit(0L)) + 1 >= minPts).as("is_core"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coreIds = core.filter(col("is_core")).select(col("id"))
+    val coreEdges = p
+      .join(coreIds.withColumnRenamed("id", "i"), "i")
+      .join(coreIds.withColumnRenamed("id", "j"), "j")
+    val comps = Components.connectedComponents(coreEdges, "i", "j")
+    // isolated core points (no core neighbor) are their own cluster
+    val coreLab = core.filter(col("is_core"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+    // border: min cluster among core neighbors (deterministic rule)
+    val nbr = p.select(col("i").as("id"), col("j").as("nb"))
+      .union(p.select(col("j").as("id"), col("i").as("nb")))
+    val borderLab = core.filter(!col("is_core"))
+      .join(nbr, Seq("id"))
+      .join(coreLab.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    core
+      .join(coreLab.withColumnRenamed("cluster", "cc"), Seq("id"), "left")
+      .join(borderLab.withColumnRenamed("cluster", "bc"), Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("cc"), col("bc"), lit(-1L)).as("cluster"),
+        col("is_core"))
+  }
+
+  /** Exact DBSCAN — guarded: the eps-pair scan is O(n²). */
+  def dbscan(e: DataFrame, eps: Double, minPts: Int,
+      maxRows: Long = Similarity.NEARDUP_MAX_ROWS): DataFrame = {
+    val n = e.count()
+    require(n <= maxRows,
+      s"exact DBSCAN's eps-pair scan is O(n²) ($n rows > $maxRows); use " +
+        "dbscanBucketed with a trained quantizer at scale")
+    val a = e.repartition(32).select(col("vec_id").as("i"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+    val pairs = a.join(broadcast(b), col("i") < col("j"))
+      .filter(sqdist(col("va"), col("vb")) <= eps * eps)
+      .select(col("i"), col("j"))
+    label(e.select(col("vec_id").as("id")), pairs, minPts)
+  }
+
+  /** Scale-path DBSCAN: eps-pairs meet via the coarse-quantizer cell
+    * equi-join (exact within a cell; cross-cell edges missed — the
+    * approximate-DBSCAN recall trade, bounded by making cells ≫ eps). */
+  def dbscanBucketed(e: DataFrame, quant: CoarseQuantizer, eps: Double,
+      minPts: Int): DataFrame = {
+    val cells = e.withColumn("cell", quant.cellCol(col("v")))
+    val a = cells.select(col("vec_id").as("i"), col("v").as("va"), col("cell"))
+    val b = cells.select(col("vec_id").as("j"), col("v").as("vb"), col("cell"))
+    val pairs = a.join(b, Seq("cell")).filter(col("i") < col("j"))
+      .filter(sqdist(col("va"), col("vb")) <= eps * eps)
+      .select(col("i"), col("j"))
+    label(e.select(col("vec_id").as("id")), pairs, minPts)
+  }
+
+  /** Gate: eps picked at the ~1% pairwise-distance quantile of the
+    * synthetic embeddings (≈1.2) so the eps-graph has mean degree ~5 —
+    * real cluster/border/noise structure, not a degenerate labeling. */
+  def sim_dbscan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    dbscan(e, eps = 1.2, minPts = 4).orderBy($"vec_id")
+  }
+
+  val simDbscanSql: String = {
+    val d = "list_sum(list_transform(range(1, len(a.v) + 1), k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k])))"
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND $d <= 1.2 * 1.2),
+       |deg AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT i AS id FROM p UNION ALL SELECT j AS id FROM p) u
+       |  GROUP BY id),
+       |core AS (
+       |  SELECT e.vec_id AS id, coalesce(deg.deg, 0) + 1 >= 4 AS is_core
+       |  FROM e LEFT JOIN deg ON e.vec_id = deg.id),
+       |ce AS (
+       |  SELECT p.i, p.j FROM p
+       |  JOIN core ci ON ci.id = p.i AND ci.is_core
+       |  JOIN core cj ON cj.id = p.j AND cj.is_core),
+       |und AS (SELECT i AS v, j AS u FROM ce UNION ALL SELECT j AS v, i AS u FROM ce),
+       |reach AS (
+       |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM und) n
+       |  UNION
+       |  SELECT r.v, e2.u FROM reach r JOIN und e2 ON e2.v = r.u),
+       |comps AS (SELECT v AS id, min(u) AS comp FROM reach GROUP BY v),
+       |corelab AS (
+       |  SELECT c.id, coalesce(comps.comp, c.id) AS cluster
+       |  FROM core c LEFT JOIN comps ON comps.id = c.id
+       |  WHERE c.is_core),
+       |nbr AS (SELECT i AS id, j AS nb FROM p UNION ALL SELECT j AS id, i AS nb FROM p),
+       |borderlab AS (
+       |  SELECT c.id, min(cl.cluster) AS cluster
+       |  FROM core c JOIN nbr ON nbr.id = c.id
+       |  JOIN corelab cl ON cl.id = nbr.nb
+       |  WHERE NOT c.is_core
+       |  GROUP BY c.id)
+       |SELECT c.id AS vec_id,
+       |  CAST(coalesce(cl.cluster, bl.cluster, -1) AS BIGINT) AS cluster,
+       |  c.is_core
+       |FROM core c
+       |LEFT JOIN corelab cl ON cl.id = c.id
+       |LEFT JOIN borderlab bl ON bl.id = c.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dbscan" -> sim_dbscan _)
+
+  val oracles: Map[String, String] = Map(
+    "sim_dbscan" -> simDbscanSql)
+}
