@@ -296,6 +296,58 @@ object MLQueries {
        |FROM dd GROUP BY 1 ORDER BY cluster""".stripMargin
   }
 
+  /** k-NN classification (reference enum `algorithm.rs:12` `knn` —
+    * never dispatched there; runnable here): 5 nearest train vectors by
+    * euclidean distance vote on the class (label = train id mod 3, an
+    * exact integer fixture); majority with ties → lower class. The
+    * query side broadcasts and the corpus scans once (the sim_topk
+    * shape); the IVF cell join is the scale path for the neighbor
+    * search, same as the similarity family. All comparisons ride the
+    * graft_sqdist fold (bit-exact vs the oracle) and the vote is pure
+    * integer arithmetic. */
+  def ml_knn_predict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val test = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"v".as("vq"))
+    val train = e.filter($"vec_id" >= 50)
+      .select($"vec_id".as("tid"), ($"vec_id" % 3).as("label"), $"v".as("vt"))
+    val scored = broadcast(test).join(train)
+      .withColumn("sqd", call_function("graft_sqdist", $"vq", $"vt"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sqd".asc, $"tid")
+    val nn = scored.withColumn("rn", row_number().over(wk)).filter($"rn" <= 5)
+    val votes = nn.groupBy($"qid", $"label").agg(count(lit(1)).as("n_votes"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"n_votes".desc, $"label")
+    votes.withColumn("rv", row_number().over(wv)).filter($"rv" === 1)
+      .select($"qid", $"label".as("pred_class"), $"n_votes")
+      .orderBy($"qid")
+  }
+
+  val mlKnnSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, t.vec_id AS tid, t.vec_id % 3 AS label,
+       |    list_sum(list_transform(range(1, len(q.v) + 1),
+       |      i -> (q.v[i] - t.v[i]) * (q.v[i] - t.v[i]))) AS sqd
+       |  FROM e q JOIN e t ON q.vec_id < 50 AND t.vec_id >= 50),
+       |nn AS (
+       |  SELECT qid, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sqd, tid) AS rn
+       |    FROM scored) s
+       |  WHERE rn <= 5),
+       |votes AS (
+       |  SELECT qid, label, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM nn GROUP BY qid, label)
+       |SELECT qid, label AS pred_class, n_votes FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS rv
+       |  FROM votes) v
+       |WHERE rv = 1 ORDER BY qid""".stripMargin
+
   // ------------------------------------------------- train() lifecycle
   /** Full train lifecycle on the builtin diabetes dataset into a fresh
     * temp catalog; the one-row contract output is deterministic. */
@@ -359,6 +411,7 @@ object MLQueries {
     "ml_ols_regr"       -> ml_ols_regr _,
     "ml_ols_predict"    -> ml_ols_predict _,
     "ml_kmeans_assign"  -> ml_kmeans_assign _,
+    "ml_knn_predict"    -> ml_knn_predict _,
     "ml_train_contract" -> ml_train_contract _,
     "ml_train_joint"    -> ml_train_joint _,
     "ml_train_svm_rbf"  -> ml_train_svm_rbf _
@@ -376,6 +429,7 @@ object MLQueries {
     "ml_ols_regr"       -> mlOlsSql,
     "ml_ols_predict"    -> mlOlsPredictSql,
     "ml_kmeans_assign"  -> mlKmeansSql,
+    "ml_knn_predict"    -> mlKnnSql,
     "ml_train_contract" -> mlTrainContractSql,
     "ml_train_joint"    -> mlTrainJointSql,
     "ml_train_svm_rbf"  -> mlTrainSvmSql
