@@ -117,6 +117,22 @@ object StreamingOps {
   def mixSampleStream(spark: SparkSession, docs: DataFrame): DataFrame =
     graft.operators.PipelineOps.mixSample(spark, docs)
 
+  /** Streaming twin of ds_heavy_hitters: running corpus vocabulary
+    * profile over a live document feed — per-term total frequency and
+    * document frequency as an incrementally-maintained aggregate
+    * (Complete output; the stacked (term, doc) partial agg is the same
+    * map-combinable shape as the batch operator, so state is bounded by
+    * the vocabulary, not the corpus). The consumer takes its top-k from
+    * the maintained table; at scale swap the exact agg for a
+    * count-min/space-saving sketch with the identical output contract. */
+  def heavyHittersStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), approx_count_distinct(col("doc_id")).as("df_approx"))
+
   final case class PackOut(doc_id: Long, n_tokens: Long, cum_tokens: Long,
       pack_id: Long)
 

@@ -149,6 +149,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: exact tf parity, bounded-error df") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
+    graft.Tables.documents(spark, sfDir).select($"doc_id", $"text").limit(200)
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/docs_stream")
+    val staged = spark.read.parquet(s"$dir/docs_stream")
+    val stream = spark.readStream.schema(staged.schema).parquet(s"$dir/docs_stream")
+    val q = StreamingOps.heavyHittersStream(stream).writeStream
+      .outputMode("complete").format("memory").queryName("hh_out").start()
+    try {
+      q.processAllAvailable()
+      val batch = staged
+        .select($"doc_id", explode(split(trim(lower($"text")), "\\s+")).as("term"))
+        .filter(length($"term") > 0)
+        .groupBy($"term")
+        .agg(count(lit(1)).as("btf"), countDistinct($"doc_id").as("bdf"))
+      val joined = spark.table("hh_out").join(batch, "term").cache()
+      assert(joined.filter($"tf" =!= $"btf").count() == 0, "tf must be exact")
+      // df is approx_count_distinct (rsd 5% default) — loose bound
+      val badDf = joined.filter(
+        abs($"df_approx" - $"bdf") > $"bdf" * 0.15 + lit(2.0)).count()
+      assert(badDf == 0, s"$badDf terms outside the df error bound")
+      assert(spark.table("hh_out").count() == batch.count())
+    } finally q.stop()
+  }
+
   test("streaming sequence packing matches the batch prefix sum across micro-batches") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
