@@ -191,6 +191,14 @@ class MeanShift(override val uid: String)
       seeds = next
       iter += 1
     }
+    // sklearn parity: every seed losing its window (possible in high
+    // dimensions, where the bin diagonal h·√p/2 exceeds the window
+    // radius h) raises the same "no point within bandwidth" error
+    // sklearn does, with the actionable knob named
+    require(seeds.nonEmpty,
+      s"mean_shift: no point fell within bandwidth $h of any seed " +
+        "(high-dimensional data can need a larger bandwidth than the " +
+        "closed-form default); set bandwidth explicitly")
     // merge seeds within one bandwidth: densest window wins (sklearn rule)
     val order = counts.indices.sortBy(i => (-counts(i), seeds(i).toSeq.toString))
     val keptCenters = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]

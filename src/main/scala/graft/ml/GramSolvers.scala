@@ -178,7 +178,11 @@ class GramRegression(override val uid: String)
       case "bayesian_ridge" => (GramSolvers.bayesianRidge(stats(ds), $(maxIter), $(tol)), false)
       case "ard" => (GramSolvers.ard(stats(ds), $(maxIter), $(tol)), false)
       case "omp" => (GramSolvers.omp(stats(ds), kDefault(ds)), false)
-      case "lars" => (GramSolvers.lars(stats(ds), kDefault(ds), 0.0, lasso = false), false)
+      case "lars" =>
+        // sklearn Lars default n_nonzero_coefs=500 (effectively the full
+        // path) — NOT OMP's 10%-of-features default
+        val kLars = if ($(nNonzero) > 0) $(nNonzero) else 500
+        (GramSolvers.lars(stats(ds), kLars, 0.0, lasso = false), false)
       case "lasso_lars" => (GramSolvers.lars(stats(ds), Int.MaxValue, $(alpha), lasso = true), false)
       case "ransac" => (GramSolvers.ransac(ds, getFeaturesCol, getLabelCol,
         $(maxTrials), $(seed)), false)
@@ -553,6 +557,13 @@ private[ml] object GramSolvers {
       c: Double, eps: Double, binary: Boolean): (Array[Double], Double) = {
     import org.apache.spark.sql.functions.col
     val data = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
+    if (binary) {
+      val labels = data.select(col(labelCol).cast("double")).distinct()
+        .limit(3).collect().map(_.getDouble(0)).toSet
+      require(labels.subsetOf(Set(0.0, 1.0)),
+        s"passive_aggressive classification is binary (labels {0,1}); got " +
+          s"${labels.toSeq.sorted.mkString(", ")} — one-vs-rest is not implemented")
+    }
     val p = data.head().getAs[Vector](0).size
     val p1 = p + 1
     val parts = data.rdd.map { case Row(f: Vector, y: Double) => (f, y) }

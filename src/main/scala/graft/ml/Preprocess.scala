@@ -226,9 +226,10 @@ object Preprocess {
             val arr = categoryMaps(c)
               .map { case (_, v) => s"CAST('$v' AS DOUBLE)" }
               .mkString("ARRAY(", ", ", ")")
+            val valid = values.mkString(", ").replace("'", "''")
             s"CASE WHEN $idx >= $k THEN raise_error(concat('value is not present " +
               s"in ordinal: ', CAST(${q(c)} AS STRING), '. Valid values: " +
-              s"${values.mkString(", ")}')) " +
+              s"$valid')) " +
               s"ELSE element_at($arr, CAST($idx AS INT) + 1) END"
           case _ => // native: the code IS the canonical index
             s"CASE WHEN $idx >= $k THEN CAST('NaN' AS DOUBLE) ELSE $idx END"
@@ -247,7 +248,8 @@ object Preprocess {
             s"WHEN ${sq(k)} THEN CAST('$v' AS DOUBLE)"
           }.mkString(" ")
           s"CASE COALESCE(CAST(${q(c)} AS STRING), ${sq(NullCategory)}) $cases ELSE " +
-            s"raise_error(concat('value is not present in ordinal: ', CAST(${q(c)} AS STRING), '. Valid values: ${values.mkString(", ")}')) END"
+            s"raise_error(concat('value is not present in ordinal: ', CAST(${q(c)} AS STRING), " +
+            s"'. Valid values: ${values.mkString(", ").replace("'", "''")}')) END"
         case _ => // native + one_hot share the dictionary code
           val cases = categoryMaps(c).map { case (k, v) =>
             s"WHEN ${sq(k)} THEN CAST('$v' AS DOUBLE)"
@@ -347,7 +349,16 @@ object Preprocess {
 
     val all = featureCols.flatMap(finalExprs)
     val selects = all.map { case (e, n) => s"$e AS ${q(n)}" }
-    val sql = s"SELECT *, ${selects.mkString(", ")} FROM __THIS__"
+    // drop the indexer helper columns so they don't ride every scored
+    // row for the life of the model (star-EXCEPT, Spark ≥3.4)
+    val star =
+      if (highCard.isEmpty) "*"
+      else {
+        val helpers = highCard.toSeq.sorted
+          .flatMap(c => Seq(q(s"${c}__catkey"), q(s"${c}__idx")))
+        s"* EXCEPT (${helpers.mkString(", ")})"
+      }
+    val sql = s"SELECT $star, ${selects.mkString(", ")} FROM __THIS__"
     val sqlStage = new SQLTransformer().setStatement(sql)
     val assembler = new VectorAssembler()
       .setInputCols(all.map(_._2).toArray)

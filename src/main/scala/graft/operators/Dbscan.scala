@@ -58,12 +58,20 @@ object Dbscan {
       .join(nbr, Seq("id"))
       .join(coreLab.select(col("id").as("nb"), col("cluster")), Seq("nb"))
       .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-    core
+    val out = core
       .join(coreLab.withColumnRenamed("cluster", "cc"), Seq("id"), "left")
       .join(borderLab.withColumnRenamed("cluster", "bc"), Seq("id"), "left")
       .select(col("id").as("vec_id"),
         coalesce(col("cc"), col("bc"), lit(-1L)).as("cluster"),
         col("is_core"))
+      // materialize the (n-row) labeling so the (potentially huge) pair
+      // and core caches can be released NOW instead of living for the
+      // session — one eager pass over the small output buys the big
+      // intermediates back
+      .localCheckpoint()
+    p.unpersist()
+    core.unpersist()
+    out
   }
 
   /** Exact DBSCAN — guarded: the eps-pair scan is O(n²). */

@@ -333,9 +333,15 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    scored.withColumn("rn", row_number().over(w))
+    val out = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select(col("src"), col("dst"), col("cos"), col("rn").cast("long").as("rank"))
+      // materialize the n·topK edge list eagerly so the cached cell
+      // assignment (consumed by the guard count AND the self-join) can
+      // be released instead of living for the session
+      .localCheckpoint()
+    cells.unpersist()
+    out
   }
 
   def sim_knn_graph(s: SparkSession, dir: String): DataFrame = {

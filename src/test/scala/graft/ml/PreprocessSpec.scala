@@ -139,7 +139,11 @@ class PreprocessSpec extends AnyFunSuite {
     assert(sqlLen < 20000, s"SQL statement still carries the dictionary: $sqlLen chars")
     val model = new Pipeline().setStages(fitted.stages.toArray).fit(train)
     val test = Seq("cat_00000", "cat_09999", "cat_00042", "never_seen").toDF("c")
-    val out = model.transform(test).select("features").collect()
+    val scored = model.transform(test)
+    // indexer helper columns must not leak into the scored output
+    assert(!scored.columns.exists(n => n.endsWith("__catkey") || n.endsWith("__idx")),
+      scored.columns.toSeq.toString)
+    val out = scored.select("features").collect()
       .map(_.getAs[Vector](0)(0))
     assert(out(0) == 0.0 && out(1) == 9999.0 && out(2) == 42.0)
     assert(out(3).isNaN, s"unseen category must be NaN, got ${out(3)}")
