@@ -316,8 +316,10 @@ object Similarity {
     * window (partitionBy src), partition-parallel. */
   def knnGraph(e: DataFrame, quant: CoarseQuantizer, topK: Int = 3,
       maxCellRows: Long = KNN_MAX_CELL_ROWS): DataFrame = {
+    // the cell assignment is one codegen'd map over the corpus — cheap
+    // enough that the guard below recomputes it rather than pinning a
+    // corpus-sized cache (and the final plan stays transparent)
     val cells = e.withColumn("cell", quant.cellCol(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fattest = cells.groupBy(col("cell")).count()
       .agg(max(col("count"))).head.getLong(0)
     require(fattest <= maxCellRows,
@@ -333,15 +335,9 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val out = scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select(col("src"), col("dst"), col("cos"), col("rn").cast("long").as("rank"))
-      // materialize the n·topK edge list eagerly so the cached cell
-      // assignment (consumed by the guard count AND the self-join) can
-      // be released instead of living for the session
-      .localCheckpoint()
-    cells.unpersist()
-    out
   }
 
   def sim_knn_graph(s: SparkSession, dir: String): DataFrame = {
