@@ -37,11 +37,18 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run for local iteration;
+    // artifacts are only written for FULL runs so a partial vector never
+    // masquerades as a round's baseline
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // iterate WHOLE passes (not per-query repeats) so iteration i+1 of a
     // query never rides the page cache its own iteration i just filled
     // more than any other query's does
     val passes: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queryList.map { case (name, fn) =>
         name -> timeOnce(fn)
       }
     }
@@ -53,12 +60,57 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
     println(line)
-    // the driver captures stdout with a bounded tail — the r6 capture
-    // lost the trailing dd_* timings — so the full vector also lands as
-    // a file artifact every run, keeping rounds comparable query by query
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_results.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // regression detection: diff this vector against the PREVIOUS run's
+    // bench_results.json before overwriting it — the r7 knnGraph 1.9×
+    // regression shipped unnoticed because nothing compared the vectors.
+    // stdout stays the driver's single JSON line; the table goes to
+    // stderr plus a bench_regressions.json artifact.
+    val prevPath = java.nio.file.Paths.get("bench_results.json")
+    val prev: Map[String, Double] =
+      try {
+        import org.json4s._
+        val root = org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(prevPath))
+        // only vectors from the SAME scale factor are comparable — a
+        // sf0.01 iteration run must not register as a fleet of sf0.1
+        // "improvements" (or vice versa as regressions)
+        root \ "sf" match {
+          case JString(s) if s == sfDir =>
+            root \ "queries" match {
+              case JObject(fields) => fields.collect {
+                case (k, JDouble(v)) => k -> v
+                case (k, JInt(v))    => k -> v.toDouble
+              }.toMap
+              case _ => Map.empty
+            }
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty }
+    val regressions = results.flatMap { case (name, sec) =>
+      // 50 ms floor: sub-noise queries regress by scheduler jitter alone
+      prev.get(name).collect {
+        case old if old > 0.05 && sec > old * 1.25 => (name, old, sec)
+      }
+    }.sortBy { case (_, o, n) => -(n / o) }
+    if (regressions.nonEmpty) {
+      System.err.println("BENCH REGRESSIONS (>25% slower than previous vector):")
+      regressions.foreach { case (name, o, n) =>
+        System.err.println(f"  $name%-28s $o%8.3f s -> $n%8.3f s  (${n / o}%.2fx)")
+      }
+    }
+    if (only.isEmpty) {
+      val regJson = regressions.map { case (name, o, n) =>
+        "\"" + name + "\":{\"prev\":" + o + ",\"now\":" + n + "}"
+      }.mkString("{", ",", "}")
+      // the driver captures stdout with a bounded tail — the r6 capture
+      // lost the trailing dd_* timings — so the full vector also lands as
+      // a file artifact every run, keeping rounds comparable query by query
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_regressions.json"), regJson + "\n")
+        java.nio.file.Files.writeString(prevPath, line + "\n")
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -145,7 +145,9 @@ object Finetune {
       df: DataFrame, textCol: String = "text"): DataFrame = {
     val modelId = catalog.deployedModelId(project).getOrElse(
       throw new IllegalStateException(s"Project '$project' has no deployed model"))
-    val hp = catalog.models.collect().find(_.id == modelId).get.hyperparams
+    val hp = catalog.models.filter(col("id") === modelId).collect()
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"Model $modelId missing from catalog")).hyperparams
     val head = graft.ml.Predict.findCached(catalog, modelId)
     val input = hp.get("text2_col").filter(_.nonEmpty) match {
       case Some(t2) =>

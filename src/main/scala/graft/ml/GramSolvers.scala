@@ -127,10 +127,19 @@ private[ml] object Gram {
 
   def fromDataset(ds: Dataset[_], featuresCol: String, labelCol: String): GramStats = {
     import org.apache.spark.sql.functions.col
-    val rows = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
-      .rdd.map { case Row(f: Vector, y: Double) => (f, y) }
-    val p = ds.select(col(featuresCol)).head().getAs[Vector](0).size
-    compute(rows, p)
+    val cleaned = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
+    val rows = cleaned.rdd.map { case Row(f: Vector, y: Double) => (f, y) }
+    compute(rows, featureDim(cleaned, featuresCol))
+  }
+
+  /** Feature dimension read from the first NA-DROPPED row — probing the
+    * raw frame NPEs when a leading row carries null features, and an
+    * empty frame deserves a message, not NoSuchElementException. */
+  def featureDim(cleaned: Dataset[_], featuresCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    val first = cleaned.select(col(featuresCol)).limit(1).collect()
+    require(first.nonEmpty, "cannot infer the feature dimension from an empty dataset")
+    first(0).getAs[Vector](0).size
   }
 }
 
@@ -399,7 +408,7 @@ private[ml] object GramSolvers {
       trials: Int, seed: Long): (Array[Double], Double) = {
     import org.apache.spark.sql.functions.{abs => sabs, col, lit}
     val data = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop().cache()
-    val p = data.head().getAs[Vector](0).size
+    val p = Gram.featureDim(data, featuresCol)
     val minSamples = p + 1
     // residual_threshold: MAD of y via the distributed exact median
     val yDf = data.select(col(labelCol).cast("double").as("y"))
@@ -413,7 +422,11 @@ private[ml] object GramSolvers {
       .map(r => (r.getAs[Vector](0), r.getDouble(1)))
     require(pool.length >= minSamples, "RANSAC needs at least p+1 rows")
     val candidates = (0 until trials).flatMap { t =>
-      val rows = (0 until minSamples).map(i => pool((t * minSamples + i) % pool.length))
+      // per-trial seeded draw WITHOUT replacement over the pool —
+      // consecutive modulo chunks alias trials into near-duplicate
+      // candidate models once the pool is smaller than trials·(p+1)
+      val rnd = new scala.util.Random(seed * 7919 + t)
+      val rows = rnd.shuffle(pool.indices.toVector).take(minSamples).map(pool)
       fitLocal(rows, p)
     }
     require(candidates.nonEmpty, "RANSAC: no trial produced a solvable model")
@@ -460,7 +473,7 @@ private[ml] object GramSolvers {
       maxSub: Int, maxIter: Int, tol: Double, seed: Long): (Array[Double], Double) = {
     import org.apache.spark.sql.functions.col
     val data = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
-    val p = data.head().getAs[Vector](0).size
+    val p = Gram.featureDim(data, featuresCol)
     val size = p + 1
     val nSubsets = math.max(1, math.min(maxSub, 500))
     val pool = data.sample(withReplacement = false,
@@ -469,7 +482,9 @@ private[ml] object GramSolvers {
       .map(r => (r.getAs[Vector](0), r.getDouble(1)))
     require(pool.length >= size, "theil_sen needs at least p+1 rows")
     val sols = (0 until nSubsets).flatMap { t =>
-      val rows = (0 until size).map(i => pool((t * size + i) % pool.length))
+      // per-subset seeded draw, same scheme as ransac (no modulo aliasing)
+      val rnd = new scala.util.Random(seed * 7919 + t)
+      val rows = rnd.shuffle(pool.indices.toVector).take(size).map(pool)
       fitLocal(rows, p).map { case (w, b) => BDV(w :+ b) }
     }
     require(sols.nonEmpty, "theil_sen: no subset produced a solvable model")
@@ -501,9 +516,9 @@ private[ml] object GramSolvers {
       tau: Double, alpha: Double, maxIter: Int, tol: Double): (Array[Double], Double) = {
     import org.apache.spark.sql.functions.col
     require(tau > 0 && tau < 1, s"quantile must be in (0,1): $tau")
-    val data = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
-      .rdd.map { case Row(f: Vector, y: Double) => (f, y) }.cache()
-    val p = ds.select(col(featuresCol)).head().getAs[Vector](0).size
+    val cleaned = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
+    val data = cleaned.rdd.map { case Row(f: Vector, y: Double) => (f, y) }.cache()
+    val p = Gram.featureDim(cleaned, featuresCol)
     val p1 = p + 1
     val delta = 1e-6
     var wv = BDV.zeros[Double](p1) // [coef, intercept]
@@ -540,7 +555,9 @@ private[ml] object GramSolvers {
           i = 0; while (i < b1.length) { b1(i) += b2(i); i += 1 }
           (a1, b1)
         })
-      val a = new BDM(p1, p1, aFlat) + BDM.eye[Double](p1) * alpha
+      val ridge = BDM.eye[Double](p1) * alpha
+      ridge(p, p) = 0.0 // sklearn's QuantileRegressor never penalizes the intercept
+      val a = new BDM(p1, p1, aFlat) + ridge
       val next = solve(a, new BDV(bArr))
       converged = breeze.linalg.norm(next - wv) < tol
       wv = next
@@ -564,7 +581,7 @@ private[ml] object GramSolvers {
         s"passive_aggressive classification is binary (labels {0,1}); got " +
           s"${labels.toSeq.sorted.mkString(", ")} — one-vs-rest is not implemented")
     }
-    val p = data.head().getAs[Vector](0).size
+    val p = Gram.featureDim(data, featuresCol)
     val p1 = p + 1
     val parts = data.rdd.map { case Row(f: Vector, y: Double) => (f, y) }
       .mapPartitions { it =>

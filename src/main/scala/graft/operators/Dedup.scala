@@ -386,6 +386,11 @@ object Dedup {
     val bfBytes = bench
       .agg(call_function("graft_bloom_agg", $"hs", lit(nBench)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // the cache exists to share one bench scan between the count and the
+    // filter build; release it here — the left-semi join below rebuilds
+    // the (tiny, post-prefilter) build side rather than pinning a
+    // session-lifetime cache
+    bench.unpersist()
     sh.filter($"doc_id" >= 20)
       .filter(call_function("graft_might_contain", lit(bfBytes), $"hs"))
       .join(broadcast(bench), Seq("hs"), "left_semi")

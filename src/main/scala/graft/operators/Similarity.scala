@@ -316,10 +316,18 @@ object Similarity {
     * window (partitionBy src), partition-parallel. */
   def knnGraph(e: DataFrame, quant: CoarseQuantizer, topK: Int = 3,
       maxCellRows: Long = KNN_MAX_CELL_ROWS): DataFrame = {
-    // the cell assignment is one codegen'd map over the corpus — cheap
-    // enough that the guard below recomputes it rather than pinning a
-    // corpus-sized cache (and the final plan stays transparent)
+    // the quantizer assignment is the expensive map at scale (O(k·d)
+    // flops per row for a trained quantizer with corpus-proportional k),
+    // so it runs EXACTLY ONCE: localCheckpoint materializes the assigned
+    // frame eagerly, and the guard aggregate plus both self-join sides
+    // read the materialized rows. (Joining a narrow (vec_id, cell)
+    // checkpoint back to the parquet scan was rejected: it adds a fat
+    // shuffle on vec_id per side before the cell shuffle the join needs
+    // anyway.) The OUTPUT stays lazy, so the audited plan keeps the
+    // in-cell join + keyed window visible; the checkpoint RDD is freed
+    // by the ContextCleaner when the returned frame goes out of scope.
     val cells = e.withColumn("cell", quant.cellCol(col("v")))
+      .localCheckpoint()
     val fattest = cells.groupBy(col("cell")).count()
       .agg(max(col("count"))).head.getLong(0)
     require(fattest <= maxCellRows,
