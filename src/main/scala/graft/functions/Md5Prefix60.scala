@@ -66,6 +66,7 @@ object GraftFunctions {
   val dotInfo = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
   val sqdistInfo = new ExpressionInfo(classOf[SumSqDiff].getName, "graft_sqdist")
   val cellInfo = new ExpressionInfo(classOf[NearestCentroid].getName, "graft_cell")
+  val haloInfo = new ExpressionInfo(classOf[HaloCells].getName, "graft_halo_cells")
   val bloomAggInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
     "graft_bloom_agg")
@@ -92,6 +93,11 @@ object GraftFunctions {
     require(children.size == 2, "graft_cell takes exactly two arguments")
     NearestCentroid(Cast(children(0), arrD), Cast(children(1), arrArrD))
   }
+  private val buildHalo: Seq[Expression] => Expression = { children =>
+    require(children.size == 3, "graft_halo_cells takes (v, centroids, eps)")
+    HaloCells(Cast(children(0), arrD), Cast(children(1), arrArrD),
+      Cast(children(2), DoubleType))
+  }
   // Spark's own runtime-filter Bloom pair, surfaced by name: the agg
   // builds a serialized filter (binary), might_contain tests a long
   // against a foldable filter INSIDE whole-stage codegen — the
@@ -113,6 +119,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier("graft_dot"), dotInfo, buildDot)
     reg.registerFunction(FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist)
     reg.registerFunction(FunctionIdentifier("graft_cell"), cellInfo, buildCell)
+    reg.registerFunction(FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo)
     reg.registerFunction(FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg)
     reg.registerFunction(FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight)
   }
@@ -122,6 +129,7 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"), dotInfo, buildDot),
     (FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist),
     (FunctionIdentifier("graft_cell"), cellInfo, buildCell),
+    (FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo),
     (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg),
     (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight))
 }

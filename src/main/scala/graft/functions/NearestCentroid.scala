@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: `graft_cell(v, centroids)` = argmin over
   * k of Σ (v(i) − centroids(k)(i))², ties broken toward the lower index
@@ -77,5 +77,88 @@ object NearestCentroid {
       c += 1
     }
     java.lang.Long.valueOf(bestK)
+  }
+}
+
+/** Native Catalyst expression: `graft_halo_cells(v, centroids, eps)` =
+  * the owner cell (argmin distance) PLUS every cell k with
+  * d(v, c_k) ≤ d(v, owner) + 2·eps, ascending.
+  *
+  * This is the replication list that makes in-cell pair generation
+  * eps-COMPLETE: for any pair (p, q) with |pq| ≤ eps, the triangle
+  * inequality gives d(q, owner(p)) ≤ eps + d(p, owner(p)) ≤
+  * 2·eps + d(q, owner(q)), so q's halo always contains owner(p) — every
+  * eps-pair meets in at least one cell, no matter how clusters straddle
+  * the Voronoi boundaries. The factor is the per-point replication
+  * count, which stays O(1) once cells are ≫ eps (the quantizer-k sizing
+  * rule already enforces that).
+  *
+  * Same codegen story as [[NearestCentroid]]: one static call, the
+  * centroid matrix a constant-folded literal, per-row work two tight
+  * k×dim loops (one for the owner distance, one cut-off pass to collect
+  * the halo), so the corpus scan stays inside whole-stage codegen at
+  * any k. */
+case class HaloCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  // input typing handled by the registry builder, as with graft_cell
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_halo_cells"
+
+  override protected def nullSafeEval(v: Any, cents: Any, eps: Any): Any =
+    HaloCells.halo(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData],
+      eps.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, e) => {
+      val r = ctx.freshName("halo")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.HaloCells.halo($v, $c, $e);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HaloCells =
+    copy(first = f, second = s, third = t)
+}
+
+object HaloCells {
+  /** Static codegen target. Null propagation identical to
+    * [[NearestCentroid.assign]]; additionally null for eps < 0. */
+  def halo(v: ArrayData, cents: ArrayData, eps: Double): ArrayData = {
+    val k = cents.numElements()
+    if (k == 0 || eps < 0 || java.lang.Double.isNaN(eps)) return null
+    val dim = v.numElements()
+    val d2 = new Array[Double](k)
+    var best = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      if (cents.isNullAt(c)) return null
+      val cent = cents.getArray(c)
+      if (cent.numElements() != dim) return null
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i) || cent.isNullAt(i)) return null
+        val d = v.getDouble(i) - cent.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      d2(c) = s
+      if (s < best) best = s
+      c += 1
+    }
+    val cutRoot = math.sqrt(best) + 2.0 * eps
+    val cut = cutRoot * cutRoot
+    var n = 0
+    c = 0
+    while (c < k) { if (d2(c) <= cut) n += 1; c += 1 }
+    val out = new Array[Long](n)
+    var o = 0
+    c = 0
+    while (c < k) { if (d2(c) <= cut) { out(o) = c.toLong; o += 1 }; c += 1 }
+    new GenericArrayData(out)
   }
 }

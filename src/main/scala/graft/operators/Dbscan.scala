@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   * it follows the repo's guard-and-route convention — the exact variant
   * counts the corpus and refuses past `maxRows` (same bound as
   * `nearDupBruteForce`, same broadcast nested-loop plan, left side
-  * repartitioned); `dbscanBucketed` is the scale path: pairs meet via a
-  * coarse-quantizer cell equi-join (exact within cells, cross-cell
-  * edges missed — recall grows with nprobe-style cell merging, the
-  * standard approximate-DBSCAN trade). Everything downstream of the
-  * pair list — degrees, core flags, components (O(log d) pointer
-  * jumping), border assignment — is map-combinable joins/aggregations
-  * at any scale.
+  * repartitioned); `dbscanBucketed` is the scale path AND is exact:
+  * every point is replicated into its eps-halo of quantizer cells
+  * (`graft_halo_cells` — triangle-inequality guarantee that every
+  * eps-pair shares a cell), pairs meet via the cell equi-join, and
+  * duplicates from multi-cell meetings collapse with one distinct.
+  * Work is quadratic per CELL, linear overall with corpus-sized k;
+  * the replication factor is O(1) once cells ≫ eps. Everything
+  * downstream of the pair list — degrees, core flags, components
+  * (O(log d) pointer jumping), border assignment — is map-combinable
+  * joins/aggregations at any scale.
   */
 object Dbscan {
   private def sqdist(a: Column, b: Column): Column =
@@ -89,17 +92,20 @@ object Dbscan {
     label(e.select(col("vec_id").as("id")), pairs, minPts)
   }
 
-  /** Scale-path DBSCAN: eps-pairs meet via the coarse-quantizer cell
-    * equi-join (exact within a cell; cross-cell edges missed — the
-    * approximate-DBSCAN recall trade, bounded by making cells ≫ eps). */
+  /** Scale-path DBSCAN — EXACT: each point joins from every cell in its
+    * eps-halo (owner + cells with d(v,c) ≤ d(v,owner) + 2·eps), so any
+    * eps-pair is guaranteed to meet in at least one cell; the distinct
+    * collapses pairs that meet in several. Identical labels to
+    * [[dbscan]] at any quantizer (DbscanSpec equality gate at sf0.01),
+    * with in-cell quadratic work instead of a corpus self-join. */
   def dbscanBucketed(e: DataFrame, quant: CoarseQuantizer, eps: Double,
       minPts: Int): DataFrame = {
-    val cells = e.withColumn("cell", quant.cellCol(col("v")))
-    val a = cells.select(col("vec_id").as("i"), col("v").as("va"), col("cell"))
-    val b = cells.select(col("vec_id").as("j"), col("v").as("vb"), col("cell"))
+    val halo = e.withColumn("cell", explode(quant.haloCol(col("v"), eps)))
+    val a = halo.select(col("vec_id").as("i"), col("v").as("va"), col("cell"))
+    val b = halo.select(col("vec_id").as("j"), col("v").as("vb"), col("cell"))
     val pairs = a.join(b, Seq("cell")).filter(col("i") < col("j"))
       .filter(sqdist(col("va"), col("vb")) <= eps * eps)
-      .select(col("i"), col("j"))
+      .select(col("i"), col("j")).distinct()
     label(e.select(col("vec_id").as("id")), pairs, minPts)
   }
 

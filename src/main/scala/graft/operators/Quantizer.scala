@@ -38,6 +38,17 @@ trait CoarseQuantizer extends Serializable {
   /** Centroid for cell k, exposed for specs and plan audits. */
   def centroid(k: Int): Seq[Double]
 
+  /** Replication list for eps-COMPLETE in-cell pair generation: the
+    * owner cell plus every cell with d(v, c) ≤ d(v, owner) + 2·eps.
+    * By the triangle inequality every eps-pair then shares at least one
+    * cell (see [[graft.functions.HaloCells]] for the proof), which is
+    * what lets `dbscanBucketed` stay EXACT while scaling as in-cell
+    * work. Corpus-side, so it runs through the native codegen
+    * expression at any numCells. */
+  def haloCol(v: Column, eps: Double): Column =
+    call_function("graft_halo_cells", v,
+      typedlit((0 until numCells).map(centroid)), lit(eps))
+
   protected def sqdist(a: Column, b: Column): Column =
     call_function("graft_sqdist", a, b)
 

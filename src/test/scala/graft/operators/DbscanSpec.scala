@@ -48,6 +48,29 @@ class DbscanSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dbscanBucketed"))
   }
 
+  test("bucketed dbscan equals exact on sf0.01 with a trained quantizer") {
+    // the scale path's correctness contract: eps-halo replication
+    // (graft_halo_cells) guarantees every eps-pair meets in >= 1 cell,
+    // so the bucketed labeling must EQUAL the exact one — full labels,
+    // core flags included — at the sim_dbscan gate parameters with a
+    // corpus-sized trained quantizer. (The naive disjoint-cell variant
+    // measured 0.146 co-membership recall here: one giant eps-connected
+    // cluster chopped into k pieces. That plan is gone.)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val exact = Dbscan.dbscan(emb, eps = 1.2, minPts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val k = KMeansQuantizer.chooseK(emb.count(), targetCellRows = 100L)
+    val q = KMeansQuantizer.fit(emb, k)
+    val bucketed = Dbscan.dbscanBucketed(emb, q, eps = 1.2, minPts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    emb.unpersist()
+    assert(exact.values.exists(_._1 >= 0), "gate parameters produced no clusters — equality is vacuous")
+    val diff = exact.keySet.filter(id => exact(id) != bucketed.get(id).orNull)
+    assert(bucketed.keySet == exact.keySet && diff.isEmpty,
+      s"bucketed labels diverge from exact at k=$k for ids ${diff.toSeq.sorted.take(10)}")
+  }
+
   test("bucketed dbscan matches exact when clusters fit inside cells") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))

@@ -88,6 +88,65 @@ class QuantizerSpec extends AnyFunSuite {
     assert(crossCell == 0)
   }
 
+  test("graft_halo_cells contains the owner, stays codegen, and is null-safe") {
+    GraftFunctions.register(spark)
+    val q = KMeansQuantizer.fit(emb, k = 8)
+    // the halo must always include the assigned cell, at any eps
+    val missingOwner = emb
+      .withColumn("cell", q.cellCol($"v"))
+      .withColumn("halo", q.haloCol($"v", 0.7))
+      .filter(!array_contains($"halo", $"cell")).count()
+    assert(missingOwner == 0)
+    // monotone: a larger eps never shrinks the halo
+    val shrunk = emb
+      .withColumn("h1", size(q.haloCol($"v", 0.3)))
+      .withColumn("h2", size(q.haloCol($"v", 1.5)))
+      .filter($"h2" < $"h1").count()
+    assert(shrunk == 0)
+    val plan = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("graft_halo_cells(CAST(embedding AS ARRAY<DOUBLE>), array(array(0.0d)), 1.0d) AS h")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(spark.sql(
+      "SELECT graft_halo_cells(CAST(NULL AS ARRAY<DOUBLE>), array(array(0.0d)), 1.0d)")
+      .head().isNullAt(0))
+    // negative eps / length mismatch → null, not a wrong replication list
+    assert(spark.sql(
+      "SELECT graft_halo_cells(array(1.0d), array(array(0.0d)), -1.0d)")
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT graft_halo_cells(array(1.0d, 2.0d), array(array(0.0d)), 1.0d)")
+      .head().isNullAt(0))
+  }
+
+  test("trained kNN graph neighbor recall vs brute force on sf0.01") {
+    // the trained path's QUALITY contract (the gate only row-counts it):
+    // in-cell top-3 edges from a corpus-sized quantizer must recover at
+    // least 90% of the exact brute-force top-3 edges
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+      .cache()
+    val n = e.count()
+    val q = KMeansQuantizer.fit(e, KMeansQuantizer.chooseK(n, targetCellRows = 500L))
+    val approx = Similarity.knnGraph(e, q, topK = 3)
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = e.select($"vec_id".as("src"), $"v".as("va"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("dst"), $"v".as("vb"), $"nrm".as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cos".desc, $"dst")
+    val exact = a.join(b, $"src" =!= $"dst")
+      .withColumn("cos",
+        call_function("graft_dot", $"va", $"vb") / ($"na" * $"nb"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    e.unpersist()
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"neighbor recall=$recall%.3f (${exact.size} exact edges, ${approx.size} approx)")
+    assert(recall >= 0.9, f"trained kNN graph recall $recall%.3f < 0.9 at targetCellRows=500")
+  }
+
   test("knnGraph guard refuses a fat cell and routes to a larger k") {
     val err = intercept[IllegalArgumentException] {
       Similarity.knnGraph(emb, LcgQuantizer, maxCellRows = 10L)
