@@ -3,7 +3,7 @@ package graft.llm
 import graft.ml.{Catalog, Metrics, Sampling}
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -25,8 +25,19 @@ import org.apache.spark.sql.types._
   * feeds the (text1, text2) pair to a pair-aware tokenizer; here the
   * pair is joined with a separator token before the frozen encoder —
   * the sequence-pair packing a pair tokenizer performs, made explicit.
-  * Other finetune tasks (QA, summarization, translation, generation)
-  * still raise the documented unsupported-runtime error from
+  *
+  * `summarization` (`transformers.py:1598-1735`) TRAINS as an
+  * extractive head: documents split into fixed token windows
+  * ("sentences" — the synthetic corpora carry no punctuation), each
+  * window embeds through the frozen encoder, and a logistic head
+  * learns to score windows for inclusion against the standard
+  * extractive oracle labels (the top-k windows by clipped token
+  * overlap with the gold summary — BertSum's greedy oracle,
+  * simplified to one pass). Inference stitches the k highest-scoring
+  * windows back in document order; evaluation is the same ROUGE
+  * machinery as the `ft_summarize_eval` gate. Abstractive seq2seq
+  * generation still needs a neural trainer — conversation/translation/
+  * generation keep the documented unsupported-runtime error from
   * `Ops.finetune`.
   */
 object Finetune {
@@ -49,14 +60,17 @@ object Finetune {
       automaticDeploy: Boolean = true,
       seed: Long = 42L)
 
-  private val RUNNABLE_TASKS = Set("text-classification", "text-pair-classification")
+  private val RUNNABLE_TASKS =
+    Set("text-classification", "text-pair-classification", "summarization")
 
   def finetune(spark: SparkSession, catalog: Catalog, cfg: FinetuneConfig): DataFrame = {
     require(RUNNABLE_TASKS.contains(cfg.task),
       s"finetune task '${cfg.task}' needs a training-capable neural runtime; " +
-        "only text-classification and text-pair-classification " +
-        "(frozen-encoder head) run on this JVM — see Ops.finetune for the " +
-        "unsupported-task contract")
+        "only text-classification, text-pair-classification, and " +
+        "(extractive) summarization run on this JVM — see Ops.finetune " +
+        "for the unsupported-task contract")
+    if (cfg.task == "summarization")
+      return finetuneSummarization(spark, catalog, cfg)
     val isPair = cfg.task == "text-pair-classification"
     val t0 = System.nanoTime()
     val project = catalog.findProject(cfg.projectName) match {
@@ -135,6 +149,159 @@ object Finetune {
       java.util.Arrays.asList(
         Row(cfg.projectName, cfg.task, s"finetune:${cfg.runtime}", shouldDeploy)),
       schema)
+  }
+
+  /** Fixed token windows of a token array: window i = tokens
+    * [i·n+1, i·n+n]. The "sentence" unit of the extractive path —
+    * punctuation-free corpora get uniform windows, punctuated text can
+    * pre-split upstream and pass windows of 1 sentence. */
+  private def tokenWindows(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), floor((size(toks) - 1) / n).cast("int")),
+      i => concat_ws(" ", slice(toks, i * n + lit(1), lit(n))))
+
+  /** Trained head → per-doc summary: the topK windows by P(include),
+    * ties to the earlier window, stitched back in DOCUMENT order. */
+  private def stitchSummaries(scored: DataFrame, topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_uid")).orderBy(col("p1").desc, col("sent_idx"))
+    scored
+      .withColumn("p1",
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .groupBy(col("doc_uid"))
+      .agg(first(col("doc_text")).as("doc_text"),
+        first(col("gold")).as("gold"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sent")))),
+          x => x.getField("sent"))).as("summary"))
+  }
+
+  /** Extractive summarization finetune — see the object doc. Gold
+    * summaries arrive in `cfg.labelCol`; `sentence_tokens` (default 20)
+    * and `top_k` (default 3) ride in `cfg.hyperparams`. */
+  private def finetuneSummarization(spark: SparkSession, catalog: Catalog,
+      cfg: FinetuneConfig): DataFrame = {
+    val t0 = System.nanoTime()
+    val sentTok = cfg.hyperparams.get("sentence_tokens").map(_.toInt).getOrElse(20)
+    val topK = cfg.hyperparams.get("top_k").map(_.toInt).getOrElse(3)
+    require(sentTok > 0 && topK > 0, "sentence_tokens and top_k must be positive")
+    val project = catalog.findProject(cfg.projectName) match {
+      case Some(p) =>
+        require(p.task == cfg.task,
+          s"Project ${cfg.projectName} already exists with a different task: ${p.task}")
+        p
+      case None => catalog.createProject(cfg.projectName, cfg.task)
+    }
+    val df0 = cfg.data.getOrElse(spark.table(cfg.relationName))
+    val snapshot = catalog.createSnapshot(cfg.relationName, Seq(cfg.labelCol),
+      cfg.testSize, "random", df0.schema.json)
+
+    val docs = df0
+      .select(xxhash64(col(cfg.textCol)).as("doc_uid"),
+        col(cfg.textCol).as("doc_text"), col(cfg.labelCol).as("gold"))
+      .filter(size(TextMetrics.tokens(col("doc_text"))) > 0)
+    val wins = docs.select(col("doc_uid"), col("doc_text"), col("gold"),
+      posexplode(tokenWindows(TextMetrics.tokens(col("doc_text")), sentTok))
+        .as(Seq("sent_idx", "sent")))
+    // extractive oracle labels: topK windows by clipped token overlap
+    // with the gold summary (ties → earlier window) — the one-pass form
+    // of BertSum's greedy oracle
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_uid")).orderBy(col("ov").desc, col("sent_idx"))
+    val labeled = wins
+      .withColumn("ov", TextMetrics.clippedOverlap(
+        TextMetrics.tokens(col("sent")), TextMetrics.tokens(col("gold"))))
+      .withColumn("y", (row_number().over(ow) <= topK).cast("double"))
+      .drop("ov")
+    // frozen encoder over the windows, scoring head on the vectors
+    val embedded = Ops.embedColumn(labeled, cfg.runtime, "sent", "emb", dim = cfg.dim)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
+    // split BY DOCUMENT — window rows of one doc never straddle the split
+    val (trainDF0, testDF0) = Sampling.splitByFraction(
+      embedded, Seq("doc_uid"), cfg.testSize, cfg.seed)
+    val (trainDF, testDF) =
+      if (trainDF0.isEmpty || testDF0.isEmpty) (embedded, embedded)
+      else (trainDF0, testDF0)
+    val lr = new LogisticRegression()
+      .setLabelCol("y").setFeaturesCol("features")
+      .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
+      .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
+    val head = new Pipeline().setStages(Array(lr)).fit(trainDF.cache())
+    val fitTime = (System.nanoTime() - t0) / 1e9
+
+    // eval on held-out docs with the task's OWN metric: ROUGE of the
+    // stitched top-k summaries vs gold (transformers.py:650-682 shape)
+    val t1 = System.nanoTime()
+    val rouge = TextMetrics.rougeAvg(
+      stitchSummaries(head.transform(testDF), topK), "summary", "gold").head()
+    trainDF.unpersist()
+    val metrics = Map(
+      "rouge_ngram_f1" -> rouge.getDouble(0),
+      "rouge_ngram_precision" -> rouge.getDouble(1),
+      "rouge_ngram_recall" -> rouge.getDouble(2),
+      "rouge_bigram_f1" -> rouge.getDouble(3),
+      "rouge_bigram_precision" -> rouge.getDouble(4),
+      "rouge_bigram_recall" -> rouge.getDouble(5),
+      "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
+
+    val modelRow = catalog.createModel(project.id, snapshot.id,
+      s"finetune:${cfg.runtime}",
+      cfg.hyperparams ++ Map("runtime" -> cfg.runtime, "dim" -> cfg.dim.toString,
+        "task" -> cfg.task, "sentence_tokens" -> sentTok.toString,
+        "top_k" -> topK.toString, "text2_col" -> ""),
+      metrics, "none")
+    val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
+    head.write.overwrite().save(path)
+    catalog.addFile(modelRow.id, path)
+    catalog.addLog(modelRow.id,
+      s"finetuned ${cfg.runtime} extractive summarization head: " +
+        metrics.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(", "))
+
+    val deployed = catalog.deployedModels
+      .filter(col("name") === cfg.projectName)
+      .select(element_at(col("metrics"), "rouge_ngram_f1")).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val shouldDeploy = cfg.automaticDeploy &&
+      deployed.forall(old => metrics("rouge_ngram_f1") > old)
+    if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
+
+    val schema = StructType(Seq(
+      StructField("project", StringType), StructField("task", StringType),
+      StructField("algorithm", StringType), StructField("deploy", BooleanType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(cfg.projectName, cfg.task, s"finetune:${cfg.runtime}", shouldDeploy)),
+      schema)
+  }
+
+  /** Summarize raw text with a finetuned summarization project: window
+    * with the recorded `sentence_tokens`, embed with the recorded
+    * runtime/dim, score with the trained head, stitch the recorded
+    * `top_k` windows in document order. Returns one row per distinct
+    * input text: (textCol, summary). */
+  def summarizeText(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, textCol: String = "text"): DataFrame = {
+    val modelId = catalog.deployedModelId(project).getOrElse(
+      throw new IllegalStateException(s"Project '$project' has no deployed model"))
+    val hp = catalog.models.filter(col("id") === modelId).collect()
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"Model $modelId missing from catalog")).hyperparams
+    require(hp.get("task").contains("summarization"),
+      s"Project '$project' is not a summarization project")
+    val head = graft.ml.Predict.findCached(catalog, modelId)
+    val wins = df
+      .select(xxhash64(col(textCol)).as("doc_uid"), col(textCol).as("doc_text"),
+        lit("").as("gold"))
+      .filter(size(TextMetrics.tokens(col("doc_text"))) > 0)
+      .select(col("doc_uid"), col("doc_text"), col("gold"),
+        posexplode(tokenWindows(TextMetrics.tokens(col("doc_text")),
+          hp("sentence_tokens").toInt)).as(Seq("sent_idx", "sent")))
+    val embedded = Ops.embedColumn(wins, hp("runtime"), "sent", "emb",
+        dim = hp("dim").toInt)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
+    stitchSummaries(head.transform(embedded), hp("top_k").toInt)
+      .select(col("doc_text").as(textCol), col("summary"))
   }
 
   /** Score raw text with a finetuned project: embed with the SAME

@@ -114,17 +114,18 @@ object Ops {
     * instance cache so the next call re-initializes, and reports it. */
   def clearGpuCache(): Boolean = false // nothing to free on the JVM path
 
-  /** `finetune` API shape for the tasks that NEED a neural trainer
-    * (question-answering, summarization, translation, text-generation —
-    * `transformers.py:876-1111`): explicit unsupported error unless a
-    * capable runtime is mounted (SURVEY §7 policy). text-classification
-    * HAS a runnable path — the frozen-encoder + logistic-head lifecycle
-    * in [[Finetune.finetune]]. */
+  /** `finetune` API shape for the tasks that NEED a neural seq2seq
+    * trainer (question-answering, translation, text-generation,
+    * conversation — `transformers.py:876-1111`): explicit unsupported
+    * error unless a capable runtime is mounted (SURVEY §7 policy).
+    * text-classification, text-pair-classification, and extractive
+    * summarization HAVE runnable paths — the frozen-encoder + trained-
+    * head lifecycles in [[Finetune.finetune]]. */
   def finetune(projectName: String, task: String, runtime: String = "stub"): Nothing =
     throw new UnsupportedOperationException(
       s"finetune('$projectName', task => '$task') requires a training-capable " +
         s"model runtime; '$runtime' supports inference surfaces only. " +
-        "text-classification and text-pair-classification run via " +
-        "graft.llm.Finetune; for other tasks register a runtime via " +
+        "text-classification, text-pair-classification, and summarization " +
+        "run via graft.llm.Finetune; for other tasks register a runtime via " +
         "ModelRuntimes.register and retry.")
 }

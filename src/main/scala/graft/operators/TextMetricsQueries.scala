@@ -132,6 +132,31 @@ object TextMetricsQueries {
        |  CASE WHEN r2_p + r2_r = 0.0 THEN 0.0 ELSE 2.0 * r2_p * r2_r / (r2_p + r2_r) END AS r2_f
        |FROM prr ORDER BY doc_id""".stripMargin
 
+  /** The TRAINED summarization path end to end (rows-only gate — model
+    * fitting is not ANSI-SQL-expressible; the hash-exact metric twin is
+    * `ft_summarize_eval`, and LLMSpec proves the head learns): finetune
+    * an extractive head on the documents table against the tail-30
+    * pseudo-gold, summarize every document with the deployed head, and
+    * emit per-doc ROUGE of the TRAINED summaries. Exercises the full
+    * catalog lifecycle plus the distributed window/embed/score/stitch
+    * inference path at gate scale — the sibling of
+    * `sim_knn_graph_trained` for the finetune surface. */
+  def ft_summarize_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = Tables.documents(s, dir).select($"doc_id", $"text",
+      concat_ws(" ", slice(t, greatest(size(t) - 29, lit(1)), lit(30))).as("gold"))
+    val cat = new graft.ml.Catalog(s,
+      java.nio.file.Files.createTempDirectory("graft_ftgate").toString)
+    graft.llm.Finetune.finetune(s, cat, graft.llm.Finetune.FinetuneConfig(
+      projectName = "SummarGate", task = "summarization",
+      data = Some(d.select($"text", $"gold")), labelCol = "gold"))
+    val sums = graft.llm.Finetune.summarizeText(s, cat, "SummarGate", d.select($"text"))
+    TextMetrics.rougePairs(d.join(sums, "text"), "summary", "gold")
+      .select($"doc_id", $"r1_p", $"r1_r", $"r1_f", $"r2_p", $"r2_r", $"r2_f")
+      .orderBy($"doc_id")
+  }
+
   /** Question-answering metric path (squad-style EM + token F1 —
     * `transformers.py` QA eval contract) on a deterministic extractive
     * baseline: predicted answer = lead-10 tokens, pseudo-gold = tokens
@@ -276,6 +301,7 @@ object TextMetricsQueries {
     "lm_exact_match"        -> lm_exact_match _,
     "lm_perplexity_unigram" -> lm_perplexity_unigram _,
     "ft_summarize_eval"     -> ft_summarize_eval _,
+    "ft_summarize_train"    -> ft_summarize_train _,
     "ft_qa_eval"            -> ft_qa_eval _
   )
 

@@ -177,6 +177,46 @@ class LLMOpsSpec extends AnyFunSuite {
         data = Some(df))))
   }
 
+  test("finetune summarization: extractive head trains, deploys, summarizes") {
+    val cat = new graft.ml.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_fts").toString)
+    // docs where the MIDDLE window carries the gold summary's vocabulary
+    // — lead/tail heuristics fail, so a better-than-chance ROUGE means
+    // the head actually LEARNED to score windows
+    val fillers = Seq("alpha beta gamma delta", "epsilon zeta eta theta",
+      "iota kappa lambda mu", "nu xi omicron pi")
+    val facts = Seq("spark joins shuffle on keys", "filters push into the scan",
+      "broadcast the small dimension", "salting spreads skewed keys")
+    val df = (0 until 40).map { i =>
+      val fill = fillers(i % 4); val fact = facts(i % 4)
+      val doc = (Seq.fill(5)(fill).mkString(" ") + " " + fact + " " +
+        Seq.fill(5)(fillers((i + 1) % 4)).mkString(" "))
+      (doc + s" tag$i", fact)
+    }.toDF("text", "summary")
+    val out = Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+      projectName = "Summar", task = "summarization", data = Some(df),
+      labelCol = "summary",
+      hyperparams = Map("sentence_tokens" -> "5", "top_k" -> "1")))
+    val row = out.head()
+    assert(row.getString(1) == "summarization" && row.getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.algorithm == "finetune:hashing_tf")
+    assert(m.hyperparams("task") == "summarization")
+    assert(m.metrics("rouge_ngram_f1") > 0.5,
+      s"the fact window is learnable: ${m.metrics}")
+    assert(cat.deployedModelId("Summar").contains(m.id))
+    // raw-text scoring: the deployed head summarizes unseen docs of the
+    // same construction and finds the fact window, not lead/tail
+    graft.ml.Predict.clearCaches()
+    // 10 filler tokens put the fact at a window boundary (windows of 5)
+    val scored = Finetune.summarizeText(spark, cat, "Summar",
+      Seq("alpha beta gamma delta alpha beta gamma delta alpha beta " +
+        "broadcast the small dimension " +
+        "nu xi omicron pi nu xi omicron pi").toDF("text"))
+      .select("summary").head().getString(0)
+    assert(scored.contains("broadcast"), s"picked window: '$scored'")
+  }
+
   test("unknown runtime names a clear registration error") {
     val e = intercept[IllegalArgumentException](ModelRuntimes.get("onnx-prod"))
     assert(e.getMessage.contains("No model runtime"))
