@@ -151,6 +151,9 @@ object ModelRuntimes {
   private val instances = new ConcurrentHashMap[String, ModelRuntime]()
   register("stub", () => new StubRuntime)
   register("hashing_tf", () => new HashingTfRuntime)
+  // the neural path self-activates when its jars + env contract are
+  // present (see OnnxRuntime scaladoc) — mounting is the ONLY step
+  if (OnnxRuntime.available) register("onnx", () => OnnxRuntime.fromEnv())
 
   def register(name: String, factory: () => ModelRuntime): Unit =
     factories.put(name, factory)
@@ -159,7 +162,9 @@ object ModelRuntimes {
     val f = factories.get(name)
     require(f != null,
       s"No model runtime '$name' registered — available: ${factories.keySet()}. " +
-        "Heavy runtimes (ONNX/DJL) must be registered at executor startup.")
+        "Heavy runtimes register at executor startup; for 'onnx' mount the " +
+        "onnxruntime jar and set GRAFT_ONNX_MODEL/GRAFT_ONNX_VOCAB " +
+        "(graft.llm.OnnxRuntime scaladoc has the full contract).")
     instances.computeIfAbsent(name, _ => f())
   }
 }
