@@ -79,6 +79,7 @@ object Predict {
     case p: org.apache.spark.ml.regression.GBTRegressionModel => p.predict
     case p: org.apache.spark.ml.classification.GBTClassificationModel => p.predict
     case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
+    case p: GraftLinearModel => p.predict
   }
 
   private def flatStages(m: PipelineModel): Seq[org.apache.spark.ml.Transformer] =
@@ -126,6 +127,31 @@ object Predict {
         findCached(catalog, r.getLong(1))
       }
 
+  /** (coefficients, intercept) of the deployed model when the scalar
+    * predict path is PURELY linear — no RFF expansion stage, first
+    * predictor a linear regression (MLlib or Gram-trained in regression
+    * mode). The [[graft.plans.InlineLinearPredict]] optimizer rule uses
+    * this to replace the quackml_predict ScalaUDF with a codegen'd
+    * dot + intercept for literal project names. Cache-only (no jobs):
+    * safe to call during optimization. */
+  private[graft] def linearInline(project: String): Option[(Array[Double], Double)] = {
+    val cat = bound
+    if (cat == null) return None
+    val id = projectCache.get(s"${cat.baseDir}#$project")
+    if (id == null) return None
+    val m = modelCache.get(s"${cat.baseDir}#${id.longValue()}")
+    if (m == null) return None
+    val fs = flatStages(m)
+    if (fs.exists(_.isInstanceOf[RFFTransformer])) return None
+    fs.find(rowPredictor.isDefinedAt).flatMap {
+      case p: org.apache.spark.ml.regression.LinearRegressionModel =>
+        Some((p.coefficients.toArray, p.intercept))
+      case p: GraftLinearModel if p.getOrDefault(p.mode) == "regression" =>
+        Some((p.coeffs.toArray, p.intercept))
+      case _ => None
+    }
+  }
+
   private def cachedOnly(project: String): PipelineModel = {
     val cat = boundCatalog
     val id = projectCache.get(s"${cat.baseDir}#$project")
@@ -138,6 +164,11 @@ object Predict {
   def registerFunctions(spark: SparkSession, catalog: Catalog): Unit = {
     bound = catalog
     warm(catalog)
+    // literal-project linear scoring drops the ScalaUDF for a codegen'd
+    // dot + intercept (see graft.plans.InlineLinearPredict)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.InlineLinearPredict))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.InlineLinearPredict
     spark.udf.register("quackml_predict", (project: String, features: Seq[Float]) => {
       require(features != null && features.nonEmpty, "Empty feature vector")
       val m = cachedOnly(project)

@@ -31,12 +31,22 @@ class TrainLifecycleSpec extends AnyFunSuite {
     // predict surface: UDF + bulk transform
     Predict.clearCaches()
     Predict.registerFunctions(spark, cat)
-    val pred = spark.sql(
+    val predSql =
       "SELECT quackml_predict('Diabetes', array(cast(0.1 as float), cast(-0.2 as float)," +
         " cast(0.3 as float), cast(0.0 as float), cast(0.1 as float), cast(0.1 as float)," +
-        " cast(-0.1 as float), cast(0.2 as float), cast(0.0 as float), cast(0.05 as float)))")
-      .head().getFloat(0)
+        " cast(-0.1 as float), cast(0.2 as float), cast(0.0 as float), cast(0.05 as float)))"
+    val pred = spark.sql(predSql).head().getFloat(0)
     assert(!pred.isNaN)
+    // literal project + linear model → the optimizer inlines the scoring
+    // as codegen'd dot+intercept: no ScalaUDF in the executed plan, and
+    // the value agrees with the row-predictor path
+    // the inlined expression prints as graft_dot(...) + intercept; a
+    // surviving UDF would print as quackml_predict(...) with no dot
+    val plan = spark.sql(predSql).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"), plan)
+    val viaBatch = Predict.predictBatch(cat, "Diabetes",
+      Seq(Array(0.1f, -0.2f, 0.3f, 0.0f, 0.1f, 0.1f, -0.1f, 0.2f, 0.0f, 0.05f))).head
+    assert(math.abs(pred - viaBatch) < 1e-5, s"$pred vs $viaBatch")
     val bulk = Predict.transform(cat, "Diabetes", df)
     assert(bulk.columns.contains("prediction") && bulk.count() == 442)
   }
@@ -143,6 +153,11 @@ class TrainLifecycleSpec extends AnyFunSuite {
     // the persisted pipeline (custom RFF stage) reloads and serves rows
     Predict.clearCaches()
     Predict.registerFunctions(spark, cat)
+    // kernel (RFF) pipelines must KEEP the UDF — the inline rule is for
+    // purely linear scoring only
+    assert(!spark.sql(
+      "SELECT quackml_predict('Rbf', array(cast(0.4 as float), cast(0.1 as float)))")
+      .queryExecution.executedPlan.toString.contains("graft_dot"))
     val inside = spark.sql(
       "SELECT quackml_predict('Rbf', array(cast(0.4 as float), cast(0.1 as float)))")
       .head().getFloat(0)
