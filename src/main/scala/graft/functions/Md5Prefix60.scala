@@ -67,6 +67,7 @@ object GraftFunctions {
   val sqdistInfo = new ExpressionInfo(classOf[SumSqDiff].getName, "graft_sqdist")
   val cellInfo = new ExpressionInfo(classOf[NearestCentroid].getName, "graft_cell")
   val haloInfo = new ExpressionInfo(classOf[HaloCells].getName, "graft_halo_cells")
+  val overlapInfo = new ExpressionInfo(classOf[ClippedOverlap].getName, "graft_overlap")
   val bloomAggInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
     "graft_bloom_agg")
@@ -76,6 +77,7 @@ object GraftFunctions {
 
   private val arrD = ArrayType(DoubleType)
   private val arrArrD = ArrayType(arrD)
+  private val arrS = ArrayType(StringType)
 
   private val buildH60: Seq[Expression] => Expression = { children =>
     require(children.size == 1, "graft_h60 takes exactly one argument")
@@ -97,6 +99,10 @@ object GraftFunctions {
     require(children.size == 3, "graft_halo_cells takes (v, centroids, eps)")
     HaloCells(Cast(children(0), arrD), Cast(children(1), arrArrD),
       Cast(children(2), DoubleType))
+  }
+  private val buildOverlap: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_overlap takes exactly two arguments")
+    ClippedOverlap(Cast(children(0), arrS), Cast(children(1), arrS))
   }
   // Spark's own runtime-filter Bloom pair, surfaced by name: the agg
   // builds a serialized filter (binary), might_contain tests a long
@@ -120,6 +126,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist)
     reg.registerFunction(FunctionIdentifier("graft_cell"), cellInfo, buildCell)
     reg.registerFunction(FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo)
+    reg.registerFunction(FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap)
     reg.registerFunction(FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg)
     reg.registerFunction(FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight)
   }
@@ -130,6 +137,7 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist),
     (FunctionIdentifier("graft_cell"), cellInfo, buildCell),
     (FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo),
+    (FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap),
     (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg),
     (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight))
 }

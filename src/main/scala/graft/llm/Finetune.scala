@@ -35,10 +35,21 @@ import org.apache.spark.sql.types._
   * overlap with the gold summary — BertSum's greedy oracle,
   * simplified to one pass). Inference stitches the k highest-scoring
   * windows back in document order; evaluation is the same ROUGE
-  * machinery as the `ft_summarize_eval` gate. Abstractive seq2seq
-  * generation still needs a neural trainer — conversation/translation/
-  * generation keep the documented unsupported-runtime error from
-  * `Ops.finetune`.
+  * machinery as the `ft_summarize_eval` gate.
+  *
+  * `question-answering` (`transformers.py` QA finetune; squad shape)
+  * trains the same way at WINDOW granularity: context splits into
+  * token windows, each (question ⊕ [SEP] ⊕ window) pair embeds through
+  * the frozen encoder, and the head learns to score windows for
+  * answer-bearing-ness (oracle label: the window with maximal clipped
+  * token overlap with the gold answer). Inference returns the best
+  * window as the extracted answer — window-granular, not
+  * character-span-granular (documented deviation: span extraction
+  * inside a window needs token-level logits, i.e. a neural trainer);
+  * evaluation is squad EM + token F1 over the predicted windows.
+  * Abstractive seq2seq generation still needs a neural trainer —
+  * conversation/translation/generation keep the documented
+  * unsupported-runtime error from `Ops.finetune`.
   */
 object Finetune {
   /** Separator between the members of a text pair — the JVM analog of
@@ -61,16 +72,19 @@ object Finetune {
       seed: Long = 42L)
 
   private val RUNNABLE_TASKS =
-    Set("text-classification", "text-pair-classification", "summarization")
+    Set("text-classification", "text-pair-classification", "summarization",
+      "question-answering")
 
   def finetune(spark: SparkSession, catalog: Catalog, cfg: FinetuneConfig): DataFrame = {
     require(RUNNABLE_TASKS.contains(cfg.task),
       s"finetune task '${cfg.task}' needs a training-capable neural runtime; " +
-        "only text-classification, text-pair-classification, and " +
-        "(extractive) summarization run on this JVM — see Ops.finetune " +
-        "for the unsupported-task contract")
+        "only text-classification, text-pair-classification, and the " +
+        "extractive summarization / question-answering heads run on this " +
+        "JVM — see Ops.finetune for the unsupported-task contract")
     if (cfg.task == "summarization")
       return finetuneSummarization(spark, catalog, cfg)
+    if (cfg.task == "question-answering")
+      return finetuneQa(spark, catalog, cfg)
     val isPair = cfg.task == "text-pair-classification"
     val t0 = System.nanoTime()
     val project = catalog.findProject(cfg.projectName) match {
@@ -302,6 +316,153 @@ object Finetune {
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
     stitchSummaries(head.transform(embedded), hp("top_k").toInt)
       .select(col("doc_text").as(textCol), col("summary"))
+  }
+
+  /** Best-scoring window per doc from a trained QA head. */
+  private def pickAnswers(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_uid")).orderBy(col("p1").desc, col("sent_idx"))
+    scored
+      .withColumn("p1",
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** Extractive QA finetune — see the object doc. Context arrives in
+    * `cfg.textCol`, the question in `cfg.text2Col`, the gold answer in
+    * `cfg.labelCol`; `sentence_tokens` (default 10 — answers are short)
+    * rides in hyperparams. */
+  private def finetuneQa(spark: SparkSession, catalog: Catalog,
+      cfg: FinetuneConfig): DataFrame = {
+    val t0 = System.nanoTime()
+    val sentTok = cfg.hyperparams.get("sentence_tokens").map(_.toInt).getOrElse(10)
+    require(sentTok > 0, "sentence_tokens must be positive")
+    val project = catalog.findProject(cfg.projectName) match {
+      case Some(p) =>
+        require(p.task == cfg.task,
+          s"Project ${cfg.projectName} already exists with a different task: ${p.task}")
+        p
+      case None => catalog.createProject(cfg.projectName, cfg.task)
+    }
+    val df0 = cfg.data.getOrElse(spark.table(cfg.relationName))
+    val snapshot = catalog.createSnapshot(cfg.relationName, Seq(cfg.labelCol),
+      cfg.testSize, "random", df0.schema.json)
+
+    val rows = df0
+      .select(xxhash64(col(cfg.textCol), col(cfg.text2Col)).as("doc_uid"),
+        col(cfg.textCol).as("ctx"), col(cfg.text2Col).as("question"),
+        col(cfg.labelCol).as("answer"))
+      .filter(size(TextMetrics.tokens(col("ctx"))) > 0)
+    val wins = rows.select(col("doc_uid"), col("question"), col("answer"),
+      posexplode(tokenWindows(TextMetrics.tokens(col("ctx")), sentTok))
+        .as(Seq("sent_idx", "sent")))
+    // oracle label: THE answer-bearing window — max clipped overlap with
+    // the gold answer, ties → earlier; docs whose answer overlaps no
+    // window at all contribute only negatives
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_uid")).orderBy(col("ov").desc, col("sent_idx"))
+    val labeled = wins
+      .withColumn("ov", TextMetrics.clippedOverlap(
+        TextMetrics.tokens(col("sent")), TextMetrics.tokens(col("answer"))))
+      .withColumn("y",
+        (row_number().over(ow) === 1 && col("ov") > 0).cast("double"))
+      .drop("ov")
+    // (question ⊕ [SEP] ⊕ window) through the frozen encoder — the QA
+    // tokenizer's sequence-pair packing, explicit
+    val packed = labeled.withColumn("pair",
+      concat(col("question"), lit(PAIR_SEP), col("sent")))
+    val embedded = Ops.embedColumn(packed, cfg.runtime, "pair", "emb", dim = cfg.dim)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
+    val (trainDF0, testDF0) = Sampling.splitByFraction(
+      embedded, Seq("doc_uid"), cfg.testSize, cfg.seed)
+    val (trainDF, testDF) =
+      if (trainDF0.isEmpty || testDF0.isEmpty) (embedded, embedded)
+      else (trainDF0, testDF0)
+    val lr = new LogisticRegression()
+      .setLabelCol("y").setFeaturesCol("features")
+      .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
+      .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
+    val head = new Pipeline().setStages(Array(lr)).fit(trainDF.cache())
+    val fitTime = (System.nanoTime() - t0) / 1e9
+
+    // eval: squad EM + token F1 of the predicted window vs the gold
+    // answer on held-out docs (EM is window-granular by construction)
+    val t1 = System.nanoTime()
+    val picked = pickAnswers(head.transform(testDF))
+      .withColumn("tp", TextMetrics.tokens(col("sent")))
+      .withColumn("tg", TextMetrics.tokens(col("answer")))
+      .withColumn("ncommon", TextMetrics.clippedOverlap(col("tp"), col("tg")))
+      .select(
+        (col("tp") === col("tg")).cast("double").as("em"),
+        when(size(col("tp")) + size(col("tg")) > 0,
+          lit(2.0) * col("ncommon") / (size(col("tp")) + size(col("tg"))))
+          .otherwise(lit(0.0)).as("f1"))
+    val ag = picked.agg(avg(col("em")).as("em"), avg(col("f1")).as("f1")).head()
+    trainDF.unpersist()
+    val metrics = Map(
+      "exact_match" -> ag.getDouble(0), "f1" -> ag.getDouble(1),
+      "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
+
+    val modelRow = catalog.createModel(project.id, snapshot.id,
+      s"finetune:${cfg.runtime}",
+      cfg.hyperparams ++ Map("runtime" -> cfg.runtime, "dim" -> cfg.dim.toString,
+        "task" -> cfg.task, "sentence_tokens" -> sentTok.toString,
+        "text2_col" -> cfg.text2Col),
+      metrics, "none")
+    val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
+    head.write.overwrite().save(path)
+    catalog.addFile(modelRow.id, path)
+    catalog.addLog(modelRow.id,
+      s"finetuned ${cfg.runtime} extractive QA head: " +
+        metrics.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(", "))
+
+    val deployed = catalog.deployedModels
+      .filter(col("name") === cfg.projectName)
+      .select(element_at(col("metrics"), "f1")).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val shouldDeploy = cfg.automaticDeploy &&
+      deployed.forall(old => metrics("f1") > old)
+    if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
+
+    val schema = StructType(Seq(
+      StructField("project", StringType), StructField("task", StringType),
+      StructField("algorithm", StringType), StructField("deploy", BooleanType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(cfg.projectName, cfg.task, s"finetune:${cfg.runtime}", shouldDeploy)),
+      schema)
+  }
+
+  /** Answer questions with a finetuned QA project: window the context
+    * with the recorded `sentence_tokens`, pair-pack with the question,
+    * embed with the recorded runtime/dim, return the best window per
+    * (context, question) as `answer`. */
+  def answerText(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, contextCol: String = "context",
+      questionCol: String = "question"): DataFrame = {
+    val modelId = catalog.deployedModelId(project).getOrElse(
+      throw new IllegalStateException(s"Project '$project' has no deployed model"))
+    val hp = catalog.models.filter(col("id") === modelId).collect()
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"Model $modelId missing from catalog")).hyperparams
+    require(hp.get("task").contains("question-answering"),
+      s"Project '$project' is not a question-answering project")
+    val head = graft.ml.Predict.findCached(catalog, modelId)
+    val wins = df
+      .select(xxhash64(col(contextCol), col(questionCol)).as("doc_uid"),
+        col(contextCol).as("ctx"), col(questionCol).as("question"))
+      .filter(size(TextMetrics.tokens(col("ctx"))) > 0)
+      .select(col("doc_uid"), col("ctx"), col("question"),
+        posexplode(tokenWindows(TextMetrics.tokens(col("ctx")),
+          hp("sentence_tokens").toInt)).as(Seq("sent_idx", "sent")))
+      .withColumn("pair", concat(col("question"), lit(PAIR_SEP), col("sent")))
+    val embedded = Ops.embedColumn(wins, hp("runtime"), "pair", "emb",
+        dim = hp("dim").toInt)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
+    pickAnswers(head.transform(embedded))
+      .select(col("ctx").as(contextCol), col("question").as(questionCol),
+        col("sent").as("answer"))
   }
 
   /** Score raw text with a finetuned project: embed with the SAME

@@ -43,14 +43,18 @@ object TextMetrics {
         i => concat_ws(SEP, slice(toks, i, lit(n)))))
 
   /** Clipped multiset overlap Σ_g min(count_pred(g), count_ref(g)) — the
-    * shared kernel of ROUGE and BLEU. Pure per-row column expression:
-    * O(|distinct|·(|gp|+|gr|)) on short texts beats shipping every
-    * n-gram through a shuffle, and it keeps the operator shuffle-free. */
+    * shared kernel of ROUGE and BLEU, kept per-row and shuffle-free.
+    * Runs through the native codegen expression
+    * [[graft.functions.ClippedOverlap]]: the former HOF form
+    * (aggregate over transform + two nested filters) paid
+    * O(|distinct|·(|gp|+|gr|)) interpreted lambda calls per metric
+    * column and dominated the finetune eval (41 s of 63 measured). The
+    * value is bit-identical — exact integer counts either way. */
   def clippedOverlap(gp: Column, gr: Column): Column =
-    aggregate(
-      transform(array_distinct(gp),
-        g => least(size(filter(gp, x => x === g)), size(filter(gr, x => x === g)))),
-      lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ClippedOverlap(
+        org.apache.spark.sql.GraftColumnBridge.expression(gp),
+        org.apache.spark.sql.GraftColumnBridge.expression(gr)))
 
   private def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))

@@ -99,14 +99,39 @@ object Dbscan {
     * [[dbscan]] at any quantizer (DbscanSpec equality gate at sf0.01),
     * with in-cell quadratic work instead of a corpus self-join. */
   def dbscanBucketed(e: DataFrame, quant: CoarseQuantizer, eps: Double,
-      minPts: Int): DataFrame = {
+      minPts: Int, maxAvgHalo: Double = MAX_AVG_HALO): DataFrame =
+    label(e.select(col("vec_id").as("id")),
+      epsPairsBucketed(e, quant, eps, maxAvgHalo), minPts)
+
+  /** Mean halo cells per point above which the bucketed plan has
+    * degenerated: work scales with Σ_cell |cell|², and replication ≈ k
+    * means every cell holds every point — k·n²/2, WORSE than the exact
+    * scan. Measured on the synthetic embeddings: 64-dim distance
+    * concentration puts every centroid within d_min + 2·eps of every
+    * point, so avg halo = k exactly. The guard routes such geometries
+    * to the guarded exact variant or the ANN operators instead of
+    * silently melting. */
+  val MAX_AVG_HALO = 4.0
+
+  /** The eps-COMPLETE candidate-pair stage of [[dbscanBucketed]] —
+    * public so the plan audit can assert the halo-cell equi-join shape
+    * before the labeling stage's checkpoint collapses the lineage.
+    * GUARDED on the measured replication factor (one cheap agg pass). */
+  def epsPairsBucketed(e: DataFrame, quant: CoarseQuantizer, eps: Double,
+      maxAvgHalo: Double = MAX_AVG_HALO): DataFrame = {
+    val avgHalo = e.agg(avg(size(quant.haloCol(col("v"), eps)))).head.getDouble(0)
+    require(avgHalo <= maxAvgHalo,
+      f"eps-halo replication averages $avgHalo%.1f cells/point (quantizer " +
+        f"cells are not >> eps for this corpus geometry), so the bucketed " +
+        f"plan degenerates toward k*n^2; coarsen the quantizer (smaller k), " +
+        f"shrink eps, or use the guarded exact dbscan / ANN near-dup " +
+        f"operators instead")
     val halo = e.withColumn("cell", explode(quant.haloCol(col("v"), eps)))
     val a = halo.select(col("vec_id").as("i"), col("v").as("va"), col("cell"))
     val b = halo.select(col("vec_id").as("j"), col("v").as("vb"), col("cell"))
-    val pairs = a.join(b, Seq("cell")).filter(col("i") < col("j"))
+    a.join(b, Seq("cell")).filter(col("i") < col("j"))
       .filter(sqdist(col("va"), col("vb")) <= eps * eps)
       .select(col("i"), col("j")).distinct()
-    label(e.select(col("vec_id").as("id")), pairs, minPts)
   }
 
   /** Gate: eps picked at the ~1% pairwise-distance quantile of the
@@ -118,6 +143,29 @@ object Dbscan {
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     dbscan(e, eps = 1.2, minPts = 4).orderBy($"vec_id")
+  }
+
+  /** The SCALE path under the ORACLE: `dbscanBucketed` with a trained,
+    * corpus-sized quantizer must reproduce the exact labeling, so it
+    * gates hash-exact against the SAME recursive-CTE oracle as
+    * `sim_dbscan`. DuckDB never sees the quantizer — this gate passing
+    * is the eps-halo exactness proof replayed at every sf, not just the
+    * spec's fixed corpus. */
+  def sim_dbscan_bucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val n = e.count()
+    // the halo guarantees exact output for ANY centroids, so the gate
+    // fits its quantizer CHEAPLY (bounded sample, few iterations) and
+    // COARSELY (large target cells): on this corpus's 64-dim geometry
+    // the replication guard caps how fine the cells can usefully be —
+    // cell-balance quality only moves the constant factor, never labels
+    val q = KMeansQuantizer.fit(e,
+      KMeansQuantizer.chooseK(n, targetCellRows = 1000L),
+      sampleFraction = math.min(1.0, 2000.0 / math.max(n, 1L)), maxIter = 5)
+    dbscanBucketed(e, q, eps = 1.2, minPts = 4).orderBy($"vec_id")
   }
 
   val simDbscanSql: String = {
@@ -166,8 +214,10 @@ object Dbscan {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_dbscan" -> sim_dbscan _)
+    "sim_dbscan" -> sim_dbscan _,
+    "sim_dbscan_bucketed" -> sim_dbscan_bucketed _)
 
   val oracles: Map[String, String] = Map(
-    "sim_dbscan" -> simDbscanSql)
+    "sim_dbscan" -> simDbscanSql,
+    "sim_dbscan_bucketed" -> simDbscanSql)
 }

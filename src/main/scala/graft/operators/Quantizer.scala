@@ -110,10 +110,10 @@ object KMeansQuantizer {
     * stay bounded. Deterministic under a fixed seed.
     */
   def fit(e: DataFrame, k: Int, seed: Long = 42L,
-      sampleFraction: Double = 1.0): KMeansQuantizer = {
+      sampleFraction: Double = 1.0, maxIter: Int = 20): KMeansQuantizer = {
     val sample = if (sampleFraction >= 1.0) e else e.sample(sampleFraction, seed)
     val feats = sample.select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(feats)
     new KMeansQuantizer(model.clusterCenters.map(_.toArray))
   }

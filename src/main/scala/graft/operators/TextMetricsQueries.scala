@@ -148,9 +148,13 @@ object TextMetricsQueries {
       concat_ws(" ", slice(t, greatest(size(t) - 29, lit(1)), lit(30))).as("gold"))
     val cat = new graft.ml.Catalog(s,
       java.nio.file.Files.createTempDirectory("graft_ftgate").toString)
+    // lean head for the gate: the lifecycle + distributed path is the
+    // contract under test, not squeezing the last F1 decimal — dim 64
+    // and 10 LBFGS iterations keep the trained gate bench-cheap
     graft.llm.Finetune.finetune(s, cat, graft.llm.Finetune.FinetuneConfig(
       projectName = "SummarGate", task = "summarization",
-      data = Some(d.select($"text", $"gold")), labelCol = "gold"))
+      data = Some(d.select($"text", $"gold")), labelCol = "gold",
+      dim = 64, hyperparams = Map("max_iter" -> "10")))
     val sums = graft.llm.Finetune.summarizeText(s, cat, "SummarGate", d.select($"text"))
     TextMetrics.rougePairs(d.join(sums, "text"), "summary", "gold")
       .select($"doc_id", $"r1_p", $"r1_r", $"r1_f", $"r2_p", $"r2_r", $"r2_f")
@@ -169,6 +173,43 @@ object TextMetricsQueries {
     val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
     Tables.documents(s, dir)
       .select($"doc_id", slice(t, 1, 10).as("tp"), slice(t, 6, 10).as("tg"))
+      .select($"doc_id",
+        size($"tp").cast("long").as("n_pred"),
+        size($"tg").cast("long").as("n_gold"),
+        TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
+        when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
+      .withColumn("f1",
+        when($"n_pred" + $"n_gold" > 0,
+          lit(2.0) * $"n_common".cast("double") /
+            ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  /** The TRAINED QA path end to end (rows-only gate, sibling of
+    * `ft_summarize_train`): finetune an extractive answer-window head
+    * on the documents table — question = lead-5 tokens, pseudo-gold
+    * answer = tokens 6–15 (the `ft_qa_eval` construction) — then answer
+    * every document's question with the deployed head and emit per-doc
+    * squad EM + token F1 of the TRAINED answers. */
+  def ft_qa_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = Tables.documents(s, dir).select($"doc_id", $"text",
+      concat_ws(" ", slice(t, 1, 5)).as("question"),
+      concat_ws(" ", slice(t, 6, 10)).as("answer"))
+    val cat = new graft.ml.Catalog(s,
+      java.nio.file.Files.createTempDirectory("graft_qagate").toString)
+    graft.llm.Finetune.finetune(s, cat, graft.llm.Finetune.FinetuneConfig(
+      projectName = "SquadGate", task = "question-answering",
+      data = Some(d.select($"text", $"question", $"answer")),
+      textCol = "text", text2Col = "question", labelCol = "answer",
+      dim = 64, hyperparams = Map("max_iter" -> "10")))
+    val preds = graft.llm.Finetune.answerText(s, cat, "SquadGate",
+        d.select($"text".as("context"), $"question"), "context", "question")
+      .select($"context", $"question".as("q2"), $"answer".as("pred"))
+    d.join(preds, d("text") === preds("context") && d("question") === preds("q2"))
+      .select($"doc_id",
+        TextMetrics.tokens($"pred").as("tp"), TextMetrics.tokens($"answer").as("tg"))
       .select($"doc_id",
         size($"tp").cast("long").as("n_pred"),
         size($"tg").cast("long").as("n_gold"),
@@ -302,7 +343,8 @@ object TextMetricsQueries {
     "lm_perplexity_unigram" -> lm_perplexity_unigram _,
     "ft_summarize_eval"     -> ft_summarize_eval _,
     "ft_summarize_train"    -> ft_summarize_train _,
-    "ft_qa_eval"            -> ft_qa_eval _
+    "ft_qa_eval"            -> ft_qa_eval _,
+    "ft_qa_train"           -> ft_qa_train _
   )
 
   val oracles: Map[String, String] = Map(

@@ -171,9 +171,9 @@ class LLMOpsSpec extends AnyFunSuite {
       Seq("really great good product", "awful terrible bad").toDF("text"))
       .select("prediction").collect().map(_.getDouble(0))
     assert(scored(0) == 1.0 && scored(1) == 0.0, scored.mkString(","))
-    // non-classification tasks keep the policy error
+    // genuinely seq2seq tasks keep the policy error
     intercept[IllegalArgumentException](Finetune.finetune(spark, cat,
-      Finetune.FinetuneConfig(projectName = "QA", task = "question-answering",
+      Finetune.FinetuneConfig(projectName = "Tr", task = "translation",
         data = Some(df))))
   }
 
@@ -215,6 +215,42 @@ class LLMOpsSpec extends AnyFunSuite {
         "nu xi omicron pi nu xi omicron pi").toDF("text"))
       .select("summary").head().getString(0)
     assert(scored.contains("broadcast"), s"picked window: '$scored'")
+  }
+
+  test("finetune question-answering: extractive window head lifecycle") {
+    val cat = new graft.ml.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_ftq").toString)
+    // answers are Spark-vocabulary facts embedded mid-context between
+    // Greek-letter fillers, window-aligned (5-token windows)
+    val facts = Seq("spark joins shuffle on keys", "filters push into the scan",
+      "broadcast the small dimension fast", "salting spreads skewed join keys")
+    val fillers = Seq("alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+      "lambda mu nu xi omicron", "pi rho sigma tau upsilon")
+    val df = (0 until 40).map { i =>
+      val fact = facts(i % 4)
+      val ctx = fillers(i % 4) + " " + fillers((i + 1) % 4) + " " + fact +
+        " " + fillers((i + 2) % 4)
+      (ctx + s" tag$i", "what does " + fact.split(" ").head + " do", fact)
+    }.toDF("context", "question", "answer")
+    val out = Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+      projectName = "Squad", task = "question-answering", data = Some(df),
+      textCol = "context", text2Col = "question", labelCol = "answer",
+      hyperparams = Map("sentence_tokens" -> "5")))
+    val row = out.head()
+    assert(row.getString(1) == "question-answering" && row.getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.hyperparams("task") == "question-answering")
+    assert(m.metrics("f1") > 0.7, s"aligned fact windows are learnable: ${m.metrics}")
+    assert(m.metrics.contains("exact_match"))
+    assert(cat.deployedModelId("Squad").contains(m.id))
+    // raw QA scoring on an unseen (context, question)
+    graft.ml.Predict.clearCaches()
+    val ans = Finetune.answerText(spark, cat, "Squad",
+      Seq(("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "broadcast the small dimension fast lambda mu nu xi omicron",
+        "what does broadcast do")).toDF("context", "question"))
+      .select("answer").head().getString(0)
+    assert(ans.contains("broadcast"), s"picked window: '$ans'")
   }
 
   test("unknown runtime names a clear registration error") {

@@ -25,6 +25,18 @@ class ComponentsSpec extends AnyFunSuite {
     assert(labels.length == 13)
   }
 
+  test("simhash CC labels are computed once per (session, dir) and shared") {
+    val dir = "/root/testdata/sf0.001"
+    val first = Components.simhashComponents(spark, dir)
+    val second = Components.simhashComponents(spark, dir)
+    // the memo hands back the SAME materialized frame — dd_components,
+    // dd_canonical, and pipeline callers share one fixpoint run
+    assert(first eq second)
+    // and the shared labels are what the gates project
+    val viaGate = Components.dd_components(spark, dir).count()
+    assert(viaGate == first.count())
+  }
+
   test("edge direction does not matter") {
     val edges = Seq((5L, 2L), (2L, 9L)).toDF("a", "b") // min id on the 'b' side
     val labels = Components.connectedComponents(edges, "a", "b")

@@ -62,13 +62,27 @@ class DbscanSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val k = KMeansQuantizer.chooseK(emb.count(), targetCellRows = 100L)
     val q = KMeansQuantizer.fit(emb, k)
-    val bucketed = Dbscan.dbscanBucketed(emb, q, eps = 1.2, minPts = 4)
+    // maxAvgHalo relaxed: the equality contract is STRONGEST with many
+    // cells, and on this geometry that means full replication — the
+    // cost guard is under test separately, exactness is under test here
+    val bucketed = Dbscan.dbscanBucketed(emb, q, eps = 1.2, minPts = 4,
+        maxAvgHalo = k.toDouble)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     emb.unpersist()
     assert(exact.values.exists(_._1 >= 0), "gate parameters produced no clusters — equality is vacuous")
     val diff = exact.keySet.filter(id => exact(id) != bucketed.get(id).orNull)
     assert(bucketed.keySet == exact.keySet && diff.isEmpty,
       s"bucketed labels diverge from exact at k=$k for ids ${diff.toSeq.sorted.take(10)}")
+  }
+
+  test("bucketed dbscan guards on a degenerate replication factor") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = KMeansQuantizer.fit(emb, k = 8)
+    val e = intercept[IllegalArgumentException] {
+      Dbscan.dbscanBucketed(emb, q, eps = 1.2, minPts = 4, maxAvgHalo = 1.5)
+    }
+    assert(e.getMessage.contains("replication"))
   }
 
   test("bucketed dbscan matches exact when clusters fit inside cells") {
