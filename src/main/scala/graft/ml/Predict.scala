@@ -80,6 +80,7 @@ object Predict {
     case p: org.apache.spark.ml.classification.GBTClassificationModel => p.predict
     case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
     case p: GraftLinearModel => p.predict
+    case p: GraftKernelModel => p.predict
   }
 
   private def flatStages(m: PipelineModel): Seq[org.apache.spark.ml.Transformer] =

@@ -117,6 +117,14 @@ object Train {
       new LinearRegression().setLoss("huber")
         .setEpsilon(hp(h, "epsilon", 1.35))
         .setRegParam(hp(h, "alpha", 0.0001)).setMaxIter(hpi(h, "max_iter", 100))
+    case ("regression", "kernel_ridge") if h.get("exact").contains("true") =>
+      // sklearn-EXACT dual solve under a hard row cap (KernelRidge
+      // scaladoc) — opt-in; the RFF approximation below stays the
+      // default because the exact Gram has no scale path
+      new KernelRidge().setAlpha(hp(h, "alpha", 1.0))
+        .setGamma(hp(h, "gamma", -1.0))
+        .setKernel(h.getOrElse("kernel", "linear"))
+        .setMaxRows(hpi(h, "max_rows", 2000))
     case ("regression", "kernel_ridge" | "nu_svm") =>
       // kernel machines scale via the RFF feature map + ridge (see svm);
       // nu_svm's nu-parameterization has no MLlib analogue — flagged
@@ -308,9 +316,12 @@ object Train {
   }
 
   /** Whether the nearest-equivalent substitution was applied. */
-  private def compatNote(algorithm: String): Map[String, String] = algorithm match {
+  private def compatNote(algorithm: String,
+      h: Map[String, String]): Map[String, String] = algorithm match {
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
+    case "kernel_ridge" if h.get("exact").contains("true") =>
+      Map.empty // sklearn-exact capped dual solve — nothing substituted
     case "svm" | "kernel_ridge" | "nu_svm" => Map("compat" -> "rff_kernel_approx")
     case "bayesian_ridge" => Map("compat" -> "ridge_point_estimate")
     case "bagging" => Map("compat" -> "bagged_trees")
@@ -582,7 +593,7 @@ object Train {
 
     // persist model + catalog rows
     val modelRow = catalog.createModel(project.id, snapshot.id, cfg.algorithm,
-      bestHyper ++ compatNote(cfg.algorithm) ++
+      bestHyper ++ compatNote(cfg.algorithm, cfg.hyperparams) ++
         (if (searchResults.nonEmpty) Map("search_results" -> searchResults) else Map.empty),
       allMetrics, cfg.search.getOrElse("none"))
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
