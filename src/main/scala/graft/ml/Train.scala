@@ -168,6 +168,15 @@ object Train {
     case ("classification", "passive_aggressive") =>
       new GramRegression().setSolver("passive_aggressive_binary")
         .setRegC(hp(h, "C", 1.0))
+    case ("regression", "gaussian_process") if h.get("exact").contains("true") =>
+      // exact GP posterior MEAN under the cap — the identical dual
+      // machinery to kernel ridge: k(x)ᵀ(K + σ²I)⁻¹y with sklearn's
+      // default RBF(length_scale=1) → gamma = 1/(2·1²) = 0.5 and alpha
+      // = the observation-noise jitter (GaussianProcessRegressor alpha)
+      new KernelRidge().setKernel("rbf")
+        .setGamma(hp(h, "gamma", 0.5))
+        .setAlpha(hp(h, "alpha", 1e-10))
+        .setMaxRows(hpi(h, "max_rows", 2000))
     case ("regression", "gaussian_process") =>
       // GP with an RBF kernel ≡ Bayesian linear regression over the RFF
       // feature map (Rahimi & Recht) — the posterior mean converges to
@@ -320,9 +329,10 @@ object Train {
       h: Map[String, String]): Map[String, String] = algorithm match {
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
-    case "kernel_ridge" if h.get("exact").contains("true") =>
+    case "kernel_ridge" | "gaussian_process" if h.get("exact").contains("true") =>
       Map.empty // sklearn-exact capped dual solve — nothing substituted
     case "svm" | "kernel_ridge" | "nu_svm" => Map("compat" -> "rff_kernel_approx")
+    case "gaussian_process" => Map("compat" -> "rff_gp_approx")
     case "bayesian_ridge" => Map("compat" -> "ridge_point_estimate")
     case "bagging" => Map("compat" -> "bagged_trees")
     case "perceptron" => Map("compat" -> "logistic")

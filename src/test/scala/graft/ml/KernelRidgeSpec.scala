@@ -59,6 +59,27 @@ class KernelRidgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("RFF"))
   }
 
+  test("gaussian_process exact=true is the capped posterior mean; default records the RFF flag") {
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_gp").toString)
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "GPexact", task = "regression", relationName = "sin",
+      data = Some(sinData().select($"x", $"label")), yColumn = Seq("label"),
+      algorithm = "gaussian_process",
+      hyperparams = Map("exact" -> "true", "alpha" -> "0.01"),
+      testSampling = "random", orderCols = Seq("x")))
+    val exact = cat.models.collect().head
+    assert(!exact.hyperparams.contains("compat"), exact.hyperparams)
+    assert(exact.metrics("r2") > 0.95, s"exact GP posterior fits sin: ${exact.metrics}")
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "GPrff", task = "regression", relationName = "sin",
+      data = Some(sinData().select($"x", $"label")), yColumn = Seq("label"),
+      algorithm = "gaussian_process",
+      testSampling = "random", orderCols = Seq("x")))
+    val rff = cat.models.collect().maxBy(_.id)
+    assert(rff.hyperparams.get("compat").contains("rff_gp_approx"), rff.hyperparams)
+  }
+
   test("train lifecycle: exact=true dispatches, records NO compat flag, serves predict") {
     val cat = new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_kr").toString)
