@@ -123,19 +123,26 @@ class OnnxRuntime(modelPath: String, vocabPath: String, maxLen: Int = 128)
     val mask = encoded.map { case (_, n) =>
       Array.tabulate(maxLen)(i => if (i < n) 1L else 0L)
     }.toArray
+    // Input tensors wrap NATIVE buffers — they are not GC-managed, so
+    // every tensor created for the feed must be close()d after run() or
+    // each batch leaks batch×maxLen longs of native memory per input.
     val feed = new java.util.HashMap[String, AnyRef]()
-    feed.put(inputNames.find(_.contains("input_ids")).getOrElse(inputNames.head),
-      tensor(ids))
-    inputNames.find(_.contains("attention_mask"))
-      .foreach(n => feed.put(n, tensor(mask)))
-    val result = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
-      .invoke(session, feed)
+    val inputs = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     try {
-      val first = result.getClass.getMethod("get", classOf[Int]).invoke(result, Integer.valueOf(0))
-      val hidden = first.getClass.getMethod("getValue").invoke(first)
-        .asInstanceOf[Array[Array[Array[Float]]]]
-      OnnxRuntime.pool(hidden, mask, dim)
-    } finally result.getClass.getMethod("close").invoke(result)
+      def put(name: String, data: Array[Array[Long]]): Unit = {
+        val t = tensor(data); inputs += t; feed.put(name, t)
+      }
+      put(inputNames.find(_.contains("input_ids")).getOrElse(inputNames.head), ids)
+      inputNames.find(_.contains("attention_mask")).foreach(put(_, mask))
+      val result = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+        .invoke(session, feed)
+      try {
+        val first = result.getClass.getMethod("get", classOf[Int]).invoke(result, Integer.valueOf(0))
+        val hidden = first.getClass.getMethod("getValue").invoke(first)
+          .asInstanceOf[Array[Array[Array[Float]]]]
+        OnnxRuntime.pool(hidden, mask, dim)
+      } finally result.getClass.getMethod("close").invoke(result)
+    } finally inputs.foreach(t => t.getClass.getMethod("close").invoke(t))
   }
 
   def rank(query: String, documents: Seq[String]): Seq[Double] = {

@@ -96,7 +96,9 @@ class KernelRidge(override val uid: String)
     val rows = ds.select(col($(featuresCol)), col($(labelCol)).cast("double"))
       .na.drop().limit(cap + 1).collect()
       .map { case Row(f: Vector, y: Double) => (f.toArray, y) }
-    require(rows.length <= cap && rows.nonEmpty,
+    require(rows.nonEmpty,
+      "exact kernel_ridge needs at least one non-null training row")
+    require(rows.length <= cap,
       s"exact kernel_ridge is an O(n²)-memory dual solve (${rows.length} rows > " +
         s"$cap cap); drop the exact=true hyperparam to use the RFF + ridge " +
         "approximation, which is the scale path")
@@ -122,8 +124,11 @@ class KernelRidge(override val uid: String)
       }
       k(i, j) = kv; k(j, i) = kv
     }
-    val a = breeze.linalg.inv(k + BDM.eye[Double](n) * $(alpha)) *
-      BDV(rows.map(_._2))
+    // linear SOLVE, never an explicit inverse: with near-duplicate rows
+    // (and the GP path's tiny alpha) K is near-singular, where forming
+    // inv(K + αI) amplifies error that the factorized solve does not —
+    // and the solve is ~3× cheaper for a single right-hand side
+    val a = (k + BDM.eye[Double](n) * $(alpha)) \ BDV(rows.map(_._2))
     val m = new GraftKernelModel(uid + "_m")
       .setSupport(rows.map(_._1)).setDual(a.toArray)
       .setGamma(g).setKernelType($(kernel))

@@ -78,13 +78,32 @@ object Components {
     * small checkpointed label set, not live lineage. A 100 TB pipeline
     * runs the iterative CC exactly once and fans out; re-deriving it per
     * consumer doubled the two most expensive bench lines for no
-    * information. */
+    * information.
+    *
+    * Weak session keys: entries (and their checkpoint blocks, via the
+    * ContextCleaner once the frames are unreachable) die with the
+    * session instead of pinning for the JVM lifetime, and a recycled
+    * identity can never resurrect a frame bound to a stopped context.
+    * The memo assumes the input dir is an immutable snapshot for the
+    * session's lifetime — the same contract Spark's own FileStatusCache
+    * applies to the listing; call [[invalidateSharedLabels]] after
+    * rewriting data in place. */
   private val sharedLabels =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   def simhashComponents(s: SparkSession, dir: String): DataFrame =
-    sharedLabels.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db"))
+    sharedLabels.synchronized {
+      sharedLabels.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir,
+          connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db"))
+    }
+
+  /** Drops the memoized labels for `s`. The bench harness calls this at
+    * the top of every timing pass so each pass pays the real CC cost
+    * exactly once (the first dd_* gate of the pass) — medians must never
+    * be memo-hit times. */
+  def invalidateSharedLabels(s: SparkSession): Unit =
+    sharedLabels.synchronized { sharedLabels.remove(s); () }
 
   /** Gate: component id (= min reachable doc_id) for every document that
     * appears in a simhash near-dup pair. */

@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
   * counts the corpus and refuses past `maxRows` (same bound as
   * `nearDupBruteForce`, same broadcast nested-loop plan, left side
   * repartitioned); `dbscanBucketed` is the scale path AND is exact:
-  * every point is replicated into its eps-halo of quantizer cells
-  * (`graft_halo_cells` — triangle-inequality guarantee that every
-  * eps-pair shares a cell), pairs meet via the cell equi-join, and
-  * duplicates from multi-cell meetings collapse with one distinct.
-  * Work is quadratic per CELL, linear overall with corpus-sized k;
-  * the replication factor is O(1) once cells ≫ eps. Everything
+  * one join side keeps each point in its OWNER cell, the other
+  * replicates into the eps-halo of quantizer cells (`graft_halo_cells`
+  * — triangle-inequality guarantee that owner(p) ∈ halo(q) for every
+  * eps-pair), so pairs meet via the cell equi-join exactly once, with
+  * no dedup shuffle. Work is quadratic per CELL, linear overall with
+  * corpus-sized k; the replication factor is O(1) once cells ≫ eps. Everything
   * downstream of the pair list — degrees, core flags, components
   * (O(log d) pointer jumping), border assignment — is map-combinable
   * joins/aggregations at any scale.
@@ -92,16 +92,58 @@ object Dbscan {
     label(e.select(col("vec_id").as("id")), pairs, minPts)
   }
 
-  /** Scale-path DBSCAN — EXACT: each point joins from every cell in its
-    * eps-halo (owner + cells with d(v,c) ≤ d(v,owner) + 2·eps), so any
-    * eps-pair is guaranteed to meet in at least one cell; the distinct
-    * collapses pairs that meet in several. Identical labels to
-    * [[dbscan]] at any quantizer (DbscanSpec equality gate at sf0.01),
-    * with in-cell quadratic work instead of a corpus self-join. */
+  /** Scale-path DBSCAN — EXACT: one join side carries each point's OWNER
+    * cell, the other replicates each point into its eps-halo (owner +
+    * cells with d(v,c) ≤ d(v,owner) + 2·eps). The halo guarantee is
+    * symmetric — owner(p) ∈ halo(q) for EVERY eps-pair — so the
+    * one-sided join is already eps-complete, and because the owner cell
+    * is unique each pair meets exactly once: no duplicate-collapsing
+    * distinct() shuffle, and join input inflates by the halo factor on
+    * ONE side instead of both. Identical labels to [[dbscan]] at any
+    * quantizer (DbscanSpec equality gate at sf0.01), with in-cell
+    * quadratic work instead of a corpus self-join.
+    *
+    * The (cell, halo) assignment — the expensive k×dim map at scale —
+    * is computed ONCE into a persisted frame serving the replication
+    * guard and both join sides, released as soon as the labeling stage
+    * has checkpointed its output. */
   def dbscanBucketed(e: DataFrame, quant: CoarseQuantizer, eps: Double,
-      minPts: Int, maxAvgHalo: Double = MAX_AVG_HALO): DataFrame =
-    label(e.select(col("vec_id").as("id")),
-      epsPairsBucketed(e, quant, eps, maxAvgHalo), minPts)
+      minPts: Int, maxAvgHalo: Double = MAX_AVG_HALO): DataFrame = {
+    val assigned = assignedCells(e, quant, eps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      requireHaloGuard(assigned, maxAvgHalo)
+      label(assigned.select(col("vec_id").as("id")),
+        pairsFromAssigned(assigned, eps), minPts)
+    } finally { assigned.unpersist(); () }
+  }
+
+  private def assignedCells(e: DataFrame, quant: CoarseQuantizer,
+      eps: Double): DataFrame =
+    e.select(col("vec_id"), col("v"), quant.cellCol(col("v")).as("cell"),
+      quant.haloCol(col("v"), eps).as("halo"))
+
+  /** Replication-factor guard: one cheap agg pass. Null-safe — an empty
+    * (or all-null-vector) corpus has no replication to guard against. */
+  private def requireHaloGuard(assigned: DataFrame, maxAvgHalo: Double): Unit = {
+    val row = assigned.agg(avg(size(col("halo")))).head
+    val avgHalo = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    require(avgHalo <= maxAvgHalo,
+      f"eps-halo replication averages $avgHalo%.1f cells/point (quantizer " +
+        f"cells are not >> eps for this corpus geometry), so the bucketed " +
+        f"plan degenerates toward k*n^2; coarsen the quantizer (smaller k), " +
+        f"shrink eps, or use the guarded exact dbscan / ANN near-dup " +
+        f"operators instead")
+  }
+
+  private def pairsFromAssigned(assigned: DataFrame, eps: Double): DataFrame = {
+    val a = assigned.select(col("vec_id").as("i"), col("v").as("va"), col("cell"))
+    val b = assigned.select(col("vec_id").as("j"), col("v").as("vb"),
+      explode(col("halo")).as("cell"))
+    a.join(b, Seq("cell")).filter(col("i") < col("j"))
+      .filter(sqdist(col("va"), col("vb")) <= eps * eps)
+      .select(col("i"), col("j"))
+  }
 
   /** Mean halo cells per point above which the bucketed plan has
     * degenerated: work scales with Σ_cell |cell|², and replication ≈ k
@@ -116,22 +158,15 @@ object Dbscan {
   /** The eps-COMPLETE candidate-pair stage of [[dbscanBucketed]] —
     * public so the plan audit can assert the halo-cell equi-join shape
     * before the labeling stage's checkpoint collapses the lineage.
-    * GUARDED on the measured replication factor (one cheap agg pass). */
+    * GUARDED on the measured replication factor (one cheap agg pass).
+    * Lazy (no caching) so the audited plan is the raw lineage;
+    * [[dbscanBucketed]] wraps the same stages around a persisted
+    * assignment frame. */
   def epsPairsBucketed(e: DataFrame, quant: CoarseQuantizer, eps: Double,
       maxAvgHalo: Double = MAX_AVG_HALO): DataFrame = {
-    val avgHalo = e.agg(avg(size(quant.haloCol(col("v"), eps)))).head.getDouble(0)
-    require(avgHalo <= maxAvgHalo,
-      f"eps-halo replication averages $avgHalo%.1f cells/point (quantizer " +
-        f"cells are not >> eps for this corpus geometry), so the bucketed " +
-        f"plan degenerates toward k*n^2; coarsen the quantizer (smaller k), " +
-        f"shrink eps, or use the guarded exact dbscan / ANN near-dup " +
-        f"operators instead")
-    val halo = e.withColumn("cell", explode(quant.haloCol(col("v"), eps)))
-    val a = halo.select(col("vec_id").as("i"), col("v").as("va"), col("cell"))
-    val b = halo.select(col("vec_id").as("j"), col("v").as("vb"), col("cell"))
-    a.join(b, Seq("cell")).filter(col("i") < col("j"))
-      .filter(sqdist(col("va"), col("vb")) <= eps * eps)
-      .select(col("i"), col("j")).distinct()
+    val assigned = assignedCells(e, quant, eps)
+    requireHaloGuard(assigned, maxAvgHalo)
+    pairsFromAssigned(assigned, eps)
   }
 
   /** Gate: eps picked at the ~1% pairwise-distance quantile of the

@@ -323,9 +323,16 @@ object Similarity {
     // read the materialized rows. (Joining a narrow (vec_id, cell)
     // checkpoint back to the parquet scan was rejected: it adds a fat
     // shuffle on vec_id per side before the cell shuffle the join needs
-    // anyway.) The OUTPUT stays lazy, so the audited plan keeps the
-    // in-cell join + keyed window visible; the checkpoint RDD is freed
-    // by the ContextCleaner when the returned frame goes out of scope.
+    // anyway. cache() was rejected too: a returned-lazy frame can never
+    // be explicitly unpersisted, and CacheManager pins cached plans
+    // until unpersist — the checkpoint RDD by contrast is freed by the
+    // ContextCleaner when the returned frame goes out of scope.) The
+    // TRADE: localCheckpoint blocks are executor-local and
+    // non-replicated, so an executor loss after this point fails the
+    // query instead of recomputing — acceptable for a deterministic
+    // re-runnable batch job; use reliable checkpointing if running
+    // on preemptible nodes. The OUTPUT stays lazy, so the audited plan
+    // keeps the in-cell join + keyed window visible.
     val cells = e.withColumn("cell", quant.cellCol(col("v")))
       .localCheckpoint()
     val fattest = cells.groupBy(col("cell")).count()

@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   * libm-dependent scalar to REAL.
   */
 object TextMetricsQueries {
+  /** One temp catalog root per JVM for the trained ft_* gates, REUSED
+    * across invocations — repeated bench/verify passes append a few
+    * catalog rows instead of orphaning a fresh model directory per call
+    * — and removed on JVM exit (no query can still be reading it then). */
+  private lazy val gateCatalogRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ftgates")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def gateCatalog(s: SparkSession, name: String): graft.ml.Catalog =
+    new graft.ml.Catalog(s, gateCatalogRoot.resolve(name).toString)
+
   /** Adjacent-document (prediction, reference) pairs. */
   private def pairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -146,8 +164,7 @@ object TextMetricsQueries {
     val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
     val d = Tables.documents(s, dir).select($"doc_id", $"text",
       concat_ws(" ", slice(t, greatest(size(t) - 29, lit(1)), lit(30))).as("gold"))
-    val cat = new graft.ml.Catalog(s,
-      java.nio.file.Files.createTempDirectory("graft_ftgate").toString)
+    val cat = gateCatalog(s, "summarize")
     // lean head for the gate: the lifecycle + distributed path is the
     // contract under test, not squeezing the last F1 decimal — dim 64
     // and 10 LBFGS iterations keep the trained gate bench-cheap
@@ -197,8 +214,7 @@ object TextMetricsQueries {
     val d = Tables.documents(s, dir).select($"doc_id", $"text",
       concat_ws(" ", slice(t, 1, 5)).as("question"),
       concat_ws(" ", slice(t, 6, 10)).as("answer"))
-    val cat = new graft.ml.Catalog(s,
-      java.nio.file.Files.createTempDirectory("graft_qagate").toString)
+    val cat = gateCatalog(s, "qa")
     graft.llm.Finetune.finetune(s, cat, graft.llm.Finetune.FinetuneConfig(
       projectName = "SquadGate", task = "question-answering",
       data = Some(d.select($"text", $"question", $"answer")),
