@@ -47,8 +47,20 @@ import org.apache.spark.sql.types._
   * character-span-granular (documented deviation: span extraction
   * inside a window needs token-level logits, i.e. a neural trainer);
   * evaluation is squad EM + token F1 over the predicted windows.
-  * Abstractive seq2seq generation still needs a neural trainer —
-  * conversation/translation/generation keep the documented
+  * `conversation` (`transformers.py:1823-1861` — (system, user,
+  * assistant) triples into a causal-LM trainer) TRAINS as a
+  * DUAL-ENCODER response-selection head — the standard retrieval
+  * chatbot baseline: context (system ⊕ [SEP] ⊕ user) and response
+  * embed separately through the frozen encoder, and a logistic head
+  * learns on the ELEMENT-WISE PRODUCT of the two vectors against
+  * true-pair positives and deterministic in-bucket shifted negatives.
+  * Because the learned score is w·(c⊙r) + b = (w⊙c)·r + b, candidate
+  * response embeddings precompute once and inference is a top-1
+  * dot-product retrieval with a reweighted query — the same shape as
+  * the ANN operators, so the candidate pool can route through IVF/LSH
+  * past the broadcast guard. Generating novel text (abstractive
+  * response synthesis) still needs a neural trainer —
+  * translation/text-generation keep the documented
   * unsupported-runtime error from `Ops.finetune`.
   */
 object Finetune {
@@ -73,18 +85,20 @@ object Finetune {
 
   private val RUNNABLE_TASKS =
     Set("text-classification", "text-pair-classification", "summarization",
-      "question-answering")
+      "question-answering", "conversation")
 
   def finetune(spark: SparkSession, catalog: Catalog, cfg: FinetuneConfig): DataFrame = {
     require(RUNNABLE_TASKS.contains(cfg.task),
       s"finetune task '${cfg.task}' needs a training-capable neural runtime; " +
         "only text-classification, text-pair-classification, and the " +
-        "extractive summarization / question-answering heads run on this " +
-        "JVM — see Ops.finetune for the unsupported-task contract")
+        "extractive summarization / question-answering / conversation heads " +
+        "run on this JVM — see Ops.finetune for the unsupported-task contract")
     if (cfg.task == "summarization")
       return finetuneSummarization(spark, catalog, cfg)
     if (cfg.task == "question-answering")
       return finetuneQa(spark, catalog, cfg)
+    if (cfg.task == "conversation")
+      return finetuneConversation(spark, catalog, cfg)
     val isPair = cfg.task == "text-pair-classification"
     val t0 = System.nanoTime()
     val project = catalog.findProject(cfg.projectName) match {
@@ -106,12 +120,14 @@ object Finetune {
           .as(cfg.textCol), col(cfg.labelCol))
       else df0
 
-    // frozen encoder: one distributed embed pass, then the head trains
-    // on the cached vectors
+    // frozen encoder: ONE embed pass serves the emptiness probes, every
+    // LBFGS iteration, and the eval transform — uncached, the
+    // frozen-encoder map re-runs up to 4× per finetune
     val embedded = Ops.embedColumn(df.select(col(cfg.textCol), col(cfg.labelCol)),
         cfg.runtime, cfg.textCol, "emb", dim = cfg.dim)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
       .withColumn("y", col(cfg.labelCol).cast("double"))
+      .cache()
     val (trainDF0, testDF0) = Sampling.splitByFraction(
       embedded, Seq(cfg.textCol), cfg.testSize, cfg.seed)
     val (trainDF, testDF) =
@@ -120,12 +136,12 @@ object Finetune {
       .setLabelCol("y").setFeaturesCol("features")
       .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
       .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
-    val head = new Pipeline().setStages(Array(lr)).fit(trainDF.cache())
+    val head = new Pipeline().setStages(Array(lr)).fit(trainDF)
     val fitTime = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
     val rep = Metrics.classification(head.transform(testDF), "y", "prediction")
-    trainDF.unpersist()
+    embedded.unpersist()
     // weighted averages, matching the reference's text-classification
     // eval (sklearn average="weighted", transformers.py:719-721)
     // "f1" is ALWAYS the weighted value from here on (deploy compares
@@ -231,6 +247,7 @@ object Finetune {
     // frozen encoder over the windows, scoring head on the vectors
     val embedded = Ops.embedColumn(labeled, cfg.runtime, "sent", "emb", dim = cfg.dim)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
+      .cache() // one embed pass for probes + LBFGS + eval
     // split BY DOCUMENT — window rows of one doc never straddle the split
     val (trainDF0, testDF0) = Sampling.splitByFraction(
       embedded, Seq("doc_uid"), cfg.testSize, cfg.seed)
@@ -241,7 +258,7 @@ object Finetune {
       .setLabelCol("y").setFeaturesCol("features")
       .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
       .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
-    val head = new Pipeline().setStages(Array(lr)).fit(trainDF.cache())
+    val head = new Pipeline().setStages(Array(lr)).fit(trainDF)
     val fitTime = (System.nanoTime() - t0) / 1e9
 
     // eval on held-out docs with the task's OWN metric: ROUGE of the
@@ -249,7 +266,7 @@ object Finetune {
     val t1 = System.nanoTime()
     val rouge = TextMetrics.rougeAvg(
       stitchSummaries(head.transform(testDF), topK), "summary", "gold").head()
-    trainDF.unpersist()
+    embedded.unpersist()
     val metrics = Map(
       "rouge_ngram_f1" -> rouge.getDouble(0),
       "rouge_ngram_precision" -> rouge.getDouble(1),
@@ -374,6 +391,7 @@ object Finetune {
       concat(col("question"), lit(PAIR_SEP), col("sent")))
     val embedded = Ops.embedColumn(packed, cfg.runtime, "pair", "emb", dim = cfg.dim)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
+      .cache() // one embed pass for probes + LBFGS + eval
     val (trainDF0, testDF0) = Sampling.splitByFraction(
       embedded, Seq("doc_uid"), cfg.testSize, cfg.seed)
     val (trainDF, testDF) =
@@ -383,7 +401,7 @@ object Finetune {
       .setLabelCol("y").setFeaturesCol("features")
       .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
       .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
-    val head = new Pipeline().setStages(Array(lr)).fit(trainDF.cache())
+    val head = new Pipeline().setStages(Array(lr)).fit(trainDF)
     val fitTime = (System.nanoTime() - t0) / 1e9
 
     // eval: squad EM + token F1 of the predicted window vs the gold
@@ -399,7 +417,7 @@ object Finetune {
           lit(2.0) * col("ncommon") / (size(col("tp")) + size(col("tg"))))
           .otherwise(lit(0.0)).as("f1"))
     val ag = picked.agg(avg(col("em")).as("em"), avg(col("f1")).as("f1")).head()
-    trainDF.unpersist()
+    embedded.unpersist()
     val metrics = Map(
       "exact_match" -> ag.getDouble(0), "f1" -> ag.getDouble(1),
       "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
@@ -463,6 +481,155 @@ object Finetune {
     pickAnswers(head.transform(embedded))
       .select(col("ctx").as(contextCol), col("question").as(questionCol),
         col("sent").as("answer"))
+  }
+
+  /** Conversation finetune — see the object doc. The (system, user,
+    * assistant) columns arrive as (cfg.textCol, cfg.text2Col,
+    * cfg.labelCol), mirroring the reference's triple
+    * (`transformers.py:1823-1861`). Positives are the true
+    * (context, response) pairs; negatives pair each context with the
+    * NEXT response inside its hash bucket (cyclic) — deterministic,
+    * shuffle-local (the window is keyed by bucket, never a global
+    * sort), and vocabulary-matched the way in-batch negatives are. */
+  private def finetuneConversation(spark: SparkSession, catalog: Catalog,
+      cfg: FinetuneConfig): DataFrame = {
+    val t0 = System.nanoTime()
+    val project = catalog.findProject(cfg.projectName) match {
+      case Some(p) =>
+        require(p.task == cfg.task,
+          s"Project ${cfg.projectName} already exists with a different task: ${p.task}")
+        p
+      case None => catalog.createProject(cfg.projectName, cfg.task)
+    }
+    val df0 = cfg.data.getOrElse(spark.table(cfg.relationName))
+    val snapshot = catalog.createSnapshot(cfg.relationName, Seq(cfg.labelCol),
+      cfg.testSize, "random", df0.schema.json)
+
+    val rows = df0
+      .select(
+        xxhash64(col(cfg.textCol), col(cfg.text2Col), col(cfg.labelCol)).as("uid"),
+        concat(col(cfg.textCol), lit(PAIR_SEP), col(cfg.text2Col)).as("ctx"),
+        col(cfg.labelCol).as("resp"))
+      .filter(size(TextMetrics.tokens(col("ctx"))) > 0 &&
+        size(TextMetrics.tokens(col("resp"))) > 0)
+    val buckets = 32
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("uid"))
+    val withNeg = rows.withColumn("bucket", pmod(col("uid"), lit(buckets)))
+      .withColumn("neg_resp",
+        coalesce(lead(col("resp"), 1).over(bw), first(col("resp")).over(bw)))
+    val pairs = withNeg
+      .select(col("uid"), col("ctx"), col("resp"), lit(1.0).as("y"))
+      .union(withNeg.filter(col("neg_resp") =!= col("resp"))
+        .select(col("uid"), col("ctx"), col("neg_resp").as("resp"), lit(0.0).as("y")))
+
+    // dual encoder: context and response embed SEPARATELY; the head
+    // trains on the element-wise product, so the learned score is the
+    // bilinear (w⊙c)·r — precomputable candidate side at inference
+    val ce = Ops.embedColumn(pairs, cfg.runtime, "ctx", "cemb", dim = cfg.dim)
+    val embedded = Ops.embedColumn(ce, cfg.runtime, "resp", "remb", dim = cfg.dim)
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
+        zip_with(col("cemb"), col("remb"), (a, b) => a * b)))
+      .cache() // one embed pass for probes + LBFGS + eval
+    // split by TRIPLE uid — a pair and its negative never straddle
+    val (trainDF0, testDF0) = Sampling.splitByFraction(
+      embedded, Seq("uid"), cfg.testSize, cfg.seed)
+    val (trainDF, testDF) =
+      if (trainDF0.isEmpty || testDF0.isEmpty) (embedded, embedded)
+      else (trainDF0, testDF0)
+    val lr = new LogisticRegression()
+      .setLabelCol("y").setFeaturesCol("features")
+      .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
+      .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
+    val head = new Pipeline().setStages(Array(lr)).fit(trainDF)
+    val fitTime = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val rep = Metrics.classification(head.transform(testDF), "y", "prediction")
+    embedded.unpersist()
+    val metrics = Map(
+      "f1" -> rep.f1Weighted, "f1_macro" -> rep.f1Macro,
+      "accuracy" -> rep.accuracy,
+      "precision" -> rep.precisionWeighted, "recall" -> rep.recallWeighted,
+      "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
+
+    val modelRow = catalog.createModel(project.id, snapshot.id,
+      s"finetune:${cfg.runtime}",
+      cfg.hyperparams ++ Map("runtime" -> cfg.runtime, "dim" -> cfg.dim.toString,
+        "task" -> cfg.task, "text2_col" -> cfg.text2Col),
+      metrics, "none")
+    val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
+    head.write.overwrite().save(path)
+    catalog.addFile(modelRow.id, path)
+    catalog.addLog(modelRow.id,
+      s"finetuned ${cfg.runtime} dual-encoder conversation head: " +
+        metrics.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(", "))
+
+    val deployed = catalog.deployedModels
+      .filter(col("name") === cfg.projectName)
+      .select(element_at(col("metrics"), "f1")).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val shouldDeploy = cfg.automaticDeploy &&
+      deployed.forall(old => rep.f1Weighted > old)
+    if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
+
+    val schema = StructType(Seq(
+      StructField("project", StringType), StructField("task", StringType),
+      StructField("algorithm", StringType), StructField("deploy", BooleanType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(cfg.projectName, cfg.task, s"finetune:${cfg.runtime}", shouldDeploy)),
+      schema)
+  }
+
+  /** Respond to (system, user) contexts with a finetuned conversation
+    * project by retrieval: embed the distinct candidate responses ONCE,
+    * reweight each context embedding by the head's coefficients
+    * (score = w·(c⊙r) + b = (w⊙c)·r + b), and return the top-scoring
+    * candidate per distinct context (ties → the greater response
+    * string — deterministic). The candidate side is broadcast under a
+    * guard; a pool past the guard should route through the ANN
+    * operators with the reweighted query, which this scoring shape
+    * makes possible by construction. */
+  def respondText(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, systemCol: String = "system", userCol: String = "user",
+      candidates: DataFrame, candidateCol: String = "response",
+      maxCandidates: Long = 50000L): DataFrame = {
+    val modelId = catalog.deployedModelId(project).getOrElse(
+      throw new IllegalStateException(s"Project '$project' has no deployed model"))
+    val hp = catalog.models.filter(col("id") === modelId).collect()
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"Model $modelId missing from catalog")).hyperparams
+    require(hp.get("task").contains("conversation"),
+      s"Project '$project' is not a conversation project")
+    val head = graft.ml.Predict.findCached(catalog, modelId)
+    val lrm = head.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val w = lrm.coefficients.toArray
+    val b = lrm.intercept
+    val dim = hp("dim").toInt
+    graft.functions.GraftFunctions.register(spark)
+
+    val pool = candidates.select(col(candidateCol).as("resp")).distinct()
+    val nCand = pool.count()
+    require(nCand > 0, "respondText needs a non-empty candidate pool")
+    require(nCand <= maxCandidates,
+      s"candidate pool has $nCand rows > $maxCandidates broadcast guard; " +
+        "route the pool through the ANN operators (the score is a dot " +
+        "product of the reweighted context against response embeddings)")
+    val cands = Ops.embedColumn(pool, hp("runtime"), "resp", "remb", dim = dim)
+      .withColumn("rv", col("remb").cast("array<double>")).drop("remb")
+
+    val ctx = df.select(col(systemCol), col(userCol)).distinct()
+      .withColumn("ctx", concat(col(systemCol), lit(PAIR_SEP), col(userCol)))
+    val wq = Ops.embedColumn(ctx, hp("runtime"), "ctx", "cemb", dim = dim)
+      .withColumn("wq", zip_with(col("cemb"), typedlit(w.toSeq), (c, wi) => c * wi))
+    wq.crossJoin(broadcast(cands))
+      .withColumn("score",
+        call_function("graft_dot", col("wq"), col("rv")) + lit(b))
+      .groupBy(col(systemCol), col(userCol))
+      .agg(max(struct(col("score"), col("resp"))).as("m"))
+      .select(col(systemCol), col(userCol), col("m.resp").as("response"))
   }
 
   /** Score raw text with a finetuned project: embed with the SAME

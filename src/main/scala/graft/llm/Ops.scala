@@ -115,18 +115,18 @@ object Ops {
   def clearGpuCache(): Boolean = false // nothing to free on the JVM path
 
   /** `finetune` API shape for the tasks that NEED a neural seq2seq
-    * trainer (translation, text-generation, conversation —
+    * trainer (translation, text-generation —
     * `transformers.py:876-1111`): explicit unsupported error unless a
     * capable runtime is mounted (SURVEY §7 policy).
     * text-classification, text-pair-classification, extractive
-    * summarization, and extractive question-answering HAVE runnable
-    * paths — the frozen-encoder + trained-head lifecycles in
-    * [[Finetune.finetune]]. */
+    * summarization, extractive question-answering, and retrieval
+    * conversation HAVE runnable paths — the frozen-encoder +
+    * trained-head lifecycles in [[Finetune.finetune]]. */
   def finetune(projectName: String, task: String, runtime: String = "stub"): Nothing =
     throw new UnsupportedOperationException(
       s"finetune('$projectName', task => '$task') requires a training-capable " +
         s"model runtime; '$runtime' supports inference surfaces only. " +
-        "text-classification, text-pair-classification, summarization, and " +
-        "question-answering run via graft.llm.Finetune; for other tasks " +
-        "register a runtime via ModelRuntimes.register and retry.")
+        "text-classification, text-pair-classification, summarization, " +
+        "question-answering, and conversation run via graft.llm.Finetune; " +
+        "for other tasks register a runtime via ModelRuntimes.register and retry.")
 }

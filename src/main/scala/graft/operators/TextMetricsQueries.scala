@@ -238,6 +238,46 @@ object TextMetricsQueries {
       .orderBy($"doc_id")
   }
 
+  /** The TRAINED conversation path end to end (rows-only gate, sibling
+    * of `ft_qa_train`): finetune a dual-encoder response-selection head
+    * on (system, user, assistant) triples built from the documents
+    * table — system = lead-3 tokens, user = tokens 4–8, assistant =
+    * tokens 9–18 (same-doc template vocabulary makes the true response
+    * retrievable above chance) — then respond to every context by
+    * retrieval over the full assistant pool and emit per-doc EM +
+    * token F1 of the RETRIEVED responses vs gold. */
+  def ft_conversation_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = Tables.documents(s, dir).select($"doc_id", $"text",
+      concat_ws(" ", slice(t, 1, 3)).as("system"),
+      concat_ws(" ", slice(t, 4, 5)).as("user"),
+      concat_ws(" ", slice(t, 9, 10)).as("assistant"))
+    val cat = gateCatalog(s, "conversation")
+    graft.llm.Finetune.finetune(s, cat, graft.llm.Finetune.FinetuneConfig(
+      projectName = "ConvGate", task = "conversation",
+      data = Some(d.select($"system", $"user", $"assistant")),
+      textCol = "system", text2Col = "user", labelCol = "assistant",
+      dim = 64, hyperparams = Map("max_iter" -> "10")))
+    val resp = graft.llm.Finetune.respondText(s, cat, "ConvGate",
+      d.select($"system", $"user"), "system", "user",
+      candidates = d.select($"assistant".as("response")))
+    d.join(resp, Seq("system", "user"))
+      .select($"doc_id",
+        TextMetrics.tokens($"response").as("tp"),
+        TextMetrics.tokens($"assistant").as("tg"))
+      .select($"doc_id",
+        size($"tp").cast("long").as("n_pred"),
+        size($"tg").cast("long").as("n_gold"),
+        TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
+        when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
+      .withColumn("f1",
+        when($"n_pred" + $"n_gold" > 0,
+          lit(2.0) * $"n_common".cast("double") /
+            ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
   val ftQaSql: String =
     s"""WITH tk AS (
        |  SELECT doc_id,
@@ -360,7 +400,8 @@ object TextMetricsQueries {
     "ft_summarize_eval"     -> ft_summarize_eval _,
     "ft_summarize_train"    -> ft_summarize_train _,
     "ft_qa_eval"            -> ft_qa_eval _,
-    "ft_qa_train"           -> ft_qa_train _
+    "ft_qa_train"           -> ft_qa_train _,
+    "ft_conversation_train" -> ft_conversation_train _
   )
 
   val oracles: Map[String, String] = Map(

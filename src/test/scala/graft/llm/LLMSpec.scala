@@ -125,7 +125,7 @@ class LLMOpsSpec extends AnyFunSuite {
   }
 
   test("finetune reports the unsupported-runtime policy error") {
-    val e = intercept[UnsupportedOperationException](Ops.finetune("P", "conversation"))
+    val e = intercept[UnsupportedOperationException](Ops.finetune("P", "translation"))
     assert(e.getMessage.contains("model runtime"))
   }
 
@@ -251,6 +251,45 @@ class LLMOpsSpec extends AnyFunSuite {
         "what does broadcast do")).toDF("context", "question"))
       .select("answer").head().getString(0)
     assert(ans.contains("broadcast"), s"picked window: '$ans'")
+  }
+
+  test("finetune conversation: dual-encoder retrieval head lifecycle") {
+    val cat = new graft.ml.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_ftc").toString)
+    // each context shares its topic word with its TRUE response only —
+    // a learnable product-feature signal; shifted negatives are mostly
+    // cross-topic, so better-than-chance accuracy + correct retrieval
+    // mean the head learned the pairing, not a lexical prior
+    val topics = Seq(
+      ("spark joins", "joins shuffle rows on their keys"),
+      ("scan filters", "filters push down into the scan"),
+      ("broadcast dims", "broadcast the small dimension table"),
+      ("skewed keys", "salting spreads skewed keys evenly"))
+    val df = (0 until 40).map { i =>
+      val (topic, resp) = topics(i % 4)
+      (s"assistant for $topic", s"explain $topic please tag$i", resp)
+    }.toDF("system", "user", "assistant")
+    val out = Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+      projectName = "Conv", task = "conversation", data = Some(df),
+      textCol = "system", text2Col = "user", labelCol = "assistant"))
+    val row = out.head()
+    assert(row.getString(1) == "conversation" && row.getBoolean(3))
+    val m = cat.models.collect().head
+    assert(m.algorithm == "finetune:hashing_tf")
+    assert(m.hyperparams("task") == "conversation")
+    assert(m.metrics("accuracy") > 0.7,
+      s"pos/neg product features are separable: ${m.metrics}")
+    assert(cat.deployedModelId("Conv").contains(m.id))
+    // retrieval on an unseen context of the same construction: the
+    // topic-matched response must win over the other three candidates
+    graft.ml.Predict.clearCaches()
+    val resp = Finetune.respondText(spark, cat, "Conv",
+      Seq(("assistant for spark joins", "explain spark joins please tagX"))
+        .toDF("system", "user"),
+      "system", "user",
+      candidates = df.select(df("assistant").as("response")))
+    val got = resp.select("response").head().getString(0)
+    assert(got.contains("shuffle"), s"retrieved: '$got'")
   }
 
   test("unknown runtime names a clear registration error") {
