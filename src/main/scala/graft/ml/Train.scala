@@ -236,6 +236,20 @@ object Train {
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
     case ("classification", "linear_svm") =>
       new LinearSVC().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0))
+    case ("classification", "svm") if h.get("exact").contains("true") =>
+      // sklearn-EXACT C-SVC via the capped SMO dual (Svm scaladoc:
+      // binary only, gamma default 1/p) — opt-in; RFF stays the default
+      new GraftSvm().setSvmTask("svc")
+        .setRegC(hp(h, "C", 1.0)).setGamma(hp(h, "gamma", -1.0))
+        .setKernel(h.getOrElse("kernel", "rbf"))
+        .setTol(hp(h, "tol", 1e-3)).setMaxRows(hpi(h, "max_rows", 2000))
+    case ("regression", "svm") if h.get("exact").contains("true") =>
+      // sklearn-EXACT ε-SVR via the same SMO solver (2n-variable form)
+      new GraftSvm().setSvmTask("svr")
+        .setRegC(hp(h, "C", 1.0)).setEpsilon(hp(h, "epsilon", 0.1))
+        .setGamma(hp(h, "gamma", -1.0))
+        .setKernel(h.getOrElse("kernel", "rbf"))
+        .setTol(hp(h, "tol", 1e-3)).setMaxRows(hpi(h, "max_rows", 2000))
     case ("classification", "svm") =>
       // reference `svm` defaults to the rbf (gaussian) kernel
       // (`linfa.rs:241-328`); kernel machines don't scale past a
@@ -329,7 +343,7 @@ object Train {
       h: Map[String, String]): Map[String, String] = algorithm match {
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
-    case "kernel_ridge" | "gaussian_process" if h.get("exact").contains("true") =>
+    case "kernel_ridge" | "gaussian_process" | "svm" if h.get("exact").contains("true") =>
       Map.empty // sklearn-exact capped dual solve — nothing substituted
     case "svm" | "kernel_ridge" | "nu_svm" => Map("compat" -> "rff_kernel_approx")
     case "gaussian_process" => Map("compat" -> "rff_gp_approx")

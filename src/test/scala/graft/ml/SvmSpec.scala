@@ -1,0 +1,137 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Functional contracts for the exact SMO kernel machines: the solver
+  * must reach the dual optimum (KKT checks), the SVC must separate
+  * what its kernel can separate, and the SVR must honor the ε-tube
+  * semantics (inside-tube points carry zero dual weight) — the
+  * behavioral fingerprints of the exact losses, checkable without
+  * sklearn in the container. */
+class SvmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def assemble(df: DataFrame, cols: Seq[String]): DataFrame =
+    new VectorAssembler().setInputCols(cols.toArray).setOutputCol("features")
+      .transform(df)
+
+  test("SmoSolver solves a hand-checkable 2-point SVC exactly") {
+    // two points x=0 (y=-1), x=1 (y=+1), linear kernel. Dual:
+    // max α₁+α₂ − ½(α₂)²·1 with α₁=α₂ (equality), so f(α)=2α−½α²,
+    // optimum α=2 if C allows; with C=1 the box binds at α=1.
+    val k = Array(Array(0.0, 0.0), Array(0.0, 1.0))
+    val y = Array(-1.0, 1.0)
+    def qRow(i: Int) = Array.tabulate(2)(j => y(i) * y(j) * k(i)(j))
+    val unb = SmoSolver.solve(2, qRow, Array(-1.0, -1.0), y, 10.0, 1e-6)
+    assert(math.abs(unb.alpha(0) - 2.0) < 1e-3 &&
+      math.abs(unb.alpha(1) - 2.0) < 1e-3, unb.alpha.toSeq)
+    val boxed = SmoSolver.solve(2, qRow, Array(-1.0, -1.0), y, 1.0, 1e-6)
+    assert(math.abs(boxed.alpha(0) - 1.0) < 1e-9 &&
+      math.abs(boxed.alpha(1) - 1.0) < 1e-9, boxed.alpha.toSeq)
+  }
+
+  /** Ring vs core — rbf-separable, linearly inseparable. */
+  private lazy val circles: DataFrame = {
+    val rows = (0 until 200).map { i =>
+      val th = i * 2 * math.Pi / 200
+      val r = if (i % 2 == 0) 1.0 else 3.0
+      (r * math.cos(th), r * math.sin(th), if (i % 2 == 0) 0.0 else 1.0)
+    }
+    assemble(rows.toDF("x1", "x2", "y"), Seq("x1", "x2"))
+  }
+
+  test("exact rbf SVC separates circles and satisfies the dual KKT") {
+    val m = new GraftSvm().setSvmTask("svc").setKernel("rbf").setRegC(1.0)
+      .setLabelCol("y").setFeaturesCol("features").fit(circles)
+    val acc = m.transform(circles)
+      .filter(col("prediction") === col("y")).count() / 200.0
+    assert(acc >= 0.99, s"rbf SVC accuracy $acc")
+    // dual feasibility: Σ coef = Σ yᵢαᵢ = 0 (equality constraint) and
+    // every |coef| ≤ C (box)
+    val coefs = m.getOrDefault(m.dual)
+    assert(math.abs(coefs.sum) < 1e-6, s"sum ${coefs.sum}")
+    assert(coefs.forall(c => math.abs(c) <= 1.0 + 1e-9))
+  }
+
+  test("exact SVC maps predictions back to the original class labels") {
+    val df = assemble(Seq(
+      (-2.0, 3.0), (-1.5, 3.0), (-1.8, 3.0),
+      (2.0, 7.0), (1.5, 7.0), (1.8, 7.0)).toDF("x", "y"), Seq("x"))
+    val m = new GraftSvm().setSvmTask("svc").setKernel("linear")
+      .setLabelCol("y").setFeaturesCol("features").fit(df)
+    val preds = m.transform(df).select("prediction")
+      .collect().map(_.getDouble(0)).toSet
+    assert(preds == Set(3.0, 7.0), preds)
+  }
+
+  test("exact linear SVR honors the eps-tube: near-exact fit, sparse duals") {
+    // exact line, generous tube: the optimum fits inside the tube and
+    // strictly-inside points must carry ZERO dual weight — the defining
+    // fingerprint of the ε-insensitive loss (squared loss would weight
+    // every point)
+    val df = assemble((1 to 60).map { i =>
+      val x = i / 10.0; (x, 2.0 * x + 1.0)
+    }.toDF("x", "y"), Seq("x"))
+    val m = new GraftSvm().setSvmTask("svr").setKernel("linear")
+      .setRegC(100.0).setEpsilon(0.5).setTol(1e-6)
+      .setLabelCol("y").setFeaturesCol("features").fit(df)
+    val errs = m.transform(df)
+      .select(abs(col("prediction") - col("y")).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(errs <= 0.5 + 1e-3, s"max |residual| $errs exceeds the tube")
+    // support sparsity: with the line representable inside the tube,
+    // only a handful of boundary points stay active
+    val nsv = m.getOrDefault(m.dual).length
+    assert(nsv <= 10, s"$nsv support vectors for an in-tube line")
+  }
+
+  test("rbf SVR fits a sine the linear kernel cannot") {
+    val df = assemble((0 until 120).map { i =>
+      val x = i / 20.0; (x, math.sin(x))
+    }.toDF("x", "y"), Seq("x"))
+    def mse(kernel: String): Double = {
+      val m = new GraftSvm().setSvmTask("svr").setKernel(kernel)
+        .setRegC(10.0).setEpsilon(0.05)
+        .setLabelCol("y").setFeaturesCol("features").fit(df)
+      m.transform(df).select(pow(col("prediction") - col("y"), 2).as("e"))
+        .agg(avg(col("e"))).head().getDouble(0)
+    }
+    assert(mse("rbf") < 0.01, s"rbf mse ${mse("rbf")}")
+    assert(mse("rbf") < mse("linear") / 10)
+  }
+
+  test("guards: row cap routes to RFF; multiclass names the policy") {
+    val big = assemble((1 to 30).map(i => (i.toDouble, i % 2 * 1.0))
+      .toDF("x", "y"), Seq("x"))
+    val e1 = intercept[IllegalArgumentException] {
+      new GraftSvm().setMaxRows(10).setLabelCol("y")
+        .setFeaturesCol("features").fit(big)
+    }
+    assert(e1.getMessage.contains("RFF"))
+    val tri = assemble(Seq((1.0, 0.0), (2.0, 1.0), (3.0, 2.0))
+      .toDF("x", "y"), Seq("x"))
+    val e2 = intercept[IllegalArgumentException] {
+      new GraftSvm().setSvmTask("svc").setLabelCol("y")
+        .setFeaturesCol("features").fit(tri)
+    }
+    assert(e2.getMessage.contains("binary"))
+  }
+
+  test("train() dispatch: exact=true fits SMO and records no compat flag") {
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_svmx").toString)
+    val df = circles.select(col("x1"), col("x2"), col("y").as("target"))
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "SvmExact", task = "classification",
+      relationName = "svm_exact_rel", data = Some(df),
+      yColumn = Seq("target"), algorithm = "svm",
+      hyperparams = Map("exact" -> "true", "C" -> "1.0")))
+    val m = cat.models.collect().head
+    assert(!m.hyperparams.contains("compat"), m.hyperparams)
+    assert(m.metrics("f1") > 0.95, m.metrics)
+  }
+}
