@@ -519,15 +519,22 @@ object Finetune {
       .withColumn("neg_resp",
         coalesce(lead(col("resp"), 1).over(bw), first(col("resp")).over(bw)))
     val pairs = withNeg
-      .select(col("uid"), col("ctx"), col("resp"), lit(1.0).as("y"))
+      .select(col("uid"), col("resp"), lit(1.0).as("y"))
       .union(withNeg.filter(col("neg_resp") =!= col("resp"))
-        .select(col("uid"), col("ctx"), col("neg_resp").as("resp"), lit(0.0).as("y")))
+        .select(col("uid"), col("neg_resp").as("resp"), lit(0.0).as("y")))
 
-    // dual encoder: context and response embed SEPARATELY; the head
-    // trains on the element-wise product, so the learned score is the
-    // bilinear (w⊙c)·r — precomputable candidate side at inference
-    val ce = Ops.embedColumn(pairs, cfg.runtime, "ctx", "cemb", dim = cfg.dim)
-    val embedded = Ops.embedColumn(ce, cfg.runtime, "resp", "remb", dim = cfg.dim)
+    // dual encoder: context and response embed SEPARATELY — and each
+    // text exactly ONCE (n contexts + ≤n distinct responses), not once
+    // per pos/neg pair row; the pair table joins the vectors back by
+    // key. The head trains on the element-wise product, so the learned
+    // score is the bilinear (w⊙c)·r — precomputable candidate side at
+    // inference
+    val ctxEmb = Ops.embedColumn(rows.select(col("uid"), col("ctx")),
+      cfg.runtime, "ctx", "cemb", dim = cfg.dim)
+    val respEmb = Ops.embedColumn(rows.select(col("resp")).distinct(),
+      cfg.runtime, "resp", "remb", dim = cfg.dim)
+    val embedded = pairs
+      .join(ctxEmb, Seq("uid")).join(respEmb, Seq("resp"))
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
         zip_with(col("cemb"), col("remb"), (a, b) => a * b)))
       .cache() // one embed pass for probes + LBFGS + eval
@@ -610,7 +617,12 @@ object Finetune {
     val dim = hp("dim").toInt
     graft.functions.GraftFunctions.register(spark)
 
+    // localCheckpoint materializes the distinct ONCE for both the count
+    // guard and the broadcast embed (a cache() could never be unpersisted
+    // from a lazily-returned frame; checkpoint blocks free via the
+    // ContextCleaner when the result goes out of scope)
     val pool = candidates.select(col(candidateCol).as("resp")).distinct()
+      .localCheckpoint()
     val nCand = pool.count()
     require(nCand > 0, "respondText needs a non-empty candidate pool")
     require(nCand <= maxCandidates,
@@ -643,6 +655,12 @@ object Finetune {
     val hp = catalog.models.filter(col("id") === modelId).collect()
       .headOption.getOrElse(throw new IllegalStateException(
         s"Model $modelId missing from catalog")).hyperparams
+    // conversation stores text2_col too, but its head scores c⊙r product
+    // features — packing would silently produce garbage, so guard
+    require(hp.get("task").exists(t =>
+      t == "text-classification" || t == "text-pair-classification"),
+      s"Project '$project' is a ${hp.getOrElse("task", "?")} project; use " +
+        "summarizeText / answerText / respondText for its task")
     val head = graft.ml.Predict.findCached(catalog, modelId)
     val input = hp.get("text2_col").filter(_.nonEmpty) match {
       case Some(t2) =>

@@ -24,6 +24,56 @@ import org.apache.spark.sql.types.StructType
   * inside the persisted model and scoring is one k(x, Xᵢ) pass per
   * row. Opt in from `train` with hyperparam `exact = true`.
   */
+/** Kernel evaluation shared by the exact dual machines ([[KernelRidge]],
+  * [[GraftSvm]]): one definition of the rbf/linear kernel, the dense
+  * Gram build, and the support-vector scoring loop. */
+private[ml] object KernelMath {
+  def kernelValue(xi: Array[Double], xj: Array[Double], rbf: Boolean,
+      g: Double): Double = {
+    val p = xi.length
+    var kv = 0.0
+    var d = 0
+    if (rbf) {
+      while (d < p) { val t = xi(d) - xj(d); kv += t * t; d += 1 }
+      math.exp(-g * kv)
+    } else {
+      while (d < p) { kv += xi(d) * xj(d); d += 1 }
+      kv
+    }
+  }
+
+  def gram(feats: Array[Array[Double]], rbf: Boolean,
+      g: Double): Array[Array[Double]] = {
+    val n = feats.length
+    val km = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- i until n) {
+      val kv = kernelValue(feats(i), feats(j), rbf, g)
+      km(i)(j) = kv; km(j)(i) = kv
+    }
+    km
+  }
+
+  /** Σᵢ coefᵢ·k(supᵢ, x) over a row-major flattened support matrix. */
+  def score(x: Array[Double], supFlat: Array[Double], coef: Array[Double],
+      p: Int, rbf: Boolean, g: Double): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < coef.length) {
+      var kv = 0.0
+      var j = 0
+      if (rbf) {
+        while (j < p) { val t = x(j) - supFlat(i * p + j); kv += t * t; j += 1 }
+        kv = math.exp(-g * kv)
+      } else {
+        while (j < p) { kv += x(j) * supFlat(i * p + j); j += 1 }
+      }
+      s += coef(i) * kv
+      i += 1
+    }
+    s
+  }
+}
+
 class GraftKernelModel(override val uid: String)
     extends PredictionModel[Vector, GraftKernelModel] with DefaultParamsWritable {
   def this() = this(Identifiable.randomUID("graftkern"))
@@ -45,29 +95,9 @@ class GraftKernelModel(override val uid: String)
 
   override def numFeatures: Int = $(dim)
 
-  override def predict(features: Vector): Double = {
-    val p = $(dim)
-    val sup = $(supportFlat)
-    val a = $(dual)
-    val rbf = $(kernelType) == "rbf"
-    val g = $(gammaParam)
-    val x = features.toArray
-    var s = 0.0
-    var i = 0
-    while (i < a.length) {
-      var kv = 0.0
-      var j = 0
-      if (rbf) {
-        while (j < p) { val t = x(j) - sup(i * p + j); kv += t * t; j += 1 }
-        kv = math.exp(-g * kv)
-      } else {
-        while (j < p) { kv += x(j) * sup(i * p + j); j += 1 }
-      }
-      s += a(i) * kv
-      i += 1
-    }
-    s
-  }
+  override def predict(features: Vector): Double =
+    KernelMath.score(features.toArray, $(supportFlat), $(dual), $(dim),
+      $(kernelType) == "rbf", $(gammaParam))
 
   override def copy(extra: ParamMap): GraftKernelModel = defaultCopy(extra)
 }
@@ -111,19 +141,8 @@ class KernelRidge(override val uid: String)
       case other => throw new IllegalArgumentException(
         s"kernel must be linear or rbf, got '$other'")
     }
-    val k = BDM.zeros[Double](n, n)
-    for (i <- 0 until n; j <- i until n) {
-      val xi = rows(i)._1; val xj = rows(j)._1
-      var kv = 0.0
-      var d = 0
-      if (rbf) {
-        while (d < p) { val t = xi(d) - xj(d); kv += t * t; d += 1 }
-        kv = math.exp(-g * kv)
-      } else {
-        while (d < p) { kv += xi(d) * xj(d); d += 1 }
-      }
-      k(i, j) = kv; k(j, i) = kv
-    }
+    val km = KernelMath.gram(rows.map(_._1), rbf, g)
+    val k = BDM.tabulate[Double](n, n)((i, j) => km(i)(j))
     // linear SOLVE, never an explicit inverse: with near-duplicate rows
     // (and the GP path's tiny alpha) K is near-singular, where forming
     // inv(K + αI) amplifies error that the factorized solve does not —

@@ -81,6 +81,7 @@ object Predict {
     case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
     case p: GraftLinearModel => p.predict
     case p: GraftKernelModel => p.predict
+    case p: GraftSvmModel => p.predict
   }
 
   private def flatStages(m: PipelineModel): Seq[org.apache.spark.ml.Transformer] =

@@ -139,26 +139,9 @@ class GraftSvmModel(override val uid: String)
   override def numFeatures: Int = $(dim)
 
   /** Raw decision value Σᵢ coefᵢ·k(xᵢ, x) + b. */
-  def decision(features: Vector): Double = {
-    val p = $(dim); val sup = $(supportFlat); val a = $(dual)
-    val rbf = $(kernelType) == "rbf"; val g = $(gammaParam)
-    val x = features.toArray
-    var s = $(interceptParam)
-    var i = 0
-    while (i < a.length) {
-      var kv = 0.0
-      var j = 0
-      if (rbf) {
-        while (j < p) { val t = x(j) - sup(i * p + j); kv += t * t; j += 1 }
-        kv = math.exp(-g * kv)
-      } else {
-        while (j < p) { kv += x(j) * sup(i * p + j); j += 1 }
-      }
-      s += a(i) * kv
-      i += 1
-    }
-    s
-  }
+  def decision(features: Vector): Double =
+    $(interceptParam) + KernelMath.score(features.toArray, $(supportFlat),
+      $(dual), $(dim), $(kernelType) == "rbf", $(gammaParam))
 
   override def predict(features: Vector): Double =
     if ($(classify)) { if (decision(features) > 0) $(class1) else $(class0) }
@@ -213,37 +196,33 @@ class GraftSvm(override val uid: String)
         s"kernel must be linear or rbf, got '$other'")
     }
     // dense Gram, cached once; Q rows derive from K rows per task
-    val km = Array.ofDim[Double](n, n)
-    for (i <- 0 until n; j <- i until n) {
-      val xi = rows(i)._1; val xj = rows(j)._1
-      var kv = 0.0; var d = 0
-      if (rbf) {
-        while (d < p) { val t = xi(d) - xj(d); kv += t * t; d += 1 }
-        kv = math.exp(-g * kv)
-      } else {
-        while (d < p) { kv += xi(d) * xj(d); d += 1 }
-      }
-      km(i)(j) = kv; km(j)(i) = kv
-    }
+    val km = KernelMath.gram(rows.map(_._1), rbf, g)
     val labels = rows.map(_._2)
 
+    // Q rows build on demand into TWO rotating buffers — the solver
+    // requests exactly rows i then j per iteration, so double-buffering
+    // avoids memoizing an up-to-(2n)² matrix (4× the Gram) while keeping
+    // each build O(n), the same order as the gradient update it feeds
+    def rotatingRows(m: Int, fill: (Int, Array[Double]) => Unit): Int => Array[Double] = {
+      val bufs = Array(new Array[Double](m), new Array[Double](m))
+      var flip = 0
+      t => { val b = bufs(flip); flip ^= 1; fill(t, b); b }
+    }
     var svcClasses: Option[(Double, Double)] = None
-    val (coef, b) = $(svmTask) match {
+    val (coef, b, conv) = $(svmTask) match {
       case "svc" =>
         val classes = labels.distinct.sorted
         require(classes.length == 2,
           s"exact svm classification is binary (got ${classes.length} classes); " +
             "sklearn's one-vs-one stack is not implemented — use the RFF path")
         val y = labels.map(l => if (l == classes(1)) 1.0 else -1.0)
-        val qRows = new Array[Array[Double]](n)
-        def qRow(i: Int): Array[Double] = {
-          if (qRows(i) == null)
-            qRows(i) = Array.tabulate(n)(j => y(i) * y(j) * km(i)(j))
-          qRows(i)
-        }
+        val qRow = rotatingRows(n, (i, buf) => {
+          var j = 0
+          while (j < n) { buf(j) = y(i) * y(j) * km(i)(j); j += 1 }
+        })
         val sol = SmoSolver.solve(n, qRow, Array.fill(n)(-1.0), y, $(regC), $(tol))
         svcClasses = Some((classes(0), classes(1)))
-        (Array.tabulate(n)(i => y(i) * sol.alpha(i)), -sol.rho)
+        (Array.tabulate(n)(i => y(i) * sol.alpha(i)), -sol.rho, sol)
       case "svr" =>
         // 2n-variable ε-SVR form; β = α − α* recovers the coefficients
         val m = 2 * n
@@ -251,20 +230,25 @@ class GraftSvm(override val uid: String)
         val y2 = Array.tabulate(m)(t => if (t < n) 1.0 else -1.0)
         val pv = Array.tabulate(m)(t =>
           if (t < n) eps - labels(t) else eps + labels(t - n))
-        val qRows = new Array[Array[Double]](m)
-        def qRow(t: Int): Array[Double] = {
-          if (qRows(t) == null) {
-            val i = t % n; val si = if (t < n) 1.0 else -1.0
-            qRows(t) = Array.tabulate(m)(u =>
-              si * (if (u < n) 1.0 else -1.0) * km(i)(u % n))
+        val qRow = rotatingRows(m, (t, buf) => {
+          val i = t % n; val si = if (t < n) 1.0 else -1.0
+          var u = 0
+          while (u < m) {
+            buf(u) = si * (if (u < n) 1.0 else -1.0) * km(i)(u % n); u += 1
           }
-          qRows(t)
-        }
+        })
         val sol = SmoSolver.solve(m, qRow, pv, y2, $(regC), $(tol))
-        (Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n)), -sol.rho)
+        (Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n)), -sol.rho, sol)
       case other => throw new IllegalArgumentException(
         s"svmTask must be svc or svr, got '$other'")
     }
+    if (conv.violation > $(tol))
+      // sklearn raises ConvergenceWarning here; the model is usable but
+      // NOT at the dual optimum — say so instead of claiming exactness
+      System.err.println(
+        f"WARN GraftSvm: SMO hit the iteration cap with KKT violation " +
+          f"${conv.violation}%.2e > tol ${$(tol)}%.2e after ${conv.iters} " +
+          f"updates — duals are approximate; raise tol or lower C")
 
     // persist only the support vectors (nonzero duals) — the whole point
     // of the sparse dual representation
