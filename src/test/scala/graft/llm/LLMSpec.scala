@@ -290,6 +290,13 @@ class LLMOpsSpec extends AnyFunSuite {
       candidates = df.select(df("assistant").as("response")))
     val got = resp.select("response").head().getString(0)
     assert(got.contains("shuffle"), s"retrieved: '$got'")
+    // cross-task scoring is guarded: the conversation head scores c⊙r
+    // product features, so classifyText must refuse it, not pack-and-run
+    val e = intercept[IllegalArgumentException] {
+      Finetune.classifyText(spark, cat, "Conv",
+        Seq(("a", "b")).toDF("text", "user"))
+    }
+    assert(e.getMessage.contains("respondText"), e.getMessage)
   }
 
   test("unknown runtime names a clear registration error") {
