@@ -28,11 +28,18 @@ import org.apache.spark.sql.types.StructType
   * the persisted model, scoring is one k(x, Xᵢ) pass per row.
   * Opt in from `train` with hyperparam `exact = true`.
   *
+  * The ν-parameterized machines (`NuSVC` / `NuSVR`, Schölkopf) solve
+  * through [[SmoSolver.solveNu]] — the same dual with a SECOND equality
+  * constraint eᵀα = ν-mass, maintained by restricting working pairs to
+  * one y-class (LIBSVM's Solver_NU). ν-SVC rescales the machine by 1/ρ
+  * post-solve so the decision matches the C-SVC form; ν-SVR's tube
+  * width is the variable the constraint trades against. The ν-property
+  * (ν lower-bounds the support-vector fraction and upper-bounds the
+  * margin-error fraction) is the behavioral contract SvmSpec pins.
+  *
   * Documented deviations from sklearn: binary classification only (no
   * one-vs-one multiclass stack); default gamma is 1/p (sklearn's
-  * "scale" additionally divides by Var(X)); the nu-parameterized
-  * variants keep the RFF route (nu-SMO's extra equality constraint is
-  * not implemented).
+  * "scale" additionally divides by Var(X)).
   */
 object SmoSolver {
   final case class Solution(alpha: Array[Double], rho: Double, iters: Int,
@@ -83,6 +90,90 @@ object SmoSolver {
       it += 1
     }
     Solution(a, rho(n, a, g, y, c), it, viol)
+  }
+
+  /** The ν-parameterized solver (LIBSVM's Solver_NU shape): same dual
+    * but with a SECOND equality constraint eᵀα = const, maintained by
+    * restricting working pairs to the SAME y-class — a within-class
+    * move α ± t·(eᵢ − eⱼ) preserves both yᵀα and eᵀα. `a0` must be a
+    * feasible start (the caller distributes the ν-mass per class).
+    * Returns (alpha, r where rPos/rNeg are the per-class free-SV
+    * averages of G — the caller derives rho and the bias from them). */
+  final case class NuSolution(alpha: Array[Double], rPos: Double, rNeg: Double,
+      iters: Int, violation: Double)
+
+  def solveNu(n: Int, qRow: Int => Array[Double], p: Array[Double],
+      y: Array[Double], c: Double, a0: Array[Double], tol: Double = 1e-3,
+      maxIter: Int = 200000): NuSolution = {
+    val a = a0.clone()
+    // g = p + Qα at the feasible start — one O(n²) pass
+    val g = p.clone()
+    var t0 = 0
+    while (t0 < n) {
+      if (a(t0) != 0.0) {
+        val q = qRow(t0)
+        var u = 0
+        while (u < n) { g(u) += a(t0) * q(u); u += 1 }
+      }
+      t0 += 1
+    }
+    var it = 0
+    var viol = Double.PositiveInfinity
+    val tau = 1e-12
+    while (it < maxIter) {
+      // per class: i (can grow) minimizing g, j (can shrink) maximizing g
+      var iP = -1; var jP = -1; var iN = -1; var jN = -1
+      var gminP = Double.PositiveInfinity; var gmaxP = Double.NegativeInfinity
+      var gminN = Double.PositiveInfinity; var gmaxN = Double.NegativeInfinity
+      var t = 0
+      while (t < n) {
+        if (y(t) > 0) {
+          if (a(t) < c && g(t) < gminP) { gminP = g(t); iP = t }
+          if (a(t) > 0 && g(t) > gmaxP) { gmaxP = g(t); jP = t }
+        } else {
+          if (a(t) < c && g(t) < gminN) { gminN = g(t); iN = t }
+          if (a(t) > 0 && g(t) > gmaxN) { gmaxN = g(t); jN = t }
+        }
+        t += 1
+      }
+      val vP = if (iP >= 0 && jP >= 0) gmaxP - gminP else Double.NegativeInfinity
+      val vN = if (iN >= 0 && jN >= 0) gmaxN - gminN else Double.NegativeInfinity
+      viol = math.max(vP, vN)
+      if (viol <= tol)
+        return NuSolution(a, freeAvg(n, a, g, y, c, 1.0),
+          freeAvg(n, a, g, y, c, -1.0), it, viol)
+      val (i, j) = if (vP >= vN) (iP, jP) else (iN, jN)
+      val qi = qRow(i); val qj = qRow(j)
+      val quad = math.max(qi(i) + qj(j) - 2.0 * qi(j), tau)
+      var step = (g(j) - g(i)) / quad // descend along eᵢ − eⱼ
+      step = math.min(step, math.min(c - a(i), a(j)))
+      a(i) += step; a(j) -= step
+      var k = 0
+      while (k < n) { g(k) += step * (qi(k) - qj(k)); k += 1 }
+      it += 1
+    }
+    NuSolution(a, freeAvg(n, a, g, y, c, 1.0), freeAvg(n, a, g, y, c, -1.0),
+      it, viol)
+  }
+
+  /** Free-SV average of G within one y-class (bound midpoint fallback). */
+  private def freeAvg(n: Int, a: Array[Double], g: Array[Double],
+      y: Array[Double], c: Double, cls: Double): Double = {
+    var sum = 0.0; var cnt = 0
+    var ub = Double.PositiveInfinity; var lb = Double.NegativeInfinity
+    var t = 0
+    while (t < n) {
+      if (y(t) == cls) {
+        if (a(t) > 0 && a(t) < c) { sum += g(t); cnt += 1 }
+        else if (a(t) <= 0) ub = math.min(ub, g(t))
+        else lb = math.max(lb, g(t))
+      }
+      t += 1
+    }
+    if (cnt > 0) sum / cnt
+    else if (ub == Double.PositiveInfinity) lb
+    else if (lb == Double.NegativeInfinity) ub
+    else (ub + lb) / 2
   }
 
   /** LIBSVM's rho: average yₜGₜ over free vectors; bound midpoint when
@@ -157,19 +248,22 @@ class GraftSvm(override val uid: String)
     with DefaultParamsWritable {
   def this() = this(Identifiable.randomUID("graftsvm"))
 
-  final val svmTask = new Param[String](this, "svmTask", "svc | svr")
+  final val svmTask = new Param[String](this, "svmTask", "svc | svr | nusvc | nusvr")
   final val regC = new DoubleParam(this, "regC", "box constraint C")
+  final val nu = new DoubleParam(this, "nu",
+    "ν ∈ (0,1]: lower-bounds the SV fraction, upper-bounds the margin-error fraction")
   final val epsilon = new DoubleParam(this, "epsilon", "SVR tube half-width")
   final val gamma = new DoubleParam(this, "gamma", "rbf gamma; <=0 derives 1/p")
   final val kernel = new Param[String](this, "kernel", "linear | rbf")
   final val tol = new DoubleParam(this, "tol", "KKT stopping tolerance")
   final val maxRows = new IntParam(this, "maxRows",
     "hard cap — the SMO dual is O(n^2) memory / O(n^2 iters) compute")
-  setDefault(svmTask -> "svc", regC -> 1.0, epsilon -> 0.1, gamma -> -1.0,
-    kernel -> "rbf", tol -> 1e-3, maxRows -> 2000)
+  setDefault(svmTask -> "svc", regC -> 1.0, nu -> 0.5, epsilon -> 0.1,
+    gamma -> -1.0, kernel -> "rbf", tol -> 1e-3, maxRows -> 2000)
 
   def setSvmTask(v: String): this.type = set(svmTask, v)
   def setRegC(v: Double): this.type = set(regC, v)
+  def setNu(v: Double): this.type = set(nu, v)
   def setEpsilon(v: Double): this.type = set(epsilon, v)
   def setGamma(v: Double): this.type = set(gamma, v)
   def setKernel(v: String): this.type = set(kernel, v)
@@ -203,6 +297,19 @@ class GraftSvm(override val uid: String)
     // requests exactly rows i then j per iteration, so double-buffering
     // avoids memoizing an up-to-(2n)² matrix (4× the Gram) while keeping
     // each build O(n), the same order as the gradient update it feeds
+    // greedy feasible start for the ν solvers: fill each class with
+    // `massPerClass` total, `cap` per variable
+    def nuInit(y: Array[Double], massPerClass: Double, cap: Double): Array[Double] = {
+      val a = new Array[Double](y.length)
+      var remP = massPerClass; var remN = massPerClass
+      var t = 0
+      while (t < y.length) {
+        if (y(t) > 0) { val g2 = math.min(cap, remP); a(t) = g2; remP -= g2 }
+        else { val g2 = math.min(cap, remN); a(t) = g2; remN -= g2 }
+        t += 1
+      }
+      a
+    }
     def rotatingRows(m: Int, fill: (Int, Array[Double]) => Unit): Int => Array[Double] = {
       val bufs = Array(new Array[Double](m), new Array[Double](m))
       var flip = 0
@@ -239,8 +346,60 @@ class GraftSvm(override val uid: String)
         })
         val sol = SmoSolver.solve(m, qRow, pv, y2, $(regC), $(tol))
         (Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n)), -sol.rho, sol)
+      case "nusvc" =>
+        // ν-SVC (Schölkopf): box [0,1], eᵀα = ν·l on top of yᵀα = 0 —
+        // solved with within-class pairs; post-solve the machine rescales
+        // by 1/ρ so the decision function matches the C-SVC form
+        val v = $(nu)
+        require(v > 0 && v <= 1, s"nu must be in (0,1], got $v")
+        val classes = labels.distinct.sorted
+        require(classes.length == 2,
+          s"exact svm classification is binary (got ${classes.length} classes); " +
+            "sklearn's one-vs-one stack is not implemented — use the RFF path")
+        val y = labels.map(l => if (l == classes(1)) 1.0 else -1.0)
+        val mass = v * n / 2.0
+        require(mass <= y.count(_ > 0) && mass <= y.count(_ < 0),
+          s"specified nu=$v is infeasible: nu*l/2 = $mass exceeds a class " +
+            s"count (${y.count(_ > 0)} positive / ${y.count(_ < 0)} negative)")
+        val a0 = nuInit(y, mass, 1.0)
+        val qRow = rotatingRows(n, (i, buf) => {
+          var j = 0
+          while (j < n) { buf(j) = y(i) * y(j) * km(i)(j); j += 1 }
+        })
+        val sol = SmoSolver.solveNu(n, qRow, new Array[Double](n), y, 1.0,
+          a0, $(tol))
+        val rho = (sol.rPos + sol.rNeg) / 2
+        require(rho > 1e-12,
+          s"nu-SVC solved to margin rho=$rho <= 0 — the classes are not " +
+            "separable at this nu; lower nu")
+        val bb = (sol.rNeg - sol.rPos) / 2
+        svcClasses = Some((classes(0), classes(1)))
+        (Array.tabulate(n)(i => y(i) * sol.alpha(i) / rho), bb / rho,
+          SmoSolver.Solution(sol.alpha, 0.0, sol.iters, sol.violation))
+      case "nusvr" =>
+        // ν-SVR (Schölkopf): the tube width ε becomes a variable via the
+        // second constraint eᵀ(α+α*) = C·ν; box [0, C/l]
+        val v = $(nu)
+        require(v > 0 && v <= 1, s"nu must be in (0,1], got $v")
+        val m = 2 * n
+        val cbox = $(regC) / n
+        val y2 = Array.tabulate(m)(t => if (t < n) 1.0 else -1.0)
+        val pv = Array.tabulate(m)(t =>
+          if (t < n) -labels(t) else labels(t - n))
+        val a0 = nuInit(y2, $(regC) * v / 2.0, cbox)
+        val qRow = rotatingRows(m, (t, buf) => {
+          val i = t % n; val si = if (t < n) 1.0 else -1.0
+          var u = 0
+          while (u < m) {
+            buf(u) = si * (if (u < n) 1.0 else -1.0) * km(i)(u % n); u += 1
+          }
+        })
+        val sol = SmoSolver.solveNu(m, qRow, pv, y2, cbox, a0, $(tol))
+        val bb = (sol.rNeg - sol.rPos) / 2
+        (Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n)), bb,
+          SmoSolver.Solution(sol.alpha, 0.0, sol.iters, sol.violation))
       case other => throw new IllegalArgumentException(
-        s"svmTask must be svc or svr, got '$other'")
+        s"svmTask must be svc, svr, nusvc, or nusvr, got '$other'")
     }
     if (conv.violation > $(tol))
       // sklearn raises ConvergenceWarning here; the model is usable but
@@ -259,7 +418,7 @@ class GraftSvm(override val uid: String)
     val m = new GraftSvmModel(uid + "_m")
       .setSupport(supRows).setDual(supCoef)
       .setGamma(g).setKernelType($(kernel)).setIntercept(b)
-      .setClassify($(svmTask) == "svc")
+      .setClassify($(svmTask) == "svc" || $(svmTask) == "nusvc")
     svcClasses.foreach { case (c0, c1) => m.setClasses(c0, c1) }
     m.set(m.featuresCol, $(featuresCol)).set(m.predictionCol, $(predictionCol))
     m.setParent(this)

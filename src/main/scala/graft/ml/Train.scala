@@ -125,9 +125,18 @@ object Train {
         .setGamma(hp(h, "gamma", -1.0))
         .setKernel(h.getOrElse("kernel", "linear"))
         .setMaxRows(hpi(h, "max_rows", 2000))
+    case ("regression", "nu_svm") if h.get("exact").contains("true") =>
+      // sklearn-EXACT ν-SVR: the tube width is the ν-traded variable
+      // (must precede the general kernel_ridge|nu_svm RFF case below)
+      new GraftSvm().setSvmTask("nusvr")
+        .setNu(hp(h, "nu", 0.5)).setRegC(hp(h, "C", 1.0))
+        .setGamma(hp(h, "gamma", -1.0))
+        .setKernel(h.getOrElse("kernel", "rbf"))
+        .setTol(hp(h, "tol", 1e-3)).setMaxRows(hpi(h, "max_rows", 2000))
     case ("regression", "kernel_ridge" | "nu_svm") =>
       // kernel machines scale via the RFF feature map + ridge (see svm);
-      // nu_svm's nu-parameterization has no MLlib analogue — flagged
+      // nu_svm's nu-parameterization defaults to the flagged RFF route
+      // (exact ν-SMO is the capped opt-in above)
       new Pipeline().setStages(Array(
         new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
           .setNumComponents(hpi(h, "n_components", 100))
@@ -236,6 +245,12 @@ object Train {
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
     case ("classification", "linear_svm") =>
       new LinearSVC().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0))
+    case ("classification", "nu_svm") if h.get("exact").contains("true") =>
+      // sklearn-EXACT ν-SVC via the within-class SMO (Svm scaladoc)
+      new GraftSvm().setSvmTask("nusvc")
+        .setNu(hp(h, "nu", 0.5)).setGamma(hp(h, "gamma", -1.0))
+        .setKernel(h.getOrElse("kernel", "rbf"))
+        .setTol(hp(h, "tol", 1e-3)).setMaxRows(hpi(h, "max_rows", 2000))
     case ("classification", "svm") if h.get("exact").contains("true") =>
       // sklearn-EXACT C-SVC via the capped SMO dual (Svm scaladoc:
       // binary only, gamma default 1/p) — opt-in; RFF stays the default
@@ -343,7 +358,8 @@ object Train {
       h: Map[String, String]): Map[String, String] = algorithm match {
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
-    case "kernel_ridge" | "gaussian_process" | "svm" if h.get("exact").contains("true") =>
+    case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm"
+        if h.get("exact").contains("true") =>
       Map.empty // sklearn-exact capped dual solve — nothing substituted
     case "svm" | "kernel_ridge" | "nu_svm" => Map("compat" -> "rff_kernel_approx")
     case "gaussian_process" => Map("compat" -> "rff_gp_approx")

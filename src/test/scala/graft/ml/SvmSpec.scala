@@ -104,6 +104,62 @@ class SvmSpec extends AnyFunSuite {
     assert(mse("rbf") < mse("linear") / 10)
   }
 
+  test("nu-SVC: the nu-property bounds SV and margin-error fractions") {
+    // overlapping Gaussians so margin errors genuinely exist — the
+    // nu-property (Schölkopf): #margin-errors ≤ ν·l ≤ #SVs at optimum
+    val rnd = new scala.util.Random(11)
+    val n = 200
+    val df = assemble((0 until n).map { i =>
+      val cls = i % 2
+      (rnd.nextGaussian() + (if (cls == 0) -1.5 else 1.5),
+        rnd.nextGaussian(), cls.toDouble)
+    }.toDF("x1", "x2", "y"), Seq("x1", "x2"))
+    val nuV = 0.3
+    val m = new GraftSvm().setSvmTask("nusvc").setNu(nuV).setKernel("rbf")
+      .setTol(1e-4).setLabelCol("y").setFeaturesCol("features").fit(df)
+    val nsv = m.getOrDefault(m.dual).length
+    assert(nsv + 1 >= nuV * n, s"SV count $nsv below the nu lower bound")
+    // margin errors: after the 1/ρ rescale the margin is 1, so an error
+    // is y_signed·f(x) < 1 − slack-tolerance
+    val rows = df.select("features", "y").collect()
+    val merr = rows.count { r =>
+      val f = m.decision(r.getAs[org.apache.spark.ml.linalg.Vector](0))
+      val ys = if (r.getDouble(1) == 1.0) 1.0 else -1.0
+      ys * f < 1.0 - 1e-6
+    }
+    assert(merr <= nuV * n + 1, s"margin errors $merr exceed the nu upper bound")
+    // and it still classifies well
+    val acc = m.transform(df).filter(col("prediction") === col("y")).count() / n.toDouble
+    assert(acc > 0.9, s"nu-SVC accuracy $acc")
+  }
+
+  test("nu-SVC: infeasible nu names the class-count bound") {
+    // 10% positive class: nu = 0.5 needs nu*l/2 = 25 per class > 10
+    val df = assemble((0 until 100).map(i =>
+      (i.toDouble, if (i < 10) 1.0 else 0.0)).toDF("x", "y"), Seq("x"))
+    val e = intercept[IllegalArgumentException] {
+      new GraftSvm().setSvmTask("nusvc").setNu(0.5)
+        .setLabelCol("y").setFeaturesCol("features").fit(df)
+    }
+    assert(e.getMessage.contains("infeasible"), e.getMessage)
+  }
+
+  test("nu-SVR: fits a sine with at least nu*l support vectors") {
+    val n = 120
+    val df = assemble((0 until n).map { i =>
+      val x = i / 20.0; (x, math.sin(x))
+    }.toDF("x", "y"), Seq("x"))
+    val nuV = 0.4
+    val m = new GraftSvm().setSvmTask("nusvr").setNu(nuV).setRegC(10.0)
+      .setKernel("rbf").setTol(1e-4)
+      .setLabelCol("y").setFeaturesCol("features").fit(df)
+    val nsv = m.getOrDefault(m.dual).length
+    assert(nsv + 1 >= nuV * n, s"SV count $nsv below the nu lower bound")
+    val mse = m.transform(df).select(pow(col("prediction") - col("y"), 2).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+    assert(mse < 0.01, s"nu-SVR mse $mse")
+  }
+
   test("guards: row cap routes to RFF; multiclass names the policy") {
     val big = assemble((1 to 30).map(i => (i.toDouble, i % 2 * 1.0))
       .toDF("x", "y"), Seq("x"))
