@@ -315,86 +315,89 @@ class GraftSvm(override val uid: String)
       var flip = 0
       t => { val b = bufs(flip); flip ^= 1; fill(t, b); b }
     }
+    // shared between the classification variants: ±1 labels + the
+    // binary-only policy; and between the kernel shapes: the Q-row
+    // builders (Qᵢⱼ = yᵢyⱼKᵢⱼ for SVC, the 2n sign-block form for SVR)
+    def binaryY(): (Array[Double], Double, Double) = {
+      val classes = labels.distinct.sorted
+      require(classes.length == 2,
+        s"exact svm classification is binary (got ${classes.length} classes); " +
+          "sklearn's one-vs-one stack is not implemented — use the RFF path")
+      (labels.map(l => if (l == classes(1)) 1.0 else -1.0), classes(0), classes(1))
+    }
+    def svcQRow(y: Array[Double]): Int => Array[Double] =
+      rotatingRows(n, (i, buf) => {
+        var j = 0
+        while (j < n) { buf(j) = y(i) * y(j) * km(i)(j); j += 1 }
+      })
+    def svrQRow(m: Int): Int => Array[Double] =
+      rotatingRows(m, (t, buf) => {
+        val i = t % n; val si = if (t < n) 1.0 else -1.0
+        var u = 0
+        while (u < m) {
+          buf(u) = si * (if (u < n) 1.0 else -1.0) * km(i)(u % n); u += 1
+        }
+      })
+    val svrY: Int => Array[Double] =
+      m => Array.tabulate(m)(t => if (t < n) 1.0 else -1.0)
+
     var svcClasses: Option[(Double, Double)] = None
     val (coef, b, conv) = $(svmTask) match {
       case "svc" =>
-        val classes = labels.distinct.sorted
-        require(classes.length == 2,
-          s"exact svm classification is binary (got ${classes.length} classes); " +
-            "sklearn's one-vs-one stack is not implemented — use the RFF path")
-        val y = labels.map(l => if (l == classes(1)) 1.0 else -1.0)
-        val qRow = rotatingRows(n, (i, buf) => {
-          var j = 0
-          while (j < n) { buf(j) = y(i) * y(j) * km(i)(j); j += 1 }
-        })
-        val sol = SmoSolver.solve(n, qRow, Array.fill(n)(-1.0), y, $(regC), $(tol))
-        svcClasses = Some((classes(0), classes(1)))
+        val (y, c0, c1) = binaryY()
+        val sol = SmoSolver.solve(n, svcQRow(y), Array.fill(n)(-1.0), y,
+          $(regC), $(tol))
+        svcClasses = Some((c0, c1))
         (Array.tabulate(n)(i => y(i) * sol.alpha(i)), -sol.rho, sol)
       case "svr" =>
         // 2n-variable ε-SVR form; β = α − α* recovers the coefficients
         val m = 2 * n
         val eps = $(epsilon)
-        val y2 = Array.tabulate(m)(t => if (t < n) 1.0 else -1.0)
         val pv = Array.tabulate(m)(t =>
           if (t < n) eps - labels(t) else eps + labels(t - n))
-        val qRow = rotatingRows(m, (t, buf) => {
-          val i = t % n; val si = if (t < n) 1.0 else -1.0
-          var u = 0
-          while (u < m) {
-            buf(u) = si * (if (u < n) 1.0 else -1.0) * km(i)(u % n); u += 1
-          }
-        })
-        val sol = SmoSolver.solve(m, qRow, pv, y2, $(regC), $(tol))
+        val sol = SmoSolver.solve(m, svrQRow(m), pv, svrY(m), $(regC), $(tol))
         (Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n)), -sol.rho, sol)
       case "nusvc" =>
-        // ν-SVC (Schölkopf): box [0,1], eᵀα = ν·l on top of yᵀα = 0 —
-        // solved with within-class pairs; post-solve the machine rescales
-        // by 1/ρ so the decision function matches the C-SVC form
+        // ν-SVC: box [0,1], eᵀα = ν·l on top of yᵀα = 0 — solved with
+        // within-class pairs; post-solve the machine rescales by 1/ρ so
+        // the decision function matches the C-SVC form
         val v = $(nu)
         require(v > 0 && v <= 1, s"nu must be in (0,1], got $v")
-        val classes = labels.distinct.sorted
-        require(classes.length == 2,
-          s"exact svm classification is binary (got ${classes.length} classes); " +
-            "sklearn's one-vs-one stack is not implemented — use the RFF path")
-        val y = labels.map(l => if (l == classes(1)) 1.0 else -1.0)
+        val (y, c0, c1) = binaryY()
         val mass = v * n / 2.0
         require(mass <= y.count(_ > 0) && mass <= y.count(_ < 0),
           s"specified nu=$v is infeasible: nu*l/2 = $mass exceeds a class " +
             s"count (${y.count(_ > 0)} positive / ${y.count(_ < 0)} negative)")
-        val a0 = nuInit(y, mass, 1.0)
-        val qRow = rotatingRows(n, (i, buf) => {
-          var j = 0
-          while (j < n) { buf(j) = y(i) * y(j) * km(i)(j); j += 1 }
-        })
-        val sol = SmoSolver.solveNu(n, qRow, new Array[Double](n), y, 1.0,
-          a0, $(tol))
+        val sol = SmoSolver.solveNu(n, svcQRow(y), new Array[Double](n), y, 1.0,
+          nuInit(y, mass, 1.0), $(tol))
         val rho = (sol.rPos + sol.rNeg) / 2
-        require(rho > 1e-12,
-          s"nu-SVC solved to margin rho=$rho <= 0 — the classes are not " +
-            "separable at this nu; lower nu")
+        // sklearn/LIBSVM return the model even when heavily overlapping
+        // classes drive the margin to ρ ≤ 0; rescaling by it would flip
+        // or explode the decision, so keep the unscaled machine and say so
+        val scale =
+          if (rho > 1e-12) rho
+          else {
+            System.err.println(
+              f"WARN GraftSvm: nu-SVC margin rho=$rho%.2e <= 0 (classes " +
+                "heavily overlap at this nu) — keeping the unscaled decision")
+            1.0
+          }
         val bb = (sol.rNeg - sol.rPos) / 2
-        svcClasses = Some((classes(0), classes(1)))
-        (Array.tabulate(n)(i => y(i) * sol.alpha(i) / rho), bb / rho,
+        svcClasses = Some((c0, c1))
+        (Array.tabulate(n)(i => y(i) * sol.alpha(i) / scale), bb / scale,
           SmoSolver.Solution(sol.alpha, 0.0, sol.iters, sol.violation))
       case "nusvr" =>
-        // ν-SVR (Schölkopf): the tube width ε becomes a variable via the
-        // second constraint eᵀ(α+α*) = C·ν; box [0, C/l]
+        // ν-SVR: the tube width ε becomes a variable via the second
+        // constraint. LIBSVM/sklearn convention (what NuSVR(C) wraps):
+        // box C per variable, per-side mass C·ν·l/2 — NOT the Schölkopf
+        // paper's C/l normalization
         val v = $(nu)
         require(v > 0 && v <= 1, s"nu must be in (0,1], got $v")
         val m = 2 * n
-        val cbox = $(regC) / n
-        val y2 = Array.tabulate(m)(t => if (t < n) 1.0 else -1.0)
         val pv = Array.tabulate(m)(t =>
           if (t < n) -labels(t) else labels(t - n))
-        val a0 = nuInit(y2, $(regC) * v / 2.0, cbox)
-        val qRow = rotatingRows(m, (t, buf) => {
-          val i = t % n; val si = if (t < n) 1.0 else -1.0
-          var u = 0
-          while (u < m) {
-            buf(u) = si * (if (u < n) 1.0 else -1.0) * km(i)(u % n); u += 1
-          }
-        })
-        val sol = SmoSolver.solveNu(m, qRow, pv, y2, cbox, a0, $(tol))
+        val sol = SmoSolver.solveNu(m, svrQRow(m), pv, svrY(m), $(regC),
+          nuInit(svrY(m), $(regC) * v * n / 2.0, $(regC)), $(tol))
         val bb = (sol.rNeg - sol.rPos) / 2
         (Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n)), bb,
           SmoSolver.Solution(sol.alpha, 0.0, sol.iters, sol.violation))
