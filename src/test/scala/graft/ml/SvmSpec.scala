@@ -177,6 +177,20 @@ class SvmSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("binary"))
   }
 
+  test("train() dispatch: nu_svm exact precedes the RFF fallback case") {
+    // regression nu_svm shares a match case with kernel_ridge for the
+    // RFF route — the exact=true case must fire FIRST or the opt-in
+    // silently trains the approximation with a compat flag
+    val est = Train.estimatorFor("regression", "nu_svm",
+      Map("exact" -> "true", "nu" -> "0.4"), seed = 1L)
+    assert(est.isInstanceOf[GraftSvm], est.getClass.getName)
+    assert(est.asInstanceOf[GraftSvm].getOrDefault(
+      est.asInstanceOf[GraftSvm].svmTask) == "nusvr")
+    val cls = Train.estimatorFor("classification", "nu_svm",
+      Map("exact" -> "true"), seed = 1L)
+    assert(cls.isInstanceOf[GraftSvm])
+  }
+
   test("train() dispatch: exact=true fits SMO and records no compat flag") {
     val cat = new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_svmx").toString)
