@@ -95,6 +95,19 @@ object StreamingOps {
       batch: DataFrame, batchId: Long): DataFrame =
     graft.ml.Predict.transform(catalog, project, batch)
 
+  /** Streaming retrieval conversation: answer each micro-batch's
+    * (system, user) contexts against a FIXED candidate pool with the
+    * deployed dual-encoder head —
+    * `foreachBatch(respondBatch(catalog, project, pool))`. The pool is
+    * the stream-static side of the join; pass it pre-materialized
+    * (localCheckpoint) so each micro-batch re-reads cached rows instead
+    * of recomputing the pool plan. */
+  def respondBatch(catalog: graft.ml.Catalog, project: String,
+      candidates: DataFrame, systemCol: String = "system",
+      userCol: String = "user")(batch: DataFrame, batchId: Long): DataFrame =
+    graft.llm.Finetune.respondText(batch.sparkSession, catalog, project,
+      batch, systemCol, userCol, candidates)
+
   /** Streaming exact dedup — the streaming twin of dd_exact: documents
     * keyed by content fingerprint, first arrival wins, duplicates
     * dropped. `dropDuplicates` keeps per-key state; the watermark bounds

@@ -149,6 +149,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming conversation retrieval via foreachBatch respond") {
+    import spark.implicits._
+    val cat = new graft.ml.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_conv_cat").toString)
+    val topics = Seq(
+      ("spark joins", "joins shuffle rows on their keys"),
+      ("scan filters", "filters push down into the scan"))
+    val train = (0 until 20).map { i =>
+      val (topic, resp) = topics(i % 2)
+      (s"assistant for $topic", s"explain $topic please tag$i", resp)
+    }.toDF("system", "user", "assistant")
+    graft.llm.Finetune.finetune(spark, cat, graft.llm.Finetune.FinetuneConfig(
+      projectName = "StreamConv", task = "conversation", data = Some(train),
+      textCol = "system", text2Col = "user", labelCol = "assistant"))
+    val pool = train.select($"assistant".as("response"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv_in").toString
+    Seq(("assistant for spark joins", "explain spark joins please tagX"))
+      .toDF("system", "user").coalesce(1).write.parquet(s"$dir/in")
+    val hits = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val resp = StreamingOps.respondBatch(cat, "StreamConv", pool)(batch, id)
+        hits.addAndGet(resp.filter(col("response").contains("shuffle")).count())
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(hits.get() == 1L)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: exact tf parity, bounded-error df") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
