@@ -242,7 +242,11 @@ object Finetune {
     val labeled = wins
       .withColumn("ov", TextMetrics.clippedOverlap(
         TextMetrics.tokens(col("sent")), TextMetrics.tokens(col("gold"))))
-      .withColumn("y", (row_number().over(ow) <= topK).cast("double"))
+      // ov > 0 guard mirrors finetuneQa: a window with ZERO gold overlap
+      // is never a positive example, even when the doc has fewer than
+      // topK overlapping windows (short docs, disjoint golds)
+      .withColumn("y",
+        (row_number().over(ow) <= topK && col("ov") > 0).cast("double"))
       .drop("ov")
     // frozen encoder over the windows, scoring head on the vectors
     val embedded = Ops.embedColumn(labeled, cfg.runtime, "sent", "emb", dim = cfg.dim)

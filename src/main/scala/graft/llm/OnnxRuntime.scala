@@ -78,10 +78,15 @@ object OnnxTokenizer {
   def encode(vocab: Vocab, text: String, maxLen: Int): (Array[Long], Int) = {
     val words = text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
     val pieces = words.flatMap(wordPiece(vocab, _))
-    val wrapped =
-      (if (vocab.cls >= 0) Seq(vocab.cls) else Seq.empty) ++ pieces ++
-        (if (vocab.sep >= 0) Seq(vocab.sep) else Seq.empty)
-    val kept = wrapped.take(maxLen)
+    // BERT convention: truncate the PIECES to leave room for the special
+    // tokens, then wrap — so an overflowing text still ends in [SEP]
+    // exactly as the encoder saw during training (truncating after
+    // wrapping would drop the trailing [SEP])
+    val specials = (if (vocab.cls >= 0) 1 else 0) + (if (vocab.sep >= 0) 1 else 0)
+    val kept =
+      ((if (vocab.cls >= 0) Seq(vocab.cls) else Seq.empty) ++
+        pieces.take(math.max(0, maxLen - specials)) ++
+        (if (vocab.sep >= 0) Seq(vocab.sep) else Seq.empty)).take(maxLen)
     val row = Array.fill(maxLen)(vocab.pad.toLong)
     kept.zipWithIndex.foreach { case (id, i) => row(i) = id.toLong }
     (row, kept.length)

@@ -80,20 +80,51 @@ object Components {
     * consumer doubled the two most expensive bench lines for no
     * information.
     *
-    * Weak session keys: entries (and their checkpoint blocks, via the
-    * ContextCleaner once the frames are unreachable) die with the
-    * session instead of pinning for the JVM lifetime, and a recycled
-    * identity can never resurrect a frame bound to a stopped context.
-    * The memo assumes the input dir is an immutable snapshot for the
-    * session's lifetime — the same contract Spark's own FileStatusCache
-    * applies to the listing; call [[invalidateSharedLabels]] after
-    * rewriting data in place. */
+    * Eviction: the memo is keyed by `sessionUUID` (a String — holding it
+    * cannot pin the session), NOT by the session object. A WeakHashMap
+    * keyed by the session would never evict here, because the cached
+    * DataFrame values strongly reference their SparkSession through
+    * QueryExecution, so the key stays reachable for as long as the entry
+    * exists. Instead a SparkListener registered once per SparkContext
+    * clears the memo on application end, freeing the checkpointed label
+    * frames with the context that owns them; sessions recycled within a
+    * long-lived context are bounded by [[invalidateSharedLabels]] (which
+    * the bench calls per pass) and by the context-end sweep. A recycled
+    * UUID can never resurrect a stale frame — UUIDs are unique per
+    * session. The memo assumes the input dir is an immutable snapshot
+    * for the session's lifetime — the same contract Spark's own
+    * FileStatusCache applies to the listing; call
+    * [[invalidateSharedLabels]] after rewriting data in place. */
   private val sharedLabels =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.HashMap[String, scala.collection.mutable.Map[String, DataFrame]]()
+  // contexts that already carry the eviction listener; weak keys are safe
+  // here because the Boolean value holds no reference back to the context
+  private val evictionHooked =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]()
+
+  // a UUID minted per session into its (session-scoped) runtime conf —
+  // a String key that cannot pin the session and can never collide with
+  // a recycled identity hash
+  private def sessionKey(s: SparkSession): String = s.synchronized {
+    s.conf.getOption("graft.session.uuid") match {
+      case Some(u) => u
+      case None =>
+        val u = java.util.UUID.randomUUID().toString
+        s.conf.set("graft.session.uuid", u)
+        u
+    }
+  }
 
   def simhashComponents(s: SparkSession, dir: String): DataFrame =
     sharedLabels.synchronized {
-      sharedLabels.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      if (evictionHooked.put(s.sparkContext, java.lang.Boolean.TRUE) == null) {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            sharedLabels.synchronized { sharedLabels.clear() }
+        })
+      }
+      sharedLabels.computeIfAbsent(sessionKey(s), _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate(dir,
           connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db"))
     }
@@ -103,7 +134,7 @@ object Components {
     * exactly once (the first dd_* gate of the pass) — medians must never
     * be memo-hit times. */
   def invalidateSharedLabels(s: SparkSession): Unit =
-    sharedLabels.synchronized { sharedLabels.remove(s); () }
+    sharedLabels.synchronized { sharedLabels.remove(sessionKey(s)); () }
 
   /** Gate: component id (= min reachable doc_id) for every document that
     * appears in a simhash near-dup pair. */

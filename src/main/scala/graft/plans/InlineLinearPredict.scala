@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Literal, ScalaUDF}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, CreateMap, EqualTo, GreaterThan, If, Literal, RaiseError, ScalaUDF, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
@@ -23,11 +23,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   * Semantics notes, deliberate: for valid inputs the value matches the
   * UDF bit-for-bit up to intercept-addition order (dot then +b here,
-  * b-first accumulation in GraftLinearModel.predict — ±1 ulp); invalid
-  * inputs differ in SHAPE — the UDF raises on empty/mismatched feature
-  * arrays, the inlined form yields 0+b / null via DotProduct's strict
-  * null semantics. Registered per-session through
-  * `spark.experimental.extraOptimizations` by
+  * b-first accumulation in GraftLinearModel.predict — ±1 ulp). Invalid
+  * inputs keep the UDF's ERROR shape too: a size guard around the dot
+  * raises (codegen'd `RaiseError`) on null / empty / dimension-
+  * mismatched feature arrays, exactly where the UDF's `require` +
+  * BLAS-dot would — a bad feature pipeline fails loudly on both paths
+  * instead of silently scoring null on the inlined one. Registered
+  * per-session through `spark.experimental.extraOptimizations` by
   * [[graft.ml.Predict.registerFunctions]].
   */
 object InlineLinearPredict extends Rule[LogicalPlan] {
@@ -40,7 +42,15 @@ object InlineLinearPredict extends Rule[LogicalPlan] {
           val feats = Cast(u.children(1), ArrayType(DoubleType))
           val dot = graft.functions.DotProduct(feats,
             Literal.create(w.toSeq, ArrayType(DoubleType)))
-          Cast(Add(dot, Literal(b)), FloatType)
+          // size(null array) is null → If takes the else branch → raise,
+          // matching the UDF's require(features != null && nonEmpty)
+          val sizeOk = And(EqualTo(Size(feats), Literal(w.length)),
+            GreaterThan(Size(feats), Literal(0)))
+          val raise = new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+            CreateMap(Seq(Literal("errorMessage"), Literal(
+              s"quackml_predict: feature vector must be non-empty with ${w.length} elements"))),
+            FloatType)
+          If(sizeOk, Cast(Add(dot, Literal(b)), FloatType), raise)
         case None => u
       }
   }
