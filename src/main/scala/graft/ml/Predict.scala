@@ -187,6 +187,11 @@ object Predict {
         case p: org.apache.spark.ml.classification.ProbabilisticClassificationModel[
             org.apache.spark.ml.linalg.Vector @unchecked, _] =>
           p.predictProbability(Vectors.dense(features.map(_.toDouble).toArray))(0).toFloat
+        // exact kernel SVC trained with probability=true: Platt sigmoid
+        // over the decision value (sklearn probability=True); same
+        // first-class-probability scalar quirk
+        case g: GraftSvmModel =>
+          g.probability(Vectors.dense(features.map(_.toDouble).toArray))(0).toFloat
         case other => throw new IllegalArgumentException(
           s"predict_proba unsupported for ${other.getClass.getSimpleName}")
       }

@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.{PredictionModel, Predictor}
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.ml.param.{BooleanParam, DoubleArrayParam, DoubleParam, IntParam, Param, ParamMap}
+import org.apache.spark.ml.param.{BooleanParam, DoubleParam, IntParam, Param, ParamMap}
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{Dataset, Row}
 import org.apache.spark.sql.functions.col
@@ -37,9 +37,22 @@ import org.apache.spark.sql.types.StructType
   * (ν lower-bounds the support-vector fraction and upper-bounds the
   * margin-error fraction) is the behavioral contract SvmSpec pins.
   *
-  * Documented deviations from sklearn: binary classification only (no
-  * one-vs-one multiclass stack); default gamma is 1/p (sklearn's
-  * "scale" additionally divides by Var(X)).
+  * Multiclass classification runs sklearn/LIBSVM's one-vs-one stack:
+  * k(k−1)/2 binary SMO solves over class-pair row subsets (one shared
+  * Gram, indexed per pair), majority vote at prediction, ties broken to
+  * the LOWEST class label — the same winner as sklearn's argmax over
+  * sorted `classes_`. `probability=true` fits a Platt sigmoid per binary
+  * machine from 5-FOLD CROSS-VALIDATED decision values (LIBSVM's
+  * `svm_binary_svc_probability` scheme) with the regularized Newton fit
+  * of Lin, Weng & Keerthi 2007; `predict_proba` applies it on the binary
+  * exact path (multiclass pairwise coupling is not implemented — routed
+  * to the RFF path with an error naming the gap).
+  *
+  * Documented deviations from sklearn: default gamma is 1/p (sklearn's
+  * "scale" additionally divides by Var(X)); the Platt CV fold shuffle is
+  * deterministic (fixed seed) where LIBSVM uses rand(); a CV fold whose
+  * training side loses a class — or goes ν-infeasible — falls back to
+  * the full machine's decision values for that fold instead of aborting.
   */
 object SmoSolver {
   final case class Solution(alpha: Array[Double], rho: Double, iters: Int,
@@ -196,52 +209,253 @@ object SmoSolver {
   }
 }
 
+/** One trained binary kernel machine: f(x) = Σᵢ dualᵢ·k(svᵢ, x) + b over
+  * its own support rows (row-major flat). Classification machines carry
+  * the class pair they separate (decision > 0 → `classPos`) and, when
+  * trained with probability=true, the Platt sigmoid (A, B) mapping
+  * decisions to P(classPos | x). Regression models hold one machine with
+  * a (0, 0) class pair. */
+private[graft] final case class SvmMachine(classNeg: Double, classPos: Double,
+    supportFlat: Array[Double], dual: Array[Double], intercept: Double,
+    plattA: Double, plattB: Double, hasPlatt: Boolean) {
+  def decision(x: Array[Double], p: Int, rbf: Boolean, g: Double): Double =
+    intercept + KernelMath.score(x, supportFlat, dual, p, rbf, g)
+  /** P(classPos | f) through the sigmoid — the numerically stable form
+    * (never exponentiates a positive argument). */
+  def plattProb(dec: Double): Double = {
+    val fApB = dec * plattA + plattB
+    if (fApB >= 0) math.exp(-fApB) / (1.0 + math.exp(-fApB))
+    else 1.0 / (1.0 + math.exp(fApB))
+  }
+}
+
+/** Platt scaling (Platt 1999) via the regularized maximum-likelihood
+  * Newton fit of Lin, Weng & Keerthi, "A note on Platt's probabilistic
+  * outputs for support vector machines" (2007) — the published
+  * pseudo-code: smoothed targets t₊ = (N₊+1)/(N₊+2), t₋ = 1/(N₋+2),
+  * 2-parameter Newton with backtracking line search on the
+  * cross-entropy. Runs driver-side on the (≤ row-cap) decision values
+  * the exact path already holds — distributing a 2-parameter fit over
+  * ≤2,000 scalars would shuffle more than it computes. */
+private[ml] object Platt {
+  /** Fits P(y=+1 | f) = 1/(1+exp(A·f+B)); returns (A, B). */
+  def sigmoidTrain(dec: Array[Double], y: Array[Double]): (Double, Double) = {
+    val l = dec.length
+    var prior1 = 0.0; var prior0 = 0.0
+    var i = 0
+    while (i < l) { if (y(i) > 0) prior1 += 1 else prior0 += 1; i += 1 }
+    val hiTarget = (prior1 + 1.0) / (prior1 + 2.0)
+    val loTarget = 1.0 / (prior0 + 2.0)
+    val t = Array.tabulate(l)(k => if (y(k) > 0) hiTarget else loTarget)
+    val sigma = 1e-12 // Hessian ridge
+    var a = 0.0
+    var b = math.log((prior0 + 1.0) / (prior1 + 1.0))
+    def objective(av: Double, bv: Double): Double = {
+      var fval = 0.0
+      var k = 0
+      while (k < l) {
+        val fApB = dec(k) * av + bv
+        fval +=
+          (if (fApB >= 0) t(k) * fApB + math.log1p(math.exp(-fApB))
+           else (t(k) - 1.0) * fApB + math.log1p(math.exp(fApB)))
+        k += 1
+      }
+      fval
+    }
+    var fval = objective(a, b)
+    var it = 0
+    var done = false
+    while (it < 100 && !done) {
+      var h11 = sigma; var h22 = sigma; var h21 = 0.0
+      var g1 = 0.0; var g2 = 0.0
+      var k = 0
+      while (k < l) {
+        val fApB = dec(k) * a + b
+        val (p, q) =
+          if (fApB >= 0) { val e = math.exp(-fApB); (e / (1.0 + e), 1.0 / (1.0 + e)) }
+          else { val e = math.exp(fApB); (1.0 / (1.0 + e), e / (1.0 + e)) }
+        val d2 = p * q
+        h11 += dec(k) * dec(k) * d2; h22 += d2; h21 += dec(k) * d2
+        val d1 = t(k) - p
+        g1 += dec(k) * d1; g2 += d1
+        k += 1
+      }
+      if (math.abs(g1) < 1e-5 && math.abs(g2) < 1e-5) done = true
+      else {
+        val det = h11 * h22 - h21 * h21
+        val dA = -(h22 * g1 - h21 * g2) / det
+        val dB = -(-h21 * g1 + h11 * g2) / det
+        val gd = g1 * dA + g2 * dB
+        var step = 1.0
+        var stepped = false
+        while (step >= 1e-10 && !stepped) {
+          val na = a + step * dA; val nb = b + step * dB
+          val nf = objective(na, nb)
+          if (nf < fval + 1e-4 * step * gd) { a = na; b = nb; fval = nf; stepped = true }
+          else step /= 2.0
+        }
+        if (!stepped) done = true // line search failed — accept current point
+      }
+      it += 1
+    }
+    (a, b)
+  }
+}
+
 class GraftSvmModel(override val uid: String)
-    extends PredictionModel[Vector, GraftSvmModel] with DefaultParamsWritable {
+    extends PredictionModel[Vector, GraftSvmModel]
+    with org.apache.spark.ml.util.MLWritable {
   def this() = this(Identifiable.randomUID("graftsvmm"))
 
-  final val supportFlat = new DoubleArrayParam(this, "supportFlat",
-    "support rows, row-major")
-  final val dual = new DoubleArrayParam(this, "dual",
-    "dual coefficients (already y-signed for SVC)")
   final val dim = new IntParam(this, "dim", "feature dimension")
   final val gammaParam = new DoubleParam(this, "gammaParam", "rbf gamma")
   final val kernelType = new Param[String](this, "kernelType", "linear | rbf")
-  final val interceptParam = new DoubleParam(this, "interceptParam", "bias b = -rho")
   final val classify = new BooleanParam(this, "classify",
-    "true → sign threshold to the stored class labels; false → raw value")
-  final val class0 = new DoubleParam(this, "class0", "label for decision <= 0")
-  final val class1 = new DoubleParam(this, "class1", "label for decision > 0")
-  setDefault(kernelType -> "rbf", gammaParam -> 1.0, interceptParam -> 0.0,
-    classify -> false, class0 -> 0.0, class1 -> 1.0)
+    "true → vote/threshold to the stored class labels; false → raw value")
+  setDefault(kernelType -> "rbf", gammaParam -> 1.0, classify -> false)
 
-  def setSupport(rows: Array[Array[Double]]): this.type = {
-    set(dim, rows.head.length); set(supportFlat, rows.flatten)
+  // Support rows + duals are the model's DATA — up to cap·p doubles per
+  // machine — and persist as a compact Parquet data file (the MLWritable
+  // data/ convention, the shape of LIBSVM/sklearn's SV matrix), NOT as
+  // JSON array params: a 2,000×p support matrix in one JSON metadata
+  // line is megabytes of decimal text and slow to parse back.
+  private var machinesArr: Array[SvmMachine] = Array.empty
+  private[ml] def setMachines(ms: Array[SvmMachine]): this.type = {
+    machinesArr = ms; this
   }
-  def setDual(v: Array[Double]): this.type = set(dual, v)
+  private[graft] def machines: Array[SvmMachine] = machinesArr
+
+  /** Sorted distinct class labels (sklearn's `classes_`). */
+  private def classLabels: Array[Double] =
+    machinesArr.flatMap(m => Seq(m.classNeg, m.classPos)).distinct.sorted
+
+  def setDim(v: Int): this.type = set(dim, v)
   def setGamma(v: Double): this.type = set(gammaParam, v)
   def setKernelType(v: String): this.type = set(kernelType, v)
-  def setIntercept(v: Double): this.type = set(interceptParam, v)
   def setClassify(v: Boolean): this.type = set(classify, v)
-  def setClasses(c0: Double, c1: Double): this.type = {
-    set(class0, c0); set(class1, c1)
-  }
 
   override def numFeatures: Int = $(dim)
+  private def rbf: Boolean = $(kernelType) == "rbf"
 
-  /** Raw decision value Σᵢ coefᵢ·k(xᵢ, x) + b. */
+  /** Raw decision value of the FIRST machine — the whole decision
+    * function for regression and binary classification; multiclass
+    * models have one per class pair (use [[machines]]). */
   def decision(features: Vector): Double =
-    $(interceptParam) + KernelMath.score(features.toArray, $(supportFlat),
-      $(dual), $(dim), $(kernelType) == "rbf", $(gammaParam))
+    machinesArr.head.decision(features.toArray, $(dim), rbf, $(gammaParam))
 
   override def predict(features: Vector): Double =
-    if ($(classify)) { if (decision(features) > 0) $(class1) else $(class0) }
-    else decision(features)
+    if (!$(classify)) decision(features)
+    else if (machinesArr.length == 1) {
+      val m = machinesArr.head
+      if (decision(features) > 0) m.classPos else m.classNeg
+    } else {
+      // one-vs-one majority vote; ties → lowest label, the same winner
+      // as sklearn's argmax over sorted classes_
+      val x = features.toArray
+      val votes = scala.collection.mutable.HashMap.empty[Double, Int]
+      machinesArr.foreach { m =>
+        val w = if (m.decision(x, $(dim), rbf, $(gammaParam)) > 0) m.classPos
+                else m.classNeg
+        votes.update(w, votes.getOrElse(w, 0) + 1)
+      }
+      classLabels.maxBy(c => (votes.getOrElse(c, 0), -c))
+    }
 
-  override def copy(extra: ParamMap): GraftSvmModel = defaultCopy(extra)
+  /** [P(class₀|x), P(class₁|x)] (classes sorted ascending) through the
+    * Platt sigmoid — binary models trained with probability=true only. */
+  def probability(features: Vector): Array[Double] = {
+    require($(classify), "probability is a classification surface")
+    require(machinesArr.length == 1,
+      "exact-path predict_proba is binary-only (multiclass pairwise " +
+        "coupling is not implemented) — use the RFF path")
+    val m = machinesArr.head
+    require(m.hasPlatt,
+      "model was trained without probability=true — no Platt sigmoid stored")
+    val pPos = m.plattProb(decision(features))
+    Array(1.0 - pPos, pPos)
+  }
+
+  override def copy(extra: ParamMap): GraftSvmModel =
+    defaultCopy[GraftSvmModel](extra).setMachines(machinesArr)
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new GraftSvmModel.Writer(this)
+
+  // set-from-JSON bridge for the reader (Params.set is protected)
+  private[ml] def setParamFromJson(name: String, json: String): Unit = {
+    val p = getParam(name)
+    set(p.asInstanceOf[Param[Any]], p.jsonDecode(json))
+  }
 }
 
-object GraftSvmModel extends DefaultParamsReadable[GraftSvmModel]
+object GraftSvmModel extends org.apache.spark.ml.util.MLReadable[GraftSvmModel] {
+  /** Writes metadata in the DefaultParamsWriter JSON shape (class / uid /
+    * paramMap — hand-built because DefaultParamsWriter is private[ml] to
+    * Spark) so Pipeline's stage loader dispatches back here, then the
+    * machines as ONE Parquet data file: a row per binary machine with
+    * the support matrix and duals as array columns. */
+  private[ml] class Writer(instance: GraftSvmModel)
+      extends org.apache.spark.ml.util.MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val paramMap = instance.extractParamMap().toSeq
+        .map { pp =>
+          val p = pp.param.asInstanceOf[Param[Any]]
+          "\"" + p.name + "\":" + p.jsonEncode(pp.value)
+        }.sorted.mkString("{", ",", "}")
+      val meta = s"""{"class":"${classOf[GraftSvmModel].getName}",""" +
+        s""""timestamp":${System.currentTimeMillis()},""" +
+        s""""sparkVersion":"${sc.version}","uid":"${instance.uid}",""" +
+        s""""paramMap":$paramMap,"defaultParamMap":{}}"""
+      val spark = sparkSession
+      import spark.implicits._
+      spark.createDataset(Seq(meta)).repartition(1).write
+        .text(new org.apache.hadoop.fs.Path(path, "metadata").toString)
+      val rows = instance.machines.zipWithIndex.map { case (m, i) =>
+        (i, m.classNeg, m.classPos, m.supportFlat.toSeq, m.dual.toSeq,
+          m.intercept, m.plattA, m.plattB, m.hasPlatt)
+      }.toSeq
+      spark.createDataset(rows)
+        .toDF("idx", "class_neg", "class_pos", "support_flat", "dual",
+          "intercept", "platt_a", "platt_b", "has_platt")
+        .repartition(1).write
+        .parquet(new org.apache.hadoop.fs.Path(path, "data").toString)
+    }
+  }
+
+  private class Reader extends org.apache.spark.ml.util.MLReader[GraftSvmModel] {
+    override def load(path: String): GraftSvmModel = {
+      val spark = sparkSession
+      val metaStr = spark.read
+        .text(new org.apache.hadoop.fs.Path(path, "metadata").toString)
+        .head().getString(0)
+      val meta = org.json4s.jackson.JsonMethods.parse(metaStr)
+      val uid = meta \ "uid" match {
+        case org.json4s.JString(s) => s
+        case _ => throw new IllegalArgumentException(s"no uid in $path/metadata")
+      }
+      val m = new GraftSvmModel(uid)
+      meta \ "paramMap" match {
+        case org.json4s.JObject(fields) => fields.foreach { case (name, v) =>
+          if (m.hasParam(name))
+            m.setParamFromJson(name, org.json4s.jackson.JsonMethods.compact(v))
+        }
+        case _ => ()
+      }
+      val machines = spark.read
+        .parquet(new org.apache.hadoop.fs.Path(path, "data").toString)
+        .select("idx", "class_neg", "class_pos", "support_flat", "dual",
+          "intercept", "platt_a", "platt_b", "has_platt")
+        .collect().sortBy(_.getInt(0))
+        .map(r => SvmMachine(r.getDouble(1), r.getDouble(2),
+          r.getSeq[Double](3).toArray, r.getSeq[Double](4).toArray,
+          r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8)))
+      m.setMachines(machines)
+    }
+  }
+
+  override def read: org.apache.spark.ml.util.MLReader[GraftSvmModel] = new Reader
+  override def load(path: String): GraftSvmModel = super.load(path)
+}
 
 class GraftSvm(override val uid: String)
     extends Predictor[Vector, GraftSvm, GraftSvmModel]
@@ -258,8 +472,12 @@ class GraftSvm(override val uid: String)
   final val tol = new DoubleParam(this, "tol", "KKT stopping tolerance")
   final val maxRows = new IntParam(this, "maxRows",
     "hard cap — the SMO dual is O(n^2) memory / O(n^2 iters) compute")
+  final val probability = new BooleanParam(this, "probability",
+    "fit a Platt sigmoid per binary machine from 5-fold CV decision " +
+      "values (sklearn probability=True) — binary classification only")
   setDefault(svmTask -> "svc", regC -> 1.0, nu -> 0.5, epsilon -> 0.1,
-    gamma -> -1.0, kernel -> "rbf", tol -> 1e-3, maxRows -> 2000)
+    gamma -> -1.0, kernel -> "rbf", tol -> 1e-3, maxRows -> 2000,
+    probability -> false)
 
   def setSvmTask(v: String): this.type = set(svmTask, v)
   def setRegC(v: Double): this.type = set(regC, v)
@@ -269,6 +487,7 @@ class GraftSvm(override val uid: String)
   def setKernel(v: String): this.type = set(kernel, v)
   def setTol(v: Double): this.type = set(tol, v)
   def setMaxRows(v: Int): this.type = set(maxRows, v)
+  def setProbability(v: Boolean): this.type = set(probability, v)
 
   override protected def train(ds: Dataset[_]): GraftSvmModel = {
     val cap = $(maxRows)
@@ -289,47 +508,170 @@ class GraftSvm(override val uid: String)
       case other => throw new IllegalArgumentException(
         s"kernel must be linear or rbf, got '$other'")
     }
-    // dense Gram, cached once; Q rows derive from K rows per task
+    // dense Gram over ALL rows, computed once; every one-vs-one machine
+    // and every Platt CV refit indexes into it (subsets included), so no
+    // kernel value is ever computed twice
     val km = KernelMath.gram(rows.map(_._1), rbf, g)
     val labels = rows.map(_._2)
 
-    // Q rows build on demand into TWO rotating buffers — the solver
-    // requests exactly rows i then j per iteration, so double-buffering
-    // avoids memoizing an up-to-(2n)² matrix (4× the Gram) while keeping
-    // each build O(n), the same order as the gradient update it feeds
+    def warnIfUnconverged(iters: Int, violation: Double): Unit =
+      if (violation > $(tol))
+        // sklearn raises ConvergenceWarning here; the model is usable but
+        // NOT at the dual optimum — say so instead of claiming exactness
+        System.err.println(
+          f"WARN GraftSvm: SMO hit the iteration cap with KKT violation " +
+            f"$violation%.2e > tol ${$(tol)}%.2e after $iters " +
+            f"updates — duals are approximate; raise tol or lower C")
+
     // greedy feasible start for the ν solvers: fill each class with
-    // `massPerClass` total, `cap` per variable
-    def nuInit(y: Array[Double], massPerClass: Double, cap: Double): Array[Double] = {
+    // `massPerClass` total, `capPer` per variable
+    def nuInit(y: Array[Double], massPerClass: Double, capPer: Double): Array[Double] = {
       val a = new Array[Double](y.length)
       var remP = massPerClass; var remN = massPerClass
       var t = 0
       while (t < y.length) {
-        if (y(t) > 0) { val g2 = math.min(cap, remP); a(t) = g2; remP -= g2 }
-        else { val g2 = math.min(cap, remN); a(t) = g2; remN -= g2 }
+        if (y(t) > 0) { val g2 = math.min(capPer, remP); a(t) = g2; remP -= g2 }
+        else { val g2 = math.min(capPer, remN); a(t) = g2; remN -= g2 }
         t += 1
       }
       a
     }
+    // Q rows build on demand into TWO rotating buffers — the solver
+    // requests exactly rows i then j per iteration, so double-buffering
+    // avoids memoizing an up-to-(2n)² matrix while keeping each build
+    // O(n), the same order as the gradient update it feeds
     def rotatingRows(m: Int, fill: (Int, Array[Double]) => Unit): Int => Array[Double] = {
       val bufs = Array(new Array[Double](m), new Array[Double](m))
       var flip = 0
       t => { val b = bufs(flip); flip ^= 1; fill(t, b); b }
     }
-    // shared between the classification variants: ±1 labels + the
-    // binary-only policy; and between the kernel shapes: the Q-row
-    // builders (Qᵢⱼ = yᵢyⱼKᵢⱼ for SVC, the 2n sign-block form for SVR)
-    def binaryY(): (Array[Double], Double, Double) = {
-      val classes = labels.distinct.sorted
-      require(classes.length == 2,
-        s"exact svm classification is binary (got ${classes.length} classes); " +
-          "sklearn's one-vs-one stack is not implemented — use the RFF path")
-      (labels.map(l => if (l == classes(1)) 1.0 else -1.0), classes(0), classes(1))
-    }
-    def svcQRow(y: Array[Double]): Int => Array[Double] =
-      rotatingRows(n, (i, buf) => {
+
+    /** Solves ONE binary classification machine (svc or nusvc per the
+      * task param) over global row indices `idx` with ±1 labels `yOf`
+      * (subset-position indexed). Returns (y-signed dual coef per subset
+      * position, intercept). */
+    def solveBinary(idx: Array[Int], yOf: Int => Double): (Array[Double], Double) = {
+      val m = idx.length
+      val y = Array.tabulate(m)(yOf)
+      val qRow = rotatingRows(m, (i, buf) => {
+        val gi = idx(i)
         var j = 0
-        while (j < n) { buf(j) = y(i) * y(j) * km(i)(j); j += 1 }
+        while (j < m) { buf(j) = y(i) * y(j) * km(gi)(idx(j)); j += 1 }
       })
+      $(svmTask) match {
+        case "svc" =>
+          val sol = SmoSolver.solve(m, qRow, Array.fill(m)(-1.0), y, $(regC), $(tol))
+          warnIfUnconverged(sol.iters, sol.violation)
+          (Array.tabulate(m)(i => y(i) * sol.alpha(i)), -sol.rho)
+        case "nusvc" =>
+          // ν-SVC: box [0,1], eᵀα = ν·l on top of yᵀα = 0 — solved with
+          // within-class pairs; post-solve the machine rescales by 1/ρ so
+          // the decision function matches the C-SVC form
+          val v = $(nu)
+          require(v > 0 && v <= 1, s"nu must be in (0,1], got $v")
+          val nPos = y.count(_ > 0); val nNeg = m - nPos
+          val mass = v * m / 2.0
+          require(mass <= nPos && mass <= nNeg,
+            s"specified nu=$v is infeasible: nu*l/2 = $mass exceeds a class " +
+              s"count ($nPos positive / $nNeg negative)")
+          val sol = SmoSolver.solveNu(m, qRow, new Array[Double](m), y, 1.0,
+            nuInit(y, mass, 1.0), $(tol))
+          warnIfUnconverged(sol.iters, sol.violation)
+          val rho = (sol.rPos + sol.rNeg) / 2
+          // sklearn/LIBSVM return the model even when heavily overlapping
+          // classes drive the margin to ρ ≤ 0; rescaling by it would flip
+          // or explode the decision, so keep the unscaled machine and say so
+          val scale =
+            if (rho > 1e-12) rho
+            else {
+              System.err.println(
+                f"WARN GraftSvm: nu-SVC margin rho=$rho%.2e <= 0 (classes " +
+                  "heavily overlap at this nu) — keeping the unscaled decision")
+              1.0
+            }
+          val bb = (sol.rNeg - sol.rPos) / 2
+          (Array.tabulate(m)(i => y(i) * sol.alpha(i) / scale), bb / scale)
+        case other => throw new IllegalStateException(
+          s"solveBinary called for non-classification task '$other'")
+      }
+    }
+
+    // persist only the support vectors (nonzero duals) — the whole point
+    // of the sparse dual representation; degenerate all-zero solutions
+    // keep one row with weight 0 (constant model)
+    def sparsify(idx: Array[Int], coef: Array[Double]): (Array[Double], Array[Double]) = {
+      val kept = coef.indices.filter(i => math.abs(coef(i)) > 1e-12)
+      if (kept.nonEmpty)
+        (kept.iterator.flatMap(i => rows(idx(i))._1).toArray, kept.map(coef).toArray)
+      else (rows(idx(0))._1, Array(0.0))
+    }
+
+    /** 5-fold cross-validated decision values over the subset (LIBSVM's
+      * svm_binary_svc_probability scheme): each fold's machine trains on
+      * the other four and scores the held-out fold through the shared
+      * Gram. Degenerate folds — training side left with one class, or
+      * ν-infeasible — fall back to the FULL machine's decision values
+      * for those points (documented deviation: LIBSVM emits flat ±1 /
+      * fails respectively). Fold shuffle is deterministic (seed 42)
+      * where LIBSVM uses rand() — reproducible sigmoids. */
+    def cvDecisions(idx: Array[Int], yv: Array[Double],
+        fullCoef: Array[Double], fullB: Double): Array[Double] = {
+      val m = idx.length
+      val perm = new scala.util.Random(42).shuffle((0 until m).toVector).toArray
+      val folds = math.min(5, m)
+      val dec = new Array[Double](m)
+      def fullDecision(t: Int): Double = {
+        val gi = idx(t)
+        var s = fullB; var u = 0
+        while (u < m) { s += fullCoef(u) * km(idx(u))(gi); u += 1 }
+        s
+      }
+      var f = 0
+      while (f < folds) {
+        val begin = f * m / folds; val end = (f + 1) * m / folds
+        val test = java.util.Arrays.copyOfRange(perm, begin, end)
+        val trainPos = perm.take(begin) ++ perm.drop(end)
+        val trIdx = trainPos.map(idx)
+        val trY = trainPos.map(yv)
+        if (trY.isEmpty || trY.forall(_ > 0) || trY.forall(_ < 0))
+          test.foreach(t => dec(t) = fullDecision(t))
+        else {
+          try {
+            val (c2, b2) = solveBinary(trIdx, i => trY(i))
+            test.foreach { t =>
+              val gi = idx(t)
+              var s = b2; var u = 0
+              while (u < trIdx.length) { s += c2(u) * km(trIdx(u))(gi); u += 1 }
+              dec(t) = s
+            }
+          } catch {
+            case _: IllegalArgumentException =>
+              test.foreach(t => dec(t) = fullDecision(t))
+          }
+        }
+        f += 1
+      }
+      dec
+    }
+
+    /** One one-vs-one machine separating (cNeg, cPos), cNeg < cPos:
+      * decision > 0 votes cPos. */
+    def classMachine(cNeg: Double, cPos: Double): SvmMachine = {
+      val idx = labels.indices
+        .filter(i => labels(i) == cNeg || labels(i) == cPos).toArray
+      val yv = idx.map(i => if (labels(i) == cPos) 1.0 else -1.0)
+      val (coef, b) = solveBinary(idx, i => yv(i))
+      val (pa, pb, hasP) =
+        if (!$(probability)) (0.0, 0.0, false)
+        else {
+          val (a2, b2) = Platt.sigmoidTrain(cvDecisions(idx, yv, coef, b), yv)
+          (a2, b2, true)
+        }
+      val (supFlat, supCoef) = sparsify(idx, coef)
+      SvmMachine(cNeg, cPos, supFlat, supCoef, b, pa, pb, hasP)
+    }
+
+    // SVR Q rows: the 2n sign-block form (Q = [[K,−K],[−K,K]])
     def svrQRow(m: Int): Int => Array[Double] =
       rotatingRows(m, (t, buf) => {
         val i = t % n; val si = if (t < n) 1.0 else -1.0
@@ -340,15 +682,22 @@ class GraftSvm(override val uid: String)
       })
     val svrY: Int => Array[Double] =
       m => Array.tabulate(m)(t => if (t < n) 1.0 else -1.0)
+    val allIdx = labels.indices.toArray
 
-    var svcClasses: Option[(Double, Double)] = None
-    val (coef, b, conv) = $(svmTask) match {
-      case "svc" =>
-        val (y, c0, c1) = binaryY()
-        val sol = SmoSolver.solve(n, svcQRow(y), Array.fill(n)(-1.0), y,
-          $(regC), $(tol))
-        svcClasses = Some((c0, c1))
-        (Array.tabulate(n)(i => y(i) * sol.alpha(i)), -sol.rho, sol)
+    val classification = $(svmTask) == "svc" || $(svmTask) == "nusvc"
+    val machines: Array[SvmMachine] = $(svmTask) match {
+      case "svc" | "nusvc" =>
+        // sklearn/LIBSVM one-vs-one: k(k−1)/2 binary machines over
+        // class-pair subsets, all indexing the one shared Gram
+        val classes = labels.distinct.sorted
+        require(classes.length >= 2,
+          s"classification needs at least 2 classes, got ${classes.length}")
+        if (classes.length > 2 && $(probability))
+          throw new IllegalArgumentException(
+            "probability=true on the exact path is binary-only (multiclass " +
+              "pairwise coupling is not implemented) — use the RFF path")
+        (for { a <- classes.indices; b <- (a + 1) until classes.length }
+          yield classMachine(classes(a), classes(b))).toArray
       case "svr" =>
         // 2n-variable ε-SVR form; β = α − α* recovers the coefficients
         val m = 2 * n
@@ -356,36 +705,10 @@ class GraftSvm(override val uid: String)
         val pv = Array.tabulate(m)(t =>
           if (t < n) eps - labels(t) else eps + labels(t - n))
         val sol = SmoSolver.solve(m, svrQRow(m), pv, svrY(m), $(regC), $(tol))
-        (Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n)), -sol.rho, sol)
-      case "nusvc" =>
-        // ν-SVC: box [0,1], eᵀα = ν·l on top of yᵀα = 0 — solved with
-        // within-class pairs; post-solve the machine rescales by 1/ρ so
-        // the decision function matches the C-SVC form
-        val v = $(nu)
-        require(v > 0 && v <= 1, s"nu must be in (0,1], got $v")
-        val (y, c0, c1) = binaryY()
-        val mass = v * n / 2.0
-        require(mass <= y.count(_ > 0) && mass <= y.count(_ < 0),
-          s"specified nu=$v is infeasible: nu*l/2 = $mass exceeds a class " +
-            s"count (${y.count(_ > 0)} positive / ${y.count(_ < 0)} negative)")
-        val sol = SmoSolver.solveNu(n, svcQRow(y), new Array[Double](n), y, 1.0,
-          nuInit(y, mass, 1.0), $(tol))
-        val rho = (sol.rPos + sol.rNeg) / 2
-        // sklearn/LIBSVM return the model even when heavily overlapping
-        // classes drive the margin to ρ ≤ 0; rescaling by it would flip
-        // or explode the decision, so keep the unscaled machine and say so
-        val scale =
-          if (rho > 1e-12) rho
-          else {
-            System.err.println(
-              f"WARN GraftSvm: nu-SVC margin rho=$rho%.2e <= 0 (classes " +
-                "heavily overlap at this nu) — keeping the unscaled decision")
-            1.0
-          }
-        val bb = (sol.rNeg - sol.rPos) / 2
-        svcClasses = Some((c0, c1))
-        (Array.tabulate(n)(i => y(i) * sol.alpha(i) / scale), bb / scale,
-          SmoSolver.Solution(sol.alpha, 0.0, sol.iters, sol.violation))
+        warnIfUnconverged(sol.iters, sol.violation)
+        val coef = Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n))
+        val (supFlat, supCoef) = sparsify(allIdx, coef)
+        Array(SvmMachine(0.0, 0.0, supFlat, supCoef, -sol.rho, 0.0, 0.0, false))
       case "nusvr" =>
         // ν-SVR: the tube width ε becomes a variable via the second
         // constraint. LIBSVM/sklearn convention (what NuSVR(C) wraps):
@@ -398,35 +721,25 @@ class GraftSvm(override val uid: String)
           if (t < n) -labels(t) else labels(t - n))
         val sol = SmoSolver.solveNu(m, svrQRow(m), pv, svrY(m), $(regC),
           nuInit(svrY(m), $(regC) * v * n / 2.0, $(regC)), $(tol))
+        warnIfUnconverged(sol.iters, sol.violation)
         val bb = (sol.rNeg - sol.rPos) / 2
-        (Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n)), bb,
-          SmoSolver.Solution(sol.alpha, 0.0, sol.iters, sol.violation))
+        val coef = Array.tabulate(n)(i => sol.alpha(i) - sol.alpha(i + n))
+        val (supFlat, supCoef) = sparsify(allIdx, coef)
+        Array(SvmMachine(0.0, 0.0, supFlat, supCoef, bb, 0.0, 0.0, false))
       case other => throw new IllegalArgumentException(
         s"svmTask must be svc, svr, nusvc, or nusvr, got '$other'")
     }
-    if (conv.violation > $(tol))
-      // sklearn raises ConvergenceWarning here; the model is usable but
-      // NOT at the dual optimum — say so instead of claiming exactness
-      System.err.println(
-        f"WARN GraftSvm: SMO hit the iteration cap with KKT violation " +
-          f"${conv.violation}%.2e > tol ${$(tol)}%.2e after ${conv.iters} " +
-          f"updates — duals are approximate; raise tol or lower C")
 
-    // persist only the support vectors (nonzero duals) — the whole point
-    // of the sparse dual representation
-    val kept = coef.indices.filter(i => math.abs(coef(i)) > 1e-12)
-    val (supRows, supCoef) =
-      if (kept.nonEmpty) (kept.map(rows(_)._1).toArray, kept.map(coef).toArray)
-      else (Array(rows.head._1), Array(0.0)) // degenerate: constant model
-    val m = new GraftSvmModel(uid + "_m")
-      .setSupport(supRows).setDual(supCoef)
-      .setGamma(g).setKernelType($(kernel)).setIntercept(b)
-      .setClassify($(svmTask) == "svc" || $(svmTask) == "nusvc")
-    svcClasses.foreach { case (c0, c1) => m.setClasses(c0, c1) }
-    m.set(m.featuresCol, $(featuresCol)).set(m.predictionCol, $(predictionCol))
-    m.setParent(this)
-    m
+    val model = new GraftSvmModel(uid + "_m")
+      .setMachines(machines)
+      .setDim(p).setGamma(g).setKernelType($(kernel))
+      .setClassify(classification)
+    model.set(model.featuresCol, $(featuresCol))
+      .set(model.predictionCol, $(predictionCol))
+    model.setParent(this)
+    model
   }
+
 
   override def transformSchema(schema: StructType): StructType =
     schema.add($(predictionCol), org.apache.spark.sql.types.DoubleType)

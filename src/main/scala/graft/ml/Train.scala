@@ -80,8 +80,23 @@ object Train {
     * reference's sklearn-style spellings (`max_iter`, `alpha`,
     * `l1_ratio`, `n_estimators`, `max_depth`, `learning_rate`,
     * `fit_intercept`, `n_clusters`, `n_components`). */
+  /** `numClasses` drives the classification SVM family only: MLlib's
+    * LinearSVC is binary-only, so k > 2 swaps it for multinomial
+    * logistic (softmax) over the same features — sklearn's SVC/NuSVC/
+    * LinearSVC accept any k, so the scale path must too. Binary keeps
+    * the hinge loss. */
   def estimatorFor(task: String, algorithm: String, h: Map[String, String],
-      seed: Long): PipelineStage = (task, algorithm) match {
+      seed: Long, numClasses: Int = 2): PipelineStage = {
+    // binary → hinge LinearSVC; k>2 → softmax (the loss substitution is
+    // covered by the family's compat flag)
+    def linearClassifier(featCol: String): PipelineStage with org.apache.spark.ml.param.shared.HasFeaturesCol =
+      if (numClasses > 2)
+        new LogisticRegression().setMaxIter(hpi(h, "max_iter", 100))
+          .setRegParam(hp(h, "alpha", 0.0)).setFeaturesCol(featCol)
+      else
+        new LinearSVC().setMaxIter(hpi(h, "max_iter", 100))
+          .setRegParam(hp(h, "alpha", 0.0)).setFeaturesCol(featCol)
+    (task, algorithm) match {
     // ---------------- regression
     case ("regression", "linear") =>
       new LinearRegression().setSolver("normal").setRegParam(0.0)
@@ -244,19 +259,25 @@ object Train {
         .setMaxDepth(hpi(h, "max_depth", 5))
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
     case ("classification", "linear_svm") =>
-      new LinearSVC().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0))
+      // sklearn's LinearSVC is one-vs-rest multiclass; MLlib's is
+      // binary-only, so k > 2 substitutes softmax (compat-flagged)
+      linearClassifier("features")
     case ("classification", "nu_svm") if h.get("exact").contains("true") =>
-      // sklearn-EXACT ν-SVC via the within-class SMO (Svm scaladoc)
+      // sklearn-EXACT ν-SVC via the within-class SMO (Svm scaladoc);
+      // multiclass runs the one-vs-one stack under the same cap
       new GraftSvm().setSvmTask("nusvc")
         .setNu(hp(h, "nu", 0.5)).setGamma(hp(h, "gamma", -1.0))
         .setKernel(h.getOrElse("kernel", "rbf"))
+        .setProbability(h.get("probability").contains("true"))
         .setTol(hp(h, "tol", 1e-3)).setMaxRows(hpi(h, "max_rows", 2000))
     case ("classification", "svm") if h.get("exact").contains("true") =>
       // sklearn-EXACT C-SVC via the capped SMO dual (Svm scaladoc:
-      // binary only, gamma default 1/p) — opt-in; RFF stays the default
+      // one-vs-one multiclass, gamma default 1/p; probability=true adds
+      // the Platt sigmoid) — opt-in; RFF stays the default
       new GraftSvm().setSvmTask("svc")
         .setRegC(hp(h, "C", 1.0)).setGamma(hp(h, "gamma", -1.0))
         .setKernel(h.getOrElse("kernel", "rbf"))
+        .setProbability(h.get("probability").contains("true"))
         .setTol(hp(h, "tol", 1e-3)).setMaxRows(hpi(h, "max_rows", 2000))
     case ("regression", "svm") if h.get("exact").contains("true") =>
       // sklearn-EXACT ε-SVR via the same SMO solver (2n-variable form)
@@ -272,13 +293,12 @@ object Train {
       // RFF feature map + a linear SVM (see RFFTransformer). kernel =
       // 'linear' opts into the plain LinearSVC.
       if (h.getOrElse("kernel", "rbf") == "linear")
-        new LinearSVC().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0))
+        linearClassifier("features")
       else new Pipeline().setStages(Array(
         new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
           .setNumComponents(hpi(h, "n_components", 100))
           .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
-        new LinearSVC().setMaxIter(hpi(h, "max_iter", 100))
-          .setRegParam(hp(h, "alpha", 0.0)).setFeaturesCol("rff_features")))
+        linearClassifier("rff_features")))
     case ("regression", "svm") =>
       // SVR approximation: RFF map + linear least squares (epsilon-
       // insensitive loss is not in MLlib; squared loss documented)
@@ -295,8 +315,7 @@ object Train {
         new RFFTransformer().setInputCol("features").setOutputCol("rff_features")
           .setNumComponents(hpi(h, "n_components", 100))
           .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
-        new LinearSVC().setMaxIter(hpi(h, "max_iter", 100))
-          .setRegParam(hp(h, "alpha", 0.0)).setFeaturesCol("rff_features")))
+        linearClassifier("rff_features")))
     case ("classification", "bagging") =>
       new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 10))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
@@ -320,7 +339,7 @@ object Train {
       throw new IllegalArgumentException(
         s"algorithm '$a' for task '$t' has no Spark MLlib equivalent " +
           s"(reference dispatches it to sklearn; see SURVEY §2.4 gap policy)")
-  }
+  } }
 
   /** Cartesian product of fixed hyperparams × search_params, reference
     * semantics (`src/orm/model.rs:451-506`): a key in both maps is an
@@ -354,8 +373,12 @@ object Train {
   }
 
   /** Whether the nearest-equivalent substitution was applied. */
-  private def compatNote(algorithm: String,
-      h: Map[String, String]): Map[String, String] = algorithm match {
+  private def compatNote(algorithm: String, h: Map[String, String],
+      numClasses: Int = 2): Map[String, String] = algorithm match {
+    case "linear_svm" if numClasses > 2 =>
+      // sklearn LinearSVC is OvR squared-hinge; MLlib's is binary-only,
+      // so multiclass substitutes multinomial logistic — flagged
+      Map("compat" -> "softmax_multiclass")
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
     case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm"
@@ -459,9 +482,17 @@ object Train {
       * the single-target contract is unchanged). */
     def predColFor(i: Int) = if (i == 0) "prediction" else s"prediction_$i"
 
+    // distinct label count drives the SVM-family dispatch (binary hinge
+    // vs multiclass softmax/one-vs-one) — one tiny agg on the cached
+    // processed frame, same label pass MLlib's own fits repeat anyway
+    val numClasses =
+      if (cfg.task == "classification" && supervised)
+        procTrain.select(col(labelCol)).na.drop().distinct().count().toInt
+      else 2
+
     def fitOne(h: Map[String, String], data: org.apache.spark.sql.DataFrame,
         labelC: String = labelCol, predC: String = "prediction") = {
-      val e = estimatorFor(cfg.task, cfg.algorithm, h, cfg.seed)
+      val e = estimatorFor(cfg.task, cfg.algorithm, h, cfg.seed, numClasses)
       e match {
         case p: org.apache.spark.ml.Predictor[_, _, _] =>
           p.setLabelCol(labelC).setFeaturesCol("features").setPredictionCol(predC); ()
@@ -633,7 +664,7 @@ object Train {
 
     // persist model + catalog rows
     val modelRow = catalog.createModel(project.id, snapshot.id, cfg.algorithm,
-      bestHyper ++ compatNote(cfg.algorithm, cfg.hyperparams) ++
+      bestHyper ++ compatNote(cfg.algorithm, cfg.hyperparams, numClasses) ++
         (if (searchResults.nonEmpty) Map("search_results" -> searchResults) else Map.empty),
       allMetrics, cfg.search.getOrElse("none"))
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"

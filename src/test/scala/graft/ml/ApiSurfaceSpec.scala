@@ -95,6 +95,33 @@ class ApiSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("predict_proba on the exact kernel SVC serves the Platt sigmoid") {
+    // sklearn probability=True on the exact SMO path: the stored Platt
+    // sigmoid maps decision values to calibrated first-class probability
+    val df = (1 to 200).map { i =>
+      val y = if (i % 2 == 0) 1 else 0
+      (i.toDouble % 7, y * 10.0 + (i % 3), y)
+    }.toDF("f1", "f2", "label")
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_proba_exact").toString)
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "PExact", task = "classification", relationName = "t",
+      data = Some(df), yColumn = Seq("label"), algorithm = "svm",
+      hyperparams = Map("exact" -> "true", "probability" -> "true", "C" -> "1.0"),
+      testSampling = "stratified", orderCols = Seq("f1")))
+    Predict.clearCaches()
+    Predict.registerFunctions(spark, cat)
+    def proba(f2: Double): Float = spark.sql(
+      s"SELECT quackml_predict_proba('PExact', array(cast(1.0 as float), cast($f2 as float)))")
+      .head().getFloat(0)
+    // f2 ≈ 10 ⇒ label 1 ⇒ FIRST-class (label 0) probability is low;
+    // f2 ≈ 1 ⇒ label 0 ⇒ high — the reference's scalar-output quirk
+    val p1 = proba(10.0); val p0 = proba(1.0)
+    assert(p1 >= 0f && p1 <= 1f && p0 >= 0f && p0 <= 1f, s"$p0 / $p1")
+    assert(p0 > 0.5f && p1 < 0.5f,
+      s"Platt proba should separate the classes: P0(class0)=$p0 P1(class0)=$p1")
+  }
+
   test("decompose applies a deployed PCA projection and rejects non-PCA") {
     val cat = new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_pca").toString)

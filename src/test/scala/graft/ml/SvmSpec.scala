@@ -52,7 +52,7 @@ class SvmSpec extends AnyFunSuite {
     assert(acc >= 0.99, s"rbf SVC accuracy $acc")
     // dual feasibility: Σ coef = Σ yᵢαᵢ = 0 (equality constraint) and
     // every |coef| ≤ C (box)
-    val coefs = m.getOrDefault(m.dual)
+    val coefs = m.machines.head.dual
     assert(math.abs(coefs.sum) < 1e-6, s"sum ${coefs.sum}")
     assert(coefs.forall(c => math.abs(c) <= 1.0 + 1e-9))
   }
@@ -85,7 +85,7 @@ class SvmSpec extends AnyFunSuite {
     assert(errs <= 0.5 + 1e-3, s"max |residual| $errs exceeds the tube")
     // support sparsity: with the line representable inside the tube,
     // only a handful of boundary points stay active
-    val nsv = m.getOrDefault(m.dual).length
+    val nsv = m.machines.head.dual.length
     assert(nsv <= 10, s"$nsv support vectors for an in-tube line")
   }
 
@@ -117,7 +117,7 @@ class SvmSpec extends AnyFunSuite {
     val nuV = 0.3
     val m = new GraftSvm().setSvmTask("nusvc").setNu(nuV).setKernel("rbf")
       .setTol(1e-4).setLabelCol("y").setFeaturesCol("features").fit(df)
-    val nsv = m.getOrDefault(m.dual).length
+    val nsv = m.machines.head.dual.length
     assert(nsv + 1 >= nuV * n, s"SV count $nsv below the nu lower bound")
     // margin errors: after the 1/ρ rescale the margin is 1, so an error
     // is y_signed·f(x) < 1 − slack-tolerance
@@ -153,14 +153,14 @@ class SvmSpec extends AnyFunSuite {
     val m = new GraftSvm().setSvmTask("nusvr").setNu(nuV).setRegC(10.0)
       .setKernel("rbf").setTol(1e-4)
       .setLabelCol("y").setFeaturesCol("features").fit(df)
-    val nsv = m.getOrDefault(m.dual).length
+    val nsv = m.machines.head.dual.length
     assert(nsv + 1 >= nuV * n, s"SV count $nsv below the nu lower bound")
     val mse = m.transform(df).select(pow(col("prediction") - col("y"), 2).as("e"))
       .agg(avg(col("e"))).head().getDouble(0)
     assert(mse < 0.01, s"nu-SVR mse $mse")
   }
 
-  test("guards: row cap routes to RFF; multiclass names the policy") {
+  test("guards: row cap routes to RFF") {
     val big = assemble((1 to 30).map(i => (i.toDouble, i % 2 * 1.0))
       .toDF("x", "y"), Seq("x"))
     val e1 = intercept[IllegalArgumentException] {
@@ -168,13 +168,101 @@ class SvmSpec extends AnyFunSuite {
         .setFeaturesCol("features").fit(big)
     }
     assert(e1.getMessage.contains("RFF"))
-    val tri = assemble(Seq((1.0, 0.0), (2.0, 1.0), (3.0, 2.0))
-      .toDF("x", "y"), Seq("x"))
-    val e2 = intercept[IllegalArgumentException] {
-      new GraftSvm().setSvmTask("svc").setLabelCol("y")
-        .setFeaturesCol("features").fit(tri)
+  }
+
+  /** Three well-separated Gaussian blobs (3-class one-vs-one exercise). */
+  private lazy val blobs: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq((0.0, 0.0), (6.0, 0.0), (3.0, 6.0))
+    assemble((0 until 240).map { i =>
+      val c = i % 3
+      (centers(c)._1 + rnd.nextGaussian() * 0.6,
+        centers(c)._2 + rnd.nextGaussian() * 0.6, c.toDouble)
+    }.toDF("x1", "x2", "y"), Seq("x1", "x2"))
+  }
+
+  test("one-vs-one multiclass SVC: 3 machines, votes recover 3 blobs") {
+    val m = new GraftSvm().setSvmTask("svc").setKernel("rbf").setRegC(1.0)
+      .setLabelCol("y").setFeaturesCol("features").fit(blobs)
+    assert(m.machines.length == 3, s"${m.machines.length} machines for 3 classes")
+    // each machine separates a distinct sorted class pair
+    val pairs = m.machines.map(mm => (mm.classNeg, mm.classPos)).toSet
+    assert(pairs == Set((0.0, 1.0), (0.0, 2.0), (1.0, 2.0)), pairs)
+    val acc = m.transform(blobs)
+      .filter(col("prediction") === col("y")).count() / 240.0
+    assert(acc >= 0.99, s"OvO accuracy $acc")
+  }
+
+  test("one-vs-one multiclass nu-SVC votes recover 3 blobs") {
+    val m = new GraftSvm().setSvmTask("nusvc").setNu(0.2).setKernel("rbf")
+      .setLabelCol("y").setFeaturesCol("features").fit(blobs)
+    assert(m.machines.length == 3)
+    val acc = m.transform(blobs)
+      .filter(col("prediction") === col("y")).count() / 240.0
+    assert(acc >= 0.99, s"OvO nu-SVC accuracy $acc")
+  }
+
+  test("probability=true: Platt sigmoid is calibrated-monotone in the decision") {
+    val m = new GraftSvm().setSvmTask("svc").setKernel("rbf").setRegC(1.0)
+      .setProbability(true)
+      .setLabelCol("y").setFeaturesCol("features").fit(circles)
+    val rows = circles.select("features", "y").collect()
+    val scored = rows.map { r =>
+      val f = r.getAs[org.apache.spark.ml.linalg.Vector](0)
+      (m.decision(f), m.probability(f), r.getDouble(1))
     }
-    assert(e2.getMessage.contains("binary"))
+    // probabilities are valid and sum to 1
+    scored.foreach { case (_, p, _) =>
+      assert(p.length == 2 && p.forall(v => v >= 0 && v <= 1))
+      assert(math.abs(p.sum - 1.0) < 1e-12)
+    }
+    // P(class1) is monotone in the decision value (sigmoid property)
+    val byDec = scored.sortBy(_._1).map(_._2(1))
+    assert(byDec.zip(byDec.tail).forall { case (a, b) => b >= a - 1e-12 },
+      "P(class1) must be nondecreasing in the decision value")
+    // and it separates: mean P(class1) over true class-1 rows far above
+    // the mean over class-0 rows
+    val p1 = scored.filter(_._3 == 1.0).map(_._2(1))
+    val p0 = scored.filter(_._3 == 0.0).map(_._2(1))
+    assert(p1.sum / p1.length > 0.8 && p0.sum / p0.length < 0.2,
+      s"calibration: mean P1 ${p1.sum / p1.length}, mean P0 ${p0.sum / p0.length}")
+  }
+
+  test("probability without the flag, or multiclass with it, is refused") {
+    val m = new GraftSvm().setSvmTask("svc")
+      .setLabelCol("y").setFeaturesCol("features").fit(circles)
+    val e = intercept[IllegalArgumentException] {
+      m.probability(org.apache.spark.ml.linalg.Vectors.dense(1.0, 1.0))
+    }
+    assert(e.getMessage.contains("probability=true"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      new GraftSvm().setSvmTask("svc").setProbability(true)
+        .setLabelCol("y").setFeaturesCol("features").fit(blobs)
+    }
+    assert(e2.getMessage.contains("binary"), e2.getMessage)
+  }
+
+  test("model persists machines as a Parquet data file and round-trips") {
+    val m = new GraftSvm().setSvmTask("svc").setKernel("rbf").setRegC(1.0)
+      .setProbability(true)
+      .setLabelCol("y").setFeaturesCol("features").fit(circles)
+    val dir = java.nio.file.Files.createTempDirectory("graft_svm_rt").toString
+    val path = s"$dir/svm_model"
+    m.write.overwrite().save(path)
+    // the data file is Parquet (the MLWritable data/ convention), not a
+    // JSON param blob — ADVICE r8: a 2000×p SV matrix in one JSON line
+    assert(new java.io.File(s"$path/data").exists(), "data/ dir missing")
+    assert(new java.io.File(s"$path/metadata").exists(), "metadata/ missing")
+    val loaded = GraftSvmModel.load(path)
+    assert(loaded.machines.length == m.machines.length)
+    assert(loaded.machines.head.hasPlatt)
+    val probe = circles.select("features").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0))
+    probe.take(50).foreach { v =>
+      assert(math.abs(loaded.decision(v) - m.decision(v)) < 1e-12)
+      assert(math.abs(loaded.probability(v)(1) - m.probability(v)(1)) < 1e-12)
+      assert(loaded.predict(v) == m.predict(v))
+    }
   }
 
   test("train() dispatch: nu_svm exact precedes the RFF fallback case") {

@@ -241,6 +241,34 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(scored.columns.contains("prediction") && scored.count() == 1797)
   }
 
+  test("10-class exact SVC: one-vs-one SMO fits digits, no compat flag, beats RFF") {
+    val cat = freshCatalog()
+    val digits = Datasets.digits(spark)
+    def fitF1(name: String, hp: Map[String, String]): Double = {
+      val out = Train.train(spark, cat, Train.TrainConfig(
+        projectName = name, task = "classification",
+        relationName = "quackml_digits", data = Some(digits),
+        yColumn = Seq("target"), algorithm = "svm", hyperparams = hp,
+        testSampling = "stratified", orderCols = Seq("target")))
+      assert(out.head().getBoolean(3))
+      val pid = cat.projects.collect().find(_.name == name).get.id
+      cat.models.collect().find(_.project_id == pid).get.metrics("f1")
+    }
+    // 1797 rows ≤ the 2000 cap: the exact one-vs-one stack (45 binary
+    // SMO machines over one shared Gram) is a legal opt-in
+    val exactF1 = fitF1("DigitsExact",
+      Map("exact" -> "true", "C" -> "10.0", "gamma" -> "0.02"))
+    val rffF1 = fitF1("DigitsRff",
+      Map("n_components" -> "100", "gamma" -> "0.02"))
+    val exactPid = cat.projects.collect().find(_.name == "DigitsExact").get.id
+    val exactModel = cat.models.collect().find(_.project_id == exactPid).get
+    assert(!exactModel.hyperparams.contains("compat"),
+      s"exact path must not carry a compat flag: ${exactModel.hyperparams}")
+    assert(exactF1 > 0.9, s"exact OvO f1 $exactF1")
+    assert(exactF1 >= rffF1,
+      s"exact OvO ($exactF1) should not lose to its own approximation ($rffF1)")
+  }
+
   test("grid search with k-fold CV picks the better alpha and records results") {
     val cat = freshCatalog()
     val df = Datasets.diabetes(spark)
