@@ -150,6 +150,24 @@ object TextMetricsQueries {
        |  CASE WHEN r2_p + r2_r = 0.0 THEN 0.0 ELSE 2.0 * r2_p * r2_r / (r2_p + r2_r) END AS r2_f
        |FROM prr ORDER BY doc_id""".stripMargin
 
+  /** Quality floor for the rows-only trained gates: the driver's only
+    * check on a no-oracle gate is rows > 0, so a silently degraded
+    * trained head must yield ZERO rows — the per-doc result joins
+    * against its own corpus-mean metric filtered at `floor`, which
+    * empties the gate the moment mean quality collapses below the
+    * stated threshold. Floors sit at roughly HALF the healthy trained
+    * level measured at gate scale (well above degenerate/chance, far
+    * below a working head), so scale jitter never trips them:
+    * summarization mean r1_f 0.78 → floor 0.5; QA mean token-F1 0.41 →
+    * floor 0.2; conversation retrieval mean token-F1 0.23 (chance ≈
+    * 0.05 over the 500-candidate pool) → floor 0.1. */
+  private def qualityFloor(df: DataFrame, metricCol: String,
+      floor: Double): DataFrame = {
+    val bar = df.agg(avg(col(metricCol)).as("__gate_mean"))
+      .filter(col("__gate_mean") >= floor)
+    df.join(broadcast(bar)).drop("__gate_mean")
+  }
+
   /** The TRAINED summarization path end to end (rows-only gate — model
     * fitting is not ANSI-SQL-expressible; the hash-exact metric twin is
     * `ft_summarize_eval`, and LLMSpec proves the head learns): finetune
@@ -173,8 +191,10 @@ object TextMetricsQueries {
       data = Some(d.select($"text", $"gold")), labelCol = "gold",
       dim = 64, hyperparams = Map("max_iter" -> "10")))
     val sums = graft.llm.Finetune.summarizeText(s, cat, "SummarGate", d.select($"text"))
-    TextMetrics.rougePairs(d.join(sums, "text"), "summary", "gold")
-      .select($"doc_id", $"r1_p", $"r1_r", $"r1_f", $"r2_p", $"r2_r", $"r2_f")
+    qualityFloor(
+      TextMetrics.rougePairs(d.join(sums, "text"), "summary", "gold")
+        .select($"doc_id", $"r1_p", $"r1_r", $"r1_f", $"r2_p", $"r2_r", $"r2_f"),
+      "r1_f", 0.5)
       .orderBy($"doc_id")
   }
 
@@ -223,18 +243,20 @@ object TextMetricsQueries {
     val preds = graft.llm.Finetune.answerText(s, cat, "SquadGate",
         d.select($"text".as("context"), $"question"), "context", "question")
       .select($"context", $"question".as("q2"), $"answer".as("pred"))
-    d.join(preds, d("text") === preds("context") && d("question") === preds("q2"))
-      .select($"doc_id",
-        TextMetrics.tokens($"pred").as("tp"), TextMetrics.tokens($"answer").as("tg"))
-      .select($"doc_id",
-        size($"tp").cast("long").as("n_pred"),
-        size($"tg").cast("long").as("n_gold"),
-        TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
-        when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
-      .withColumn("f1",
-        when($"n_pred" + $"n_gold" > 0,
-          lit(2.0) * $"n_common".cast("double") /
-            ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0)))
+    qualityFloor(
+      d.join(preds, d("text") === preds("context") && d("question") === preds("q2"))
+        .select($"doc_id",
+          TextMetrics.tokens($"pred").as("tp"), TextMetrics.tokens($"answer").as("tg"))
+        .select($"doc_id",
+          size($"tp").cast("long").as("n_pred"),
+          size($"tg").cast("long").as("n_gold"),
+          TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
+          when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
+        .withColumn("f1",
+          when($"n_pred" + $"n_gold" > 0,
+            lit(2.0) * $"n_common".cast("double") /
+              ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0))),
+      "f1", 0.2)
       .orderBy($"doc_id")
   }
 
@@ -262,19 +284,21 @@ object TextMetricsQueries {
     val resp = graft.llm.Finetune.respondText(s, cat, "ConvGate",
       d.select($"system", $"user"), "system", "user",
       candidates = d.select($"assistant".as("response")))
-    d.join(resp, Seq("system", "user"))
-      .select($"doc_id",
-        TextMetrics.tokens($"response").as("tp"),
-        TextMetrics.tokens($"assistant").as("tg"))
-      .select($"doc_id",
-        size($"tp").cast("long").as("n_pred"),
-        size($"tg").cast("long").as("n_gold"),
-        TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
-        when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
-      .withColumn("f1",
-        when($"n_pred" + $"n_gold" > 0,
-          lit(2.0) * $"n_common".cast("double") /
-            ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0)))
+    qualityFloor(
+      d.join(resp, Seq("system", "user"))
+        .select($"doc_id",
+          TextMetrics.tokens($"response").as("tp"),
+          TextMetrics.tokens($"assistant").as("tg"))
+        .select($"doc_id",
+          size($"tp").cast("long").as("n_pred"),
+          size($"tg").cast("long").as("n_gold"),
+          TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
+          when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
+        .withColumn("f1",
+          when($"n_pred" + $"n_gold" > 0,
+            lit(2.0) * $"n_common".cast("double") /
+              ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0))),
+      "f1", 0.1)
       .orderBy($"doc_id")
   }
 

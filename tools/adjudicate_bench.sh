@@ -1,0 +1,26 @@
+#!/bin/bash
+# Bench-regression adjudication protocol (VERDICT r8 item 1).
+#
+# For each query flagged >25% slower in bench_regressions.json, re-run it
+# ALONE in a fresh JVM (nothing else on the session, 5 iterations, median)
+# at the same SF as the flagged vector. A flag is adjudicated:
+#   noise — isolated median <= prev * 1.25 (the regression does not
+#           reproduce without the rest of the bench sharing the JVM)
+#   real  — isolated median still exceeds prev * 1.25
+# Output: one line per query "name prev now isolated", consumed by the
+# adjudication step that writes verdicts back into bench_regressions.json.
+set -u
+cd "$(dirname "$0")/.."
+QUERIES="$*"
+for q in $QUERIES; do
+  out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=4 \
+    SPARK_GRAFT_BENCH_ITERS=5 SPARK_GRAFT_BENCH_ONLY="$q" \
+    java --add-exports java.base/sun.nio.ch=ALL-UNNAMED \
+      --add-opens java.base/java.nio=ALL-UNNAMED \
+      --add-opens java.base/java.util=ALL-UNNAMED \
+      --add-opens java.base/java.lang=ALL-UNNAMED \
+      --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+      -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench 2>/dev/null | tail -1)
+  iso=$(echo "$out" | sed -n "s/.*\"$q\":\([0-9.]*\).*/\1/p")
+  echo "ISOLATED $q $iso"
+done
