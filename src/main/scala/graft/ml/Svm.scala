@@ -44,9 +44,9 @@ import org.apache.spark.sql.types.StructType
   * sorted `classes_`. `probability=true` fits a Platt sigmoid per binary
   * machine from 5-FOLD CROSS-VALIDATED decision values (LIBSVM's
   * `svm_binary_svc_probability` scheme) with the regularized Newton fit
-  * of Lin, Weng & Keerthi 2007; `predict_proba` applies it on the binary
-  * exact path (multiclass pairwise coupling is not implemented — routed
-  * to the RFF path with an error naming the gap).
+  * of Lin, Weng & Keerthi 2007; multiclass `predict_proba` couples the
+  * pairwise sigmoids through the Wu–Lin–Weng fixed-point iteration
+  * (LIBSVM's `multiclass_probability`).
   *
   * Documented deviations from sklearn: default gamma is 1/p (sklearn's
   * "scale" additionally divides by Var(X)); the Platt CV fold shuffle is
@@ -361,18 +361,96 @@ class GraftSvmModel(override val uid: String)
       classLabels.maxBy(c => (votes.getOrElse(c, 0), -c))
     }
 
-  /** [P(class₀|x), P(class₁|x)] (classes sorted ascending) through the
-    * Platt sigmoid — binary models trained with probability=true only. */
+  /** Class probabilities in sorted-class order, from the stored Platt
+    * sigmoids. Binary: [1−σ(f), σ(f)]. Multiclass: the pairwise
+    * sigmoids r_ij = P(i | {i,j}, x) couple into one distribution via
+    * Wu, Lin & Weng, "Probability Estimates for Multi-class
+    * Classification by Pairwise Coupling" (JMLR 2004), their second
+    * method — the fixed-point iteration sklearn/LIBSVM run
+    * (`multiclass_probability`): minimize Σ (r_ji·p_i − r_ij·p_j)² on
+    * the simplex. */
   def probability(features: Vector): Array[Double] = {
     require($(classify), "probability is a classification surface")
-    require(machinesArr.length == 1,
-      "exact-path predict_proba is binary-only (multiclass pairwise " +
-        "coupling is not implemented) — use the RFF path")
-    val m = machinesArr.head
-    require(m.hasPlatt,
+    require(machinesArr.forall(_.hasPlatt),
       "model was trained without probability=true — no Platt sigmoid stored")
-    val pPos = m.plattProb(decision(features))
-    Array(1.0 - pPos, pPos)
+    if (machinesArr.length == 1) {
+      val pPos = machinesArr.head.plattProb(decision(features))
+      Array(1.0 - pPos, pPos)
+    } else {
+      val labels = classLabels
+      val k = labels.length
+      val pos = labels.zipWithIndex.toMap
+      // pairwise r[i][j] = P(class i | {i, j}, x); machines store
+      // P(classPos | x), classNeg < classPos in sorted-label order
+      val r = Array.fill(k, k)(0.0)
+      val x = features.toArray
+      machinesArr.foreach { m =>
+        val pPos = m.plattProb(m.decision(x, $(dim), rbf, $(gammaParam)))
+        // clamp like LIBSVM: keep r strictly inside (0,1) so Q stays PD
+        val pp = math.min(math.max(pPos, 1e-7), 1 - 1e-7)
+        val i = pos(m.classNeg); val j = pos(m.classPos)
+        r(i)(j) = 1.0 - pp
+        r(j)(i) = pp
+      }
+      multiclassCoupling(k, r)
+    }
+  }
+
+  /** The WLW fixed-point iteration (LIBSVM's multiclass_probability):
+    * Q_tt = Σ_{j≠t} r_jt², Q_tj = −r_jt·r_tj; iterate p_t updates until
+    * max_t |Q p − pᵀQp|_t < 0.005/k. Deterministic, O(iters·k²). */
+  private def multiclassCoupling(k: Int, r: Array[Array[Double]]): Array[Double] = {
+    val q = Array.fill(k, k)(0.0)
+    var t = 0
+    while (t < k) {
+      var j = 0
+      while (j < k) {
+        if (j != t) {
+          q(t)(t) += r(j)(t) * r(j)(t)
+          q(t)(j) = -r(j)(t) * r(t)(j)
+        }
+        j += 1
+      }
+      t += 1
+    }
+    val p = Array.fill(k)(1.0 / k)
+    val qp = new Array[Double](k)
+    val eps = 0.005 / k
+    var it = 0
+    var done = false
+    while (it < 100 && !done) {
+      var pQp = 0.0
+      var i = 0
+      while (i < k) {
+        qp(i) = 0.0
+        var j = 0
+        while (j < k) { qp(i) += q(i)(j) * p(j); j += 1 }
+        pQp += p(i) * qp(i)
+        i += 1
+      }
+      var maxErr = 0.0
+      i = 0
+      while (i < k) { maxErr = math.max(maxErr, math.abs(qp(i) - pQp)); i += 1 }
+      if (maxErr < eps) done = true
+      else {
+        t = 0
+        while (t < k) {
+          val diff = (-qp(t) + pQp) / q(t)(t)
+          p(t) += diff
+          pQp = (pQp + diff * (diff * q(t)(t) + 2.0 * qp(t))) /
+            ((1.0 + diff) * (1.0 + diff))
+          var j = 0
+          while (j < k) {
+            qp(j) = (qp(j) + diff * q(t)(j)) / (1.0 + diff)
+            p(j) /= (1.0 + diff)
+            j += 1
+          }
+          t += 1
+        }
+      }
+      it += 1
+    }
+    p
   }
 
   override def copy(extra: ParamMap): GraftSvmModel =
@@ -474,7 +552,8 @@ class GraftSvm(override val uid: String)
     "hard cap — the SMO dual is O(n^2) memory / O(n^2 iters) compute")
   final val probability = new BooleanParam(this, "probability",
     "fit a Platt sigmoid per binary machine from 5-fold CV decision " +
-      "values (sklearn probability=True) — binary classification only")
+      "values (sklearn probability=True); multiclass proba couples " +
+      "them pairwise (Wu-Lin-Weng)")
   setDefault(svmTask -> "svc", regC -> 1.0, nu -> 0.5, epsilon -> 0.1,
     gamma -> -1.0, kernel -> "rbf", tol -> 1e-3, maxRows -> 2000,
     probability -> false)
@@ -692,10 +771,6 @@ class GraftSvm(override val uid: String)
         val classes = labels.distinct.sorted
         require(classes.length >= 2,
           s"classification needs at least 2 classes, got ${classes.length}")
-        if (classes.length > 2 && $(probability))
-          throw new IllegalArgumentException(
-            "probability=true on the exact path is binary-only (multiclass " +
-              "pairwise coupling is not implemented) — use the RFF path")
         (for { a <- classes.indices; b <- (a + 1) until classes.length }
           yield classMachine(classes(a), classes(b))).toArray
       case "svr" =>

@@ -213,6 +213,21 @@ object Train {
           .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
         new GramRegression().setSolver("bayesian_ridge")
           .setFeaturesCol("rff_features")))
+    case ("classification", "gaussian_process") if h.get("exact").contains("true") =>
+      // POLICY (deliberate asymmetry with regression): no exact opt-in
+      // for GP CLASSIFICATION. The regression twin is a linear solve —
+      // the posterior mean IS kernel ridge — but the classification
+      // posterior is non-Gaussian; sklearn's GaussianProcessClassifier
+      // runs a Laplace approximation (inner Newton loop, one-vs-rest
+      // per class) that is itself approximate, so a capped port could
+      // never be sklearn-"exact" the way the other exact=true paths
+      // are. Refuse loudly rather than hand back an approximation
+      // under an exactness flag the ledger would then be lying about.
+      throw new IllegalArgumentException(
+        "gaussian_process classification has no exact=true path: the GP " +
+          "classification posterior requires a Laplace approximation " +
+          "(itself inexact — there is nothing exact to promise); drop " +
+          "exact=true to use the RFF+logistic route (compat=rff_gp_approx)")
     case ("classification", "gaussian_process") =>
       // GP classifier analog: RFF map + logistic head (the parametric
       // stand-in for the Laplace-approximated GP posterior), flagged

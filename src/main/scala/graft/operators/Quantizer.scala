@@ -29,6 +29,14 @@ trait CoarseQuantizer extends Serializable {
   /** Cell id for one vector (argmin squared distance, ties → lower id). */
   def cellCol(v: Column): Column
 
+  /** True when `cellCol` is cheap enough to RECOMPUTE per consumer
+    * instead of materializing the assigned frame: a handful of flops
+    * per row (the 4-centroid LCG gate grid) loses to the cost of
+    * checkpoint-writing the fat vector column, while a trained
+    * quantizer's O(numCells·d) assignment is the map worth paying for
+    * exactly once. Consumers ([[Similarity.knnGraph]]) branch on this. */
+  def cheapAssignment: Boolean = false
+
   /** The `nprobe` nearest cell ids, nearest first — the query-side
     * multi-probe list. Query sets are small, so this composable form
     * (sort k distance structs) is fine even where the corpus side needs
@@ -66,6 +74,10 @@ trait CoarseQuantizer extends Serializable {
   * twin (see `Similarity.simIvfSql` for the matching SQL arithmetic). */
 object LcgQuantizer extends CoarseQuantizer {
   override val numCells: Int = 4
+
+  // 4 fixed centroids × 64 dims ≈ 512 flops/row — recomputing per
+  // consumer beats checkpointing the fat vector column
+  override val cheapAssignment: Boolean = true
 
   override def centroid(k: Int): Seq[Double] =
     (0 until 64).map { i =>

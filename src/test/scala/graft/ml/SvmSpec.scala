@@ -228,18 +228,32 @@ class SvmSpec extends AnyFunSuite {
       s"calibration: mean P1 ${p1.sum / p1.length}, mean P0 ${p0.sum / p0.length}")
   }
 
-  test("probability without the flag, or multiclass with it, is refused") {
+  test("probability without the flag is refused") {
     val m = new GraftSvm().setSvmTask("svc")
       .setLabelCol("y").setFeaturesCol("features").fit(circles)
     val e = intercept[IllegalArgumentException] {
       m.probability(org.apache.spark.ml.linalg.Vectors.dense(1.0, 1.0))
     }
     assert(e.getMessage.contains("probability=true"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      new GraftSvm().setSvmTask("svc").setProbability(true)
-        .setLabelCol("y").setFeaturesCol("features").fit(blobs)
+  }
+
+  test("multiclass predict_proba couples pairwise Platt sigmoids (Wu-Lin-Weng)") {
+    val m = new GraftSvm().setSvmTask("svc").setKernel("rbf").setRegC(1.0)
+      .setProbability(true)
+      .setLabelCol("y").setFeaturesCol("features").fit(blobs)
+    val rows = blobs.select("features", "y").collect()
+    var agree = 0
+    rows.foreach { r =>
+      val f = r.getAs[org.apache.spark.ml.linalg.Vector](0)
+      val p = m.probability(f)
+      // a valid 3-class distribution
+      assert(p.length == 3 && p.forall(v => v >= 0 && v <= 1), p.toSeq)
+      assert(math.abs(p.sum - 1.0) < 1e-6, s"sum ${p.sum}")
+      // coupled argmax recovers the true blob (labels are 0,1,2 = index)
+      if (p.indexOf(p.max).toDouble == r.getDouble(1)) agree += 1
     }
-    assert(e2.getMessage.contains("binary"), e2.getMessage)
+    assert(agree >= (rows.length * 0.97).toInt,
+      s"proba argmax accuracy ${agree.toDouble / rows.length}")
   }
 
   test("model persists machines as a Parquet data file and round-trips") {
@@ -277,6 +291,20 @@ class SvmSpec extends AnyFunSuite {
     val cls = Train.estimatorFor("classification", "nu_svm",
       Map("exact" -> "true"), seed = 1L)
     assert(cls.isInstanceOf[GraftSvm])
+  }
+
+  test("train() dispatch: GP classification refuses exact=true by policy") {
+    // the exactness ledger must never show a flag-free model that
+    // actually ran an approximation: GP classification has no exact
+    // posterior (Laplace is itself approximate), so exact=true errors
+    val e = intercept[IllegalArgumentException] {
+      Train.estimatorFor("classification", "gaussian_process",
+        Map("exact" -> "true"), seed = 1L)
+    }
+    assert(e.getMessage.contains("Laplace"), e.getMessage)
+    // the flagged RFF route stays available without the flag
+    assert(Train.estimatorFor("classification", "gaussian_process",
+      Map.empty, seed = 1L).isInstanceOf[org.apache.spark.ml.Pipeline])
   }
 
   test("train() dispatch: exact=true fits SMO and records no compat flag") {

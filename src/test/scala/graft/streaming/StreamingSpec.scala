@@ -76,6 +76,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful twins run unchanged on the RocksDB state store") {
+    // At 100 TB the default in-memory (HDFS-backed) state store caps
+    // streaming state at executor heap; RocksDB spills to executor-local
+    // disk. The twins must be provider-agnostic: same sessionization
+    // parity under the RocksDB provider, and the progress metrics must
+    // prove the provider actually engaged (SCALE.md documents the
+    // production config block).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = stageStreamDir()
+      val stream = spark.readStream
+        .schema(graft.Tables.events(spark, sfDir).schema)
+        .parquet(s"$dir/events_stream")
+      val q = StreamingOps.sessionize(spark, stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sessions_rocksdb").start()
+      try {
+        q.processAllAvailable()
+        val n = spark.table("sessions_rocksdb").count()
+        val batchSessions = graft.operators.Relational
+          .q_sessionize(spark, sfDir).count()
+        val users = graft.Tables.events(spark, sfDir)
+          .select("user_id").distinct().count()
+        assert(n >= batchSessions - users && n <= batchSessions,
+          s"emitted=$n batch=$batchSessions users=$users")
+        // the state operator must report RocksDB-specific metrics —
+        // otherwise the conf silently fell back to the default store
+        val metrics = q.lastProgress.stateOperators.toSeq
+          .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+        assert(metrics.exists(_.startsWith("rocksdb")),
+          s"no rocksdb* metric in state operator progress: $metrics")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming exact dedup matches the batch distinct-fingerprint count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dd_stream").toString
