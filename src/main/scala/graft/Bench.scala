@@ -91,14 +91,16 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     val regressions = results.flatMap { case (name, sec) =>
-      // two floors, both required: 50 ms on the base (sub-noise queries
-      // regress by scheduler jitter alone) and 150 ms on the ABSOLUTE
-      // delta — the r9 adjudication (bench_adjudication_r9.json) showed
-      // the same unchanged binary swings up to 0.43 s run to run, while
-      // every real historical regression (shared-CC 7.6 s, knn-graph
-      // 1 s) clears this floor by an order of magnitude
+      // 50 ms base floor (sub-noise queries regress by scheduler jitter
+      // alone), then EITHER a) >25% slower AND >150 ms absolute — the
+      // r9 adjudication (bench_adjudication_r9.json) showed the same
+      // unchanged binary swinging up to 0.43 s run to run, so small
+      // absolute deltas at moderate ratios are noise — OR b) >2×
+      // slower at any delta, so a fast query's large relative
+      // regression (0.1 s → 0.24 s) still flags despite the floor
       prev.get(name).collect {
-        case old if old > 0.05 && sec > old * 1.25 && sec - old > 0.15 =>
+        case old if old > 0.05 &&
+            ((sec > old * 1.25 && sec - old > 0.15) || sec > old * 2) =>
           (name, old, sec)
       }
     }.sortBy { case (_, o, n) => -(n / o) }

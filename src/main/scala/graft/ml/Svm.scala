@@ -320,14 +320,24 @@ class GraftSvmModel(override val uid: String)
   // JSON array params: a 2,000×p support matrix in one JSON metadata
   // line is megabytes of decimal text and slow to parse back.
   private var machinesArr: Array[SvmMachine] = Array.empty
+  // per-model constants precomputed ONCE at setMachines — the bulk
+  // transform scoring loop must not rebuild label tables or allocate a
+  // vote map per row
+  private var labelsArr: Array[Double] = Array.empty
+  private var machineNegIdx: Array[Int] = Array.empty
+  private var machinePosIdx: Array[Int] = Array.empty
   private[ml] def setMachines(ms: Array[SvmMachine]): this.type = {
-    machinesArr = ms; this
+    machinesArr = ms
+    labelsArr = ms.flatMap(m => Seq(m.classNeg, m.classPos)).distinct.sorted
+    val pos = labelsArr.zipWithIndex.toMap
+    machineNegIdx = ms.map(m => pos(m.classNeg))
+    machinePosIdx = ms.map(m => pos(m.classPos))
+    this
   }
   private[graft] def machines: Array[SvmMachine] = machinesArr
 
   /** Sorted distinct class labels (sklearn's `classes_`). */
-  private def classLabels: Array[Double] =
-    machinesArr.flatMap(m => Seq(m.classNeg, m.classPos)).distinct.sorted
+  private def classLabels: Array[Double] = labelsArr
 
   def setDim(v: Int): this.type = set(dim, v)
   def setGamma(v: Double): this.type = set(gammaParam, v)
@@ -350,15 +360,22 @@ class GraftSvmModel(override val uid: String)
       if (decision(features) > 0) m.classPos else m.classNeg
     } else {
       // one-vs-one majority vote; ties → lowest label, the same winner
-      // as sklearn's argmax over sorted classes_
+      // as sklearn's argmax over sorted classes_ (argmax over the
+      // ascending label array returns the first = lowest on ties)
       val x = features.toArray
-      val votes = scala.collection.mutable.HashMap.empty[Double, Int]
-      machinesArr.foreach { m =>
-        val w = if (m.decision(x, $(dim), rbf, $(gammaParam)) > 0) m.classPos
-                else m.classNeg
-        votes.update(w, votes.getOrElse(w, 0) + 1)
+      val p = $(dim); val isRbf = rbf; val g = $(gammaParam)
+      val votes = new Array[Int](labelsArr.length)
+      var i = 0
+      while (i < machinesArr.length) {
+        val idx = if (machinesArr(i).decision(x, p, isRbf, g) > 0) machinePosIdx(i)
+                  else machineNegIdx(i)
+        votes(idx) += 1
+        i += 1
       }
-      classLabels.maxBy(c => (votes.getOrElse(c, 0), -c))
+      var best = 0
+      i = 1
+      while (i < votes.length) { if (votes(i) > votes(best)) best = i; i += 1 }
+      labelsArr(best)
     }
 
   /** Class probabilities in sorted-class order, from the stored Platt
@@ -377,20 +394,21 @@ class GraftSvmModel(override val uid: String)
       val pPos = machinesArr.head.plattProb(decision(features))
       Array(1.0 - pPos, pPos)
     } else {
-      val labels = classLabels
-      val k = labels.length
-      val pos = labels.zipWithIndex.toMap
+      val k = labelsArr.length
       // pairwise r[i][j] = P(class i | {i, j}, x); machines store
       // P(classPos | x), classNeg < classPos in sorted-label order
       val r = Array.fill(k, k)(0.0)
       val x = features.toArray
-      machinesArr.foreach { m =>
-        val pPos = m.plattProb(m.decision(x, $(dim), rbf, $(gammaParam)))
+      val p = $(dim); val isRbf = rbf; val g = $(gammaParam)
+      var m = 0
+      while (m < machinesArr.length) {
+        val pPos = machinesArr(m).plattProb(machinesArr(m).decision(x, p, isRbf, g))
         // clamp like LIBSVM: keep r strictly inside (0,1) so Q stays PD
         val pp = math.min(math.max(pPos, 1e-7), 1 - 1e-7)
-        val i = pos(m.classNeg); val j = pos(m.classPos)
+        val i = machineNegIdx(m); val j = machinePosIdx(m)
         r(i)(j) = 1.0 - pp
         r(j)(i) = pp
+        m += 1
       }
       multiclassCoupling(k, r)
     }
@@ -416,9 +434,10 @@ class GraftSvmModel(override val uid: String)
     val p = Array.fill(k)(1.0 / k)
     val qp = new Array[Double](k)
     val eps = 0.005 / k
+    val maxIt = math.max(100, k) // LIBSVM's cap: max(100, k) iterations
     var it = 0
     var done = false
-    while (it < 100 && !done) {
+    while (it < maxIt && !done) {
       var pQp = 0.0
       var i = 0
       while (i < k) {
@@ -519,15 +538,33 @@ object GraftSvmModel extends org.apache.spark.ml.util.MLReadable[GraftSvmModel] 
         }
         case _ => ()
       }
-      val machines = spark.read
-        .parquet(new org.apache.hadoop.fs.Path(path, "data").toString)
-        .select("idx", "class_neg", "class_pos", "support_flat", "dual",
-          "intercept", "platt_a", "platt_b", "has_platt")
-        .collect().sortBy(_.getInt(0))
-        .map(r => SvmMachine(r.getDouble(1), r.getDouble(2),
-          r.getSeq[Double](3).toArray, r.getSeq[Double](4).toArray,
-          r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8)))
-      m.setMachines(machines)
+      val dataPath = new org.apache.hadoop.fs.Path(path, "data")
+      val fs = dataPath.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(dataPath)) {
+        val machines = spark.read.parquet(dataPath.toString)
+          .select("idx", "class_neg", "class_pos", "support_flat", "dual",
+            "intercept", "platt_a", "platt_b", "has_platt")
+          .collect().sortBy(_.getInt(0))
+          .map(r => SvmMachine(r.getDouble(1), r.getDouble(2),
+            r.getSeq[Double](3).toArray, r.getSeq[Double](4).toArray,
+            r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8)))
+        m.setMachines(machines)
+      } else {
+        // legacy (pre-Parquet-data) format: the single binary machine
+        // rode in the metadata paramMap as DoubleArrayParams — rebuild
+        // it so catalogs persisted by older builds stay loadable
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        import org.json4s.jvalue2extractable
+        def darr(name: String): Array[Double] =
+          (meta \ "paramMap" \ name).extract[Array[Double]]
+        def dbl(name: String, dflt: Double): Double =
+          (meta \ "paramMap" \ name).extractOpt[Double].getOrElse(dflt)
+        m.setMachines(Array(SvmMachine(
+          dbl("class0", 0.0), dbl("class1", 1.0),
+          darr("supportFlat"), darr("dual"), dbl("interceptParam", 0.0),
+          0.0, 0.0, hasPlatt = false)))
+      }
+      m
     }
   }
 

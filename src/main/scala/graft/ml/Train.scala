@@ -86,7 +86,7 @@ object Train {
     * LinearSVC accept any k, so the scale path must too. Binary keeps
     * the hinge loss. */
   def estimatorFor(task: String, algorithm: String, h: Map[String, String],
-      seed: Long, numClasses: Int = 2): PipelineStage = {
+      seed: Long, numClasses: => Int = 2): PipelineStage = {
     // binary → hinge LinearSVC; k>2 → softmax (the loss substitution is
     // covered by the family's compat flag)
     def linearClassifier(featCol: String): PipelineStage with org.apache.spark.ml.param.shared.HasFeaturesCol =
@@ -389,7 +389,7 @@ object Train {
 
   /** Whether the nearest-equivalent substitution was applied. */
   private def compatNote(algorithm: String, h: Map[String, String],
-      numClasses: Int = 2): Map[String, String] = algorithm match {
+      numClasses: => Int = 2): Map[String, String] = algorithm match {
     case "linear_svm" if numClasses > 2 =>
       // sklearn LinearSVC is OvR squared-hinge; MLlib's is binary-only,
       // so multiclass substitutes multinomial logistic — flagged
@@ -498,9 +498,13 @@ object Train {
     def predColFor(i: Int) = if (i == 0) "prediction" else s"prediction_$i"
 
     // distinct label count drives the SVM-family dispatch (binary hinge
-    // vs multiclass softmax/one-vs-one) — one tiny agg on the cached
-    // processed frame, same label pass MLlib's own fits repeat anyway
-    val numClasses =
+    // vs multiclass softmax/one-vs-one). LAZY + passed by name: only the
+    // dispatch cases that consult it (svm/nu_svm/linear_svm
+    // classification) ever pay the distinct-count job — a random-forest
+    // fit must not run an extra pass over the training data for a value
+    // its estimator never reads. Cached after first force, so a search
+    // grid prices it once.
+    lazy val numClasses: Int =
       if (cfg.task == "classification" && supervised)
         procTrain.select(col(labelCol)).na.drop().distinct().count().toInt
       else 2

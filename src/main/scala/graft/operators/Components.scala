@@ -95,8 +95,8 @@ object Components {
     * for the session's lifetime — the same contract Spark's own
     * FileStatusCache applies to the listing; call
     * [[invalidateSharedLabels]] after rewriting data in place. */
-  private val sharedLabels =
-    new java.util.HashMap[String, scala.collection.mutable.Map[String, DataFrame]]()
+  private val sharedLabels = // LinkedHashMap: insertion order drives the bounded eviction below
+    new java.util.LinkedHashMap[String, scala.collection.mutable.Map[String, DataFrame]]()
   // contexts that already carry the eviction listener; weak keys are safe
   // here because the Boolean value holds no reference back to the context
   private val evictionHooked =
@@ -115,6 +115,14 @@ object Components {
     }
   }
 
+  /** Hard bound on memoized sessions: session-churn workloads (a
+    * long-lived context serving per-request `newSession()`s) would
+    * otherwise accumulate pinned checkpointed label frames until
+    * context end — evicting the oldest entry keeps the worst case at
+    * MAX_SESSIONS × one label frame while still serving the fan-out
+    * pattern the memo exists for (many consumers, ONE session). */
+  private val MAX_MEMO_SESSIONS = 8
+
   def simhashComponents(s: SparkSession, dir: String): DataFrame =
     sharedLabels.synchronized {
       if (evictionHooked.put(s.sparkContext, java.lang.Boolean.TRUE) == null) {
@@ -124,7 +132,12 @@ object Components {
             sharedLabels.synchronized { sharedLabels.clear() }
         })
       }
-      sharedLabels.computeIfAbsent(sessionKey(s), _ => scala.collection.mutable.Map.empty)
+      val key = sessionKey(s)
+      if (!sharedLabels.containsKey(key) && sharedLabels.size >= MAX_MEMO_SESSIONS) {
+        val oldest = sharedLabels.keySet().iterator().next()
+        sharedLabels.remove(oldest) // LinkedHashMap → oldest insertion
+      }
+      sharedLabels.computeIfAbsent(key, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate(dir,
           connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db"))
     }

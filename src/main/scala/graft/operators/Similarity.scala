@@ -336,9 +336,14 @@ object Similarity {
     //
     // A CHEAP quantizer (pure-expression cells, e.g. the LCG gate grid)
     // skips the materialization: re-deriving a ~512-flop column on each
-    // of the three consumers rides the columnar scan for free, while
+    // of the three consumers rides the columnar scan, while
     // checkpoint-writing the fat vector column costs a full
-    // serialize+store pass — measured 1.43 s → 1.1 s on the sf0.1 gate.
+    // serialize+store pass (same-session A/B at sf0.1: within noise —
+    // the win is structural, not local). INVARIANT the skip assumes:
+    // `e` has deterministic lineage (a parquet scan, as in both gates) —
+    // the three consumers re-execute the plan, so a nondeterministic
+    // source (sampling, monotonically_increasing_id) could show them
+    // different rows; checkpointing pins one snapshot when in doubt.
     val assigned = e.withColumn("cell", quant.cellCol(col("v")))
     val cells =
       if (quant.cheapAssignment) assigned else assigned.localCheckpoint()

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, CreateMap, EqualTo, GreaterThan, If, Literal, RaiseError, ScalaUDF, Size}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, Coalesce, CreateMap, EqualTo, GreaterThan, If, Literal, RaiseError, ScalaUDF, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
@@ -25,10 +25,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * UDF bit-for-bit up to intercept-addition order (dot then +b here,
   * b-first accumulation in GraftLinearModel.predict — ±1 ulp). Invalid
   * inputs keep the UDF's ERROR shape too: a size guard around the dot
-  * raises (codegen'd `RaiseError`) on null / empty / dimension-
-  * mismatched feature arrays, exactly where the UDF's `require` +
-  * BLAS-dot would — a bad feature pipeline fails loudly on both paths
-  * instead of silently scoring null on the inlined one. Registered
+  * raises (codegen'd `RaiseError`) on null / empty / null-element /
+  * dimension-mismatched feature arrays, exactly where the UDF's
+  * `require` + BLAS-dot would — a bad feature pipeline fails loudly on
+  * both paths instead of silently scoring null on the inlined one.
+  * One documented divergence: an array LONGER than the model dimension
+  * raises here while the Gram-trained UDF path silently scores the
+  * first p elements — the silent-extra read is the bug being guarded
+  * against, not a behavior to reproduce. Registered
   * per-session through `spark.experimental.extraOptimizations` by
   * [[graft.ml.Predict.registerFunctions]].
   */
@@ -48,9 +52,13 @@ object InlineLinearPredict extends Rule[LogicalPlan] {
             GreaterThan(Size(feats), Literal(0)))
           val raise = new RaiseError(Literal("USER_RAISED_EXCEPTION"),
             CreateMap(Seq(Literal("errorMessage"), Literal(
-              s"quackml_predict: feature vector must be non-empty with ${w.length} elements"))),
+              s"quackml_predict: feature vector must be non-empty with ${w.length} non-null elements"))),
             FloatType)
-          If(sizeOk, Cast(Add(dot, Literal(b)), FloatType), raise)
+          // Coalesce catches the remaining silent-null case: a NULL
+          // ELEMENT inside a correctly-sized array nulls the dot (strict
+          // null semantics), which must raise like the UDF's Seq[Float]
+          // deserialization does — never score null silently
+          If(sizeOk, Coalesce(Seq(Cast(Add(dot, Literal(b)), FloatType), raise)), raise)
         case None => u
       }
   }

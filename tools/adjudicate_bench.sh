@@ -7,8 +7,9 @@
 #   noise — isolated median <= prev * 1.25 (the regression does not
 #           reproduce without the rest of the bench sharing the JVM)
 #   real  — isolated median still exceeds prev * 1.25
-# Output: one line per query "name prev now isolated", consumed by the
-# adjudication step that writes verdicts back into bench_regressions.json.
+# Output: one line per query "ISOLATED <name> <median-seconds>" (or
+# "ISOLATED <name> FAILED" when the rerun produced no JSON), consumed by
+# the adjudication step that records verdicts in bench_adjudication_*.json.
 set -u
 cd "$(dirname "$0")/.."
 QUERIES="$*"
@@ -22,5 +23,11 @@ for q in $QUERIES; do
       --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
       -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench 2>/dev/null | tail -1)
   iso=$(echo "$out" | sed -n "s/.*\"$q\":\([0-9.]*\).*/\1/p")
-  echo "ISOLATED $q $iso"
+  if [ -z "$iso" ]; then
+    # a crashed/JSON-less rerun must surface as a FAILED adjudication,
+    # never masquerade as noise
+    echo "ISOLATED $q FAILED"
+  else
+    echo "ISOLATED $q $iso"
+  fi
 done
