@@ -42,6 +42,13 @@ import org.apache.spark.sql.{Dataset, Row}
   *  - passive_aggressive: partition-local online PA-II averaged
   *    across partitions (flagged — the reference's is sequential
   *    online; averaging is the standard distributed analogue).
+  *    `exact=true` opts into the TRUE sequential scheme under a row
+  *    cap (guard-and-route, same convention as the kernel family):
+  *    seeded per-epoch shuffle + sklearn's no-improvement early
+  *    stopping (tol, n_iter_no_change=5). Scheme-exact; documented
+  *    RNG deviation — the shuffle stream is ours, not numpy's, so
+  *    coefficients match sklearn run-for-run only in distribution
+  *    (the same caveat RANSAC/theil_sen carry).
   */
 class GraftLinearModel(override val uid: String)
     extends PredictionModel[Vector, GraftLinearModel] with DefaultParamsWritable {
@@ -150,7 +157,10 @@ class GramRegression(override val uid: String)
 
   final val solver = new Param[String](this, "solver",
     "bayesian_ridge | ard | omp | lars | lasso_lars | ransac | theil_sen | " +
-      "quantile | passive_aggressive | passive_aggressive_binary")
+      "quantile | passive_aggressive | passive_aggressive_binary | " +
+      "pa_sequential | pa_sequential_binary | perceptron_sequential")
+  final val maxRows = new IntParam(this, "maxRows",
+    "row cap for the inherently-sequential exact solvers (pa_sequential*)")
   final val alpha = new DoubleParam(this, "alpha", "regularization / lars stop")
   final val nNonzero = new IntParam(this, "nNonzero",
     "OMP/LARS active-set size; <=0 means sklearn default (10% of p, min 1)")
@@ -166,7 +176,8 @@ class GramRegression(override val uid: String)
 
   setDefault(solver -> "bayesian_ridge", alpha -> 1.0, nNonzero -> 0,
     maxIter -> 300, tol -> 1e-3, quantileTau -> 0.5, regC -> 1.0,
-    epsilon -> 0.1, maxTrials -> 100, maxSubpopulation -> 1000, seed -> 42L)
+    epsilon -> 0.1, maxTrials -> 100, maxSubpopulation -> 1000, seed -> 42L,
+    maxRows -> 100000)
 
   def setSolver(v: String): this.type = set(solver, v)
   def setAlpha(v: Double): this.type = set(alpha, v)
@@ -179,6 +190,7 @@ class GramRegression(override val uid: String)
   def setMaxTrials(v: Int): this.type = set(maxTrials, v)
   def setMaxSubpopulation(v: Int): this.type = set(maxSubpopulation, v)
   def setSeed(v: Long): this.type = set(seed, v)
+  def setMaxRows(v: Int): this.type = set(maxRows, v)
 
   override def copy(extra: ParamMap): GramRegression = defaultCopy(extra)
 
@@ -203,6 +215,15 @@ class GramRegression(override val uid: String)
         getLabelCol, $(regC), $(epsilon), binary = false), false)
       case "passive_aggressive_binary" => (GramSolvers.passiveAggressive(ds,
         getFeaturesCol, getLabelCol, $(regC), $(epsilon), binary = true), true)
+      case "pa_sequential" => (GramSolvers.passiveAggressiveSequential(ds,
+        getFeaturesCol, getLabelCol, $(regC), $(epsilon), binary = false,
+        $(maxIter), $(tol), $(seed), $(maxRows)), false)
+      case "pa_sequential_binary" => (GramSolvers.passiveAggressiveSequential(ds,
+        getFeaturesCol, getLabelCol, $(regC), $(epsilon), binary = true,
+        $(maxIter), $(tol), $(seed), $(maxRows)), true)
+      case "perceptron_sequential" => (GramSolvers.passiveAggressiveSequential(ds,
+        getFeaturesCol, getLabelCol, $(regC), $(epsilon), binary = true,
+        $(maxIter), $(tol), $(seed), $(maxRows), rule = "perceptron"), true)
       case s => throw new IllegalArgumentException(s"unknown gram solver: $s")
     }
     val ((coefs, icept), binary) = fitRes
@@ -621,6 +642,113 @@ private[ml] object GramSolvers {
       while (i < p1) { avg(i) += w(i) * n / total; i += 1 }
     }
     (avg.take(p), avg(p))
+  }
+
+  /** The TRUE sequential PA-II scheme (Crammer et al. 2006; sklearn's
+    * PassiveAggressive{Classifier,Regressor}): one weight vector,
+    * per-row updates in a seeded per-epoch shuffle order, sklearn's
+    * no-improvement early stopping (stop after `nIterNoChange=5`
+    * consecutive epochs whose summed loss fails to beat best − tol;
+    * epoch budget `maxIter`). Order-dependent by nature, so it is
+    * inherently sequential — it runs DRIVER-SIDE under a hard row cap
+    * and REFUSES bigger inputs, routing to the partition-averaged
+    * distributed analogue (the default dispatch). RNG deviation
+    * documented in the ledger: our shuffle stream, not numpy's.
+    *
+    * `rule`: "pa2" (PA-II step loss/(‖x‖²+1/2C)) or "perceptron"
+    * (sklearn Perceptron = SGD perceptron loss, constant eta0=1: update
+    * w += y·x whenever y·(w·x) ≤ 0; same shuffle + stopping scheme). */
+  def passiveAggressiveSequential(ds: Dataset[_], featuresCol: String,
+      labelCol: String, c: Double, eps: Double, binary: Boolean,
+      maxIter: Int, tol: Double, seedV: Long, cap: Int,
+      rule: String = "pa2"): (Array[Double], Double) = {
+    import org.apache.spark.sql.functions.col
+    val data = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
+    val rows = data.limit(cap + 1).collect()
+      .map { case Row(f: Vector, y: Double) => (f, y) }
+    require(rows.nonEmpty, "cannot fit on an empty dataset")
+    val route =
+      if (rule == "perceptron") "the distributed logistic stand-in (compat=logistic)"
+      else "the partition-averaged distributed analogue"
+    require(rows.length <= cap,
+      s"exact ${if (rule == "perceptron") "perceptron" else "passive_aggressive"} " +
+        s"is a SEQUENTIAL online fit (${rows.length} rows > $cap cap); drop " +
+        s"the exact=true hyperparam to use $route, which is the scale path")
+    if (binary) {
+      val labels = rows.map(_._2).distinct.toSet
+      require(labels.subsetOf(Set(0.0, 1.0)),
+        s"passive_aggressive classification is binary (labels {0,1}); got " +
+          s"${labels.toSeq.sorted.mkString(", ")} — one-vs-rest is not implemented")
+    }
+    val p = rows.head._1.size
+    val p1 = p + 1
+    // densify once: the epoch loop must not re-walk sparse structures
+    val xs = rows.map { case (x, _) =>
+      val xa = new Array[Double](p1)
+      x.foreachActive((i, v) => xa(i) = v)
+      xa(p) = 1.0
+      xa
+    }
+    val ys = rows.map { case (_, y0) =>
+      if (binary) { if (y0 > 0.5) 1.0 else -1.0 } else y0
+    }
+    val nrms = xs.map { xa =>
+      var s = 0.0; var i = 0
+      while (i < p1) { s += xa(i) * xa(i); i += 1 }
+      s
+    }
+    val w = new Array[Double](p1)
+    val rnd = new scala.util.Random(seedV)
+    val order = Array.range(0, rows.length)
+    var best = Double.PositiveInfinity
+    var noChange = 0
+    var epoch = 0
+    while (epoch < maxIter && noChange < 5) {
+      // Fisher–Yates with the seeded stream — sklearn shuffles per epoch
+      var i = order.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = order(i); order(i) = order(j); order(j) = t
+        i -= 1
+      }
+      var epochLoss = 0.0
+      var t = 0
+      while (t < order.length) {
+        val r = order(t)
+        val xa = xs(r); val y = ys(r)
+        var pred = 0.0
+        var k = 0
+        while (k < p1) { pred += w(k) * xa(k); k += 1 }
+        if (rule == "perceptron") {
+          // update on any non-positive margin (the classic rule counts
+          // a zero-margin point as a mistake); tracked loss is SGD's
+          // perceptron loss max(0, −y·pred)
+          if (y * pred <= 0) {
+            k = 0
+            while (k < p1) { w(k) += y * xa(k); k += 1 }
+          }
+          epochLoss += math.max(0.0, -y * pred)
+        } else {
+          val (loss, sign) =
+            if (binary) (math.max(0.0, 1.0 - y * pred), y)
+            else {
+              val d = y - pred
+              (math.max(0.0, math.abs(d) - eps), math.signum(d))
+            }
+          if (loss > 0) {
+            val step = loss / (nrms(r) + 1.0 / (2.0 * c)) // PA-II
+            k = 0
+            while (k < p1) { w(k) += step * sign * xa(k); k += 1 }
+          }
+          epochLoss += loss
+        }
+        t += 1
+      }
+      if (epochLoss > best - tol) noChange += 1 else noChange = 0
+      if (epochLoss < best) best = epochLoss
+      epoch += 1
+    }
+    (w.take(p), w(p))
   }
 
   /** Exact local LS on a tiny row set (RANSAC minimal samples /

@@ -186,6 +186,18 @@ object Train {
       new GramRegression().setSolver("quantile")
         .setQuantileTau(hp(h, "quantile", 0.5)).setAlpha(hp(h, "alpha", 1.0))
         .setMaxIter(hpi(h, "max_iter", 50))
+    case ("regression", "passive_aggressive") if h.get("exact").contains("true") =>
+      // TRUE sequential PA-II under the row cap (GramSolvers ledger) —
+      // opt-in; the partition-averaged analogue stays the default
+      new GramRegression().setSolver("pa_sequential")
+        .setRegC(hp(h, "C", 1.0)).setEpsilon(hp(h, "epsilon", 0.1))
+        .setMaxIter(hpi(h, "max_iter", 1000)).setTol(hp(h, "tol", 1e-3))
+        .setSeed(seed).setMaxRows(hpi(h, "max_rows", 100000))
+    case ("classification", "passive_aggressive") if h.get("exact").contains("true") =>
+      new GramRegression().setSolver("pa_sequential_binary")
+        .setRegC(hp(h, "C", 1.0))
+        .setMaxIter(hpi(h, "max_iter", 1000)).setTol(hp(h, "tol", 1e-3))
+        .setSeed(seed).setMaxRows(hpi(h, "max_rows", 100000))
     case ("regression", "passive_aggressive") =>
       new GramRegression().setSolver("passive_aggressive")
         .setRegC(hp(h, "C", 1.0)).setEpsilon(hp(h, "epsilon", 0.1))
@@ -323,6 +335,12 @@ object Train {
           .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
         new LinearRegression().setRegParam(hp(h, "alpha", 1.0))
           .setMaxIter(hpi(h, "max_iter", 100)).setFeaturesCol("rff_features")))
+    case ("classification", "perceptron") if h.get("exact").contains("true") =>
+      // TRUE sequential perceptron (SGD perceptron loss, eta0=1) under
+      // the row cap — opt-in; the logistic stand-in stays the default
+      new GramRegression().setSolver("perceptron_sequential")
+        .setMaxIter(hpi(h, "max_iter", 1000)).setTol(hp(h, "tol", 1e-3))
+        .setSeed(seed).setMaxRows(hpi(h, "max_rows", 100000))
     case ("classification", "perceptron") =>
       new LogisticRegression().setMaxIter(hpi(h, "max_iter", 100)).setRegParam(0.0)
     case ("classification", "nu_svm") =>
@@ -396,9 +414,14 @@ object Train {
       Map("compat" -> "softmax_multiclass")
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
-    case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm"
-        if h.get("exact").contains("true") =>
-      Map.empty // sklearn-exact capped dual solve — nothing substituted
+    case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm" |
+         "passive_aggressive" | "perceptron" if h.get("exact").contains("true") =>
+      Map.empty // sklearn-exact capped solve — nothing substituted
+    case "passive_aggressive" =>
+      // the distributed default is partition-averaged PA, not the
+      // sequential online scheme — surface the flag in hyperparams,
+      // not just the GramSolvers ledger scaladoc
+      Map("compat" -> "pa_partition_averaged")
     case "svm" | "kernel_ridge" | "nu_svm" => Map("compat" -> "rff_kernel_approx")
     case "gaussian_process" => Map("compat" -> "rff_gp_approx")
     case "bayesian_ridge" => Map("compat" -> "ridge_point_estimate")

@@ -132,6 +132,58 @@ class GramSolversSpec extends AnyFunSuite {
     assert(acc > 0.95, s"accuracy $acc")
   }
 
+  test("pa_sequential: true online PA beats the partition average, is deterministic, caps") {
+    // sequential updates see every row with the CURRENT weights — on a
+    // clean line the online fit converges tighter than the averaged one
+    val m = fit("pa_sequential", line, _.setMaxIter(1000).setTol(1e-4))
+    assert(math.abs(m.coeffs(0) - 3.0) < 0.1, m.coeffs)
+    assert(math.abs(m.intercept - 7.0) < 0.6, m.intercept)
+    // deterministic: same seed → bit-identical coefficients
+    val m2 = fit("pa_sequential", line, _.setMaxIter(1000).setTol(1e-4))
+    assert(m.coeffs.toArray.sameElements(m2.coeffs.toArray) &&
+      m.intercept == m2.intercept)
+    // classification twin separates
+    val rnd = new scala.util.Random(37)
+    val cls = assemble((1 to 400).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (x1, x2, if (x1 - x2 > 0) 1.0 else 0.0)
+    }.toDF("x1", "x2", "y"), Seq("x1", "x2"))
+    val mc = fit("pa_sequential_binary", cls)
+    val acc = mc.transform(cls).filter($"prediction" === $"y").count() / 400.0
+    assert(acc > 0.95, s"sequential accuracy $acc")
+    // guard-and-route: past the cap the error names the distributed path
+    val e = intercept[IllegalArgumentException] {
+      fit("pa_sequential", line, _.setMaxRows(10))
+    }
+    assert(e.getMessage.contains("partition-averaged"), e.getMessage)
+  }
+
+  test("perceptron_sequential: classic mistake-driven updates separate, cap routes") {
+    val rnd = new scala.util.Random(41)
+    val cls = assemble((1 to 400).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (x1, x2, if (2 * x1 + x2 > 0) 1.0 else 0.0)
+    }.toDF("x1", "x2", "y"), Seq("x1", "x2"))
+    val m = fit("perceptron_sequential", cls)
+    val acc = m.transform(cls).filter($"prediction" === $"y").count() / 400.0
+    assert(acc > 0.95, s"perceptron accuracy $acc")
+    val e = intercept[IllegalArgumentException] {
+      fit("perceptron_sequential", cls, _.setMaxRows(10))
+    }
+    assert(e.getMessage.contains("logistic"), e.getMessage)
+  }
+
+  test("Train dispatch: passive_aggressive exact=true is sequential and flag-free") {
+    val est = Train.estimatorFor("regression", "passive_aggressive",
+      Map("exact" -> "true"), seed = 1L)
+    assert(est.asInstanceOf[GramRegression].getOrDefault(
+      est.asInstanceOf[GramRegression].solver) == "pa_sequential")
+    val cls = Train.estimatorFor("classification", "passive_aggressive",
+      Map("exact" -> "true"), seed = 1L)
+    assert(cls.asInstanceOf[GramRegression].getOrDefault(
+      cls.asInstanceOf[GramRegression].solver) == "pa_sequential_binary")
+  }
+
   test("GraftLinearModel round-trips through Pipeline persistence") {
     val pipe = new Pipeline().setStages(Array(
       new GramRegression().setSolver("bayesian_ridge")
