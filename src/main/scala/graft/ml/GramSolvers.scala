@@ -37,8 +37,11 @@ import org.apache.spark.sql.{Dataset, Row}
   *    subsets, spatial median via Weiszfeld) — the subsets are
   *    collected driver-side exactly as sklearn subsamples.
   *  - quantile: IRLS on the pinball loss (flagged approximation —
-  *    sklearn solves an LP; the IRLS fixed point is the same
-  *    population minimizer, finite-sample coefficients differ).
+  *    the IRLS fixed point is the same population minimizer,
+  *    finite-sample coefficients differ). `exact=true` opts into the
+  *    TRUE pinball LP sklearn hands to linprog, solved by a capped
+  *    dense primal simplex ([[GramSolvers.quantileExactLp]]) —
+  *    guard-and-route back to IRLS past the cap.
   *  - passive_aggressive: partition-local online PA-II averaged
   *    across partitions (flagged — the reference's is sequential
   *    online; averaging is the standard distributed analogue).
@@ -157,8 +160,9 @@ class GramRegression(override val uid: String)
 
   final val solver = new Param[String](this, "solver",
     "bayesian_ridge | ard | omp | lars | lasso_lars | ransac | theil_sen | " +
-      "quantile | passive_aggressive | passive_aggressive_binary | " +
-      "pa_sequential | pa_sequential_binary | perceptron_sequential")
+      "quantile | quantile_exact | passive_aggressive | " +
+      "passive_aggressive_binary | pa_sequential | pa_sequential_binary | " +
+      "perceptron_sequential")
   final val maxRows = new IntParam(this, "maxRows",
     "row cap for the inherently-sequential exact solvers (pa_sequential*)")
   final val alpha = new DoubleParam(this, "alpha", "regularization / lars stop")
@@ -211,6 +215,8 @@ class GramRegression(override val uid: String)
         $(maxSubpopulation), $(maxIter), $(tol), $(seed)), false)
       case "quantile" => (GramSolvers.quantileIrls(ds, getFeaturesCol, getLabelCol,
         $(quantileTau), $(alpha), $(maxIter), $(tol)), false)
+      case "quantile_exact" => (GramSolvers.quantileExactLp(ds, getFeaturesCol,
+        getLabelCol, $(quantileTau), $(alpha), $(maxRows)), false)
       case "passive_aggressive" => (GramSolvers.passiveAggressive(ds, getFeaturesCol,
         getLabelCol, $(regC), $(epsilon), binary = false), false)
       case "passive_aggressive_binary" => (GramSolvers.passiveAggressive(ds,
@@ -529,9 +535,150 @@ private[ml] object GramSolvers {
     (m(0 until p).toArray, m(p))
   }
 
+  /** EXACT quantile regression — the LP sklearn's QuantileRegressor
+    * hands to linprog, solved here by a dense primal simplex:
+    *
+    *   min Σᵢ [τ·rᵢ⁺ + (1−τ)·rᵢ⁻] + n·α·Σⱼ (wⱼ⁺ + wⱼ⁻)
+    *   s.t. X(w⁺−w⁻) + (b⁺−b⁻) + r⁺ − r⁻ = y,   all vars ≥ 0
+    *
+    * (sklearn minimizes MEAN pinball + α·‖w‖₁, so the unscaled LP
+    * carries n·α; the intercept split b⁺−b⁻ is unpenalized, matching
+    * sklearn.) The residual splits give a FREE initial basis — negate
+    * rows with negative y and the r column of the matching sign is an
+    * identity column — so no phase-1 is needed. Pivoting is Dantzig
+    * for speed with a switch to Bland's rule after 5n pivots, which
+    * guarantees termination on degenerate vertices. O(n·(n+p)) per
+    * pivot, O(n) pivots typical → driver-side under a hard row cap
+    * with the guard-and-route refusal naming the IRLS scale path.
+    * The optimum is a basic solution: at most p+1 nonzero residual
+    * splits are zero ⇒ the fitted plane interpolates ≥ p+1 points,
+    * the classic quantile-regression vertex property QuantileSpec
+    * pins along with the subgradient count condition. */
+  def quantileExactLp(ds: Dataset[_], featuresCol: String, labelCol: String,
+      tau: Double, alpha: Double, cap: Int): (Array[Double], Double) = {
+    import org.apache.spark.sql.functions.col
+    require(tau > 0 && tau < 1, s"quantile must be in (0,1): $tau")
+    val rows = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
+      .limit(cap + 1).collect()
+      .map { case Row(f: Vector, y: Double) => (f.toArray, y) }
+    require(rows.nonEmpty, "cannot fit on an empty dataset")
+    require(rows.length <= cap,
+      s"exact quantile regression is an O(n²)-per-pivot simplex LP solve " +
+        s"(${rows.length} rows > $cap cap); drop the exact=true hyperparam " +
+        "to use the IRLS approximation, which is the distributed scale path")
+    val n = rows.length
+    val p = rows.head._1.length
+    // column layout: [0,p) w+, [p,2p) w-, 2p b+, 2p+1 b-,
+    // [2p+2, 2p+2+n) r+, [2p+2+n, 2p+2+2n) r-
+    val off = 2 * p + 2
+    val nv = off + 2 * n
+    val t = Array.ofDim[Double](n, nv + 1) // +1: RHS
+    val basis = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val (x, y) = rows(i)
+      val sgn = if (y >= 0) 1.0 else -1.0
+      var j = 0
+      while (j < p) { t(i)(j) = sgn * x(j); t(i)(p + j) = -sgn * x(j); j += 1 }
+      t(i)(2 * p) = sgn; t(i)(2 * p + 1) = -sgn
+      t(i)(off + i) = sgn           // r+ → identity column when y ≥ 0
+      t(i)(off + n + i) = -sgn      // r- → identity column when y < 0
+      t(i)(nv) = sgn * y            // RHS ≥ 0: a feasible start
+      basis(i) = if (y >= 0) off + i else off + n + i
+      i += 1
+    }
+    val c = new Array[Double](nv)
+    var j = 0
+    while (j < 2 * p) { c(j) = n * alpha; j += 1 } // L1 on coefficients only
+    i = 0
+    while (i < n) { c(off + i) = tau; c(off + n + i) = 1.0 - tau; i += 1 }
+    // canonical cost row: c minus the basic costs times their rows
+    val z = c.clone()
+    val zRhs = Array(0.0)
+    i = 0
+    while (i < n) {
+      val cb = c(basis(i))
+      if (cb != 0.0) {
+        var k = 0
+        while (k < nv) { z(k) -= cb * t(i)(k); k += 1 }
+        zRhs(0) -= cb * t(i)(nv)
+      }
+      i += 1
+    }
+    val eps = 1e-9
+    val maxPivots = math.max(20 * n, 2000)
+    val blandAfter = 5 * n
+    var pivots = 0
+    var optimal = false
+    while (pivots < maxPivots && !optimal) {
+      // entering column
+      var enter = -1
+      if (pivots < blandAfter) { // Dantzig: most negative reduced cost
+        var best = -eps
+        var k = 0
+        while (k < nv) { if (z(k) < best) { best = z(k); enter = k }; k += 1 }
+      } else { // Bland: first negative — anti-cycling guarantee
+        var k = 0
+        while (k < nv && enter < 0) { if (z(k) < -eps) enter = k; k += 1 }
+      }
+      if (enter < 0) optimal = true
+      else {
+        // ratio test; ties → lowest basis index (lexicographic-ish)
+        var leave = -1
+        var bestRatio = Double.PositiveInfinity
+        i = 0
+        while (i < n) {
+          val a = t(i)(enter)
+          if (a > 1e-11) {
+            val ratio = t(i)(nv) / a
+            if (ratio < bestRatio - 1e-12 ||
+                (ratio < bestRatio + 1e-12 && (leave < 0 || basis(i) < basis(leave)))) {
+              bestRatio = ratio; leave = i
+            }
+          }
+          i += 1
+        }
+        require(leave >= 0, "quantile LP unbounded — cannot happen: the " +
+          "pinball objective is bounded below by 0")
+        // pivot on (leave, enter)
+        val piv = t(leave)(enter)
+        var k = 0
+        while (k <= nv) { t(leave)(k) /= piv; k += 1 }
+        i = 0
+        while (i < n) {
+          if (i != leave) {
+            val f = t(i)(enter)
+            if (f != 0.0) {
+              k = 0
+              while (k <= nv) { t(i)(k) -= f * t(leave)(k); k += 1 }
+            }
+          }
+          i += 1
+        }
+        val zf = z(enter)
+        if (zf != 0.0) {
+          k = 0
+          while (k < nv) { z(k) -= zf * t(leave)(k); k += 1 }
+          zRhs(0) -= zf * t(leave)(nv)
+        }
+        basis(leave) = enter
+        pivots += 1
+      }
+    }
+    require(optimal,
+      s"quantile LP simplex failed to converge in $maxPivots pivots — " +
+        "numerically degenerate input; use the IRLS path")
+    val sol = new Array[Double](nv)
+    i = 0
+    while (i < n) { sol(basis(i)) = t(i)(nv); i += 1 }
+    val w = Array.tabulate(p)(j0 => sol(j0) - sol(p + j0))
+    (w, sol(2 * p) - sol(2 * p + 1))
+  }
+
   /** Quantile regression via IRLS on the pinball loss — each iteration
     * is one distributed WEIGHTED Gram pass (w = asymmetry/max(|r|,δ));
-    * flagged compat (sklearn solves the exact LP). alpha adds the same
+    * flagged compat (sklearn solves the exact LP; `exact=true` opts
+    * into [[quantileExactLp]] under the row cap). alpha adds the same
     * L2-on-coefficients ridge term sklearn's L1 plays for stability. */
   def quantileIrls(ds: Dataset[_], featuresCol: String, labelCol: String,
       tau: Double, alpha: Double, maxIter: Int, tol: Double): (Array[Double], Double) = {

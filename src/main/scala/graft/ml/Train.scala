@@ -182,6 +182,12 @@ object Train {
     case ("regression", "theil_sen") =>
       new GramRegression().setSolver("theil_sen")
         .setMaxSubpopulation(hpi(h, "max_subpopulation", 1000)).setSeed(seed)
+    case ("regression", "quantile") if h.get("exact").contains("true") =>
+      // sklearn-EXACT pinball LP via the capped dense simplex
+      // (GramSolvers.quantileExactLp) — opt-in; IRLS stays the default
+      new GramRegression().setSolver("quantile_exact")
+        .setQuantileTau(hp(h, "quantile", 0.5)).setAlpha(hp(h, "alpha", 1.0))
+        .setMaxRows(hpi(h, "max_rows", 1000))
     case ("regression", "quantile") =>
       new GramRegression().setSolver("quantile")
         .setQuantileTau(hp(h, "quantile", 0.5)).setAlpha(hp(h, "alpha", 1.0))
@@ -415,8 +421,10 @@ object Train {
     case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
          "hist_gradient_boosting" => Map("compat" -> "gbt")
     case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm" |
-         "passive_aggressive" | "perceptron" if h.get("exact").contains("true") =>
+         "passive_aggressive" | "perceptron" | "quantile"
+        if h.get("exact").contains("true") =>
       Map.empty // sklearn-exact capped solve — nothing substituted
+    case "quantile" => Map("compat" -> "pinball_irls_approx")
     case "passive_aggressive" =>
       // the distributed default is partition-averaged PA, not the
       // sequential online scheme — surface the flag in hyperparams,

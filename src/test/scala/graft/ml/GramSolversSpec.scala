@@ -119,6 +119,57 @@ class GramSolversSpec extends AnyFunSuite {
     assert(math.abs(below - 0.9) < 0.08, s"P(y <= fit) = $below, want ~0.9")
   }
 
+  test("quantile_exact: LP optimum beats IRLS on the pinball objective and is a vertex") {
+    val rnd = new scala.util.Random(43)
+    val df = assemble((1 to 300).map { i =>
+      val x = i / 30.0
+      (x, 2.0 * x + 1.0 + math.abs(rnd.nextGaussian()) * 2.0) // one-sided noise
+    }.toDF("x", "y"), Seq("x"))
+    val tau = 0.9
+    def pinball(co: Double, ic: Double): Double = df.collect().map { r =>
+      val u = r.getDouble(1) - (co * r.getDouble(0) + ic)
+      if (u >= 0) tau * u else (tau - 1.0) * u
+    }.sum
+    val exact = fit("quantile_exact", df, _.setQuantileTau(tau).setAlpha(1e-9))
+    val irls = fit("quantile", df, _.setQuantileTau(tau).setAlpha(1e-9))
+    val exObj = pinball(exact.coeffs(0), exact.intercept)
+    val irObj = pinball(irls.coeffs(0), irls.intercept)
+    // the LP optimum is THE minimizer — never worse than the IRLS fixpoint
+    assert(exObj <= irObj + 1e-8, s"LP $exObj vs IRLS $irObj")
+    // vertex property: the optimal plane interpolates >= p+1 = 2 points
+    val onPlane = df.collect().count { r =>
+      math.abs(r.getDouble(1) - (exact.coeffs(0) * r.getDouble(0) + exact.intercept)) < 1e-8
+    }
+    assert(onPlane >= 2, s"basic solution must interpolate p+1 points, got $onPlane")
+    // subgradient count condition: P(y < fit) <= tau <= P(y <= fit)
+    val below = df.collect().count { r =>
+      r.getDouble(1) < exact.coeffs(0) * r.getDouble(0) + exact.intercept - 1e-8
+    } / 300.0
+    val belowEq = df.collect().count { r =>
+      r.getDouble(1) <= exact.coeffs(0) * r.getDouble(0) + exact.intercept + 1e-8
+    } / 300.0
+    assert(below <= tau + 1e-9 && tau <= belowEq + 1e-9,
+      s"subgradient violated: P(y<fit)=$below tau=$tau P(y<=fit)=$belowEq")
+  }
+
+  test("quantile_exact: median regression shrugs off a gross outlier; cap routes") {
+    // y = 2x except one wild point — the tau=0.5 LP pins the clean line
+    val df = assemble(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0),
+      (5.0, 100.0)).toDF("x", "y"), Seq("x"))
+    val m = fit("quantile_exact", df, _.setQuantileTau(0.5).setAlpha(1e-9))
+    assert(math.abs(m.coeffs(0) - 2.0) < 1e-6 && math.abs(m.intercept) < 1e-6,
+      s"${m.coeffs} + ${m.intercept}")
+    val e = intercept[IllegalArgumentException] {
+      fit("quantile_exact", df, _.setMaxRows(3))
+    }
+    assert(e.getMessage.contains("IRLS"), e.getMessage)
+    // dispatch: exact=true picks the LP, records no compat flag
+    val est = Train.estimatorFor("regression", "quantile",
+      Map("exact" -> "true", "quantile" -> "0.7"), seed = 1L)
+    assert(est.asInstanceOf[GramRegression].getOrDefault(
+      est.asInstanceOf[GramRegression].solver) == "quantile_exact")
+  }
+
   test("passive_aggressive: regression tracks the line, classification separates") {
     val m = fit("passive_aggressive", line)
     assert(math.abs(m.coeffs(0) - 3.0) < 0.5, m.coeffs)
