@@ -187,19 +187,70 @@ object TextAnalysis {
       |      FROM documents) t
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Per-document unigram perplexity against the CORPUS language model —
+    * the CCNet-style quality-filter signal (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020 — there a KenLM; here the corpus's own unigram LM, which
+    * keeps the gate self-contained and DuckDB-replayable): documents
+    * whose tokens are globally rare score HIGH perplexity (noise,
+    * boilerplate, wrong-language) and get pruned by thresholding.
+    *
+    *   perp(d) = exp( ln N − (1/n_d)·Σ_{w∈d} ln c(w) )
+    *
+    * with c = corpus token counts, N = Σc. 100 TB shape: one
+    * explode+groupBy builds the count table (the heavy-hitters shape,
+    * map-combinable), one equi-join on the token hands each occurrence
+    * its count (vocab table broadcastable for natural-language vocab
+    * sizes; falls back to a shuffle join past the threshold), one
+    * per-doc agg. FP parity: per-doc value is exp/ln over exact integer
+    * counts, cast to REAL like the corpus-level perplexity gate — the
+    * 4-byte round absorbs libm ulp differences. */
+  def ta_doc_perplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("w"))
+    val counts = words.groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum($"c").cast("double").as("n"))
+    words.join(counts, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log($"c".cast("double"))).as("sl"))
+      .join(broadcast(total))
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
+        exp(log($"n") - $"sl" / $"n_tokens").cast("float").as("perplexity"))
+      .orderBy($"doc_id")
+  }
+
+  val taDocPerplexitySql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(t) AS w FROM tk),
+      |c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+      |d AS (
+      |  SELECT w.doc_id, count(*) AS n_tokens,
+      |    sum(ln(CAST(c.c AS DOUBLE))) AS sl
+      |  FROM w JOIN c ON w.w = c.w GROUP BY w.doc_id)
+      |SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(exp(ln(tot.n) - d.sl / d.n_tokens) AS REAL) AS perplexity
+      |FROM d, tot ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ta_token_stats" -> ta_token_stats _,
-    "ta_quality"     -> ta_quality _,
-    "ta_lang_id"     -> ta_lang_id _,
-    "ta_fingerprint" -> ta_fingerprint _,
-    "ta_chunk_fixed" -> ta_chunk_fixed _
+    "ta_token_stats"     -> ta_token_stats _,
+    "ta_quality"         -> ta_quality _,
+    "ta_lang_id"         -> ta_lang_id _,
+    "ta_fingerprint"     -> ta_fingerprint _,
+    "ta_chunk_fixed"     -> ta_chunk_fixed _,
+    "ta_doc_perplexity"  -> ta_doc_perplexity _
   )
 
   val oracles: Map[String, String] = Map(
-    "ta_token_stats" -> taTokenSql,
-    "ta_quality"     -> taQualitySql,
-    "ta_lang_id"     -> taLangSql,
-    "ta_fingerprint" -> taFingerprintSql,
-    "ta_chunk_fixed" -> taChunkSql
+    "ta_token_stats"     -> taTokenSql,
+    "ta_quality"         -> taQualitySql,
+    "ta_lang_id"         -> taLangSql,
+    "ta_fingerprint"     -> taFingerprintSql,
+    "ta_chunk_fixed"     -> taChunkSql,
+    "ta_doc_perplexity"  -> taDocPerplexitySql
   )
 }
