@@ -216,7 +216,12 @@ class GramRegression(override val uid: String)
       case "quantile" => (GramSolvers.quantileIrls(ds, getFeaturesCol, getLabelCol,
         $(quantileTau), $(alpha), $(maxIter), $(tol)), false)
       case "quantile_exact" => (GramSolvers.quantileExactLp(ds, getFeaturesCol,
-        getLabelCol, $(quantileTau), $(alpha), $(maxRows)), false)
+        getLabelCol, $(quantileTau), $(alpha),
+        // the LP tableau is n×(2n+2p+3) doubles — O(n²) DRIVER memory —
+        // so the shared maxRows default (sized for the O(n·p) sequential
+        // solvers) must not apply: 2,000 rows ≈ 64 MB tableau; anything
+        // larger needs an explicit, eyes-open setMaxRows
+        math.min($(maxRows), 2000)), false)
       case "passive_aggressive" => (GramSolvers.passiveAggressive(ds, getFeaturesCol,
         getLabelCol, $(regC), $(epsilon), binary = false), false)
       case "passive_aggressive_binary" => (GramSolvers.passiveAggressive(ds,
@@ -763,9 +768,10 @@ private[ml] object GramSolvers {
           var pred = 0.0
           var i = 0
           while (i < p1) { pred += w(i) * xa(i); i += 1 }
+          // feature-only sqnorm, same convention as the sequential path
           var nrm = 0.0
           i = 0
-          while (i < p1) { nrm += xa(i) * xa(i); i += 1 }
+          while (i < p) { nrm += xa(i) * xa(i); i += 1 }
           val (loss, sign) =
             if (binary) (math.max(0.0, 1.0 - y * pred), y)
             else {
@@ -839,9 +845,13 @@ private[ml] object GramSolvers {
     val ys = rows.map { case (_, y0) =>
       if (binary) { if (y0 > 0.5) 1.0 else -1.0 } else y0
     }
+    // FEATURE-only squared norm (excludes the bias slot): sklearn's PA
+    // step uses sqnorm(x) over features and applies the same step to
+    // the intercept — including the constant 1 in the denominator
+    // would shrink every update and break scheme-exactness
     val nrms = xs.map { xa =>
       var s = 0.0; var i = 0
-      while (i < p1) { s += xa(i) * xa(i); i += 1 }
+      while (i < p) { s += xa(i) * xa(i); i += 1 }
       s
     }
     val w = new Array[Double](p1)
@@ -891,7 +901,9 @@ private[ml] object GramSolvers {
         }
         t += 1
       }
-      if (epochLoss > best - tol) noChange += 1 else noChange = 0
+      // sklearn's no-improvement threshold scales with n: the epoch's
+      // SUMMED loss must beat best − tol·n_samples (tol is per-sample)
+      if (epochLoss > best - tol * order.length) noChange += 1 else noChange = 0
       if (epochLoss < best) best = epochLoss
       epoch += 1
     }

@@ -95,8 +95,13 @@ object Components {
     * for the session's lifetime — the same contract Spark's own
     * FileStatusCache applies to the listing; call
     * [[invalidateSharedLabels]] after rewriting data in place. */
-  private val sharedLabels = // LinkedHashMap: insertion order drives the bounded eviction below
-    new java.util.LinkedHashMap[String, scala.collection.mutable.Map[String, DataFrame]]()
+  // ACCESS-ordered LinkedHashMap: the bounded eviction below drops the
+  // least-recently-USED session, so a hot long-lived fan-out session
+  // survives per-request newSession() churn (insertion order would
+  // evict the hot session first, being the oldest insert)
+  private val sharedLabels =
+    new java.util.LinkedHashMap[String, scala.collection.mutable.Map[String, DataFrame]](
+      16, 0.75f, true)
   // contexts that already carry the eviction listener; weak keys are safe
   // here because the Boolean value holds no reference back to the context
   private val evictionHooked =
@@ -134,8 +139,11 @@ object Components {
       }
       val key = sessionKey(s)
       if (!sharedLabels.containsKey(key) && sharedLabels.size >= MAX_MEMO_SESSIONS) {
-        val oldest = sharedLabels.keySet().iterator().next()
-        sharedLabels.remove(oldest) // LinkedHashMap → oldest insertion
+        val lru = sharedLabels.keySet().iterator().next()
+        sharedLabels.remove(lru) // access-ordered → least recently used
+        // the dropped frame's checkpoint blocks free via the
+        // ContextCleaner once the frame is unreachable — eviction makes
+        // it unreachable, GC timing decides when
       }
       sharedLabels.computeIfAbsent(key, _ => scala.collection.mutable.Map.empty)
         .getOrElseUpdate(dir,

@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
   * training-data-pipeline surface (language-ID, quality scoring, token
-  * counting, fingerprinting, chunking). All pure `functions._` column
-  * expressions (whole-stage codegen, no UDFs), embarrassingly parallel:
-  * no shuffle except the final ORDER BY for oracle determinism — at
-  * 100 TB these run as a single map stage over the scan.
+  * counting, fingerprinting, chunking, per-doc corpus-LM perplexity).
+  * All pure `functions._` column expressions (whole-stage codegen, no
+  * UDFs). The per-doc ops are embarrassingly parallel — no shuffle
+  * except the final ORDER BY for oracle determinism, a single map
+  * stage over the scan at 100 TB. The one exception is
+  * [[ta_doc_perplexity]], which by nature aggregates corpus-global
+  * token counts first (explode+groupBy, then an equi-join) — its own
+  * scaladoc carries the scale story.
   *
   * Reference surface: `chunk()` (SURVEY §2.1 #chunk,
   * `/root/reference/src/api.rs:1309-1322`) re-expressed as a
@@ -207,8 +211,12 @@ object TextAnalysis {
     * 4-byte round absorbs libm ulp differences. */
   def ta_doc_perplexity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NON-EMPTY tokens (the corpus-level perplexity gate's convention):
+    // an empty/whitespace doc must contribute NO pseudo-token to the LM
+    // and receive NO perplexity row, not a finite score from ''
     val words = Tables.documents(s, dir)
-      .select($"doc_id", explode(toks($"text")).as("w"))
+      .select($"doc_id",
+        explode(filter(toks($"text"), x => length(x) > 0)).as("w"))
     val counts = words.groupBy($"w").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum($"c").cast("double").as("n"))
     words.join(counts, "w")
@@ -223,7 +231,8 @@ object TextAnalysis {
 
   val taDocPerplexitySql: String =
     """WITH tk AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t
       |  FROM documents),
       |w AS (SELECT doc_id, unnest(t) AS w FROM tk),
       |c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
