@@ -295,6 +295,21 @@ object Train {
       // sklearn's LinearSVC is one-vs-rest multiclass; MLlib's is
       // binary-only, so k > 2 substitutes softmax (compat-flagged)
       linearClassifier("features")
+    case ("regression", "linear_svm") if h.get("exact").contains("true") =>
+      // sklearn-EXACT LinearSVR semantics: linear-kernel ε-SVR through
+      // the same capped SMO dual (the linear kernel makes the Gram
+      // rank-p, but the dual solve is identical) — opt-in
+      new GraftSvm().setSvmTask("svr").setKernel("linear")
+        .setRegC(hp(h, "C", 1.0)).setEpsilon(hp(h, "epsilon", 0.0))
+        .setTol(hp(h, "tol", 1e-3)).setMaxRows(hpi(h, "max_rows", 2000))
+    case ("regression", "linear_svm") =>
+      // sklearn LinearSVR is linear ε-insensitive regression; MLlib has
+      // no ε-insensitive loss, so the scale path substitutes squared
+      // loss (same policy as the RFF svm regressor), compat-flagged —
+      // the exact=true SMO opt-in above keeps the true loss under a cap
+      new LinearRegression().setSolver("normal")
+        .setRegParam(hp(h, "alpha", 0.0001))
+        .setMaxIter(hpi(h, "max_iter", 100))
     case ("classification", "nu_svm") if h.get("exact").contains("true") =>
       // sklearn-EXACT ν-SVC via the within-class SMO (Svm scaladoc);
       // multiclass runs the one-vs-one stack under the same cap
@@ -413,7 +428,14 @@ object Train {
 
   /** Whether the nearest-equivalent substitution was applied. */
   private def compatNote(algorithm: String, h: Map[String, String],
-      numClasses: => Int = 2): Map[String, String] = algorithm match {
+      numClasses: => Int = 2, task: String = ""): Map[String, String] =
+    algorithm match {
+    case "linear_svm" if h.get("exact").contains("true") =>
+      Map.empty // capped SMO linear ε-SVR — nothing substituted
+    case "linear_svm" if task == "regression" =>
+      // sklearn LinearSVR's ε-insensitive loss has no MLlib twin — the
+      // scale path trains squared loss, flagged
+      Map("compat" -> "squared_loss_svr")
     case "linear_svm" if numClasses > 2 =>
       // sklearn LinearSVC is OvR squared-hinge; MLlib's is binary-only,
       // so multiclass substitutes multinomial logistic — flagged
@@ -714,7 +736,7 @@ object Train {
 
     // persist model + catalog rows
     val modelRow = catalog.createModel(project.id, snapshot.id, cfg.algorithm,
-      bestHyper ++ compatNote(cfg.algorithm, cfg.hyperparams, numClasses) ++
+      bestHyper ++ compatNote(cfg.algorithm, cfg.hyperparams, numClasses, cfg.task) ++
         (if (searchResults.nonEmpty) Map("search_results" -> searchResults) else Map.empty),
       allMetrics, cfg.search.getOrElse("none"))
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"

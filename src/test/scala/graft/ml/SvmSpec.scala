@@ -307,6 +307,28 @@ class SvmSpec extends AnyFunSuite {
       Map.empty, seed = 1L).isInstanceOf[org.apache.spark.ml.Pipeline])
   }
 
+  test("train() dispatch: regression linear_svm = LinearSVR semantics") {
+    // exact=true → linear-kernel ε-SVR through the capped SMO
+    val exact = Train.estimatorFor("regression", "linear_svm",
+      Map("exact" -> "true"), seed = 1L)
+    assert(exact.isInstanceOf[GraftSvm])
+    val g = exact.asInstanceOf[GraftSvm]
+    assert(g.getOrDefault(g.svmTask) == "svr" && g.getOrDefault(g.kernel) == "linear")
+    // default → squared-loss substitute (compat-flagged in train())
+    assert(Train.estimatorFor("regression", "linear_svm", Map.empty, seed = 1L)
+      .isInstanceOf[org.apache.spark.ml.regression.LinearRegression])
+    // lifecycle: the flag lands in hyperparams
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_lsvr").toString)
+    import spark.implicits._
+    val df = (1 to 80).map(i => (i.toDouble, 3.0 * i + 2.0)).toDF("x", "y")
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "Lsvr", task = "regression", relationName = "t",
+      data = Some(df), yColumn = Seq("y"), algorithm = "linear_svm"))
+    assert(cat.models.collect().head.hyperparams.get("compat")
+      .contains("squared_loss_svr"))
+  }
+
   test("train() dispatch: exact=true fits SMO and records no compat flag") {
     val cat = new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_svmx").toString)
