@@ -399,6 +399,43 @@ object MLQueries {
     """SELECT 'svm_demo' AS project, 'regression' AS task,
       |  'svm' AS algorithm, CAST(true AS BOOLEAN) AS deploy""".stripMargin
 
+  /** The exact one-vs-one kernel-SVM path as a driver gate (rows-only —
+    * an SMO dual solve is not ANSI-SQL-expressible; SvmSpec and
+    * TrainLifecycleSpec pin the machinery): fit a 4-class exact linear SVC
+    * on the embeddings table with the LCG quantizer CELL as the label —
+    * a deterministic, learnable target (cells are Voronoi regions of 4
+    * fixed centroids, so the boundaries are exactly representable) —
+    * and emit ONE summary row quality-floored on training accuracy:
+    * 0 rows if the one-vs-one stack stops separating what it provably
+    * can (the same silent-collapse guard as the ft_*_train gates). */
+  def ml_train_svm_ovo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      // deterministic id filter keeps the gate inside the exact-solver
+      // cap at ANY scale factor (sf0.1 is exactly 2000 rows; larger SFs
+      // would otherwise trip the guard) — vec_id < 2000, not limit(),
+      // because limit without order is partition-order-dependent
+      .filter($"vec_id" < 2000)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("label", LcgQuantizer.cellCol($"v").cast("double"))
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector($"v"))
+    // LINEAR kernel: Voronoi boundaries are hyperplanes, so the linear
+    // one-vs-one stack represents them exactly (measured 0.98 train
+    // accuracy; rbf with gamma=1/64 underfits these 64-d cells at 0.77)
+    val m = new graft.ml.GraftSvm().setSvmTask("svc").setKernel("linear")
+      .setRegC(10.0).setLabelCol("label").setFeaturesCol("features")
+      .fit(e)
+    val scored = m.transform(e)
+    val n = e.count()
+    val acc = scored.filter($"prediction" === $"label").count().toDouble / n
+    val k = m.machines.length
+    s.createDataset(Seq((n, 4L, k.toLong, acc)))
+      .toDF("n_rows", "n_classes", "n_machines", "accuracy")
+      .filter($"accuracy" >= 0.9 && $"n_machines" === 6)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_col_stats"      -> ml_col_stats _,
     "ml_ventiles"       -> ml_ventiles _,
@@ -414,7 +451,8 @@ object MLQueries {
     "ml_knn_predict"    -> ml_knn_predict _,
     "ml_train_contract" -> ml_train_contract _,
     "ml_train_joint"    -> ml_train_joint _,
-    "ml_train_svm_rbf"  -> ml_train_svm_rbf _
+    "ml_train_svm_rbf"  -> ml_train_svm_rbf _,
+    "ml_train_svm_ovo"  -> ml_train_svm_ovo _
   )
 
   val oracles: Map[String, String] = Map(
