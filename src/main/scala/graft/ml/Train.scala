@@ -291,6 +291,17 @@ object Train {
       new GBTClassifier().setMaxIter(hpi(h, "n_estimators", 10))
         .setMaxDepth(hpi(h, "max_depth", 5))
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
+    case ("classification", "linear_svm") if h.get("exact").contains("true") =>
+      // sklearn LinearSVC is squared-hinge liblinear (OvR for k > 2);
+      // neither MLlib's hinge LinearSVC nor the softmax substitute is
+      // scheme-exact, and the SMO opt-in only covers the ε-SVR dual —
+      // refuse rather than record an approximation under a clean ledger
+      // entry (same policy as gaussian_process classification)
+      throw new IllegalArgumentException(
+        "classification linear_svm has no exact=true path: sklearn's " +
+          "LinearSVC is squared-hinge liblinear, which has no capped " +
+          "twin here; drop exact=true to use hinge LinearSVC (binary) " +
+          "or softmax (compat=softmax_multiclass, k > 2)")
     case ("classification", "linear_svm") =>
       // sklearn's LinearSVC is one-vs-rest multiclass; MLlib's is
       // binary-only, so k > 2 substitutes softmax (compat-flagged)
@@ -430,8 +441,10 @@ object Train {
   private def compatNote(algorithm: String, h: Map[String, String],
       numClasses: => Int = 2, task: String = ""): Map[String, String] =
     algorithm match {
-    case "linear_svm" if h.get("exact").contains("true") =>
+    case "linear_svm" if task == "regression" && h.get("exact").contains("true") =>
       Map.empty // capped SMO linear ε-SVR — nothing substituted
+      // (classification exact=true never reaches here — estimatorFor
+      // refuses it, so no flag-free approximation can enter the ledger)
     case "linear_svm" if task == "regression" =>
       // sklearn LinearSVR's ε-insensitive loss has no MLlib twin — the
       // scale path trains squared loss, flagged

@@ -329,6 +329,22 @@ class SvmSpec extends AnyFunSuite {
       .contains("squared_loss_svr"))
   }
 
+  test("train() dispatch: classification linear_svm refuses exact=true by policy") {
+    // sklearn LinearSVC is squared-hinge liblinear; neither MLlib's
+    // hinge LinearSVC nor the softmax substitute is scheme-exact, so
+    // exact=true must refuse rather than let an approximation reach
+    // the ledger flag-free (same policy as GP classification)
+    val e = intercept[IllegalArgumentException] {
+      Train.estimatorFor("classification", "linear_svm",
+        Map("exact" -> "true"), seed = 1L)
+    }
+    assert(e.getMessage.contains("squared-hinge"), e.getMessage)
+    // the non-exact routes stay available
+    assert(Train.estimatorFor("classification", "linear_svm",
+      Map.empty, seed = 1L, numClasses = 2)
+      .isInstanceOf[org.apache.spark.ml.classification.LinearSVC])
+  }
+
   test("train() dispatch: exact=true fits SMO and records no compat flag") {
     val cat = new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_svmx").toString)
