@@ -76,6 +76,13 @@ class GraftLinearModel(override val uid: String)
   override def predict(features: Vector): Double = {
     val w = $(coefficients)
     val x = features.toArray
+    // same contract as MLlib's BLAS.dot and the InlineLinearPredict
+    // codegen path: a dimension mismatch raises — in particular an
+    // over-long array must not silently score its first p elements,
+    // or the same query would succeed or fail depending on whether
+    // the optimizer rule fired
+    require(x.length == w.length,
+      s"quackml_predict: feature vector has ${x.length} elements, model expects ${w.length}")
     var s = $(interceptParam)
     var i = 0
     while (i < w.length) { s += w(i) * x(i); i += 1 }

@@ -29,10 +29,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * dimension-mismatched feature arrays, exactly where the UDF's
   * `require` + BLAS-dot would — a bad feature pipeline fails loudly on
   * both paths instead of silently scoring null on the inlined one.
-  * One documented divergence: an array LONGER than the model dimension
-  * raises here while the Gram-trained UDF path silently scores the
-  * first p elements — the silent-extra read is the bug being guarded
-  * against, not a behavior to reproduce. Registered
+  * An array LONGER than the model dimension raises on both paths too:
+  * GraftLinearModel.predict carries the same dimension `require` as
+  * MLlib's BLAS.dot, so error semantics never depend on whether this
+  * rule fired. Registered
   * per-session through `spark.experimental.extraOptimizations` by
   * [[graft.ml.Predict.registerFunctions]].
   */

@@ -49,6 +49,35 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(math.abs(pred - viaBatch) < 1e-5, s"$pred vs $viaBatch")
     val bulk = Predict.transform(cat, "Diabetes", df)
     assert(bulk.columns.contains("prediction") && bulk.count() == 442)
+
+    // dimension mismatch raises IDENTICALLY on both plan shapes: the
+    // inlined codegen path (literal project) and the ScalaUDF path
+    // (non-literal project defeats the rule) — an 11-element array on a
+    // 10-feature model must never silently score the first 10
+    val longArr = "array(" + (1 to 11).map(_ => "cast(0.1 as float)").mkString(",") + ")"
+    val inlined = spark.sql(s"SELECT quackml_predict('Diabetes', $longArr)")
+    assert(inlined.queryExecution.executedPlan.toString.contains("graft_dot"))
+    val eInline = intercept[Exception] { inlined.head() }
+    // CASE over a column is not foldable, so constant folding cannot
+    // hand the rule a literal project name
+    val udfPath = spark.range(1).selectExpr(
+      s"quackml_predict(CASE WHEN id < 1 THEN 'Diabetes' ELSE 'x' END, $longArr)")
+    assert(!udfPath.queryExecution.executedPlan.toString.contains("graft_dot"))
+    val eUdf = intercept[Exception] { udfPath.head() }
+    for (e <- Seq(eInline, eUdf)) {
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("feature vector") || msg.contains("non-matching sizes"),
+        s"${e.getClass}: ${e.getMessage}")
+    }
+
+    // the Gram-trained model carries the same contract directly (it has
+    // no BLAS.dot to raise for it — GramSolvers adds the require)
+    val gm = new GraftLinearModel().setCoefficients(Array(1.0, 2.0)).setIntercept(0.5)
+    val eg = intercept[IllegalArgumentException] {
+      gm.predict(org.apache.spark.ml.linalg.Vectors.dense(1.0, 2.0, 3.0))
+    }
+    assert(eg.getMessage.contains("feature vector"), eg.getMessage)
+    assert(gm.predict(org.apache.spark.ml.linalg.Vectors.dense(1.0, 2.0)) == 5.5)
   }
 
   test("worse second model is not auto-deployed; rollback/most_recent strategies work") {
