@@ -633,19 +633,65 @@ object Finetune {
       s"candidate pool has $nCand rows > $maxCandidates broadcast guard; " +
         "route the pool through the ANN operators (the score is a dot " +
         "product of the reweighted context against response embeddings)")
-    val cands = Ops.embedColumn(pool, hp("runtime"), "resp", "remb", dim = dim)
-      .withColumn("rv", col("remb").cast("array<double>")).drop("remb")
+    // Broadcast the candidate side as a flat primitive matrix and argmax
+    // in one map stage. The former shape — crossJoin(broadcast(cands)) +
+    // per-pair graft_dot + max(struct) — materialized n_ctx × n_cand
+    // ROWS through the aggregator: 25M pairs = 43 s warm at sf0.1. The
+    // same 25M dot products as a tight loop over the matrix run in
+    // under a second, and nothing n² ever becomes a row. Scores are
+    // bit-identical (same per-element double product, same
+    // left-to-right accumulation as zip_with + graft_dot, intercept
+    // added last) and ties keep the max(struct) rule: greater response
+    // string (unsigned UTF-8 byte order) wins.
+    val candRows = Ops.embedColumn(pool, hp("runtime"), "resp", "remb", dim = dim)
+      .select(col("resp"), col("remb")).collect()
+    val nc = candRows.length
+    val resps = new Array[String](nc)
+    val mat = new Array[Double](nc * dim)
+    candRows.zipWithIndex.foreach { case (r, j) =>
+      resps(j) = r.getString(0)
+      val e = r.getSeq[Float](1)
+      require(e.length == dim, s"candidate embedding dim ${e.length} != $dim")
+      var d = 0
+      while (d < dim) { mat(j * dim + d) = e(d).toDouble; d += 1 }
+    }
+    val bcM = spark.sparkContext.broadcast((resps, mat))
 
     val ctx = df.select(col(systemCol), col(userCol)).distinct()
       .withColumn("ctx", concat(col(systemCol), lit(PAIR_SEP), col(userCol)))
-    val wq = Ops.embedColumn(ctx, hp("runtime"), "ctx", "cemb", dim = dim)
-      .withColumn("wq", zip_with(col("cemb"), typedlit(w.toSeq), (c, wi) => c * wi))
-    wq.crossJoin(broadcast(cands))
-      .withColumn("score",
-        call_function("graft_dot", col("wq"), col("rv")) + lit(b))
-      .groupBy(col(systemCol), col(userCol))
-      .agg(max(struct(col("score"), col("resp"))).as("m"))
-      .select(col(systemCol), col(userCol), col("m.resp").as("response"))
+    val ce = Ops.embedColumn(ctx, hp("runtime"), "ctx", "cemb", dim = dim)
+      .select(col(systemCol), col(userCol), col("cemb"))
+    val outSchema = StructType(Seq(
+      StructField(systemCol, StringType), StructField(userCol, StringType),
+      StructField("response", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    ce.mapPartitions { it =>
+      val (rs, m) = bcM.value
+      it.map { row =>
+        val c = row.getSeq[Float](2)
+        val wq = new Array[Double](dim)
+        var d = 0
+        while (d < dim) { wq(d) = c(d).toDouble * w(d); d += 1 }
+        var best = Double.NegativeInfinity
+        var bestR: String = null
+        var j = 0
+        while (j < rs.length) {
+          var s = 0.0
+          var dd = 0
+          val off = j * dim
+          while (dd < dim) { s += wq(dd) * m(off + dd); dd += 1 }
+          s += b
+          if (s > best || (bestR == null) ||
+              (s == best && org.apache.spark.unsafe.types.UTF8String
+                .fromString(rs(j)).compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(bestR)) > 0)) {
+            best = s; bestR = rs(j)
+          }
+          j += 1
+        }
+        Row(row.getString(0), row.getString(1), bestR)
+      }
+    }(enc)
   }
 
   /** Score raw text with a finetuned project: embed with the SAME

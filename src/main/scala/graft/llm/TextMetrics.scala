@@ -67,17 +67,24 @@ object TextMetrics {
     * The reference reports the avg over pairs (`avg=True`); use
     * [[rougeAvg]] for that roll-up. */
   def rougePairs(pairs: DataFrame, predCol: String, refCol: String): DataFrame = {
-    val tp = tokens(col(predCol)); val tr = tokens(col(refCol))
-    def block(n: Int, tag: String)(df: DataFrame): DataFrame = {
-      val gp = ngrams(tp, n); val gr = ngrams(tr, n)
-      val ov = clippedOverlap(gp, gr)
-      df.withColumn(s"${tag}_ov", ov)
-        .withColumn(s"${tag}_p", ratio(col(s"${tag}_ov"), size(gp)))
-        .withColumn(s"${tag}_r", ratio(col(s"${tag}_ov"), size(gr)))
-        .withColumn(s"${tag}_f", fScore(col(s"${tag}_p"), col(s"${tag}_r")))
-        .drop(s"${tag}_ov")
-    }
-    block(2, "r2")(block(1, "r1")(pairs))
+    // ONE fused-count expression per row (see RougeStats scaladoc: the
+    // per-column composed form tokenized each string 24× through
+    // interpreted HOFs — 12 s of the 20 s summarize gate); the six
+    // metric columns are cheap field reads off the single struct, which
+    // CollapseProject keeps as one producer because it is non-trivial
+    // and multiply referenced.
+    val rc = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.RougeStats(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(predCol)),
+        org.apache.spark.sql.GraftColumnBridge.expression(col(refCol))))
+    pairs.withColumn("__rc", rc)
+      .withColumn("r1_p", ratio(col("__rc.ov1"), col("__rc.np1")))
+      .withColumn("r1_r", ratio(col("__rc.ov1"), col("__rc.nr1")))
+      .withColumn("r1_f", fScore(col("r1_p"), col("r1_r")))
+      .withColumn("r2_p", ratio(col("__rc.ov2"), col("__rc.np2")))
+      .withColumn("r2_r", ratio(col("__rc.ov2"), col("__rc.nr2")))
+      .withColumn("r2_f", fScore(col("r2_p"), col("r2_r")))
+      .drop("__rc")
   }
 
   /** Macro-average of the per-pair scores — the `avg=True` dict shape
