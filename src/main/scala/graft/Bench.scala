@@ -92,15 +92,18 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val regressions = results.flatMap { case (name, sec) =>
       // 50 ms base floor (sub-noise queries regress by scheduler jitter
-      // alone), then EITHER a) >25% slower AND >150 ms absolute — the
-      // r9 adjudication (bench_adjudication_r9.json) showed the same
-      // unchanged binary swinging up to 0.43 s run to run, so small
-      // absolute deltas at moderate ratios are noise — OR b) >2×
-      // slower at any delta, so a fast query's large relative
-      // regression (0.1 s → 0.24 s) still flags despite the floor
+      // alone), then EITHER a) >25% slower AND past an absolute floor
+      // that SCALES with the baseline — min(0.15 s, 0.3·old), so a
+      // 0.2 s query regressing 35% flags (the fixed 150 ms floor made
+      // 0.2–0.6 s baselines a blind band, ADVICE r9) while big
+      // baselines keep the 150 ms jitter guard (bench_adjudication_r9
+      // showed 0.43 s same-binary swings) — OR b) >2× slower at any
+      // delta. False positives cost only an isolated rerun below, which
+      // records them as noise instead of suppressing them.
       prev.get(name).collect {
         case old if old > 0.05 &&
-            ((sec > old * 1.25 && sec - old > 0.15) || sec > old * 2) =>
+            ((sec > old * 1.25 && sec - old > math.min(0.15, 0.3 * old)) ||
+              sec > old * 2) =>
           (name, old, sec)
       }
     }.sortBy { case (_, o, n) => -(n / o) }
@@ -111,8 +114,45 @@ object Bench {
       }
     }
     if (only.isEmpty) {
+      // Adjudicate EVERY flag before the artifact ships (VERDICT r9
+      // item 2: the r9 artifact carried two flags the isolated protocol
+      // later disproved): re-run each flagged query alone in a fresh
+      // JVM (tools/adjudicate_bench.sh — 5 iterations, same SF) and
+      // record the verdict inside bench_regressions.json itself, so no
+      // run ever leaves an unadjudicated flag behind. `noise` = the
+      // isolated median is back within 1.25× of the previous vector;
+      // `real` = it is not; `failed` = the rerun produced no JSON.
+      val verdicts: Map[String, (Double, String)] =
+        if (regressions.isEmpty || sys.env.contains("SPARK_GRAFT_NO_ADJUDICATE"))
+          Map.empty
+        else {
+          val names = regressions.map(_._1)
+          System.err.println(
+            s"ADJUDICATING ${names.size} flag(s) via isolated rerun...")
+          val out = try {
+            import scala.sys.process._
+            Process(Seq("bash", "tools/adjudicate_bench.sh") ++ names,
+              None, "ADJ_SF_DIR" -> sfDir).!!
+          } catch { case _: Throwable => "" }
+          out.linesIterator.collect {
+            case l if l.startsWith("ISOLATED ") =>
+              l.split("\\s+") match {
+                case Array(_, q, "FAILED") => q -> (-1.0, "failed")
+                case Array(_, q, sec) =>
+                  val iso = sec.toDouble
+                  val old = prev.getOrElse(q, Double.MaxValue)
+                  q -> (iso, if (iso <= old * 1.25) "noise" else "real")
+                case _ => "" -> (-1.0, "failed")
+              }
+          }.filter(_._1.nonEmpty).toMap
+        }
+      verdicts.foreach { case (q, (iso, v)) =>
+        System.err.println(f"  ADJUDICATED $q%-24s isolated=$iso%.3f s -> $v")
+      }
       val regJson = regressions.map { case (name, o, n) =>
-        "\"" + name + "\":{\"prev\":" + o + ",\"now\":" + n + "}"
+        val (iso, v) = verdicts.getOrElse(name, (-1.0, "unadjudicated"))
+        "\"" + name + "\":{\"prev\":" + o + ",\"now\":" + n +
+          ",\"isolated\":" + iso + ",\"verdict\":\"" + v + "\"}"
       }.mkString("{", ",", "}")
       // the driver captures stdout with a bounded tail — the r6 capture
       // lost the trailing dd_* timings — so the full vector also lands as

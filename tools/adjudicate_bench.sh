@@ -14,7 +14,7 @@ set -u
 cd "$(dirname "$0")/.."
 QUERIES="$*"
 for q in $QUERIES; do
-  out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=4 \
+  out=$(SPARK_GRAFT_SF_DIR="${ADJ_SF_DIR:-/root/testdata/sf0.1}" SPARK_GRAFT_CPUS=4 \
     SPARK_GRAFT_BENCH_ITERS=5 SPARK_GRAFT_BENCH_ONLY="$q" \
     java --add-exports java.base/sun.nio.ch=ALL-UNNAMED \
       --add-opens java.base/java.nio=ALL-UNNAMED \
