@@ -27,9 +27,12 @@ package graft.llm
   * run on real embeddings with no code change. Embeddings are
   * mask-weighted mean-pooled hidden states, L2-normalized, sliced or
   * zero-padded to the requested `dim` (the pure pooling/shaping math is
-  * [[OnnxRuntime.pool]], spec-covered in-sandbox; the reflective ONNX
-  * call is exercised only where jars are mounted — OnnxRuntimeSpec
-  * skips it here and says so).
+  * [[OnnxRuntime.pool]], spec-covered in-sandbox). The model-file
+  * contract itself is exercised LIVE even without the jar: [[OnnxMini]]
+  * exports a valid encoder `.onnx` and executes it on the bare JVM
+  * through the same tokenizer/pooling surface, and OnnxRuntimeSpec
+  * cross-checks this reflective runtime against it when the jar is
+  * mounted.
   */
 object OnnxTokenizer {
   final case class Vocab(ids: Map[String, Int], unk: Int, cls: Int, sep: Int, pad: Int)

@@ -154,6 +154,10 @@ object ModelRuntimes {
   // the neural path self-activates when its jars + env contract are
   // present (see OnnxRuntime scaladoc) — mounting is the ONLY step
   if (OnnxRuntime.available) register("onnx", () => OnnxRuntime.fromEnv())
+  // jar-free ONNX execution for the restricted encoder op set: the env
+  // contract alone activates it (OnnxMini scaladoc has the scope)
+  if (sys.env.contains("GRAFT_ONNX_MODEL") && sys.env.contains("GRAFT_ONNX_VOCAB"))
+    register("onnx_mini", () => OnnxMiniRuntime.fromEnv())
 
   def register(name: String, factory: () => ModelRuntime): Unit =
     factories.put(name, factory)

@@ -53,10 +53,45 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * appending to one directory share the committer's `_temporary/0`
     * staging path, and either job's commit-cleanup deletes the other's
     * in-flight files. The write is O(metadata) — a handful of rows — so
-    * a lock costs nothing and the DATA path never takes it. */
+    * a lock costs nothing and the DATA path never takes it.
+    *
+    * Write amplification: every append is a one-row part file, so a
+    * long-lived deployment accumulates thousands of tiny files per
+    * table and every catalog READ pays a file-listing + footer per
+    * part. Compaction rewrites the table to one part whenever the part
+    * count crosses [[Catalog.COMPACT_PARTS]] — inside the same lock, so
+    * appends never interleave with the rewrite; rows round-trip through
+    * the driver (the catalog is O(metadata) by construction) and land
+    * in a fresh directory swapped in by rename, because Spark cannot
+    * overwrite a directory it is reading. Readers in OTHER processes
+    * racing the swap inherit the single-writer discipline the reference
+    * assumes (scaladoc top); an object store without atomic rename
+    * (S3) is the documented swap point for a Delta/transactional
+    * catalog (SCALE.md). */
   private def append[T: org.apache.spark.sql.Encoder](t: String, rows: Seq[T]): Unit =
     Catalog.writeLock(baseDir, t).synchronized {
       rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(dir(t))
+      maybeCompact[T](t)
+    }
+
+  private def partCount(t: String): Int =
+    Option(new java.io.File(dir(t)).listFiles())
+      .map(_.count(f => f.getName.startsWith("part-"))).getOrElse(0)
+
+  private def maybeCompact[T: org.apache.spark.sql.Encoder](t: String): Unit =
+    if (partCount(t) > Catalog.COMPACT_PARTS) {
+      val rows = read[T](t).collect().toSeq
+      val fresh = new java.io.File(s"${dir(t)}__compact${System.nanoTime()}")
+      spark.createDataset(rows).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(fresh.toString)
+      val live = new java.io.File(dir(t))
+      val retired = new java.io.File(s"${dir(t)}__retired${System.nanoTime()}")
+      if (live.renameTo(retired) && fresh.renameTo(live)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(retired)
+      }
     }
 
   private def tableDf(t: String): DataFrame = t match {
@@ -193,6 +228,12 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
 }
 
 object Catalog {
+  /** Part-file threshold that triggers a compacting rewrite on append —
+    * high enough that a single train lifecycle (a handful of appends
+    * per table) never compacts, low enough that a read never lists
+    * more than ~100 footers. */
+  private[ml] val COMPACT_PARTS = 64
+
   /** Process-wide id allocators keyed by (catalog baseDir, table). */
   private val counters = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.atomic.AtomicLong]()

@@ -197,6 +197,28 @@ object Predict {
       }
     })
 
+    // the array-returning companion (SURVEY §2.1 #4): the scalar form
+    // above keeps the reference's first-class-probability quirk; this
+    // one serves the FULL distribution (class order = the model's
+    // sorted label order), so a multiclass user can read every class
+    // probability through SQL — incl. the exact-SVC Wu–Lin–Weng
+    // coupled vector — instead of dropping to Scala transform()
+    spark.udf.register("quackml_predict_proba_all",
+      (project: String, features: Seq[Float]) => {
+        val m = cachedOnly(project)
+        m.stages.last match {
+          case p: org.apache.spark.ml.classification.ProbabilisticClassificationModel[
+              org.apache.spark.ml.linalg.Vector @unchecked, _] =>
+            p.predictProbability(Vectors.dense(features.map(_.toDouble).toArray))
+              .toArray.map(_.toFloat).toSeq
+          case g: GraftSvmModel =>
+            g.probability(Vectors.dense(features.map(_.toDouble).toArray))
+              .map(_.toFloat).toSeq
+          case other => throw new IllegalArgumentException(
+            s"predict_proba_all unsupported for ${other.getClass.getSimpleName}")
+        }
+      })
+
     spark.udf.register("quackml_predict_text", (project: String, text: String) => {
       val feats = text.getBytes("UTF-8").map(b => (b & 0xff).toFloat)
       val m = cachedOnly(project)

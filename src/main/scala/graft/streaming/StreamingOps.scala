@@ -108,6 +108,54 @@ object StreamingOps {
     graft.llm.Finetune.respondText(batch.sparkSession, catalog, project,
       batch, systemCol, userCol, candidates)
 
+  /** Index a static candidate pool for streaming ANN retrieval: one
+    * map-only `graft_cell` assignment per vector (the IVF build pass).
+    * At scale the result is WRITTEN partitioned/bucketed by `cell`, so
+    * the stream-static join below prunes to the probed cells' files
+    * instead of scanning the pool per micro-batch. Input needs
+    * (vec_id, v: array<double>, nrm). */
+  def indexPool(pool: DataFrame, quant: graft.operators.CoarseQuantizer): DataFrame = {
+    graft.functions.GraftFunctions.register(pool.sparkSession)
+    pool.withColumn("cell", quant.cellCol(col("v")))
+      .select(col("vec_id").as("cid"), col("v").as("vc"),
+        col("nrm").as("nc"), col("cell"))
+  }
+
+  /** Streaming ANN retrieval — the streaming twin of sim_ann_ivf and
+    * the scale path past respondText's broadcast-pool guard: a stream
+    * of query vectors joins the [[indexPool]] cell index stream-static
+    * on `cell` (stream side pays one `graft_cell`/`graft_halo` probe
+    * assignment per row; the static side is the pre-indexed pool), then
+    * exact cosine ranks the in-cell candidates and a per-query
+    * aggregation keeps top-k. Same candidate generation, same scores,
+    * same tie rule (cos desc, cid asc) as the batch operator — the
+    * parity StreamingSpec proves it row for row. The aggregation is the
+    * only stateful piece (keyed by qid, Complete/Update output); at
+    * 100 TB the pool side stays partition-pruned by cell and the stream
+    * side never fans out beyond `nprobe` cells per query. */
+  def annRetrieveStream(queries: DataFrame, indexedPool: DataFrame,
+      quant: graft.operators.CoarseQuantizer, topK: Int = 3,
+      nprobe: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val probes =
+      if (nprobe == 1) queries.withColumn("cell", quant.cellCol(col("v")))
+      else queries.withColumn("cell", explode(quant.probeCol(col("v"), nprobe)))
+    val q = probes.select(col("vec_id").as("qid"), col("v").as("vq"),
+      col("nrm").as("nq"), col("cell"))
+    val scored = q.join(indexedPool, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos",
+        call_function("graft_dot", col("vq"), col("vc")) / (col("nq") * col("nc")))
+    // top-k inside one agg: sort (-cos, cid) ascending == (cos desc,
+    // cid asc) — the batch window's exact tie rule — then slice k
+    scored.groupBy(col("qid"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("cos")).as("neg"), col("cid"), col("cos")))), 1, topK).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("qid"), col("t.cid").as("cid"), col("t.cos").as("cos"),
+        (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Streaming exact dedup — the streaming twin of dd_exact: documents
     * keyed by content fingerprint, first arrival wins, duplicates
     * dropped. `dropDuplicates` keeps per-key state; the watermark bounds

@@ -95,6 +95,66 @@ class ApiSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("predict_proba_all serves the full distribution with transform parity") {
+    // 3-class data so the multiclass (WLW-coupled) vector is exercised,
+    // not just a binary complement pair
+    val df = (1 to 150).map { i =>
+      val y = i % 3
+      (y * 5.0 + (i % 4) * 0.5, (2 - y) * 3.0 + (i % 5) * 0.3, y)
+    }.toDF("f1", "f2", "label")
+    def dist(project: String): Seq[Float] = spark.sql(
+      s"SELECT quackml_predict_proba_all('$project', " +
+        "array(cast(5.0 as float), cast(3.0 as float)))")
+      .head().getSeq[Float](0)
+    // logistic (classification "linear") and RF: parity with the
+    // pipeline transform's probability column on the same features
+    for (alg <- Seq("linear", "random_forest")) {
+      val cat = new Catalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft_pall_$alg").toString)
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = s"PAll_$alg", task = "classification", relationName = "t",
+        data = Some(df), yColumn = Seq("label"), algorithm = alg,
+        hyperparams = if (alg == "random_forest") Map("n_estimators" -> "10")
+          else Map.empty,
+        testSampling = "stratified", orderCols = Seq("f1")))
+      Predict.clearCaches()
+      Predict.registerFunctions(spark, cat)
+      val got = dist(s"PAll_$alg")
+      val expected = Predict.transform(cat, s"PAll_$alg",
+          Seq((5.0, 3.0, 0)).toDF("f1", "f2", "label"))
+        .select("probability").head()
+        .getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+      assert(got.size == 3, s"$alg distribution size ${got.size}")
+      assert(math.abs(got.map(_.toDouble).sum - 1.0) < 1e-5)
+      got.zip(expected).foreach { case (g, e) =>
+        assert(math.abs(g - e.toFloat) < 1e-6f, s"$alg: $got vs ${expected.toSeq}")
+      }
+      // the scalar quirk form is exactly element 0 of the full vector
+      val scalar = spark.sql(
+        s"SELECT quackml_predict_proba('PAll_$alg', " +
+          "array(cast(5.0 as float), cast(3.0 as float)))").head().getFloat(0)
+      assert(scalar == got.head)
+    }
+    // exact multiclass SVC with probability=true: the WLW-coupled vector
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_pall_svc").toString)
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "PAllSvc", task = "classification", relationName = "t",
+      data = Some(df), yColumn = Seq("label"), algorithm = "svm",
+      hyperparams = Map("exact" -> "true", "probability" -> "true", "C" -> "1.0"),
+      testSampling = "stratified", orderCols = Seq("f1")))
+    Predict.clearCaches()
+    Predict.registerFunctions(spark, cat)
+    val got = dist("PAllSvc")
+    val m = Predict.deployedModel(cat, "PAllSvc")
+    val expected = m.stages.last.asInstanceOf[GraftSvmModel]
+      .probability(org.apache.spark.ml.linalg.Vectors.dense(5.0, 3.0))
+    assert(got.size == 3 && math.abs(got.map(_.toDouble).sum - 1.0) < 1e-5)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g - e.toFloat) < 1e-6f, s"svc: $got vs ${expected.toSeq}")
+    }
+  }
+
   test("predict_proba on the exact kernel SVC serves the Platt sigmoid") {
     // sklearn probability=True on the exact SMO path: the stored Platt
     // sigmoid maps decision values to calibrated first-class probability

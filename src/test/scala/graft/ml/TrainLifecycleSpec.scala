@@ -334,6 +334,23 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot be present in both"))
   }
 
+  test("catalog compacts small append files past the part threshold") {
+    val cat = freshCatalog()
+    val n = Catalog.COMPACT_PARTS + 10
+    (1 to n).foreach(i => cat.addLog(modelId = 1L, s"log line $i"))
+    val dir = new java.io.File(s"${cat.baseDir}/logs")
+    val parts = dir.listFiles().count(_.getName.startsWith("part-"))
+    // one compaction fired somewhere past the threshold, so the live
+    // directory holds far fewer parts than appends — and nothing leaked
+    assert(parts <= Catalog.COMPACT_PARTS,
+      s"$n one-row appends left $parts part files (no compaction?)")
+    assert(!dir.getParentFile.listFiles().exists(
+      f => f.getName.contains("__compact") || f.getName.contains("__retired")))
+    // every row survived with its id intact
+    val ids = cat.logs.collect().map(_.id).sorted
+    assert(ids.length == n && ids.head == 1L && ids.last == n.toLong)
+  }
+
   test("MLlib linear regression agrees with closed-form OLS") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -224,6 +224,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN retrieval matches batch sim_ann_ivf on the same pool") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the batch gate's exact frame: doubled embeddings + L2 norm
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+    val pool = StreamingOps.indexPool(e, graft.operators.LcgQuantizer)
+      .localCheckpoint()
+    // queries arrive as a stream: the same vec_id < 10 rows staged as
+    // a file source
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_in").toString
+    e.filter($"vec_id" < 10).coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = StreamingOps.annRetrieveStream(stream, pool,
+        graft.operators.LcgQuantizer)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ann_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ann_out")
+        .select($"qid", $"cid", $"cos", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val batch = graft.operators.Similarity.sim_ann_ivf(spark, sfDir)
+        .select($"qid", $"cid", $"cos", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream ${streamed.size} rows vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: exact tf parity, bounded-error df") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
