@@ -28,10 +28,18 @@ object Bench {
     // warmup: touch the big fact table + exercise codegen once
     Tables.lineitem(spark, sfDir).limit(1000).count()
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must surface as a FAILURE, never as its (meaningless)
+    // elapsed time: round 10's events-schema breakage shipped as five
+    // apparent 3–10× "speedups" because the old catch discarded the error
+    // and recorded the failed-analysis wall time.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(s"${e.getClass.getName}: ${e.getMessage}")
+      }
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -47,7 +55,7 @@ object Bench {
     // iterate WHOLE passes (not per-query repeats) so iteration i+1 of a
     // query never rides the page cache its own iteration i just filled
     // more than any other query's does
-    val passes: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
+    val passes: Seq[Seq[(String, Either[String, Double])]] = (1 to iters).map { _ =>
       // each pass re-pays shared work exactly once (the first dd_* gate
       // recomputes CC, later gates share it) — medians must measure the
       // real cost, never a memo hit from a previous pass
@@ -56,13 +64,34 @@ object Bench {
         name -> timeOnce(fn)
       }
     }
-    val results = passes.head.map(_._1).map { name =>
-      name -> median(passes.map(_.find(_._1 == name).get._2))
+    // a query that failed ANY pass is an error, not a timing — its JSON
+    // value is null and its first error message lands under "errors"
+    val errors: Seq[(String, String)] = passes.head.map(_._1).flatMap { name =>
+      passes.flatMap(_.find(_._1 == name).get._2.left.toOption).headOption
+        .map(name -> _)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val errSet = errors.map(_._1).toSet
+    val results: Seq[(String, Double)] = passes.head.map(_._1)
+      .filterNot(errSet).map { name =>
+        name -> median(passes.map(_.find(_._1 == name).get._2.toOption.get))
+      }
+    errors.foreach { case (n, m) => System.err.println(s"BENCH FAILED $n: $m") }
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + v } ++
+      errors.map { case (k, _) => "\"" + k + "\":null" })
+      .mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
     println(line)
     // regression detection: diff this vector against the PREVIOUS run's
     // bench_results.json before overwriting it — the r7 knnGraph 1.9×
@@ -104,29 +133,70 @@ object Bench {
         case old if old > 0.05 &&
             ((sec > old * 1.25 && sec - old > math.min(0.15, 0.3 * old)) ||
               sec > old * 2) =>
-          (name, old, sec)
+          (name, old, sec, "slower")
       }
-    }.sortBy { case (_, o, n) => -(n / o) }
+    }.sortBy { case (_, o, n, _) => -(n / o) }
+    // A sudden >2× IMPROVEMENT on a query is as suspect as a slowdown —
+    // round 10's five broken gates shipped as 3–10× "speedups". Failures
+    // are now excluded from `results` entirely, so a faster flag here is a
+    // real timing; it still gets adjudicated so an accidental semantic
+    // short-circuit (e.g. an operator silently returning early) leaves an
+    // audit trail instead of passing as a win.
+    val speedups = results.flatMap { case (name, sec) =>
+      prev.get(name).collect {
+        case old if old > 0.1 && sec < old * 0.5 => (name, old, sec, "faster")
+      }
+    }.sortBy { case (_, o, n, _) => n / o }
     if (regressions.nonEmpty) {
       System.err.println("BENCH REGRESSIONS (>25% slower than previous vector):")
-      regressions.foreach { case (name, o, n) =>
+      regressions.foreach { case (name, o, n, _) =>
+        System.err.println(f"  $name%-28s $o%8.3f s -> $n%8.3f s  (${n / o}%.2fx)")
+      }
+    }
+    if (speedups.nonEmpty) {
+      System.err.println("BENCH SPEEDUPS >2x (suspect until adjudicated):")
+      speedups.foreach { case (name, o, n, _) =>
         System.err.println(f"  $name%-28s $o%8.3f s -> $n%8.3f s  (${n / o}%.2fx)")
       }
     }
     if (only.isEmpty) {
-      // Adjudicate EVERY flag before the artifact ships (VERDICT r9
-      // item 2: the r9 artifact carried two flags the isolated protocol
-      // later disproved): re-run each flagged query alone in a fresh
-      // JVM (tools/adjudicate_bench.sh — 5 iterations, same SF) and
-      // record the verdict inside bench_regressions.json itself, so no
-      // run ever leaves an unadjudicated flag behind. `noise` = the
-      // isolated median is back within 1.25× of the previous vector;
-      // `real` = it is not; `failed` = the rerun produced no JSON.
+      // Adjudicate EVERY flag (slower AND faster) before the artifact
+      // ships: re-run each flagged query alone in a fresh JVM
+      // (tools/adjudicate_bench.sh — 5 iterations, same SF) and record
+      // the verdict inside bench_regressions.json itself, so no run ever
+      // leaves an unadjudicated flag behind.
+      //
+      // Verdicts compare ISOLATED-vs-ISOLATED (VERDICT r10 item 4): the
+      // fresh-JVM median runs 3–5× the in-suite number, so comparing it
+      // against the in-suite prev biased every verdict toward `real`.
+      // bench_isolated_baseline.json accumulates one isolated median per
+      // ever-flagged query; a flag with no stored isolated baseline
+      // records `no_baseline` (first observation — the comparison point
+      // for the NEXT time it flags) rather than a biased verdict.
+      //   noise       — isolated median within 1.25× of the isolated
+      //                 baseline (slower flags) / above 0.75× (faster)
+      //   real        — outside that band, in the flagged direction
+      //   no_baseline — first isolated observation, recorded for later
+      //   failed      — the rerun produced no JSON
+      val flagged = regressions ++ speedups
+      val isoBasePath = java.nio.file.Paths.get("bench_isolated_baseline.json")
+      val isoBase: Map[String, Double] =
+        try {
+          import org.json4s._
+          org.json4s.jackson.JsonMethods.parse(
+            java.nio.file.Files.readString(isoBasePath)) match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v))    => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        } catch { case _: Throwable => Map.empty }
       val verdicts: Map[String, (Double, String)] =
-        if (regressions.isEmpty || sys.env.contains("SPARK_GRAFT_NO_ADJUDICATE"))
+        if (flagged.isEmpty || sys.env.contains("SPARK_GRAFT_NO_ADJUDICATE"))
           Map.empty
         else {
-          val names = regressions.map(_._1)
+          val names = flagged.map(_._1)
           System.err.println(
             s"ADJUDICATING ${names.size} flag(s) via isolated rerun...")
           val out = try {
@@ -134,14 +204,21 @@ object Bench {
             Process(Seq("bash", "tools/adjudicate_bench.sh") ++ names,
               None, "ADJ_SF_DIR" -> sfDir).!!
           } catch { case _: Throwable => "" }
+          val kinds = flagged.map(f => f._1 -> f._4).toMap
           out.linesIterator.collect {
             case l if l.startsWith("ISOLATED ") =>
               l.split("\\s+") match {
                 case Array(_, q, "FAILED") => q -> (-1.0, "failed")
                 case Array(_, q, sec) =>
                   val iso = sec.toDouble
-                  val old = prev.getOrElse(q, Double.MaxValue)
-                  q -> (iso, if (iso <= old * 1.25) "noise" else "real")
+                  val v = isoBase.get(q) match {
+                    case None => "no_baseline"
+                    case Some(base) => kinds.getOrElse(q, "slower") match {
+                      case "faster" => if (iso < base * 0.75) "real" else "noise"
+                      case _        => if (iso > base * 1.25) "real" else "noise"
+                    }
+                  }
+                  q -> (iso, v)
                 case _ => "" -> (-1.0, "failed")
               }
           }.filter(_._1.nonEmpty).toMap
@@ -149,20 +226,34 @@ object Bench {
       verdicts.foreach { case (q, (iso, v)) =>
         System.err.println(f"  ADJUDICATED $q%-24s isolated=$iso%.3f s -> $v")
       }
-      val regJson = regressions.map { case (name, o, n) =>
+      val regJson = flagged.map { case (name, o, n, kind) =>
         val (iso, v) = verdicts.getOrElse(name, (-1.0, "unadjudicated"))
         "\"" + name + "\":{\"prev\":" + o + ",\"now\":" + n +
+          ",\"kind\":\"" + kind + "\"" +
           ",\"isolated\":" + iso + ",\"verdict\":\"" + v + "\"}"
       }.mkString("{", ",", "}")
+      // merge this run's isolated medians into the baseline file so the
+      // next flag on the same query has an apples-to-apples comparison
+      val mergedBase = isoBase ++ verdicts.collect {
+        case (q, (iso, v)) if iso > 0 && v != "failed" => q -> iso
+      }
       // the driver captures stdout with a bounded tail — the r6 capture
       // lost the trailing dd_* timings — so the full vector also lands as
       // a file artifact every run, keeping rounds comparable query by query
       try {
+        if (mergedBase.nonEmpty)
+          java.nio.file.Files.writeString(isoBasePath,
+            mergedBase.toSeq.sortBy(_._1)
+              .map { case (k, v) => "\"" + k + "\":" + v }
+              .mkString("{", ",", "}") + "\n")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_regressions.json"), regJson + "\n")
         java.nio.file.Files.writeString(prevPath, line + "\n")
       } catch { case _: Throwable => () }
     }
     spark.stop()
+    // nonzero rc: a vector containing failures must never ship as a clean
+    // rc=0 artifact again.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

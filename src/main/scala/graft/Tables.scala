@@ -13,15 +13,30 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and truncate to micros (identical to how
-    * DuckDB coerces ns→µs, so oracle comparisons line up). */
+  /** events.parquet has shipped with two encodings of `ts` across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader only
+    * accepts via `nanosAsLong`, surfacing an int64) and plain
+    * timestamp[us]. Branch on the actual read schema so both resolve to
+    * micros-precision timestamps — truncating ns→µs matches how DuckDB
+    * coerces, so oracle comparisons line up either way. */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long: truncate to micros.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case TimestampNTZType =>
+        // normalize NTZ to the session-TZ timestamp type the downstream
+        // window/sessionize/as-of operators (and the DuckDB oracle) expect.
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -15,11 +15,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must yield a VISIBLE failed row, never a silently
+    // missing key (round 10 shipped a 5-gate breakage as "79 entries, no
+    // errors" because the catch below wrote nothing): on exception we
+    // (a) leave a marker dir with error.txt where the parquet would be,
+    // so any reader of the dump sees a non-parquet failure artifact, and
+    // (b) collect every failure into errors.json for the driver/judge.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] FAILED $name: $msg")
+        failures(name) = msg
+        val marker = new java.io.File(s"$outDir/$name")
+        marker.mkdirs()
+        // clear any partial parquet output so the marker is unambiguous
+        Option(marker.listFiles()).foreach(_.foreach { f =>
+          if (!f.isDirectory) { f.delete(); () }
+        })
+        Files.writeString(Paths.get(s"$outDir/$name/error.txt"), msg + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +53,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failures.keys.mkString(", "))
     spark.stop()
+    // rc stays 0: the driver's compare must still run over the successful
+    // queries — the failure surface is errors.json + the marker dirs, not
+    // an aborted dump.
   }
 }

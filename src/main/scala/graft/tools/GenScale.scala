@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic testdata upsampler for scaling-exponent measurement
+  * (VERDICT r10 item 5 / r9 item 4): synthesizes sf·K from sf by
+  * replicating `documents` and `embeddings` K× under transforms chosen
+  * so the CORPUS-LEVEL structure scales the way a real corpus does —
+  * duplicate/near-duplicate density stays CONSTANT per replica instead
+  * of exploding across replicas:
+  *
+  *  - documents: every word in replica r>0 gets a `_r<r>` suffix, so a
+  *    replica shares zero shingles with any other replica (no spurious
+  *    cross-replica near-dup pairs) while the within-replica n-gram /
+  *    MinHash / SimHash neighbor structure is byte-for-byte isomorphic
+  *    to the source corpus. doc_id is offset by r·10^9.
+  *  - embeddings: replica r>0 is mapped through a fixed random ROTATION
+  *    (Gram–Schmidt QR of a seeded Gaussian matrix — orthogonal), so
+  *    all within-replica distances and cosines are EXACTLY preserved
+  *    while cross-replica cosines collapse to O(1/√d) noise — no
+  *    spurious neighbor pairs across replicas. vec_id offset likewise.
+  *
+  * Under this model runtime ratio vs data ratio directly measures each
+  * operator's scaling exponent: pair spaces grow linearly (per-replica),
+  * which is the 100 TB regime SCALE.md argues (duplicate rate does not
+  * rise just because the corpus grows).
+  *
+  * Usage: runMain graft.tools.GenScale <srcSfDir> <destDir> <K>
+  * Writes <destDir>/documents.parquet and <destDir>/embeddings.parquet.
+  */
+object GenScale {
+  /** Deterministic d×d orthogonal matrix per replica (modified
+    * Gram–Schmidt over an LCG-seeded Gaussian matrix; replica 0 =
+    * identity). */
+  private[tools] def rotation(d: Int, replica: Int): Array[Array[Double]] = {
+    if (replica == 0) return Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val rng = new java.util.Random(0x5DEECE66DL * (replica + 1) + 42)
+    val a = Array.fill(d, d)(rng.nextGaussian())
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < i) {
+        var dot = 0.0
+        var k = 0
+        while (k < d) { dot += a(i)(k) * a(j)(k); k += 1 }
+        k = 0
+        while (k < d) { a(i)(k) -= dot * a(j)(k); k += 1 }
+        j += 1
+      }
+      var nrm = 0.0
+      var k = 0
+      while (k < d) { nrm += a(i)(k) * a(i)(k); k += 1 }
+      nrm = math.sqrt(nrm)
+      k = 0
+      while (k < d) { a(i)(k) /= nrm; k += 1 }
+      i += 1
+    }
+    a
+  }
+
+  private val ID_STRIDE = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, destDir, kStr) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // documents: regexp_replace needs a literal replacement string, so
+    // each replica is its own no-shuffle scan+map branch, unioned — K is
+    // tiny (≤10) and union of maps stays one stage.
+    (0 until k).map { r =>
+      val base = spark.read.parquet(s"$srcDir/documents.parquet")
+        .withColumn("doc_id", $"doc_id" + lit(r.toLong * ID_STRIDE))
+      if (r == 0) base
+      else base.withColumn("text", regexp_replace($"text", "(\\S+)", s"$$1_r$r"))
+    }.reduce(_ unionAll _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$destDir/documents.parquet")
+
+    val srcEmb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val d = srcEmb.select(size($"embedding")).as[Int].head()
+    val brots = spark.sparkContext.broadcast(
+      (0 until k).map(r => rotation(d, r).map(_.map(_.toFloat))).toArray)
+    val rotate = udf { (v: Seq[Float], r: Int) =>
+      val m = brots.value(r)
+      val out = new Array[Float](m.length)
+      var i = 0
+      while (i < m.length) {
+        var s = 0.0f
+        val row = m(i)
+        var j = 0
+        while (j < row.length) { s += row(j) * v(j); j += 1 }
+        out(i) = s
+        i += 1
+      }
+      out.toSeq
+    }
+    val replicas = (0 until k).toDF("replica")
+    srcEmb.crossJoin(broadcast(replicas))
+      .withColumn("vec_id", $"vec_id" + $"replica" * ID_STRIDE)
+      .withColumn("embedding", rotate($"embedding", $"replica"))
+      .drop("replica")
+      .write.mode(SaveMode.Overwrite).parquet(s"$destDir/embeddings.parquet")
+
+    println(s"GenScale: wrote ${k}x documents+embeddings from $srcDir to $destDir")
+    spark.stop()
+  }
+}
