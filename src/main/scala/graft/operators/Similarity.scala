@@ -299,8 +299,12 @@ object Similarity {
   /** Rows per cell above which the kNN-graph self-join refuses to run:
     * in-cell work is quadratic in cell population, so a fat cell means
     * the quantizer's k is too small for the corpus — the fix is a
-    * bigger-k [[KMeansQuantizer]], not a longer wait. */
-  val KNN_MAX_CELL_ROWS = 20000L
+    * bigger-k [[KMeansQuantizer]], not a longer wait. The bound is
+    * measurement-derived (SCALE.md r11): 5000-row cells ran ~1 min of
+    * single-task pair work each; 4000 caps a cell's pair space at 16M
+    * (~8× the trained path's 500-row target squared) while any honest
+    * quantizer refit lands far below it. */
+  val KNN_MAX_CELL_ROWS = 4000L
 
   /** kNN-graph construction: top-k in-cell cosine neighbors for EVERY
     * node (not just a query set) — the edge list that graph-based dedup
