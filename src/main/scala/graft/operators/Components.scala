@@ -185,6 +185,37 @@ object Components {
       .orderBy($"component")
   }
 
+  /** Gate: the end-to-end dedup DECISION TABLE — one row per document
+    * with the verdict a training pipeline actually filters on:
+    * `unique` (in no near-dup pair), `canonical` (the kept
+    * representative of its cluster), or `duplicate` (dropped). Composes
+    * the shared CC labels with the canonical pick and a left join back
+    * to the corpus — the keep-list is `status != 'duplicate'`.
+    *
+    * Scale shape: labels and the canonical set are O(|docs in dup
+    * pairs|) ≪ corpus (broadcastable in practice); the only
+    * corpus-sized operation is the final left equi-join on doc_id, so
+    * the whole decision table costs one join pass over the corpus on
+    * top of the memoized CC fixpoint. */
+  def dd_keep_list(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = simhashComponents(s, dir)
+      .select($"id".as("doc_id"), $"comp".as("component"))
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+    val canon = labels.join(docs, "doc_id")
+      .groupBy($"component")
+      .agg(max(struct($"len", (-$"doc_id").as("nid"))).as("m"))
+      .select($"component", (-$"m.nid").as("canonical_doc"))
+    val verdicts = labels.join(canon, "component")
+      .select($"doc_id",
+        when($"doc_id" === $"canonical_doc", lit("canonical"))
+          .otherwise(lit("duplicate")).as("status"))
+    docs.select($"doc_id").join(verdicts, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"status", lit("unique")).as("status"))
+      .orderBy($"doc_id")
+  }
+
   /** Reachability closure over the SHARED simhash pair CTE
     * (`Dedup.simhashPairsSqlCte`) — one SQL definition of the pair set
     * for both the pair gate and these component gates. */
@@ -217,13 +248,31 @@ object Components {
        |  doc_id AS canonical_doc, len AS canonical_len
        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
+  val ddKeepListSql: String =
+    s"""WITH RECURSIVE $edgesSqlCte,
+       |mem AS (
+       |  SELECT c.component, c.doc_id, CAST(length(d.text) AS BIGINT) AS len
+       |  FROM comps c JOIN documents d ON d.doc_id = c.doc_id),
+       |ranked AS (
+       |  SELECT component, doc_id,
+       |    row_number() OVER (PARTITION BY component ORDER BY len DESC, doc_id) AS rn
+       |  FROM mem)
+       |SELECT d.doc_id,
+       |  CASE WHEN r.doc_id IS NULL THEN 'unique'
+       |       WHEN r.rn = 1 THEN 'canonical'
+       |       ELSE 'duplicate' END AS status
+       |FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_components" -> dd_components _,
-    "dd_canonical"  -> dd_canonical _
+    "dd_canonical"  -> dd_canonical _,
+    "dd_keep_list"  -> dd_keep_list _
   )
 
   val oracles: Map[String, String] = Map(
     "dd_components" -> ddComponentsSql,
-    "dd_canonical"  -> ddCanonicalSql
+    "dd_canonical"  -> ddCanonicalSql,
+    "dd_keep_list"  -> ddKeepListSql
   )
 }

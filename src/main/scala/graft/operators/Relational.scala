@@ -272,6 +272,66 @@ object Relational {
       |    FROM events) a) b
       |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Ordered funnel over the event stream: users who performed
+    * view → click → purchase IN ORDER (each stage strictly after the
+    * one before). The classic product-analytics sequence query.
+    *
+    * Scale shape: ONE hash shuffle on user_id serves everything — the
+    * three stage timestamps are unbounded-frame window minima over the
+    * same partition spec (Catalyst stacks the Window operators on a
+    * single Exchange), the per-user collapse reuses that partitioning,
+    * and the final funnel counts are a single map-combinable global
+    * aggregate. No self-join, no per-stage pass over the events. */
+  def q_events_funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    Tables.events(s, dir)
+      .withColumn("t_view",
+        min(when($"event_type" === "view", $"ts")).over(byUser))
+      .withColumn("t_click",
+        min(when($"event_type" === "click" && $"ts" > $"t_view", $"ts")).over(byUser))
+      .withColumn("t_purchase",
+        min(when($"event_type" === "purchase" && $"ts" > $"t_click", $"ts")).over(byUser))
+      .groupBy($"user_id")
+      .agg(max($"t_view").as("t_view"), max($"t_click").as("t_click"),
+           max($"t_purchase").as("t_purchase"))
+      .agg(count($"t_view").as("users_view"),
+           count($"t_click").as("users_click"),
+           count($"t_purchase").as("users_purchase"),
+           count(when(unix_micros($"t_purchase") - unix_micros($"t_view") <=
+             86400000000L, 1)).as("users_converted_1d"),
+           sum(unix_micros($"t_purchase") - unix_micros($"t_view"))
+             .as("sum_convert_us"))
+  }
+
+  val qFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_view
+      |  FROM events),
+      |s2 AS (
+      |  SELECT user_id, event_type, ts, t_view,
+      |    min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_click
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT user_id, t_view, t_click,
+      |    min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_purchase
+      |  FROM s2),
+      |u AS (
+      |  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+      |    max(t_purchase) AS t_purchase
+      |  FROM s3 GROUP BY user_id)
+      |SELECT count(t_view) AS users_view, count(t_click) AS users_click,
+      |  count(t_purchase) AS users_purchase,
+      |  count(CASE WHEN epoch_us(t_purchase) - epoch_us(t_view) <= 86400000000
+      |        THEN 1 END) AS users_converted_1d,
+      |  CAST(sum(epoch_us(t_purchase) - epoch_us(t_view)) AS BIGINT)
+      |    AS sum_convert_us
+      |FROM u""".stripMargin
+
   /** Rollup-style two-level aggregate via union (grouping sets shape). */
   def q_priority_by_status(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -375,6 +435,7 @@ object Relational {
     "q_json_events"         -> q_json_events _,
     "q_events_hourly"       -> q_events_hourly _,
     "q_sessionize"          -> q_sessionize _,
+    "q_events_funnel"       -> q_events_funnel _,
     "q_priority_by_status"  -> q_priority_by_status _,
     "q_rollup"              -> q_rollup _,
     "q_correlated_subquery" -> q_correlated_subquery _,
@@ -395,6 +456,7 @@ object Relational {
     "q_json_events"         -> qJsonSql,
     "q_events_hourly"       -> qHourlySql,
     "q_sessionize"          -> qSessionSql,
+    "q_events_funnel"       -> qFunnelSql,
     "q_priority_by_status"  -> qPrioritySql,
     "q_rollup"              -> qRollupSql,
     "q_correlated_subquery" -> qCorrelatedSql,
