@@ -109,6 +109,22 @@ object GenScale {
       .drop("replica")
       .write.mode(SaveMode.Overwrite).parquet(s"$destDir/embeddings.parquet")
 
+    // events: replica r>0 is a fresh disjoint user population doing the
+    // SAME things at the SAME times (user_id/event_id offset, ts
+    // unchanged) — the realistic growth axis for an event stream. Every
+    // per-user structure (sessions, funnels, as-of chains) is isomorphic
+    // across replicas, per-hour buckets get K× rows, and no spurious
+    // cross-replica interaction exists, so runtime ratio vs K measures
+    // the operators' user-scaling exponent directly. Read through
+    // Tables.eventsRaw so both historical ts encodings normalize.
+    if (new java.io.File(s"$srcDir/events.parquet").exists()) {
+      graft.Tables.eventsRaw(spark, srcDir).crossJoin(broadcast(replicas))
+        .withColumn("user_id", $"user_id" + $"replica" * ID_STRIDE)
+        .withColumn("event_id", $"event_id" + $"replica" * ID_STRIDE)
+        .drop("replica")
+        .write.mode(SaveMode.Overwrite).parquet(s"$destDir/events.parquet")
+    }
+
     println(s"GenScale: wrote ${k}x documents+embeddings from $srcDir to $destDir")
     spark.stop()
   }
