@@ -153,6 +153,58 @@ object LLMQueries {
        |WHERE rnk <= 10 ORDER BY rank""".stripMargin
   }
 
+  /** DuckDB oracle for the recursive chunker — the LangChain merge loop
+    * re-expressed as a recursive CTE over word windows. Valid because on
+    * this corpus (single-line, single-spaced; generator-guaranteed) the
+    * splitter cascade reduces to merge(words, " ", 80, 20), whose state
+    * is just the window [i, j]: window length comes from prefix sums
+    * (wl(i,j) = P[j+1]-P[i]+(j-i)), the overflow test and the
+    * overlap-tail eviction (a monotone predicate over k, so its first
+    * false index IS the post-eviction start) are pure arithmetic on
+    * them, and each recursion step advances one word carrying the
+    * emitted chunk (if any) on the state row. Chunk text is the word
+    * slice re-joined; emission order (emit_j, then tail at j=n) is the
+    * sequential emit order. */
+  val llmChunkRecursiveSql: String =
+    """WITH RECURSIVE
+      |w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |         list_transform(string_split(text, ' '), x -> length(x)) AS lens
+      |  FROM documents),
+      |pre AS (
+      |  SELECT doc_id, words, lens, len(words) AS n,
+      |    list_transform(generate_series(0, len(words)),
+      |                   k -> CAST(coalesce(list_sum(lens[1:k]), 0) AS BIGINT)) AS P
+      |  FROM w),
+      |step AS (
+      |  SELECT doc_id, 1 AS j, 1 AS i, NULL::INT AS emit_i, NULL::INT AS emit_j FROM pre
+      |  UNION ALL
+      |  SELECT s.doc_id, s.j + 1 AS j,
+      |    CASE WHEN (s.i <= s.j AND (p.P[s.j+1] - p.P[s.i] + (s.j - s.i)) + p.lens[s.j+1] + 1 > 80)
+      |         THEN list_filter(generate_series(s.i, s.j + 1),
+      |                k -> NOT ( (p.P[s.j+1] - p.P[k] + (s.j - k)) > 20
+      |                        OR ((p.P[s.j+1] - p.P[k] + (s.j - k)) + p.lens[s.j+1]
+      |                            + (CASE WHEN k <= s.j THEN 1 ELSE 0 END) > 80
+      |                            AND (p.P[s.j+1] - p.P[k] + (s.j - k)) > 0) ))[1]
+      |         ELSE s.i END AS i,
+      |    CASE WHEN (s.i <= s.j AND (p.P[s.j+1] - p.P[s.i] + (s.j - s.i)) + p.lens[s.j+1] + 1 > 80)
+      |         THEN s.i END AS emit_i,
+      |    CASE WHEN (s.i <= s.j AND (p.P[s.j+1] - p.P[s.i] + (s.j - s.i)) + p.lens[s.j+1] + 1 > 80)
+      |         THEN s.j END AS emit_j
+      |  FROM step s JOIN pre p USING (doc_id)
+      |  WHERE s.j < p.n),
+      |emissions AS (
+      |  SELECT doc_id, emit_i AS ci, emit_j AS cj FROM step WHERE emit_i IS NOT NULL
+      |  UNION ALL
+      |  SELECT s.doc_id, s.i AS ci, s.j AS cj
+      |  FROM step s JOIN pre p USING (doc_id)
+      |  WHERE s.j = p.n)
+      |SELECT e.doc_id,
+      |  CAST(row_number() OVER (PARTITION BY e.doc_id ORDER BY e.cj, e.ci) AS INT) AS chunk_idx,
+      |  array_to_string(p.words[e.ci:e.cj], ' ') AS chunk
+      |FROM emissions e JOIN pre p USING (doc_id)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_stub"      -> llm_embed_stub _,
     "llm_embed_hashing"   -> llm_embed_hashing _,
@@ -161,9 +213,9 @@ object LLMQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "llm_embed_stub"    -> llmEmbedSql,
-    "llm_embed_hashing" -> llmEmbedHashingSql,
-    "llm_rank_stub"     -> llmRankSql
-    // chunk: deterministic but not SQL-expressible → rows-only
+    "llm_embed_stub"      -> llmEmbedSql,
+    "llm_embed_hashing"   -> llmEmbedHashingSql,
+    "llm_chunk_recursive" -> llmChunkRecursiveSql,
+    "llm_rank_stub"       -> llmRankSql
   )
 }
