@@ -282,19 +282,29 @@ object Relational {
     * single Exchange), the per-user collapse reuses that partitioning,
     * and the final funnel counts are a single map-combinable global
     * aggregate. No self-join, no per-stage pass over the events. */
+  /** Per-user funnel stage times — the shared kernel of the batch gate
+    * and the streaming twin's parity spec. One row per user:
+    * (t_view, t_click, t_purchase), each null if the stage was never
+    * reached in order. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(byUser))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
+           max(col("t_purchase")).as("t_purchase"))
+  }
+
   def q_events_funnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byUser = Window.partitionBy($"user_id")
-    Tables.events(s, dir)
-      .withColumn("t_view",
-        min(when($"event_type" === "view", $"ts")).over(byUser))
-      .withColumn("t_click",
-        min(when($"event_type" === "click" && $"ts" > $"t_view", $"ts")).over(byUser))
-      .withColumn("t_purchase",
-        min(when($"event_type" === "purchase" && $"ts" > $"t_click", $"ts")).over(byUser))
-      .groupBy($"user_id")
-      .agg(max($"t_view").as("t_view"), max($"t_click").as("t_click"),
-           max($"t_purchase").as("t_purchase"))
+    funnelStages(Tables.events(s, dir))
       .agg(count($"t_view").as("users_view"),
            count($"t_click").as("users_click"),
            count($"t_purchase").as("users_purchase"),

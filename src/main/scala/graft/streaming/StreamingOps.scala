@@ -22,12 +22,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 final case class PackState(cumTokens: Long)
+final case class FunnelState(tView: Option[Long], tClick: Option[Long],
+    tPurchase: Option[Long], lastUs: Long)
 
 object StreamingOps {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       n_events: Long, total_value: Double)
+  final case class FunnelOut(user_id: Long, t_view: Option[java.sql.Timestamp],
+      t_click: Option[java.sql.Timestamp], t_purchase: Option[java.sql.Timestamp])
 
   /** File-source stream over an events directory (schema locked to the
     * testdata shape, ns timestamps already truncated by the loader). */
@@ -85,6 +89,61 @@ object StreamingOps {
               state.setTimeoutTimestamp(s.lastTs + gapMs)
             }
             closed.iterator
+          }
+      }.toDF()
+  }
+
+  /** Stateful ordered-funnel tracking (view → click → purchase) — the
+    * streaming twin of `q_events_funnel`, via flatMapGroupsWithState.
+    * Per-user state is just the three stage timestamps (micros), folded
+    * monotonically over event-time-sorted events: the first view sets
+    * t_view, the first click strictly after t_view sets t_click, the
+    * first purchase strictly after t_click sets t_purchase — identical
+    * to the batch window formulation when events arrive in event-time
+    * order within the watermark (the same guarantee `sessionize`
+    * documents; micro-batch contents are sorted before folding, so a
+    * single-batch replay is exactly batch-equal). A user's funnel row
+    * emits when the watermark passes 30 min past their last event —
+    * constant state per live user, nothing buffered. */
+  def funnelStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val quietMs = 30 * 60 * 1000L
+    events.withWatermark("ts", "10 minutes")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          def toTs(us: Long) = {
+            val t = new java.sql.Timestamp(us / 1000L)
+            t.setNanos((us % 1000000L).toInt * 1000)
+            t
+          }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelOut(userId, s.tView.map(toTs),
+              s.tClick.map(toTs), s.tPurchase.map(toTs)))
+          } else {
+            def us(t: java.sql.Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var s = state.getOption.getOrElse(FunnelState(None, None, None, 0L))
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              e.event_type match {
+                case "view" if s.tView.isEmpty => s = s.copy(tView = Some(t))
+                case "click" if s.tClick.isEmpty &&
+                    s.tView.exists(t > _) => s = s.copy(tClick = Some(t))
+                case "purchase" if s.tPurchase.isEmpty &&
+                    s.tClick.exists(t > _) => s = s.copy(tPurchase = Some(t))
+                case _ => ()
+              }
+              if (t > s.lastUs) s = s.copy(lastUs = t)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + quietMs)
+            Iterator.empty
           }
       }.toDF()
   }

@@ -76,6 +76,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful funnel tracking emits per-user stages equal to batch") {
+    val dir = stageStreamDir()
+    val stream = spark.readStream
+      .schema(graft.Tables.events(spark, sfDir).schema)
+      .parquet(s"$dir/events_stream")
+    val q = StreamingOps.funnelStream(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("funnel_out")
+        .select(col("user_id"), col("t_view").as("s_view"),
+          col("t_click").as("s_click"), col("t_purchase").as("s_purchase"))
+      val users = graft.Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      // a user's funnel row flushes once the watermark passes 30 min
+      // beyond their last event — users active near stream end stay open
+      val n = emitted.count()
+      assert(n >= users / 2 && n <= users, s"emitted=$n users=$users")
+      // every emitted row must agree EXACTLY (null-safe, micros
+      // precision) with the batch window formulation
+      val batch = graft.operators.Relational.funnelStages(
+        graft.Tables.events(spark, sfDir))
+      val disagree = emitted.join(batch, Seq("user_id"))
+        .filter(!(col("s_view") <=> col("t_view")) ||
+                !(col("s_click") <=> col("t_click")) ||
+                !(col("s_purchase") <=> col("t_purchase"))).count()
+      assert(disagree == 0, s"$disagree emitted funnel rows disagree with batch")
+    } finally q.stop()
+  }
+
   test("stateful twins run unchanged on the RocksDB state store") {
     // At 100 TB the default in-memory (HDFS-backed) state store caps
     // streaming state at executor heap; RocksDB spills to executor-local
