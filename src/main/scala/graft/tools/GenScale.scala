@@ -125,6 +125,33 @@ object GenScale {
         .write.mode(SaveMode.Overwrite).parquet(s"$destDir/events.parquet")
     }
 
+    // TPC-H fact/dim chain: replica r is a disjoint key range — every
+    // surrogate key offsets by the same stride, so referential
+    // integrity (customer←orders←lineitem, part/supplier←lineitem)
+    // holds within each replica and join fan-outs scale linearly.
+    // nation/region are fixed vocabularies (like a real deployment) and
+    // copy through unchanged.
+    val keyCols = Map(
+      "customer" -> Seq("c_custkey"),
+      "orders"   -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "part"     -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey"))
+    for ((table, keys) <- keyCols
+         if new java.io.File(s"$srcDir/$table.parquet").exists()) {
+      keys.foldLeft(
+        spark.read.parquet(s"$srcDir/$table.parquet")
+          .crossJoin(broadcast(replicas))) { (df, k) =>
+        df.withColumn(k, col(k) + $"replica" * ID_STRIDE)
+      }.drop("replica")
+        .write.mode(SaveMode.Overwrite).parquet(s"$destDir/$table.parquet")
+    }
+    for (table <- Seq("nation", "region")
+         if new java.io.File(s"$srcDir/$table.parquet").exists()) {
+      spark.read.parquet(s"$srcDir/$table.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$destDir/$table.parquet")
+    }
+
     println(s"GenScale: wrote ${k}x documents+embeddings from $srcDir to $destDir")
     spark.stop()
   }
