@@ -342,6 +342,33 @@ object Relational {
       |    AS sum_convert_us
       |FROM u""".stripMargin
 
+  /** Per-user 1-hour rolling features over the event stream — a RANGE
+    * frame on event time (the one window-frame kind the rest of the
+    * pack doesn't exercise), the classic time-series feature-engineering
+    * shape for ML pipelines. One shuffle on user_id; the frame bound is
+    * micros arithmetic so both engines see the identical peer set, and
+    * the rolling sum accumulates in DECIMAL for order-independent
+    * cross-engine equality. */
+  def q_events_rolling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum($"value".cast(dec)).over(w).cast("double"))
+      .select($"event_id", $"user_id", $"n_1h", $"sum_1h")
+      .orderBy($"event_id")
+  }
+
+  val qRollingSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Rollup-style two-level aggregate via union (grouping sets shape). */
   def q_priority_by_status(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -446,6 +473,7 @@ object Relational {
     "q_events_hourly"       -> q_events_hourly _,
     "q_sessionize"          -> q_sessionize _,
     "q_events_funnel"       -> q_events_funnel _,
+    "q_events_rolling"      -> q_events_rolling _,
     "q_priority_by_status"  -> q_priority_by_status _,
     "q_rollup"              -> q_rollup _,
     "q_correlated_subquery" -> q_correlated_subquery _,
@@ -467,6 +495,7 @@ object Relational {
     "q_events_hourly"       -> qHourlySql,
     "q_sessionize"          -> qSessionSql,
     "q_events_funnel"       -> qFunnelSql,
+    "q_events_rolling"      -> qRollingSql,
     "q_priority_by_status"  -> qPrioritySql,
     "q_rollup"              -> qRollupSql,
     "q_correlated_subquery" -> qCorrelatedSql,
