@@ -33,7 +33,7 @@ object GenScale {
   /** Deterministic d×d orthogonal matrix per replica (modified
     * Gram–Schmidt over an LCG-seeded Gaussian matrix; replica 0 =
     * identity). */
-  private[tools] def rotation(d: Int, replica: Int): Array[Array[Double]] = {
+  private[graft] def rotation(d: Int, replica: Int): Array[Array[Double]] = {
     if (replica == 0) return Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     val rng = new java.util.Random(0x5DEECE66DL * (replica + 1) + 42)
     val a = Array.fill(d, d)(rng.nextGaussian())
