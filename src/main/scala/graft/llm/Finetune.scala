@@ -602,10 +602,11 @@ object Finetune {
     * guard; a pool past the guard should route through the ANN
     * operators with the reweighted query, which this scoring shape
     * makes possible by construction. */
-  def respondText(spark: SparkSession, catalog: Catalog, project: String,
-      df: DataFrame, systemCol: String = "system", userCol: String = "user",
-      candidates: DataFrame, candidateCol: String = "response",
-      maxCandidates: Long = 50000L): DataFrame = {
+  /** Resolve a deployed conversation project to its scoring head:
+    * (coefficients, intercept, dim, runtime). Shared by the broadcast
+    * and ANN retrieval paths. */
+  private def conversationHead(spark: SparkSession, catalog: Catalog,
+      project: String): (Array[Double], Double, Int, String) = {
     val modelId = catalog.deployedModelId(project).getOrElse(
       throw new IllegalStateException(s"Project '$project' has no deployed model"))
     val hp = catalog.models.filter(col("id") === modelId).collect()
@@ -616,10 +617,15 @@ object Finetune {
     val head = graft.ml.Predict.findCached(catalog, modelId)
     val lrm = head.stages.last
       .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
-    val w = lrm.coefficients.toArray
-    val b = lrm.intercept
-    val dim = hp("dim").toInt
     graft.functions.GraftFunctions.register(spark)
+    (lrm.coefficients.toArray, lrm.intercept, hp("dim").toInt, hp("runtime"))
+  }
+
+  def respondText(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, systemCol: String = "system", userCol: String = "user",
+      candidates: DataFrame, candidateCol: String = "response",
+      maxCandidates: Long = 50000L): DataFrame = {
+    val (w, b, dim, runtime) = conversationHead(spark, catalog, project)
 
     // localCheckpoint materializes the distinct ONCE for both the count
     // guard and the broadcast embed (a cache() could never be unpersisted
@@ -643,7 +649,7 @@ object Finetune {
     // left-to-right accumulation as zip_with + graft_dot, intercept
     // added last) and ties keep the max(struct) rule: greater response
     // string (unsigned UTF-8 byte order) wins.
-    val candRows = Ops.embedColumn(pool, hp("runtime"), "resp", "remb", dim = dim)
+    val candRows = Ops.embedColumn(pool, runtime, "resp", "remb", dim = dim)
       .select(col("resp"), col("remb")).collect()
     val nc = candRows.length
     val resps = new Array[String](nc)
@@ -659,7 +665,7 @@ object Finetune {
 
     val ctx = df.select(col(systemCol), col(userCol)).distinct()
       .withColumn("ctx", concat(col(systemCol), lit(PAIR_SEP), col(userCol)))
-    val ce = Ops.embedColumn(ctx, hp("runtime"), "ctx", "cemb", dim = dim)
+    val ce = Ops.embedColumn(ctx, runtime, "ctx", "cemb", dim = dim)
       .select(col(systemCol), col(userCol), col("cemb"))
     val outSchema = StructType(Seq(
       StructField(systemCol, StringType), StructField(userCol, StringType),
@@ -692,6 +698,76 @@ object Finetune {
         Row(row.getString(0), row.getString(1), bestR)
       }
     }(enc)
+  }
+
+  /** The SCALE path through conversation retrieval — the route the
+    * `respondText` broadcast guard names, made a real code path: the
+    * candidate pool stays DISTRIBUTED and the top-1 search runs as an
+    * IVF cell join instead of an all-pairs scan.
+    *
+    * The learned score w·(c⊙r) + b = (w⊙c)·r + b is a MAXIMUM INNER
+    * PRODUCT search, which an L2/cosine quantizer cannot bucket
+    * directly (inner product is not a metric). Standard published
+    * reduction (Bachrach et al., RecSys'14; the asymmetric-LSH
+    * transform): augment every candidate to r' = [r, √(M² − |r|²)]
+    * with M = max‖r‖ over the pool — all r' then share norm M — and
+    * the query to q' = [w⊙c, 0]. Since q'·r' = (w⊙c)·r with all
+    * candidate norms equal, argmax inner product = nearest r' by
+    * cosine, so the trained k-means IVF machinery applies unchanged.
+    *
+    * 100 TB shape: pool embeds distributed (one map pass), the norm cap
+    * is one tiny agg, k-means fits on the augmented vectors (sampled at
+    * scale), cell assignment is the `graft_cell` codegen map
+    * materialized ONCE, and each query probes `nprobe` cells through an
+    * equi-join — per-query work is the probed cells' population, not
+    * the pool. Approximate like every IVF probe (recall rises with
+    * nprobe); the parity spec pins top-1 agreement vs the exact
+    * broadcast path. Tie rule matches `respondText`: equal scores
+    * resolve to the greater response string via the max(struct) order. */
+  def respondTextAnn(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, systemCol: String = "system", userCol: String = "user",
+      candidates: DataFrame, candidateCol: String = "response",
+      targetCellRows: Long = 500L, nprobe: Int = 2): DataFrame = {
+    val (w, b, dim, runtime) = conversationHead(spark, catalog, project)
+    val wLit = typedlit(w.toSeq)
+
+    val pool = candidates.select(col(candidateCol).as("resp")).distinct()
+      .localCheckpoint()
+    val nCand = pool.count()
+    require(nCand > 0, "respondTextAnn needs a non-empty candidate pool")
+    val emb = Ops.embedColumn(pool, runtime, "resp", "remb", dim = dim)
+      .select(col("resp"), col("remb").cast("array<double>").as("r"))
+      .withColumn("n2", call_function("graft_dot", col("r"), col("r")))
+      .localCheckpoint() // embed once: serves the norm cap + assignment
+    val m2 = emb.agg(max(col("n2"))).head().getDouble(0)
+    val aug = emb.select(col("resp"),
+      concat(col("r"),
+        array(sqrt(greatest(lit(m2) - col("n2"), lit(0.0))))).as("v"))
+    val k = graft.operators.KMeansQuantizer.chooseK(nCand, targetCellRows)
+    val quant = graft.operators.KMeansQuantizer.fit(aug.select(col("v")), k)
+    val cells = aug.withColumn("cell", quant.cellCol(col("v")))
+      .localCheckpoint() // trained assignment is the expensive map: once
+
+    // Probe ranking is the quantizer's L2-to-centroid order (measured
+    // against pure inner-product centroid ranking on this corpus: L2
+    // recalls strictly better — the |centroid|² term favors TIGHT
+    // cells, exactly the ones where a high dot is achievable, while a
+    // raw q·c order chases long centroids of diffuse cells).
+    val ctx = df.select(col(systemCol), col(userCol)).distinct()
+      .withColumn("ctxt", concat(col(systemCol), lit(PAIR_SEP), col(userCol)))
+    val q = Ops.embedColumn(ctx, runtime, "ctxt", "cemb", dim = dim)
+      .withColumn("wq",
+        concat(zip_with(col("cemb").cast("array<double>"), wLit, (a, c) => a * c),
+          array(lit(0.0))))
+      .withColumn("cell", explode(quant.probeCol(col("wq"), nprobe)))
+      .select(col(systemCol), col(userCol), col("wq"), col("cell"))
+
+    q.join(cells, Seq("cell"))
+      .withColumn("score",
+        call_function("graft_dot", col("wq"), col("v")) + lit(b))
+      .groupBy(col(systemCol), col(userCol))
+      .agg(max(struct(col("score"), col("resp"))).as("m"))
+      .select(col(systemCol), col(userCol), col("m.resp").as("response"))
   }
 
   /** Score raw text with a finetuned project: embed with the SAME
