@@ -371,6 +371,81 @@ object Similarity {
       .select(col("src"), col("dst"), col("cos"), col("rn").cast("long").as("rank"))
   }
 
+  // ------------------------------------------------ persistent IVF index
+  /** One temp root per JVM for the persistent-index gate, reused across
+    * invocations (repeated bench/verify passes overwrite in place instead
+    * of orphaning a directory per call) and removed on JVM exit. */
+  private lazy val indexRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  /** Write the corpus as a PERSISTENT IVF index: one parquet table
+    * PARTITIONED BY the quantizer cell id. This is the inverted-file
+    * layout the `annIvf` scaladoc promises at scale, as real storage:
+    * cell assignment is the map-side `graft_cell`/LCG expression (no
+    * shuffle — `partitionBy` splits files within each task's output),
+    * and every downstream probe becomes a PARTITION-PRUNED read of the
+    * probed cells' directories instead of a full-corpus scan. Build cost
+    * is one corpus pass; the index amortizes across every query batch
+    * that follows — the 100 TB serving shape. */
+  def writeIvfIndex(e: DataFrame, quant: CoarseQuantizer, path: String): Unit =
+    e.withColumn("cell", quant.cellCol(col("v")))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a persistent IVF index: queries map to their `nprobe` cells
+    * and join the index on its PARTITION column, so Catalyst's dynamic
+    * partition pruning turns the (runtime-known) probe list into a
+    * scan-time partition filter — the index scan reads ONLY the probed
+    * cells' files, 1/numCells of the data per probe, with no change to
+    * the join shape. The explicit read schema pins `cell` to BIGINT so
+    * the join key matches the probe side without a cast on the partition
+    * column (a cast there would defeat pruning). Plan-audited in
+    * PLANS.md: the index scan must carry a dynamicpruning partition
+    * filter. Same cosine arithmetic as [[annIvf]], so the gate
+    * hash-matches the SAME DuckDB oracle. */
+  def annIvfIndexed(s: SparkSession, indexPath: String, queries: DataFrame,
+      quant: CoarseQuantizer, topK: Int = 3, nprobe: Int = 1): DataFrame = {
+    val idx = s.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT")
+      .parquet(indexPath)
+      .select(col("vec_id").as("cid"), col("v").as("vc"),
+        col("nrm").as("nc"), col("cell"))
+    val probes =
+      if (nprobe == 1) queries.withColumn("cell", quant.cellCol(col("v")))
+      else queries.withColumn("cell", explode(quant.probeCol(col("v"), nprobe)))
+    val q = probes.select(col("vec_id").as("qid"), col("v").as("vq"),
+      col("nrm").as("nq"), col("cell"))
+    val scored = q.join(idx, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot(col("vq"), col("vc")) / (col("nq") * col("nc")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("cell"), col("cid"), col("cos"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  /** The persistent-index twin of `sim_ann_ivf`: build the
+    * cell-partitioned index (one corpus pass), then serve the probe off
+    * the partition-pruned read. Same quantizer, same probe, same
+    * oracle — the hash match proves the storage round-trip changes
+    * nothing; the plan audit proves the scan is pruned. */
+  def sim_ann_ivf_indexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val path = indexRoot.resolve(
+      java.lang.Integer.toHexString(dir.hashCode)).toString
+    writeIvfIndex(e, LcgQuantizer, path)
+    annIvfIndexed(s, path, e.filter($"vec_id" < 10), LcgQuantizer)
+      .orderBy($"qid", $"rank")
+  }
+
   def sim_knn_graph(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     knnGraph(emb(s, dir), LcgQuantizer).orderBy($"src", $"rank")
@@ -422,6 +497,7 @@ object Similarity {
     "sim_ann_lsh"        -> sim_ann_lsh _,
     "sim_ann_ivf"        -> sim_ann_ivf _,
     "sim_ann_ivf_probe2" -> sim_ann_ivf_probe2 _,
+    "sim_ann_ivf_indexed" -> sim_ann_ivf_indexed _,
     "sim_knn_graph"      -> sim_knn_graph _,
     "sim_knn_graph_trained" -> sim_knn_graph_trained _
   )
@@ -432,6 +508,7 @@ object Similarity {
     "sim_ann_lsh"        -> simAnnSql,
     "sim_ann_ivf"        -> simIvfSql,
     "sim_ann_ivf_probe2" -> simIvfProbe2Sql,
+    "sim_ann_ivf_indexed" -> simIvfSql,
     "sim_knn_graph"      -> simKnnGraphSql
   )
 }

@@ -309,6 +309,53 @@ object TextMetricsQueries {
       .orderBy($"doc_id")
   }
 
+  /** The conversation lifecycle served through the SCALE retrieval
+    * route (rows-only gate, twin of `ft_conversation_train`): identical
+    * training construction, but inference runs `respondTextAnn` — the
+    * IVF maximum-inner-product search the `respondText` broadcast guard
+    * names as its routing message. The candidate pool stays DISTRIBUTED
+    * (no driver collect), top-1 retrieval is a trained-quantizer cell
+    * equi-join, and per-query work is probed-cell population, not pool
+    * size — the shape that turns the broadcast twin's measured
+    * worst-case super-linear slope (SCALE.md: exponent 1.16 AT the 50k
+    * guard) into in-cell work. Retrieval is approximate (recall rises
+    * with nprobe), so the floor sits at the same 0.1 as the exact twin:
+    * LLMSpec pins probe-all parity exactly, and the measured mean F1 at
+    * gate scale rides well above chance. */
+  def ft_conversation_ann(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = Tables.documents(s, dir).select($"doc_id", $"text",
+      concat_ws(" ", slice(t, 1, 3)).as("system"),
+      concat_ws(" ", slice(t, 4, 5)).as("user"),
+      concat_ws(" ", slice(t, 9, 10)).as("assistant"))
+    val cat = gateCatalog(s, "conversation_ann")
+    graft.llm.Finetune.finetune(s, cat, graft.llm.Finetune.FinetuneConfig(
+      projectName = "ConvGateAnn", task = "conversation",
+      data = Some(d.select($"system", $"user", $"assistant")),
+      textCol = "system", text2Col = "user", labelCol = "assistant",
+      dim = 64, hyperparams = Map("max_iter" -> "10")))
+    val resp = graft.llm.Finetune.respondTextAnn(s, cat, "ConvGateAnn",
+      d.select($"system", $"user"), "system", "user",
+      candidates = d.select($"assistant".as("response")), nprobe = 2)
+    qualityFloor(
+      d.join(resp, Seq("system", "user"))
+        .select($"doc_id",
+          TextMetrics.tokens($"response").as("tp"),
+          TextMetrics.tokens($"assistant").as("tg"))
+        .select($"doc_id",
+          size($"tp").cast("long").as("n_pred"),
+          size($"tg").cast("long").as("n_gold"),
+          TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
+          when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
+        .withColumn("f1",
+          when($"n_pred" + $"n_gold" > 0,
+            lit(2.0) * $"n_common".cast("double") /
+              ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0))),
+      "f1", 0.1)
+      .orderBy($"doc_id")
+  }
+
   val ftQaSql: String =
     s"""WITH tk AS (
        |  SELECT doc_id,
@@ -432,7 +479,8 @@ object TextMetricsQueries {
     "ft_summarize_train"    -> ft_summarize_train _,
     "ft_qa_eval"            -> ft_qa_eval _,
     "ft_qa_train"           -> ft_qa_train _,
-    "ft_conversation_train" -> ft_conversation_train _
+    "ft_conversation_train" -> ft_conversation_train _,
+    "ft_conversation_ann"   -> ft_conversation_ann _
   )
 
   val oracles: Map[String, String] = Map(

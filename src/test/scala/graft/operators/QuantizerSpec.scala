@@ -161,4 +161,25 @@ class QuantizerSpec extends AnyFunSuite {
       .filter($"cell" =!= $"probe").count()
     assert(bad == 0)
   }
+
+  test("persistent IVF index: probe equals the in-memory join and prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfidx_spec").toString
+    Similarity.writeIvfIndex(emb, LcgQuantizer, path)
+    // one directory per cell on disk — the inverted-file layout
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length == LcgQuantizer.numCells, cellDirs.mkString(","))
+
+    val probe = Similarity.annIvfIndexed(spark, path,
+      emb.filter($"vec_id" < 10), LcgQuantizer)
+    val mem = Similarity.annIvf(emb, LcgQuantizer, $"vec_id" < 10)
+    assert(probe.except(mem).count() == 0 && mem.except(probe).count() == 0,
+      "indexed probe must reproduce the in-memory cell join exactly")
+
+    // the scan-time contract: the index read carries a dynamicpruning
+    // partition filter fed by the (broadcast) probe side
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruning"), plan)
+  }
 }
