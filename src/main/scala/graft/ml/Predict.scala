@@ -78,6 +78,8 @@ object Predict {
     case p: org.apache.spark.ml.classification.RandomForestClassificationModel => p.predict
     case p: org.apache.spark.ml.regression.GBTRegressionModel => p.predict
     case p: org.apache.spark.ml.classification.GBTClassificationModel => p.predict
+    case p: HistGBRegressionModel => p.predict
+    case p: HistGBClassificationModel => p.predict
     case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
     case p: GraftLinearModel => p.predict
     case p: GraftKernelModel => p.predict

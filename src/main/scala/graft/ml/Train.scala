@@ -21,10 +21,14 @@ import org.apache.spark.sql.types._
   * loop exists at all — the estimator consumes the partitioned scan.
   *
   * Algorithm policy (SURVEY §2.4): exact MLlib equivalent where one
-  * exists; documented nearest-equivalent for the boosting family
-  * (xgboost/lightgbm/… → GBT, flagged `compat=gbt` in hyperparams);
-  * hard error naming the gap otherwise — mirroring the reference's own
-  * `todo!()` holes (`src/orm/model.rs:408,433,441,445,447`).
+  * exists; the second-order boosting family (xgboost/lightgbm/catboost/
+  * hist_gradient_boosting) trains the native [[HistGBRegressor]]/
+  * [[HistGBClassifier]] Newton-on-histograms estimator (scheme-faithful;
+  * lightgbm/catboost growth-order deviations compat-flagged);
+  * first-order gradient_boosting_trees stays on MLlib GBT (same
+  * scheme); hard error naming the gap otherwise — mirroring the
+  * reference's own `todo!()` holes
+  * (`src/orm/model.rs:408,433,441,445,447`).
   */
 object Train {
 
@@ -118,11 +122,27 @@ object Train {
       new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 100))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
         .setSubsamplingRate(1.0).setFeatureSubsetStrategy("sqrt")
-    case ("regression", "gradient_boosting_trees" | "hist_gradient_boosting" |
-                        "xgboost" | "lightgbm" | "catboost" | "ada_boost") =>
+    case ("regression", "gradient_boosting_trees" | "ada_boost") =>
+      // sklearn GradientBoosting is FIRST-order gradient boosting with
+      // exact splits — MLlib GBT is the same scheme, so it stays the
+      // dispatch here; the second-order family below gets the native
+      // histogram estimator
       new GBTRegressor().setMaxIter(hpi(h, "n_estimators", 10))
         .setMaxDepth(hpi(h, "max_depth", 5))
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
+    case ("regression", "hist_gradient_boosting" | "xgboost" | "lightgbm" |
+                        "catboost") =>
+      // native second-order histogram boosting (HistGB scaladoc) with
+      // the reference's exact knob spellings + xgboost's defaults
+      // (`src/bindings/xgboost.rs:40-120`: eta 0.3, depth 6, lambda 1)
+      new HistGBRegressor()
+        .setNumRounds(hpi(h, "n_estimators", hpi(h, "boost_rounds", 10)))
+        .setMaxDepth(hpi(h, "max_depth", 6))
+        .setStepSize(hp(h, "eta", hp(h, "learning_rate", 0.3)))
+        .setRegLambda(hp(h, "lambda", hp(h, "reg_lambda", 1.0)))
+        .setMinSplitLoss(hp(h, "gamma", hp(h, "min_split_loss", 0.0)))
+        .setMinChildWeight(hp(h, "min_child_weight", 1.0))
+        .setMaxBins(hpi(h, "max_bin", 256)).setSeed(seed)
     case ("regression", "stochastic_gradient_descent") =>
       new LinearRegression().setSolver("l-bfgs")
         .setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0001))
@@ -286,11 +306,23 @@ object Train {
       new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 100))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
         .setFeatureSubsetStrategy("sqrt")
-    case ("classification", "gradient_boosting_trees" | "hist_gradient_boosting" |
-                            "xgboost" | "lightgbm" | "catboost" | "ada_boost") =>
+    case ("classification", "gradient_boosting_trees" | "ada_boost") =>
       new GBTClassifier().setMaxIter(hpi(h, "n_estimators", 10))
         .setMaxDepth(hpi(h, "max_depth", 5))
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
+    case ("classification", "hist_gradient_boosting" | "xgboost" | "lightgbm" |
+                            "catboost") =>
+      // binary → logistic Newton boosting; k>2 → per-class softmax
+      // trees (multi:softprob) — MLlib's GBTClassifier is binary-only,
+      // so this also widens the boosting surface to multiclass
+      new HistGBClassifier()
+        .setNumRounds(hpi(h, "n_estimators", hpi(h, "boost_rounds", 10)))
+        .setMaxDepth(hpi(h, "max_depth", 6))
+        .setStepSize(hp(h, "eta", hp(h, "learning_rate", 0.3)))
+        .setRegLambda(hp(h, "lambda", hp(h, "reg_lambda", 1.0)))
+        .setMinSplitLoss(hp(h, "gamma", hp(h, "min_split_loss", 0.0)))
+        .setMinChildWeight(hp(h, "min_child_weight", 1.0))
+        .setMaxBins(hpi(h, "max_bin", 256)).setSeed(seed)
     case ("classification", "linear_svm") if h.get("exact").contains("true") =>
       // sklearn LinearSVC is squared-hinge liblinear (OvR for k > 2);
       // neither MLlib's hinge LinearSVC nor the softmax substitute is
@@ -453,8 +485,19 @@ object Train {
       // sklearn LinearSVC is OvR squared-hinge; MLlib's is binary-only,
       // so multiclass substitutes multinomial logistic — flagged
       Map("compat" -> "softmax_multiclass")
-    case "xgboost" | "lightgbm" | "catboost" | "ada_boost" |
-         "hist_gradient_boosting" => Map("compat" -> "gbt")
+    case "xgboost" | "hist_gradient_boosting" =>
+      // native second-order histogram boosting IS the xgboost scheme
+      // (HistGB scaladoc) — nothing substituted
+      Map.empty
+    case "lightgbm" =>
+      // same Newton-on-histograms loss, but depth-wise growth where
+      // LightGBM grows leaf-wise (num_leaves) — flagged
+      Map("compat" -> "depthwise_growth")
+    case "catboost" =>
+      // plain (unordered) boosting; CatBoost's ordered-boosting /
+      // symmetric-tree scheme is not reproduced — flagged
+      Map("compat" -> "unordered_boosting")
+    case "ada_boost" => Map("compat" -> "gbt")
     case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm" |
          "passive_aggressive" | "perceptron" | "quantile"
         if h.get("exact").contains("true") =>

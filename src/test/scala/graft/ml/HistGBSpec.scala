@@ -1,0 +1,124 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.Vectors
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native second-order histogram boosting (HistGB scaladoc): the
+  * hand-computed Newton case, separable binary + multiclass fits, and
+  * the Train dispatch/ledger integration. */
+class HistGBSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("one round, depth 1, lambda 0: exact Newton leaf weights") {
+    // x = 1..4, y = [1,1,3,3]; init = mean = 2; g = pred−y = [1,1,−1,−1],
+    // h = 1. Best split v<=2: gain = ½(GL²/HL + GR²/HR − 0) = 2;
+    // leaves −GL/HL = −1 and +1 → exact predictions 1 and 3.
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 3.0), (4.0, 3.0))
+      .map { case (x, y) => (Vectors.dense(x), y) }.toDF("features", "label")
+    val m = new HistGBRegressor().setNumRounds(1).setMaxDepth(1)
+      .setStepSize(1.0).setRegLambda(0.0).fit(df)
+    assert(math.abs(m.predict(Vectors.dense(1.0)) - 1.0) < 1e-9)
+    assert(math.abs(m.predict(Vectors.dense(2.0)) - 1.0) < 1e-9)
+    assert(math.abs(m.predict(Vectors.dense(3.0)) - 3.0) < 1e-9)
+    assert(math.abs(m.predict(Vectors.dense(4.0)) - 3.0) < 1e-9)
+  }
+
+  test("regression: boosting reduces train MSE monotonically-ish") {
+    val data = (1 to 200).map { i =>
+      val x = i / 20.0
+      (Vectors.dense(x, (i % 7).toDouble), math.sin(x) * 3 + (i % 7))
+    }.toDF("features", "label")
+    def mse(rounds: Int): Double = {
+      val m = new HistGBRegressor().setNumRounds(rounds).setMaxDepth(4)
+        .setStepSize(0.3).fit(data)
+      data.collect().map { r =>
+        val d = m.predict(r.getAs[org.apache.spark.ml.linalg.Vector](0)) - r.getDouble(1)
+        d * d
+      }.sum / 200
+    }
+    val m1 = mse(2); val m2 = mse(10); val m3 = mse(40)
+    assert(m2 < m1, s"10 rounds ($m2) should beat 2 ($m1)")
+    assert(m3 < m2, s"40 rounds ($m3) should beat 10 ($m2)")
+    assert(m3 < 0.05, s"40 rounds should nearly interpolate, got $m3")
+  }
+
+  test("binary logistic: separable data fits, probabilities ordered") {
+    val df = (1 to 100).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (Vectors.dense(y * 4 + (i % 5) * 0.1, (i % 3).toDouble), y)
+    }.toDF("features", "label")
+    val m = new HistGBClassifier().setNumRounds(20).setMaxDepth(3)
+      .setStepSize(0.3).fit(df)
+    assert(m.numClasses == 2)
+    val out = m.transform(df)
+    assert(out.filter($"prediction" =!= $"label").count() == 0)
+    val p1 = m.predictProbability(Vectors.dense(4.2, 1.0))(1)
+    val p0 = m.predictProbability(Vectors.dense(0.2, 1.0))(1)
+    assert(p1 > 0.9 && p0 < 0.1, s"probabilities not separated: $p1 / $p0")
+  }
+
+  test("multiclass softmax: 3-class separable, probs sum to 1") {
+    val df = (1 to 150).map { i =>
+      val c = i % 3
+      (Vectors.dense(c * 5.0 + (i % 4) * 0.2, (i % 2).toDouble), c.toDouble)
+    }.toDF("features", "label")
+    val m = new HistGBClassifier().setNumRounds(15).setMaxDepth(3)
+      .setStepSize(0.3).fit(df)
+    assert(m.numClasses == 3)
+    val out = m.transform(df)
+    assert(out.filter($"prediction" =!= $"label").count() == 0)
+    val pr = m.predictProbability(Vectors.dense(5.1, 0.0)).toArray
+    assert(math.abs(pr.sum - 1.0) < 1e-9)
+    assert(pr(1) == pr.max)
+  }
+
+  test("Train dispatch: xgboost regression has NO compat flag; lightgbm/catboost flagged") {
+    val df = (1 to 120).map(i => (i.toDouble, (i % 5).toDouble, 2.0 * i + (i % 5)))
+      .toDF("a", "b", "target")
+    def ledger(alg: String): Map[String, String] = {
+      val cat = new Catalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft_hgb_$alg").toString)
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = s"HGB_$alg", task = "regression", relationName = "t",
+        data = Some(df), yColumn = Seq("target"), algorithm = alg,
+        hyperparams = Map("n_estimators" -> "10", "max_depth" -> "4"),
+        testSampling = "random", orderCols = Seq("a")))
+      val m = cat.models.collect().head
+      assert(m.metrics("r2") > 0.9, s"$alg r2 = ${m.metrics("r2")}")
+      m.hyperparams
+    }
+    assert(!ledger("xgboost").contains("compat"))
+    assert(ledger("lightgbm").get("compat").contains("depthwise_growth"))
+    assert(ledger("catboost").get("compat").contains("unordered_boosting"))
+  }
+
+  test("Train dispatch: multiclass xgboost classification (GBT could not)") {
+    // per-row distinct features: the train/test hash split operates on
+    // whole rows, so duplicate-row data would hold out entire points
+    val df = (1 to 150).map { i =>
+      val c = i % 3
+      (c * 5.0 + (i % 31) * 0.02, i * 0.01, c.toDouble)
+    }.toDF("a", "b", "target")
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_hgb_mc").toString)
+    Train.train(spark, cat, Train.TrainConfig(
+      projectName = "HGB_mc", task = "classification", relationName = "t",
+      data = Some(df), yColumn = Seq("target"), algorithm = "xgboost",
+      hyperparams = Map("n_estimators" -> "12", "max_depth" -> "3"),
+      testSampling = "stratified", orderCols = Seq("a")))
+    val m = cat.models.collect().head
+    assert(m.metrics("f1") > 0.9, s"multiclass f1 = ${m.metrics("f1")}")
+  }
+
+  test("model save/load round-trips through pipeline persistence") {
+    val df = (1 to 80).map(i => (Vectors.dense(i.toDouble), i * 2.0))
+      .toDF("features", "label")
+    val m = new HistGBRegressor().setNumRounds(5).setMaxDepth(3).fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hgb_io").toString + "/m"
+    m.save(dir)
+    val back = HistGBRegressionModel.load(dir)
+    val v = Vectors.dense(37.0)
+    assert(math.abs(back.predict(v) - m.predict(v)) < 1e-12)
+  }
+}
