@@ -408,6 +408,30 @@ object MLQueries {
     * and emit ONE summary row quality-floored on training accuracy:
     * 0 rows if the one-vs-one stack stops separating what it provably
     * can (the same silent-collapse guard as the ft_*_train gates). */
+  /** Native histogram-GBDT lifecycle (HistGB scaladoc — the xgboost
+    * dispatch, second-order Newton boosting on binned features) on
+    * diabetes, quality-floored: the contract row only survives if the
+    * held-out r2 clears a floor far below the measured ~0.4 (sklearn
+    * GBT territory on this noisy 442-row dataset), so a silently
+    * broken booster fails the gate as a row-count mismatch. */
+  def ml_train_hgb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_catalog_h").toString
+    val cat = new Catalog(s, base)
+    val out = Train.train(s, cat, Train.TrainConfig(
+      projectName = "hgb_demo", task = "regression",
+      relationName = "quackml_diabetes", data = Some(Datasets.diabetes(s)),
+      yColumn = Seq("target"), algorithm = "xgboost",
+      hyperparams = Map("n_estimators" -> "20"),
+      testSampling = "random", orderCols = Seq("age")))
+    val r2 = cat.models.collect().head.metrics("r2")
+    out.filter(lit(r2) >= 0.2)
+  }
+
+  val mlTrainHgbSql: String =
+    """SELECT 'hgb_demo' AS project, 'regression' AS task,
+      |  'xgboost' AS algorithm, CAST(true AS BOOLEAN) AS deploy""".stripMargin
+
   def ml_train_svm_ovo(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
@@ -452,7 +476,8 @@ object MLQueries {
     "ml_train_contract" -> ml_train_contract _,
     "ml_train_joint"    -> ml_train_joint _,
     "ml_train_svm_rbf"  -> ml_train_svm_rbf _,
-    "ml_train_svm_ovo"  -> ml_train_svm_ovo _
+    "ml_train_svm_ovo"  -> ml_train_svm_ovo _,
+    "ml_train_hgb"      -> ml_train_hgb _
   )
 
   val oracles: Map[String, String] = Map(
@@ -470,6 +495,7 @@ object MLQueries {
     "ml_knn_predict"    -> mlKnnSql,
     "ml_train_contract" -> mlTrainContractSql,
     "ml_train_joint"    -> mlTrainJointSql,
-    "ml_train_svm_rbf"  -> mlTrainSvmSql
+    "ml_train_svm_rbf"  -> mlTrainSvmSql,
+    "ml_train_hgb"      -> mlTrainHgbSql
   )
 }
