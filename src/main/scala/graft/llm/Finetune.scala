@@ -85,14 +85,27 @@ object Finetune {
 
   private val RUNNABLE_TASKS =
     Set("text-classification", "text-pair-classification", "summarization",
-      "question-answering", "conversation")
+      "question-answering", "conversation", "text-generation", "translation")
 
   def finetune(spark: SparkSession, catalog: Catalog, cfg: FinetuneConfig): DataFrame = {
     require(RUNNABLE_TASKS.contains(cfg.task),
-      s"finetune task '${cfg.task}' needs a training-capable neural runtime; " +
-        "only text-classification, text-pair-classification, and the " +
-        "extractive summarization / question-answering / conversation heads " +
-        "run on this JVM — see Ops.finetune for the unsupported-task contract")
+      s"finetune task '${cfg.task}' is not a supported finetune task; " +
+        "runnable: text-classification, text-pair-classification, the " +
+        "extractive summarization / question-answering / conversation heads, " +
+        "and the classical-statistical text-generation (trigram LM) / " +
+        "translation (IBM Model 1) trainers — see Generative scaladoc")
+    if (cfg.task == "text-generation")
+      return Generative.finetuneGeneration(spark, catalog, Generative.GenConfig(
+        projectName = cfg.projectName, relationName = cfg.relationName,
+        data = cfg.data, textCol = cfg.textCol, testSize = cfg.testSize,
+        hyperparams = cfg.hyperparams, automaticDeploy = cfg.automaticDeploy,
+        seed = cfg.seed))
+    if (cfg.task == "translation")
+      return Generative.finetuneTranslation(spark, catalog, Generative.XlatConfig(
+        projectName = cfg.projectName, relationName = cfg.relationName,
+        data = cfg.data, srcCol = cfg.textCol, tgtCol = cfg.labelCol,
+        testSize = cfg.testSize, hyperparams = cfg.hyperparams,
+        automaticDeploy = cfg.automaticDeploy, seed = cfg.seed))
     if (cfg.task == "summarization")
       return finetuneSummarization(spark, catalog, cfg)
     if (cfg.task == "question-answering")

@@ -1,0 +1,417 @@
+package graft.llm
+
+import graft.ml.{Catalog, Sampling}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GENERATIVE finetune tasks on the bare JVM — the two tasks earlier
+  * rounds closed with an unsupported-runtime error (`Ops.finetune`):
+  *
+  * `text-generation` (`transformers.py:639-644,911-917` — causal-LM
+  * Trainer over the y column; eval = perplexity over the concatenated
+  * test split, `:831-872`) TRAINS as a trigram language model with
+  * stupid backoff (Brants et al. 2007, "Large Language Models in
+  * Machine Translation" — the scheme DESIGNED for distributed
+  * MapReduce-style estimation, which is exactly what a groupBy count
+  * is). Training is three map-side-combinable n-gram counts; eval is
+  * the same held-out perplexity contract as the reference
+  * (`{"perplexity"}`, lower deploys); generation is deterministic
+  * greedy continuation (argmax next-token, ties to the greater word —
+  * the repo-wide max(struct) convention). Abstractive neural synthesis
+  * still needs a weights-capable runtime; this is the strongest model
+  * family the JVM can TRAIN from scratch, and it is stated as such in
+  * the model ledger (`compat=ngram_lm`).
+  *
+  * `translation` (`transformers.py:629-631,735-768` — seq2seq Trainer;
+  * eval = sacrebleu corpus BLEU + ROUGE-1/2) TRAINS IBM Model 1
+  * (Brown et al. 1993, "The Mathematics of Statistical Machine
+  * Translation") by distributed EM: the E-step's expected alignment
+  * counts are a join + two aggregations per iteration, the M-step a
+  * ratio — no driver-side state beyond the loop counter. Decoding is
+  * the Model-1 word-by-word argmax (no reordering model — stated,
+  * `compat=ibm_model1`); eval reports the reference's exact metric
+  * keys (bleu plus the rouge_ngram_ and rouge_bigram_ sextet) via
+  * [[TextMetrics.bleuCorpus]]/[[TextMetrics.rougeAvg]].
+  *
+  * Scale notes: every training step is an equi-join or a
+  * map-combinable aggregation on (word, context) keys — no pair space
+  * beyond Model 1's |f|·|e| per sentence, no collect in training. The
+  * EM t-table is localCheckpoint-ed per iteration (the Components
+  * label-propagation discipline) so iteration N never replays 0..N−1.
+  * Greedy generation broadcasts only the per-context ARGMAX table
+  * (≤ one row per distinct bigram context, guarded); translation
+  * decode is purely join-based — no broadcast, no cap.
+  */
+object Generative {
+  /** Same byte as TextMetrics' n-gram joiner: U+0001 never appears in
+    * whitespace-split tokens. */
+  private val SEP = "\u0001"
+  /** IBM Model 1's empty cept — whitespace-split tokens can never
+    * contain U+0001, so this token never collides with a real word. */
+  private val NULL_TOKEN = "\u0001NULL\u0001"
+  /** Stupid-backoff discount (Brants et al. 2007 §3). */
+  private val BACKOFF = 0.4
+
+  // ------------------------------------------------------------------
+  // text-generation: trigram stupid-backoff LM
+  // ------------------------------------------------------------------
+
+  final case class GenConfig(
+      projectName: String,
+      relationName: String = "",
+      data: Option[DataFrame] = None,
+      textCol: String = "text",
+      testSize: Double = 0.25,
+      hyperparams: Map[String, String] = Map.empty,
+      automaticDeploy: Boolean = true,
+      seed: Long = 42L)
+
+  /** n-gram count frames for one corpus: (ctx, w, cnt) for n=2,3 and
+    * (w, cnt) for n=1. ctx is SEP-joined. */
+  private def countNgrams(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = TextMetrics.tokens(col(textCol))
+    val base = docs.select(toks.as("t"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    def grams(n: Int) = base
+      .select(explode(TextMetrics.ngrams(col("t"), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val bi = grams(2).select(
+      substring_index(col("g"), SEP, 1).as("ctx"),
+      substring_index(col("g"), SEP, -1).as("w"), col("cnt"))
+    val tri = grams(3).select(
+      // context = first two words, predicted word = last
+      substring_index(col("g"), SEP, 2).as("ctx"),
+      substring_index(col("g"), SEP, -1).as("w"), col("cnt"))
+    (uni, bi, tri)
+  }
+
+  /** Held-out stupid-backoff perplexity: exp(−avg ln S) over every
+    * position with a full trigram context. S is the Brants score —
+    * trigram MLE, else 0.4·bigram MLE, else 0.4²·unigram MLE, else
+    * 0.4²/(T+V). Five left equi-joins + one aggregate. */
+  private def backoffPerplexity(test: DataFrame, textCol: String,
+      uni: DataFrame, bi: DataFrame, tri: DataFrame,
+      totalTokens: Long, vocab: Long): Double = {
+    val toks = TextMetrics.tokens(col(textCol))
+    val pos = test.select(toks.as("t"))
+      .select(explode(when(size(col("t")) >= 3, sequence(lit(3), size(col("t"))))
+        .otherwise(array().cast("array<int>"))).as("p"), col("t"))
+      .select(
+        element_at(col("t"), col("p") - 2).as("w1"),
+        element_at(col("t"), col("p") - 1).as("w2"),
+        element_at(col("t"), col("p")).as("w"))
+    val joined = pos
+      .join(tri.select(col("ctx"), col("w"), col("cnt").as("c3")),
+        concat(pos("w1"), lit(SEP), pos("w2")) === tri("ctx") && pos("w") === tri("w"),
+        "left")
+      .drop(tri("ctx")).drop(tri("w"))
+      .join(bi.select(col("ctx").as("b1ctx"), col("w").as("b1w"), col("cnt").as("c12")),
+        col("w1") === col("b1ctx") && col("w2") === col("b1w"), "left")
+      .join(bi.select(col("ctx").as("b2ctx"), col("w").as("b2w"), col("cnt").as("c2")),
+        col("w2") === col("b2ctx") && col("w") === col("b2w"), "left")
+      .join(uni.select(col("w").as("u1w"), col("cnt").as("cw2")),
+        col("w2") === col("u1w"), "left")
+      .join(uni.select(col("w").as("u2w"), col("cnt").as("c1")),
+        col("w") === col("u2w"), "left")
+    val t = lit(totalTokens.toDouble)
+    val score =
+      when(col("c3").isNotNull && col("c12").isNotNull,
+        col("c3").cast("double") / col("c12").cast("double"))
+      .when(col("c2").isNotNull && col("cw2").isNotNull,
+        lit(BACKOFF) * col("c2").cast("double") / col("cw2").cast("double"))
+      .when(col("c1").isNotNull,
+        lit(BACKOFF * BACKOFF) * col("c1").cast("double") / t)
+      .otherwise(lit(BACKOFF * BACKOFF) / (t + lit(vocab.toDouble)))
+    val r = joined.agg(avg(log(score)).as("nll"), count(lit(1)).as("n")).head()
+    if (r.isNullAt(0)) Double.NaN else math.exp(-r.getDouble(0))
+  }
+
+  def finetuneGeneration(spark: SparkSession, catalog: Catalog,
+      cfg: GenConfig): DataFrame = {
+    val t0 = System.nanoTime()
+    val project = catalog.findProject(cfg.projectName) match {
+      case Some(p) =>
+        require(p.task == "text-generation",
+          s"Project ${cfg.projectName} already exists with task ${p.task}")
+        p
+      case None => catalog.createProject(cfg.projectName, "text-generation")
+    }
+    val df0 = cfg.data.getOrElse(spark.table(cfg.relationName))
+    val snapshot = catalog.createSnapshot(cfg.relationName, Seq(cfg.textCol),
+      cfg.testSize, "random", df0.schema.json)
+    val docs = df0.select(col(cfg.textCol)).na.drop()
+    val (trainDF0, testDF0) =
+      Sampling.splitByFraction(docs, Seq(cfg.textCol), cfg.testSize, cfg.seed)
+    val (trainDF, testDF) =
+      if (trainDF0.isEmpty || testDF0.isEmpty) (docs, docs) else (trainDF0, testDF0)
+
+    val (uni, bi, tri) = countNgrams(trainDF, cfg.textCol)
+    val stats = uni.agg(sum("cnt").as("t"), count(lit(1)).as("v")).head()
+    val totalTokens = stats.getLong(0)
+    val vocab = stats.getLong(1)
+    require(totalTokens > 0, "text-generation finetune needs a non-empty corpus")
+    val fitTime = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val ppl = backoffPerplexity(testDF, cfg.textCol, uni, bi, tri, totalTokens, vocab)
+    val metrics = Map("perplexity" -> ppl,
+      "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
+
+    val modelRow = catalog.createModel(project.id, snapshot.id, "finetune:ngram_lm",
+      cfg.hyperparams ++ Map("task" -> "text-generation", "compat" -> "ngram_lm",
+        "order" -> "3", "total_tokens" -> totalTokens.toString,
+        "vocab" -> vocab.toString),
+      metrics, "none")
+    val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
+    uni.write.mode("overwrite").parquet(s"$path/uni")
+    bi.write.mode("overwrite").parquet(s"$path/bi")
+    tri.write.mode("overwrite").parquet(s"$path/tri")
+    catalog.addFile(modelRow.id, path)
+    catalog.addLog(modelRow.id,
+      f"finetuned trigram stupid-backoff LM: perplexity=$ppl%.4f " +
+        s"tokens=$totalTokens vocab=$vocab")
+
+    // perplexity deploys LOWER (the reference's text_generation metric
+    // direction — `task.rs:97-106`)
+    val deployed = catalog.deployedModels
+      .filter(col("name") === cfg.projectName)
+      .select(element_at(col("metrics"), "perplexity")).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val shouldDeploy = cfg.automaticDeploy && deployed.forall(old => ppl < old)
+    if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
+
+    contractRow(spark, cfg.projectName, "text-generation", "finetune:ngram_lm",
+      shouldDeploy)
+  }
+
+  /** Deterministic greedy continuation: per prompt, `maxNewTokens`
+    * argmax steps over the deployed LM's per-context argmax tables
+    * (trigram context first, bigram fallback, global-top fallback).
+    * Only the argmax tables broadcast — one row per distinct context,
+    * `maxContexts`-guarded; a corpus past the guard should prune
+    * contexts by count upstream (the standard LM pruning) before
+    * decode. Returns the input columns + `generated` (the continuation
+    * only, space-joined). */
+  def generateText(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, promptCol: String = "prompt", maxNewTokens: Int = 10,
+      maxContexts: Long = 2000000L): DataFrame = {
+    val modelId = catalog.deployedModelId(project).getOrElse(
+      throw new IllegalStateException(s"Project '$project' has no deployed model"))
+    val path = catalog.modelPath(modelId).getOrElse(
+      throw new IllegalStateException(s"Model $modelId has no persisted file"))
+    val uni = spark.read.parquet(s"$path/uni")
+    val bi = spark.read.parquet(s"$path/bi")
+    val tri = spark.read.parquet(s"$path/tri")
+
+    def argmax(counts: DataFrame): DataFrame = counts
+      .groupBy("ctx").agg(max(struct(col("cnt"), col("w"))).as("m"))
+      .select(col("ctx"), col("m.w").as("w"))
+    val nTriCtx = tri.select("ctx").distinct().count()
+    val nBiCtx = bi.select("ctx").distinct().count()
+    require(nTriCtx + nBiCtx <= maxContexts,
+      s"LM has ${nTriCtx + nBiCtx} distinct contexts > $maxContexts broadcast " +
+        "guard; prune low-count contexts before decode (standard LM pruning)")
+    val triMap = argmax(tri).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val biMap = argmax(bi).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val uniTop = uni.agg(max(struct(col("cnt"), col("w")))).head()
+      .getStruct(0).getString(1)
+    val bc = spark.sparkContext.broadcast((triMap, biMap, uniTop))
+
+    val outSchema = StructType(df.schema.fields :+ StructField("generated", StringType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val promptIdx = df.schema.fieldIndex(promptCol)
+    df.mapPartitions { it =>
+      val (tm, bm, top) = bc.value
+      it.map { row =>
+        val prompt = Option(row.getString(promptIdx)).getOrElse("")
+        val toks = scala.collection.mutable.ArrayBuffer.from(
+          prompt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+        val out = new scala.collection.mutable.ArrayBuffer[String](maxNewTokens)
+        var i = 0
+        while (i < maxNewTokens) {
+          val next =
+            (if (toks.length >= 2)
+              tm.get(toks(toks.length - 2) + SEP + toks(toks.length - 1))
+            else None)
+              .orElse(if (toks.nonEmpty) bm.get(toks.last) else None)
+              .getOrElse(top)
+          toks += next
+          out += next
+          i += 1
+        }
+        Row.fromSeq(row.toSeq :+ out.mkString(" "))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // translation: IBM Model 1 via distributed EM
+  // ------------------------------------------------------------------
+
+  final case class XlatConfig(
+      projectName: String,
+      relationName: String = "",
+      data: Option[DataFrame] = None,
+      srcCol: String = "text1",
+      tgtCol: String = "text2",
+      testSize: Double = 0.25,
+      emIters: Int = 5,
+      hyperparams: Map[String, String] = Map.empty,
+      automaticDeploy: Boolean = true,
+      seed: Long = 42L)
+
+  /** EM over sentence pairs. Returns the converged t(f|e) table
+    * (e, f, t). The exploded (sid, j, e, f) frame — Model 1's
+    * |f|·(|e|+1) pair space per sentence — is built ONCE and persisted;
+    * each iteration is: join t → per-(sid, j) denominator aggregate →
+    * expected-count aggregate → ratio. All equi-joins/groupBys on
+    * word keys; the t-table localCheckpoints per iteration. */
+  private def ibm1Em(pairs: DataFrame, srcCol: String, tgtCol: String,
+      iters: Int): DataFrame = {
+    val src = TextMetrics.tokens(col(srcCol))
+    val tgt = TextMetrics.tokens(col(tgtCol))
+    val exploded = pairs
+      .select(monotonically_increasing_id().as("sid"),
+        concat(array(lit(NULL_TOKEN)), src).as("es"), tgt.as("fs"))
+      .filter(size(col("fs")) > 0 && size(col("es")) > 1)
+      .select(col("sid"), col("es"), posexplode(col("fs")).as(Seq("j", "f")))
+      .select(col("sid"), col("j"), col("f"), explode(col("es")).as("e"))
+      .localCheckpoint()
+    val vf = exploded.select("f").distinct().count()
+    require(vf > 0, "translation finetune needs non-empty sentence pairs")
+    val init = 1.0 / vf
+
+    var t: DataFrame = null // null = first iteration, all-uniform t
+    var it = 0
+    while (it < iters) {
+      val scored =
+        (if (t == null) exploded.withColumn("tv", lit(init))
+         else exploded.join(t, Seq("e", "f"), "left")
+           .withColumn("tv", coalesce(col("t"), lit(init))).drop("t"))
+      val denom = scored.groupBy("sid", "j").agg(sum("tv").as("z"))
+      val counts = scored.join(denom, Seq("sid", "j"))
+        .withColumn("d", col("tv") / col("z"))
+        .groupBy("e", "f").agg(sum("d").as("cef"))
+      val totals = counts.groupBy("e").agg(sum("cef").as("ce"))
+      val tNew = counts.join(totals, "e")
+        .select(col("e"), col("f"), (col("cef") / col("ce")).as("t"))
+        .localCheckpoint()
+      t = tNew
+      it += 1
+    }
+    t
+  }
+
+  /** Word-by-word argmax decode of `textCol` through a lexical table
+    * (e, f, t): OOV source words copy through (stated Model 1
+    * behavior — no reordering, no fertility). Join-based — no
+    * broadcast, no cap; re-assembly is a per-row sort of collected
+    * (pos, word) structs. */
+  private def decodeWith(lex: DataFrame, df: DataFrame, textCol: String,
+      outCol: String): DataFrame = {
+    val best = lex.filter(col("e") =!= NULL_TOKEN)
+      .groupBy("e").agg(max(struct(col("t"), col("f"))).as("m"))
+      .select(col("e"), col("m.f").as("fbest"))
+    // freeze the nondeterministic id: withId feeds BOTH the explode
+    // branch and the reassembly join — an uncheckpointed recompute
+    // could re-number rows differently between the two
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
+    val toks = withId
+      .select(col("__rid"), posexplode_outer(TextMetrics.tokens(col(textCol)))
+        .as(Seq("pos", "e")))
+      .join(best, Seq("e"), "left")
+      .withColumn("out", coalesce(col("fbest"), col("e")))
+    val assembled = toks.groupBy("__rid")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("out")))),
+          s => s.getField("out"))).as(outCol))
+    withId.join(assembled, Seq("__rid")).drop("__rid")
+  }
+
+  def finetuneTranslation(spark: SparkSession, catalog: Catalog,
+      cfg: XlatConfig): DataFrame = {
+    val t0 = System.nanoTime()
+    val project = catalog.findProject(cfg.projectName) match {
+      case Some(p) =>
+        require(p.task == "translation",
+          s"Project ${cfg.projectName} already exists with task ${p.task}")
+        p
+      case None => catalog.createProject(cfg.projectName, "translation")
+    }
+    val df0 = cfg.data.getOrElse(spark.table(cfg.relationName))
+    val snapshot = catalog.createSnapshot(cfg.relationName,
+      Seq(cfg.srcCol, cfg.tgtCol), cfg.testSize, "random", df0.schema.json)
+    val pairs = df0.select(col(cfg.srcCol), col(cfg.tgtCol)).na.drop()
+    val (trainDF0, testDF0) = Sampling.splitByFraction(
+      pairs, Seq(cfg.srcCol, cfg.tgtCol), cfg.testSize, cfg.seed)
+    val (trainDF, testDF) =
+      if (trainDF0.isEmpty || testDF0.isEmpty) (pairs, pairs) else (trainDF0, testDF0)
+
+    val iters = cfg.hyperparams.get("em_iters").map(_.toInt).getOrElse(cfg.emIters)
+    val lex = ibm1Em(trainDF, cfg.srcCol, cfg.tgtCol, iters)
+    val fitTime = (System.nanoTime() - t0) / 1e9
+
+    // eval: decode the held-out sources, report the reference's exact
+    // translation metric keys (transformers.py:757-768)
+    val t1 = System.nanoTime()
+    val decoded = decodeWith(lex, testDF, cfg.srcCol, "__pred")
+    val bleu = TextMetrics.bleuCorpus(decoded, "__pred", cfg.tgtCol)
+      .select(col("bleu").cast("double")).head().getDouble(0)
+    val rouge = TextMetrics.rougeAvg(decoded, "__pred", cfg.tgtCol).head()
+    val metrics = Map(
+      "bleu" -> bleu,
+      "rouge_ngram_f1" -> rouge.getDouble(0),
+      "rouge_ngram_precision" -> rouge.getDouble(1),
+      "rouge_ngram_recall" -> rouge.getDouble(2),
+      "rouge_bigram_f1" -> rouge.getDouble(3),
+      "rouge_bigram_precision" -> rouge.getDouble(4),
+      "rouge_bigram_recall" -> rouge.getDouble(5),
+      "fit_time" -> fitTime, "score_time" -> (System.nanoTime() - t1) / 1e9)
+
+    val modelRow = catalog.createModel(project.id, snapshot.id, "finetune:ibm_model1",
+      cfg.hyperparams ++ Map("task" -> "translation", "compat" -> "ibm_model1",
+        "em_iters" -> iters.toString),
+      metrics, "none")
+    val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
+    lex.write.mode("overwrite").parquet(s"$path/lex")
+    catalog.addFile(modelRow.id, path)
+    catalog.addLog(modelRow.id,
+      f"finetuned IBM Model 1 ($iters EM iters): bleu=$bleu%.4f " +
+        f"rouge1_f=${rouge.getDouble(0)}%.4f")
+
+    val deployed = catalog.deployedModels
+      .filter(col("name") === cfg.projectName)
+      .select(element_at(col("metrics"), "bleu")).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val shouldDeploy = cfg.automaticDeploy && deployed.forall(old => bleu > old)
+    if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
+
+    contractRow(spark, cfg.projectName, "translation", "finetune:ibm_model1",
+      shouldDeploy)
+  }
+
+  /** Translate `textCol` through the deployed Model-1 lexicon
+    * (join-based decode — the no-cap scale path). Appends `translated`. */
+  def translateText(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, textCol: String = "text"): DataFrame = {
+    val modelId = catalog.deployedModelId(project).getOrElse(
+      throw new IllegalStateException(s"Project '$project' has no deployed model"))
+    val path = catalog.modelPath(modelId).getOrElse(
+      throw new IllegalStateException(s"Model $modelId has no persisted file"))
+    val lex = spark.read.parquet(s"$path/lex")
+    decodeWith(lex, df, textCol, "translated")
+  }
+
+  private def contractRow(spark: SparkSession, project: String, task: String,
+      algorithm: String, deployed: Boolean): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("project", StringType), StructField("task", StringType),
+      StructField("algorithm", StringType), StructField("deploy", BooleanType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(project, task, algorithm, deployed)), schema)
+  }
+}

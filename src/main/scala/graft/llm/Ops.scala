@@ -114,19 +114,22 @@ object Ops {
     * instance cache so the next call re-initializes, and reports it. */
   def clearGpuCache(): Boolean = false // nothing to free on the JVM path
 
-  /** `finetune` API shape for the tasks that NEED a neural seq2seq
-    * trainer (translation, text-generation —
-    * `transformers.py:876-1111`): explicit unsupported error unless a
-    * capable runtime is mounted (SURVEY §7 policy).
-    * text-classification, text-pair-classification, extractive
-    * summarization, extractive question-answering, and retrieval
-    * conversation HAVE runnable paths — the frozen-encoder +
-    * trained-head lifecycles in [[Finetune.finetune]]. */
+  /** `finetune` API shape for tasks with NO runnable trainer on this
+    * JVM (`transformers.py:876-1111`): explicit unsupported error
+    * unless a capable runtime is mounted (SURVEY §7 policy). Every
+    * task in the reference's finetune matrix now HAS a runnable path
+    * through [[Finetune.finetune]]: the frozen-encoder + trained-head
+    * lifecycles (text-classification, text-pair-classification,
+    * extractive summarization/QA, retrieval conversation) and the
+    * classical-statistical generative trainers ([[Generative]]:
+    * trigram-LM text-generation, IBM Model 1 translation — both
+    * compat-flagged in the ledger since they are not neural seq2seq). */
   def finetune(projectName: String, task: String, runtime: String = "stub"): Nothing =
     throw new UnsupportedOperationException(
       s"finetune('$projectName', task => '$task') requires a training-capable " +
         s"model runtime; '$runtime' supports inference surfaces only. " +
-        "text-classification, text-pair-classification, summarization, " +
-        "question-answering, and conversation run via graft.llm.Finetune; " +
-        "for other tasks register a runtime via ModelRuntimes.register and retry.")
+        "All reference finetune tasks run via graft.llm.Finetune " +
+        "(text-classification, text-pair-classification, summarization, " +
+        "question-answering, conversation, text-generation, translation); " +
+        "for neural-runtime parity register one via ModelRuntimes.register and retry.")
 }

@@ -470,6 +470,88 @@ object TextMetricsQueries {
       |  CAST(count(*) AS BIGINT) AS vocab_size
       |FROM c""".stripMargin
 
+  /** The TRAINED text-generation path end to end (rows-only gate,
+    * sibling of `ft_summarize_train` — n-gram counting is
+    * SQL-expressible but the full backoff-LM lifecycle is not; the
+    * GenerativeSpec cyclic-corpus test pins exact greedy behavior):
+    * finetune a trigram stupid-backoff LM on the documents table,
+    * greedily continue each document's lead-2 prompt by 10 tokens with
+    * the deployed model, and emit per-doc token-F1 of the generated
+    * continuation vs the document's actual tokens 3–12. The template
+    * corpus makes continuations predictable — measured mean F1 0.234
+    * at BOTH sf0.01 and sf0.1 — and the floor sits at half the
+    * measured value (the ft_*_train convention). */
+  def ft_generate_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = Tables.documents(s, dir).select($"doc_id", $"text",
+      concat_ws(" ", slice(t, 1, 2)).as("prompt"),
+      concat_ws(" ", slice(t, 3, 10)).as("gold"))
+    val cat = gateCatalog(s, "generate")
+    graft.llm.Finetune.finetune(s, cat, graft.llm.Finetune.FinetuneConfig(
+      projectName = "GenGate", task = "text-generation",
+      data = Some(d.select($"text"))))
+    val gen = graft.llm.Generative.generateText(s, cat, "GenGate",
+      d.select($"prompt").distinct(), "prompt", maxNewTokens = 8)
+    qualityFloor(
+      d.join(gen, "prompt")
+        .select($"doc_id",
+          TextMetrics.tokens($"generated").as("tp"),
+          TextMetrics.tokens($"gold").as("tg"))
+        .select($"doc_id",
+          size($"tp").cast("long").as("n_pred"),
+          size($"tg").cast("long").as("n_gold"),
+          TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
+          when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
+        .withColumn("f1",
+          when($"n_pred" + $"n_gold" > 0,
+            lit(2.0) * $"n_common".cast("double") /
+              ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0))),
+      "f1", 0.12)
+      .orderBy($"doc_id")
+  }
+
+  /** The TRAINED translation path end to end (rows-only gate, sibling
+    * of `ft_generate_train`): build a parallel corpus by token-level
+    * cipher (target token = reversed source token — a bijective
+    * word-level mapping IBM Model 1 provably recovers from
+    * co-occurrence, GenerativeSpec), finetune Model 1 by distributed
+    * EM on lead-8-token sentences, decode every source with the
+    * deployed lexicon, and emit per-doc token accuracy vs the ciphered
+    * gold. Frequent template words decode near-exactly — floor 0.5. */
+  def ft_translate_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = Tables.documents(s, dir).select($"doc_id",
+      concat_ws(" ", slice(t, 1, 8)).as("src"))
+      .withColumn("tgt", concat_ws(" ",
+        transform(split($"src", " "), w => reverse(w))))
+    val cat = gateCatalog(s, "translate")
+    graft.llm.Finetune.finetune(s, cat, graft.llm.Finetune.FinetuneConfig(
+      projectName = "XlatGate", task = "translation",
+      data = Some(d.select($"src", $"tgt")),
+      textCol = "src", labelCol = "tgt",
+      hyperparams = Map("em_iters" -> "4")))
+    val tr = graft.llm.Generative.translateText(s, cat, "XlatGate",
+      d.select($"src").distinct(), "src")
+    qualityFloor(
+      d.join(tr, "src")
+        .select($"doc_id",
+          TextMetrics.tokens($"translated").as("tp"),
+          TextMetrics.tokens($"tgt").as("tg"))
+        .select($"doc_id",
+          size($"tp").cast("long").as("n_pred"),
+          size($"tg").cast("long").as("n_gold"),
+          TextMetrics.clippedOverlap($"tp", $"tg").cast("long").as("n_common"),
+          when($"tp" === $"tg", 1L).otherwise(0L).as("em"))
+        .withColumn("f1",
+          when($"n_pred" + $"n_gold" > 0,
+            lit(2.0) * $"n_common".cast("double") /
+              ($"n_pred" + $"n_gold").cast("double")).otherwise(lit(0.0))),
+      "f1", 0.5)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_rouge_pairs"        -> lm_rouge_pairs _,
     "lm_bleu_corpus"        -> lm_bleu_corpus _,
@@ -480,7 +562,9 @@ object TextMetricsQueries {
     "ft_qa_eval"            -> ft_qa_eval _,
     "ft_qa_train"           -> ft_qa_train _,
     "ft_conversation_train" -> ft_conversation_train _,
-    "ft_conversation_ann"   -> ft_conversation_ann _
+    "ft_conversation_ann"   -> ft_conversation_ann _,
+    "ft_generate_train"     -> ft_generate_train _,
+    "ft_translate_train"    -> ft_translate_train _
   )
 
   val oracles: Map[String, String] = Map(

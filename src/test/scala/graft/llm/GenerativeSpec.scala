@@ -1,0 +1,115 @@
+package graft.llm
+
+import graft.ml.{Catalog, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative finetune tasks (Generative scaladoc): trigram-LM
+  * text-generation and IBM Model 1 translation — exact behavior on
+  * corpora where the optimum is known in closed form. */
+class GenerativeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cat(tag: String) = new Catalog(spark,
+    java.nio.file.Files.createTempDirectory(s"graft_gen_$tag").toString)
+
+  test("text-generation: cyclic corpus is memorized, greedy continuation exact") {
+    // "a b c d" cycled: every trigram context has ONE continuation, so
+    // greedy decoding must reproduce the cycle exactly
+    val doc = Seq.fill(30)("a b c d").mkString(" ")
+    val docs = (1 to 40).map(_ => doc).toDF("text")
+    val c = cat("cycle")
+    val out = Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+      projectName = "GenCycle", task = "text-generation",
+      data = Some(docs), textCol = "text"))
+    assert(out.head().getBoolean(3), "first model must deploy")
+    val m = c.models.collect().head
+    assert(m.hyperparams("compat") == "ngram_lm")
+    // memorized corpus: held-out perplexity is 1 (every trigram is
+    // deterministic within the cycle)
+    assert(m.metrics("perplexity") < 1.01,
+      s"cyclic corpus perplexity = ${m.metrics("perplexity")}")
+    val gen = Generative.generateText(spark, c, "GenCycle",
+      Seq(("a b"), ("c d")).toDF("prompt"), maxNewTokens = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gen("a b") == "c d a b c d")
+    assert(gen("c d") == "a b c d a b")
+  }
+
+  test("text-generation: bigram/unigram backoff on unseen contexts") {
+    val docs = (1 to 20).map(_ => "x y z x y z x y z").toDF("text")
+    val c = cat("backoff")
+    Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+      projectName = "GenBack", task = "text-generation",
+      data = Some(docs), textCol = "text"))
+    val gen = Generative.generateText(spark, c, "GenBack",
+      Seq(("q q"), ("z")).toDF("prompt"), maxNewTokens = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // unseen context "q q": unigram fallback (top word = x/y/z by count
+    // then order; counts tie at 60/60/60 → greater word "z" wins), then
+    // the trigram machine takes over from the generated tail
+    assert(gen("q q").split(" ").length == 3)
+    // prompt "z": bigram z→x, then trigram (z x)→y
+    assert(gen("z") == "x y z")
+  }
+
+  test("finetune rejects a genuinely unknown task") {
+    val c = cat("bad")
+    intercept[IllegalArgumentException] {
+      Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+        projectName = "Nope", task = "time-travel",
+        data = Some(Seq("x").toDF("text"))))
+    }
+  }
+
+  test("translation: IBM Model 1 learns a bijective word cipher") {
+    // target = per-word cipher of source; Model 1's EM must converge to
+    // the cipher dictionary from co-occurrence alone (Brown et al. 1993)
+    val cipher = Map("the" -> "le", "cat" -> "chat", "dog" -> "chien",
+      "eats" -> "mange", "fish" -> "poisson", "red" -> "rouge")
+    val sents = Seq(
+      "the cat eats fish", "the dog eats fish", "the red cat",
+      "the red dog", "cat eats the fish", "the dog", "red fish",
+      "the cat", "dog eats fish", "the red fish")
+    val pairs = (1 to 8).flatMap(_ => sents)
+      .map(s => (s, s.split(" ").map(cipher).mkString(" ")))
+      .toDF("text1", "text2")
+    val c = cat("cipher")
+    val out = Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+      projectName = "Xlat", task = "translation",
+      data = Some(pairs), textCol = "text1", labelCol = "text2",
+      hyperparams = Map("em_iters" -> "6")))
+    assert(out.head().getBoolean(3))
+    val m = c.models.collect().head
+    assert(m.hyperparams("compat") == "ibm_model1")
+    // a learned bijective cipher decodes held-out text exactly → BLEU 100
+    assert(m.metrics("bleu") > 95.0, s"bleu = ${m.metrics("bleu")}")
+    assert(m.metrics("rouge_ngram_f1") > 0.95)
+    val tr = Generative.translateText(spark, c, "Xlat",
+      Seq(("the red dog eats fish"), ("unknownword cat")).toDF("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tr("the red dog eats fish") == "le rouge chien mange poisson")
+    // OOV copies through, known words translate
+    assert(tr("unknownword cat") == "unknownword chat")
+  }
+
+  test("translation: deploy tracks the better BLEU") {
+    val pairs = (1 to 30).map(i => (s"w$i a b", s"v$i p q")).toDF("text1", "text2")
+    val c = cat("redeploy")
+    val first = Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+      projectName = "X2", task = "translation",
+      data = Some(pairs), textCol = "text1", labelCol = "text2",
+      hyperparams = Map("em_iters" -> "1")))
+    assert(first.head().getBoolean(3))
+    val second = Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+      projectName = "X2", task = "translation",
+      data = Some(pairs), textCol = "text1", labelCol = "text2",
+      hyperparams = Map("em_iters" -> "6")))
+    val ms = c.models.collect().sortBy(_.id)
+    // more EM iterations can only help on this separable corpus; the
+    // second model deploys iff it strictly improved BLEU
+    val deployedId = c.deployedModelId("X2").get
+    if (second.head().getBoolean(3)) assert(deployedId == ms.last.id)
+    else assert(deployedId == ms.head.id)
+  }
+}
