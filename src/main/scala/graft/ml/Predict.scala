@@ -80,6 +80,8 @@ object Predict {
     case p: org.apache.spark.ml.classification.GBTClassificationModel => p.predict
     case p: HistGBRegressionModel => p.predict
     case p: HistGBClassificationModel => p.predict
+    case p: AdaBoostRegressionModel => p.predict
+    case p: AdaBoostClassificationModel => p.predict
     case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
     case p: GraftLinearModel => p.predict
     case p: GraftKernelModel => p.predict

@@ -122,7 +122,7 @@ object Train {
       new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 100))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
         .setSubsamplingRate(1.0).setFeatureSubsetStrategy("sqrt")
-    case ("regression", "gradient_boosting_trees" | "ada_boost") =>
+    case ("regression", "gradient_boosting_trees") =>
       // sklearn GradientBoosting is FIRST-order gradient boosting with
       // exact splits — MLlib GBT is the same scheme, so it stays the
       // dispatch here; the second-order family below gets the native
@@ -130,6 +130,12 @@ object Train {
       new GBTRegressor().setMaxIter(hpi(h, "n_estimators", 10))
         .setMaxDepth(hpi(h, "max_depth", 5))
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
+    case ("regression", "ada_boost") =>
+      // exact AdaBoost.R2 (AdaBoost scaladoc) with sklearn's defaults
+      new AdaBoostRegressor()
+        .setNumRounds(hpi(h, "n_estimators", 50))
+        .setMaxDepth(hpi(h, "max_depth", 3))
+        .setStepSize(hp(h, "learning_rate", 1.0)).setSeed(seed)
     case ("regression", "hist_gradient_boosting" | "xgboost" | "lightgbm" |
                         "catboost") =>
       // native second-order histogram boosting (HistGB scaladoc) with
@@ -306,10 +312,17 @@ object Train {
       new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 100))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
         .setFeatureSubsetStrategy("sqrt")
-    case ("classification", "gradient_boosting_trees" | "ada_boost") =>
+    case ("classification", "gradient_boosting_trees") =>
       new GBTClassifier().setMaxIter(hpi(h, "n_estimators", 10))
         .setMaxDepth(hpi(h, "max_depth", 5))
         .setStepSize(hp(h, "learning_rate", 0.1)).setSeed(seed)
+    case ("classification", "ada_boost") =>
+      // exact SAMME (AdaBoost scaladoc): weighted stumps by default,
+      // any K — GBTClassifier (the old substitute) was binary-only
+      new AdaBoostClassifier()
+        .setNumRounds(hpi(h, "n_estimators", 50))
+        .setMaxDepth(hpi(h, "max_depth", 1))
+        .setStepSize(hp(h, "learning_rate", 1.0)).setSeed(seed)
     case ("classification", "hist_gradient_boosting" | "xgboost" | "lightgbm" |
                             "catboost") =>
       // binary → logistic Newton boosting; k>2 → per-class softmax
@@ -497,7 +510,8 @@ object Train {
       // plain (unordered) boosting; CatBoost's ordered-boosting /
       // symmetric-tree scheme is not reproduced — flagged
       Map("compat" -> "unordered_boosting")
-    case "ada_boost" => Map("compat" -> "gbt")
+    // ada_boost: SAMME / AdaBoost.R2 are sklearn's own algorithms —
+    // nothing substituted, no flag
     case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm" |
          "passive_aggressive" | "perceptron" | "quantile"
         if h.get("exact").contains("true") =>

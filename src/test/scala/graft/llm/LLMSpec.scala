@@ -171,9 +171,10 @@ class LLMOpsSpec extends AnyFunSuite {
       Seq("really great good product", "awful terrible bad").toDF("text"))
       .select("prediction").collect().map(_.getDouble(0))
     assert(scored(0) == 1.0 && scored(1) == 0.0, scored.mkString(","))
-    // genuinely seq2seq tasks keep the policy error
+    // a genuinely unknown task keeps the policy error (translation and
+    // text-generation now train via the Generative classical paths)
     intercept[IllegalArgumentException](Finetune.finetune(spark, cat,
-      Finetune.FinetuneConfig(projectName = "Tr", task = "translation",
+      Finetune.FinetuneConfig(projectName = "Tr", task = "structured-prediction",
         data = Some(df))))
   }
 
