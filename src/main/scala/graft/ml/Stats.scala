@@ -218,15 +218,19 @@ object Stats {
     * (`snapshot.rs` mode = middle of longest streak over sorted data,
     * which for count ties resolves to the lexicographically first). */
   def modesDF(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // argmax WITHOUT a window: the old shape windowed over a constant
+    // `col_name` partition key, which Catalyst constant-folds away —
+    // leaving a SINGLE-PARTITION WindowExec that funnels every distinct
+    // value through one task (fatal for a high-cardinality column at
+    // scale). min(struct(−n, value)) encodes the exact tie rule —
+    // highest count, then smallest value — as a map-side-combinable
+    // aggregate over the grouped counts.
     val per = cols.map { c0 =>
-      val counts = df.groupBy(col(c0).cast("string").as("value"))
+      df.groupBy(col(c0).cast("string").as("value"))
         .agg(count(lit(1)).as("n"))
-        .select(lit(c0).as("col_name"), col("value"), col("n"))
-      val w = Window.partitionBy(col("col_name"))
-        .orderBy(col("n").desc, col("value"))
-      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("col_name"), col("value").as("mode_value"), col("n"))
+        .agg(min(struct((-col("n")).as("negn"), col("value"))).as("m"))
+        .select(lit(c0).as("col_name"), col("m.value").as("mode_value"),
+          (-col("m.negn")).as("n"))
     }
     per.reduce(_ unionAll _).orderBy(col("col_name"))
   }
