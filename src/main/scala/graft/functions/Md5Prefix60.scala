@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -119,8 +119,15 @@ object GraftFunctions {
       children(0), children(1))
   }
 
+  val pqAdcInfo = new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc")
+  private val buildPqAdc: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_pq_adc takes (codes, table)")
+    PqAdc(Cast(children(0), ArrayType(IntegerType)), Cast(children(1), arrArrD))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_pq_adc"), pqAdcInfo, buildPqAdc)
     reg.registerFunction(FunctionIdentifier("graft_h60"), h60Info, buildH60)
     reg.registerFunction(FunctionIdentifier("graft_dot"), dotInfo, buildDot)
     reg.registerFunction(FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist)
@@ -139,7 +146,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo),
     (FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap),
     (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg),
-    (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight))
+    (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight),
+    (FunctionIdentifier("graft_pq_adc"), pqAdcInfo, buildPqAdc))
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

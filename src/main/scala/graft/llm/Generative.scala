@@ -195,54 +195,79 @@ object Generative {
     * contexts by count upstream (the standard LM pruning) before
     * decode. Returns the input columns + `generated` (the continuation
     * only, space-joined). */
+  /** Deployed-LM argmax tables, loaded once per (catalog, project) and
+    * cached — the same namespaced-cache discipline as
+    * [[graft.ml.Predict]]'s model cache. */
+  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, String], Map[String, String], String)]()
+  private val lexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  def clearCaches(): Unit = { lmCache.clear(); lexCache.clear() }
+
+  private def deployedPath(catalog: Catalog, project: String): String = {
+    val modelId = catalog.deployedModelId(project).getOrElse(
+      throw new IllegalStateException(s"Project '$project' has no deployed model"))
+    catalog.modelPath(modelId).getOrElse(
+      throw new IllegalStateException(s"Model $modelId has no persisted file"))
+  }
+
+  private def loadLm(spark: SparkSession, catalog: Catalog, project: String,
+      maxContexts: Long): (Map[String, String], Map[String, String], String) =
+    lmCache.computeIfAbsent(s"${catalog.baseDir}#$project", _ => {
+      val path = deployedPath(catalog, project)
+      val uni = spark.read.parquet(s"$path/uni")
+      val bi = spark.read.parquet(s"$path/bi")
+      val tri = spark.read.parquet(s"$path/tri")
+      def argmax(counts: DataFrame): DataFrame = counts
+        .groupBy("ctx").agg(max(struct(col("cnt"), col("w"))).as("m"))
+        .select(col("ctx"), col("m.w").as("w"))
+      val nCtx = tri.select("ctx").distinct().count() +
+        bi.select("ctx").distinct().count()
+      require(nCtx <= maxContexts,
+        s"LM has $nCtx distinct contexts > $maxContexts broadcast guard; " +
+          "prune low-count contexts before decode (standard LM pruning)")
+      val triMap = argmax(tri).collect().map(r => (r.getString(0), r.getString(1))).toMap
+      val biMap = argmax(bi).collect().map(r => (r.getString(0), r.getString(1))).toMap
+      val uniTop = uni.agg(max(struct(col("cnt"), col("w")))).head()
+        .getStruct(0).getString(1)
+      (triMap, biMap, uniTop)
+    })
+
+  /** One greedy continuation (pure kernel shared by the DataFrame path
+    * and the scalar SQL function). */
+  private[llm] def greedy(tm: Map[String, String], bm: Map[String, String],
+      top: String, prompt: String, maxNewTokens: Int): String = {
+    val toks = scala.collection.mutable.ArrayBuffer.from(
+      Option(prompt).getOrElse("").trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val out = new scala.collection.mutable.ArrayBuffer[String](maxNewTokens)
+    var i = 0
+    while (i < maxNewTokens) {
+      val next =
+        (if (toks.length >= 2)
+          tm.get(toks(toks.length - 2) + SEP + toks(toks.length - 1))
+        else None)
+          .orElse(if (toks.nonEmpty) bm.get(toks.last) else None)
+          .getOrElse(top)
+      toks += next
+      out += next
+      i += 1
+    }
+    out.mkString(" ")
+  }
+
   def generateText(spark: SparkSession, catalog: Catalog, project: String,
       df: DataFrame, promptCol: String = "prompt", maxNewTokens: Int = 10,
       maxContexts: Long = 2000000L): DataFrame = {
-    val modelId = catalog.deployedModelId(project).getOrElse(
-      throw new IllegalStateException(s"Project '$project' has no deployed model"))
-    val path = catalog.modelPath(modelId).getOrElse(
-      throw new IllegalStateException(s"Model $modelId has no persisted file"))
-    val uni = spark.read.parquet(s"$path/uni")
-    val bi = spark.read.parquet(s"$path/bi")
-    val tri = spark.read.parquet(s"$path/tri")
-
-    def argmax(counts: DataFrame): DataFrame = counts
-      .groupBy("ctx").agg(max(struct(col("cnt"), col("w"))).as("m"))
-      .select(col("ctx"), col("m.w").as("w"))
-    val nTriCtx = tri.select("ctx").distinct().count()
-    val nBiCtx = bi.select("ctx").distinct().count()
-    require(nTriCtx + nBiCtx <= maxContexts,
-      s"LM has ${nTriCtx + nBiCtx} distinct contexts > $maxContexts broadcast " +
-        "guard; prune low-count contexts before decode (standard LM pruning)")
-    val triMap = argmax(tri).collect().map(r => (r.getString(0), r.getString(1))).toMap
-    val biMap = argmax(bi).collect().map(r => (r.getString(0), r.getString(1))).toMap
-    val uniTop = uni.agg(max(struct(col("cnt"), col("w")))).head()
-      .getStruct(0).getString(1)
+    val (triMap, biMap, uniTop) = loadLm(spark, catalog, project, maxContexts)
     val bc = spark.sparkContext.broadcast((triMap, biMap, uniTop))
-
     val outSchema = StructType(df.schema.fields :+ StructField("generated", StringType))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val promptIdx = df.schema.fieldIndex(promptCol)
     df.mapPartitions { it =>
       val (tm, bm, top) = bc.value
       it.map { row =>
-        val prompt = Option(row.getString(promptIdx)).getOrElse("")
-        val toks = scala.collection.mutable.ArrayBuffer.from(
-          prompt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
-        val out = new scala.collection.mutable.ArrayBuffer[String](maxNewTokens)
-        var i = 0
-        while (i < maxNewTokens) {
-          val next =
-            (if (toks.length >= 2)
-              tm.get(toks(toks.length - 2) + SEP + toks(toks.length - 1))
-            else None)
-              .orElse(if (toks.nonEmpty) bm.get(toks.last) else None)
-              .getOrElse(top)
-          toks += next
-          out += next
-          i += 1
-        }
-        Row.fromSeq(row.toSeq :+ out.mkString(" "))
+        Row.fromSeq(row.toSeq :+
+          greedy(tm, bm, top, row.getString(promptIdx), maxNewTokens))
       }
     }(enc)
   }
@@ -398,12 +423,103 @@ object Generative {
     * (join-based decode — the no-cap scale path). Appends `translated`. */
   def translateText(spark: SparkSession, catalog: Catalog, project: String,
       df: DataFrame, textCol: String = "text"): DataFrame = {
-    val modelId = catalog.deployedModelId(project).getOrElse(
-      throw new IllegalStateException(s"Project '$project' has no deployed model"))
-    val path = catalog.modelPath(modelId).getOrElse(
-      throw new IllegalStateException(s"Model $modelId has no persisted file"))
-    val lex = spark.read.parquet(s"$path/lex")
+    val lex = spark.read.parquet(s"${deployedPath(catalog, project)}/lex")
     decodeWith(lex, df, textCol, "translated")
+  }
+
+  /** Deployed-lexicon best-translation map (source word → argmax target
+    * word) for the scalar SQL path; size is the SOURCE VOCABULARY (not
+    * the t-table), guarded like the LM contexts. */
+  private def loadLexicon(spark: SparkSession, catalog: Catalog,
+      project: String, maxWords: Long): Map[String, String] =
+    lexCache.computeIfAbsent(s"${catalog.baseDir}#$project", _ => {
+      val lex = spark.read.parquet(s"${deployedPath(catalog, project)}/lex")
+        .filter(col("e") =!= NULL_TOKEN)
+      val n = lex.select("e").distinct().count()
+      require(n <= maxWords,
+        s"lexicon has $n source words > $maxWords broadcast guard; " +
+          "use translateText (join-based decode, no cap) instead")
+      lex.groupBy("e").agg(max(struct(col("t"), col("f"))).as("m"))
+        .select(col("e"), col("m.f")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    })
+
+  /** Catalog bound for the scalar SQL surface — the
+    * [[graft.ml.Predict]] singleton discipline: the UDF lambdas must
+    * capture NOTHING non-serializable (Catalog holds a live session),
+    * so they resolve the catalog and session through this JVM-static
+    * indirection; in local mode executors share the JVM, and the bulk
+    * [[generateText]]/[[translateText]] paths are the cluster-safe
+    * route. */
+  @volatile private var bound: Catalog = _
+  private def boundCatalog: Catalog = {
+    val c = bound
+    require(c != null, "Generative.registerFunctions has not been called")
+    c
+  }
+
+  /** Pre-load every deployed text-generation / translation project's
+    * argmax tables (the [[graft.ml.Predict.warm]] discipline: the UDF
+    * body must run NO Spark jobs — a nested action inside a task is
+    * illegal — so all loads happen here, driver-side). */
+  def warm(spark: SparkSession, catalog: Catalog,
+      maxContexts: Long = 2000000L): Unit =
+    catalog.deployedModels.select(col("name"), col("task"))
+      .collect().foreach { r =>
+        r.getString(1) match {
+          case "text-generation" =>
+            loadLm(spark, catalog, r.getString(0), maxContexts); ()
+          case "translation" =>
+            loadLexicon(spark, catalog, r.getString(0), maxContexts); ()
+          case _ => ()
+        }
+      }
+
+  private def cachedLm(project: String)
+      : (Map[String, String], Map[String, String], String) = {
+    val v = lmCache.get(s"${boundCatalog.baseDir}#$project")
+    require(v != null,
+      s"text-generation project '$project' is not warmed — deploy happened " +
+        "after registerFunctions, or the project does not exist; call " +
+        "Generative.warm")
+    v
+  }
+
+  private def cachedLexicon(project: String): Map[String, String] = {
+    val v = lexCache.get(s"${boundCatalog.baseDir}#$project")
+    require(v != null,
+      s"translation project '$project' is not warmed — deploy happened " +
+        "after registerFunctions, or the project does not exist; call " +
+        "Generative.warm")
+    v
+  }
+
+  /** Scalar SQL surface over the TRAINED generative projects — the
+    * project-scoped twins of the runtime-backed `quackml_generate`:
+    *
+    *   quackml_generate_lm(project, prompt, n) — greedy n-token
+    *     continuation from the deployed trigram LM;
+    *   quackml_translate(project, text)       — word-by-word Model 1
+    *     decode through the deployed lexicon (OOV copies through).
+    *
+    * Registration WARMS every deployed generative project into the
+    * process-wide cache (UDF bodies run no jobs); call [[clearCaches]]
+    * + re-register after redeploying. */
+  def registerFunctions(spark: SparkSession, catalog: Catalog,
+      maxContexts: Long = 2000000L): Unit = {
+    bound = catalog
+    warm(spark, catalog, maxContexts)
+    spark.udf.register("quackml_generate_lm",
+      (project: String, prompt: String, n: Int) => {
+        val (tm, bm, top) = cachedLm(project)
+        greedy(tm, bm, top, prompt, n)
+      })
+    spark.udf.register("quackml_translate",
+      (project: String, text: String) => {
+        val m = cachedLexicon(project)
+        Option(text).getOrElse("").trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).map(w => m.getOrElse(w, w)).mkString(" ")
+      })
   }
 
   private def contractRow(spark: SparkSession, project: String, task: String,

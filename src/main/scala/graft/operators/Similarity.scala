@@ -491,6 +491,56 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY src, rank""".stripMargin
   }
 
+  /** PQ/ADC ANN over the embeddings table (rows-only gate — the
+    * codebook is a trained artifact with no SQL twin; PqSpec pins the
+    * ADC arithmetic bit-exactly on hand-built codebooks): train an
+    * 8-subspace × 16-codeword product quantizer (ProductQuantizer
+    * scaladoc — the 100 TB scan format: m bytes per vector, query =
+    * one m×k table + m lookups per candidate, `graft_pq_adc`
+    * codegen'd), encode the corpus, answer the standard 10 queries by
+    * ADC top-10, and emit per-query recall against the EXACT L2
+    * top-10 computed in the same pass — quality-floored on mean
+    * recall at half the measured value. */
+  def sim_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cb = ProductQuantizer.train(e, "v", m = 16, k = 64)
+    val codes = ProductQuantizer.encode(e, "v", cb)
+      .select($"vec_id".as("cid"), $"v".as("vc"), $"pq_codes")
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("vq"))
+      .withColumn("tbl", ProductQuantizer.adcTableCol($"vq", cb))
+    // narrow (qid, cid, adc, ex) frame materialized ONCE — the truth
+    // ranking and the shortlist rerank both read it, and without the
+    // checkpoint each window would re-run the encode+join upstream
+    val scored = broadcast(q).join(codes, $"qid" =!= $"cid")
+      .withColumn("adc", ProductQuantizer.adcDist($"pq_codes", $"tbl"))
+      .withColumn("ex", sqdist($"vq", $"vc"))
+      .select($"qid", $"cid", $"adc", $"ex")
+      .localCheckpoint()
+    // production PQ pipeline: ADC prunes to a candidate shortlist, the
+    // shortlist re-ranks by EXACT distance (the FAISS refine stage) —
+    // only shortlisted rows ever touch the full vector
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"adc".asc, $"cid")
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"ex".asc, $"cid")
+    val answered = scored.withColumn("rnA", row_number().over(wA))
+      .filter($"rnA" <= 50)
+      .withColumn("rnR", row_number().over(wE)) // exact rerank WITHIN shortlist
+      .filter($"rnR" <= 10).select($"qid", $"cid")
+    val truth = scored.withColumn("rnE", row_number().over(wE))
+      .filter($"rnE" <= 10).select($"qid", $"cid")
+    val per = truth.join(answered, Seq("qid", "cid"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_overlap"))
+    val allQ = e.filter($"vec_id" < 10).select($"vec_id".as("qid"))
+    val filled = allQ.join(per, Seq("qid"), "left")
+      .select($"qid", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .withColumn("recall", $"n_overlap".cast("double") / lit(10.0))
+    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.3)
+    filled.join(broadcast(bar)).drop("__m").orderBy($"qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine"    -> sim_topk_cosine _,
     "sim_neardup_cosine" -> sim_neardup_cosine _,
@@ -499,7 +549,8 @@ object Similarity {
     "sim_ann_ivf_probe2" -> sim_ann_ivf_probe2 _,
     "sim_ann_ivf_indexed" -> sim_ann_ivf_indexed _,
     "sim_knn_graph"      -> sim_knn_graph _,
-    "sim_knn_graph_trained" -> sim_knn_graph_trained _
+    "sim_knn_graph_trained" -> sim_knn_graph_trained _,
+    "sim_ann_pq"         -> sim_ann_pq _
   )
 
   val oracles: Map[String, String] = Map(

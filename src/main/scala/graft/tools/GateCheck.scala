@@ -19,7 +19,8 @@ object GateCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
     args.drop(1).foreach { name =>
       val t0 = System.nanoTime()
       try {

@@ -34,6 +34,11 @@ class GenerativeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(gen("a b") == "c d a b c d")
     assert(gen("c d") == "a b c d a b")
+    // scalar SQL twin serves the same deployed model
+    Generative.clearCaches()
+    Generative.registerFunctions(spark, c)
+    assert(spark.sql("SELECT quackml_generate_lm('GenCycle', 'a b', 4)")
+      .head().getString(0) == "c d a b")
   }
 
   test("text-generation: bigram/unigram backoff on unseen contexts") {
@@ -91,6 +96,11 @@ class GenerativeSpec extends AnyFunSuite {
     assert(tr("the red dog eats fish") == "le rouge chien mange poisson")
     // OOV copies through, known words translate
     assert(tr("unknownword cat") == "unknownword chat")
+    // scalar SQL twin serves the same deployed lexicon
+    Generative.clearCaches()
+    Generative.registerFunctions(spark, c)
+    assert(spark.sql("SELECT quackml_translate('Xlat', 'the red cat')")
+      .head().getString(0) == "le rouge chat")
   }
 
   test("translation: deploy tracks the better BLEU") {

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.ml.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization (ProductQuantizer scaladoc): exact ADC
+  * arithmetic on hand-built codebooks, training determinism, and
+  * recall on separably clustered data. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("graft_pq_adc is the exact table-lookup sum") {
+    graft.functions.GraftFunctions.register(spark)
+    // m=2 subspaces, k=2 codewords; codes (1, 0); table rows (0.5, 2.0)
+    // and (3.25, 9.0) -> adc = 2.0 + 3.25
+    val df = Seq((Seq(1, 0), Seq(Seq(0.5, 2.0), Seq(3.25, 9.0))))
+      .toDF("codes", "tbl")
+    val out = df.select(expr("graft_pq_adc(codes, tbl)")).head().getDouble(0)
+    assert(out == 5.25)
+    // out-of-range code -> null, not a crash
+    val bad = Seq((Seq(7, 0), Seq(Seq(0.5), Seq(1.0))))
+      .toDF("codes", "tbl")
+      .select(expr("graft_pq_adc(codes, tbl)")).head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("encode + adcTable reproduce exact distances when codebook = data") {
+    graft.functions.GraftFunctions.register(spark)
+    // 4 distinct 4-dim vectors; m=2, k=4 with enough codewords that
+    // k-means converges to the exact points -> ADC distance == true
+    // squared distance for every (query, candidate) pair
+    val vecs = Seq(
+      Seq(0.0, 0.0, 10.0, 10.0), Seq(1.0, 0.0, 10.0, 11.0),
+      Seq(8.0, 8.0, 0.0, 1.0), Seq(9.0, 8.0, 0.0, 0.0))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val cb = ProductQuantizer.train(df, "v", m = 2, k = 4, iters = 20)
+    val enc = ProductQuantizer.encode(df, "v", cb)
+      .select($"vec_id".as("cid"), $"v".as("vc"), $"pq_codes")
+    val q = df.select($"vec_id".as("qid"), $"v".as("vq"))
+      .withColumn("tbl", ProductQuantizer.adcTableCol($"vq", cb))
+    val rows = broadcast(q).join(enc)
+      .withColumn("adc", ProductQuantizer.adcDist($"pq_codes", $"tbl"))
+      .withColumn("ex", expr("graft_sqdist(vq, vc)"))
+      .select($"adc", $"ex").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"adc ${r.getDouble(0)} != exact ${r.getDouble(1)}")
+    }
+  }
+
+  test("training is deterministic and nearest-cluster recall is high") {
+    graft.functions.GraftFunctions.register(spark)
+    // 3 well-separated 8-dim clusters with small deterministic jitter
+    val vecs = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, (0 until 8).map(d =>
+        c * 20.0 + (d % 3) + ((i * 7 + d * 13) % 5) * 0.1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val cb1 = ProductQuantizer.train(df, "v", m = 4, k = 8)
+    val cb2 = ProductQuantizer.train(df, "v", m = 4, k = 8)
+    assert(cb1.centers.flatten.flatten.toSeq == cb2.centers.flatten.flatten.toSeq)
+
+    // every vector's ADC-nearest neighbors land in ITS cluster
+    val enc = ProductQuantizer.encode(df, "v", cb1)
+      .select($"vec_id".as("cid"), $"pq_codes")
+    val q = df.filter($"vec_id" < 9)
+      .select($"vec_id".as("qid"), ProductQuantizer.adcTableCol($"v", cb1).as("tbl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"adc".asc, $"cid")
+    val top = broadcast(q).join(enc, $"qid" =!= $"cid")
+      .withColumn("adc", ProductQuantizer.adcDist($"pq_codes", $"tbl"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+    val wrong = top.filter($"qid" % 3 =!= $"cid" % 3).count()
+    assert(wrong == 0, s"$wrong of 45 ADC neighbors crossed clusters")
+  }
+}
