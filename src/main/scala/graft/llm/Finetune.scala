@@ -757,7 +757,11 @@ object Finetune {
       concat(col("r"),
         array(sqrt(greatest(lit(m2) - col("n2"), lit(0.0))))).as("v"))
     val k = graft.operators.KMeansQuantizer.chooseK(nCand, targetCellRows)
-    val quant = graft.operators.KMeansQuantizer.fit(aug.select(col("v")), k)
+    // coarse cells only route the probe — recall is the nprobe knob,
+    // not centroid polish — so the fit is sample-bounded and stops
+    // early, same discipline as the DBSCAN gate's quantizer
+    val quant = graft.operators.KMeansQuantizer.fitSampled(
+      aug.select(col("v")), k, nCand, maxIter = 8)
     val cells = aug.withColumn("cell", quant.cellCol(col("v")))
       .localCheckpoint() // trained assignment is the expensive map: once
 

@@ -134,4 +134,20 @@ object KMeansQuantizer {
     * [2, maxK]. The knob a 1000-executor deployment would set. */
   def chooseK(rows: Long, targetCellRows: Long, maxK: Int = 65536): Int =
     math.max(2, math.min(maxK, math.ceil(rows.toDouble / targetCellRows).toInt))
+
+  /** Fit on a BOUNDED sample: coarse-quantizer centroids converge on
+    * ~`pointsPerCell`·k points (the classic IVF training discipline —
+    * FAISS trains its coarse quantizer on max(256·k) points for the
+    * same reason), so the fit cost is O(k·pointsPerCell·d·iters)
+    * regardless of corpus size while the full-corpus assignment stays
+    * the map-only `graft_cell` pass. `rows` is the caller's already-
+    * known corpus count (every call site has just counted for
+    * [[chooseK]]), so bounding adds no extra pass. Deterministic under
+    * the fixed seed. */
+  def fitSampled(e: DataFrame, k: Int, rows: Long, seed: Long = 42L,
+      pointsPerCell: Int = 256, maxIter: Int = 20): KMeansQuantizer = {
+    val target = pointsPerCell.toLong * k
+    val frac = if (rows <= target) 1.0 else target.toDouble / rows
+    fit(e, k, seed, sampleFraction = frac, maxIter = maxIter)
+  }
 }

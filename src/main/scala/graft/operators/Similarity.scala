@@ -461,8 +461,10 @@ object Similarity {
   def sim_knn_graph_trained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val k = KMeansQuantizer.chooseK(e.count(), targetCellRows = 500L)
-    knnGraph(e, KMeansQuantizer.fit(e, k), topK = 3).orderBy($"src", $"rank")
+    val n = e.count()
+    val k = KMeansQuantizer.chooseK(n, targetCellRows = 500L)
+    knnGraph(e, KMeansQuantizer.fitSampled(e, k, n), topK = 3)
+      .orderBy($"src", $"rank")
   }
 
   val simKnnGraphSql: String = {
