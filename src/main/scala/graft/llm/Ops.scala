@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   * no shuffle, model weights loaded once per executor, batch size
   * bounds peak memory.
   */
+
+/** The reference's `RankResult` row shape
+  * (`src/bindings/transformers/mod.rs:124-133`). */
+final case class RankResult(corpus_id: Int, score: Double, text: String)
+
 object Ops {
   /** Append an embedding column (`quackml_embed` batch form). Fixes the
     * reference's column-wiring bug (`src/api.rs:1210,1218` reads the
@@ -88,12 +93,26 @@ object Ops {
   }
 
   /** Register the scalar SQL surface: quackml_chunk / quackml_embed /
-    * quackml_transform / quackml_generate (stub-backed by default). */
+    * quackml_embed_batch / quackml_rank / quackml_transform /
+    * quackml_generate (stub-backed by default). */
   def registerFunctions(spark: SparkSession, runtime: String = "stub"): Unit = {
     spark.udf.register("quackml_chunk", (splitter: String, text: String) =>
       Chunk.chunk(splitter, text).map { case (i, c) => s"$i:$c" })
     spark.udf.register("quackml_embed", (text: String) =>
       ModelRuntimes.get(runtime).embed(Seq(text), 16).head.toSeq)
+    // embed_batch (`src/api.rs:1264-1273`): one call, one vector per text
+    spark.udf.register("quackml_embed_batch", (texts: Seq[String]) =>
+      ModelRuntimes.get(runtime).embed(texts, 16).map(_.toSeq))
+    // rank (`src/api.rs:1276-1286`): the scalar cross-encoder form —
+    // RankResult list ordered best-first, corpus_id = input index
+    // (`src/bindings/transformers/mod.rs:124-164`). The DataFrame form
+    // (Ops.rank) is the distributed surface; this one serves SQL.
+    spark.udf.register("quackml_rank", (query: String, documents: Seq[String]) => {
+      val scores = ModelRuntimes.get(runtime).rank(query, documents)
+      scores.zipWithIndex
+        .sortBy { case (s, i) => (-s, i) }
+        .map { case (s, i) => RankResult(i, s, documents(i)) }
+    })
     spark.udf.register("quackml_transform", (task: String, text: String) =>
       ModelRuntimes.get(runtime).transform(task, Seq(text)).head)
     spark.udf.register("quackml_generate", (prompt: String) =>

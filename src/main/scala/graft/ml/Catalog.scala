@@ -37,10 +37,33 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   private def dir(t: String) = s"$baseDir/$t"
   private def exists(t: String) = new java.io.File(dir(t)).exists()
 
-  private def read[T: org.apache.spark.sql.Encoder](t: String): org.apache.spark.sql.Dataset[T] =
-    if (exists(t))
-      spark.read.parquet(dir(t)).as[T]
-    else spark.emptyDataset[T]
+  /** Catalog reads go through a process-wide ROW cache keyed by
+    * (baseDir, table): the first read collects the parquet table
+    * driver-side (O(metadata) by construction — scaladoc top) and every
+    * later read rebuilds a LocalRelation from the cached rows, so the
+    * many small lookups inside a train/finetune lifecycle
+    * (findProject, deployedModelId, nextId seeding, …) cost no file
+    * listing, no footer parse, and no scan job. Appends write through
+    * the cache under the same per-table lock the writer holds, and the
+    * load path takes that lock too, so a read racing an append can
+    * never publish a pre-append snapshot over the appended one.
+    * Cross-PROCESS writers remain out of scope (single-writer
+    * discipline, same as the reference's in-process catalog). */
+  private def read[T: org.apache.spark.sql.Encoder](t: String): org.apache.spark.sql.Dataset[T] = {
+    val key = (baseDir, t)
+    var rows = Catalog.rowCache.get(key)
+    if (rows == null) Catalog.writeLock(baseDir, t).synchronized {
+      rows = Catalog.rowCache.get(key)
+      if (rows == null) {
+        val loaded: Seq[T] =
+          if (exists(t)) spark.read.parquet(dir(t)).as[T].collect().toSeq
+          else Seq.empty[T]
+        Catalog.cacheRows(key, loaded)
+        rows = loaded
+      }
+    }
+    spark.createDataset(rows.asInstanceOf[Seq[T]])
+  }
 
   def projects = read[ProjectRow]("projects")
   def snapshots = read[SnapshotRow]("snapshots")
@@ -71,6 +94,9 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
   private def append[T: org.apache.spark.sql.Encoder](t: String, rows: Seq[T]): Unit =
     Catalog.writeLock(baseDir, t).synchronized {
       rows.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(dir(t))
+      // write-through: extend the cached rows if the table is cached;
+      // if absent, the next read loads parquet (which has the rows)
+      Catalog.rowCache.computeIfPresent((baseDir, t), (_, old) => old ++ rows)
       maybeCompact[T](t)
     }
 
@@ -205,8 +231,10 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
       spark.read.parquet(src).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(dir(t))
       // restored ids supersede whatever this process allocated — drop
-      // the counter so the next nextId re-seeds from the loaded table
+      // the counter so the next nextId re-seeds from the loaded table,
+      // and the row cache so the next read sees the restored rows
       Catalog.counters.remove((baseDir, t))
+      Catalog.rowCache.remove((baseDir, t))
     }
   }
 
@@ -237,6 +265,20 @@ object Catalog {
   /** Process-wide id allocators keyed by (catalog baseDir, table). */
   private val counters = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.atomic.AtomicLong]()
+
+  /** Process-wide collected-row cache keyed by (catalog baseDir,
+    * table) — see `Catalog.read`. Each entry is O(catalog), but
+    * throwaway temp catalogs (one per gate invocation) accumulate
+    * keys, so the map flushes wholesale past a key bound — the same
+    * full-flush-on-overflow discipline as the reference's deployed-
+    * model cache (`src/orm/project.rs:93-99`). */
+  private val ROW_CACHE_MAX_KEYS = 1024
+  private[ml] val rowCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[_]]()
+  private[ml] def cacheRows(key: (String, String), rows: Seq[_]): Unit = {
+    if (rowCache.size >= ROW_CACHE_MAX_KEYS) rowCache.clear()
+    rowCache.put(key, rows); ()
+  }
 
   /** Per-(catalog, table) append locks — see `Catalog.append`. */
   private val locks = new java.util.concurrent.ConcurrentHashMap[

@@ -302,6 +302,62 @@ object Predict {
         yi * math.log(pi) + (1.0 - yi) * math.log(1.0 - pi)
       }.sum / y.length
     })
+    // sklearn_regression_metrics (`src/api.rs:2294-2301`;
+    // `sklearn.py:262-274`): the full metric map in one call
+    spark.udf.register("quackml_regression_metrics",
+      (y: Seq[Double], p: Seq[Double]) => {
+        val n = y.length
+        val mean = y.sum / n
+        val tss = y.map(v => (v - mean) * (v - mean)).sum
+        val rss = y.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum
+        Map(
+          "r2" -> (1.0 - rss / tss),
+          "mse" -> rss / n,
+          "mae" -> y.zip(p).map { case (a, b) => math.abs(a - b) }.sum / n)
+      })
+    // sklearn_classification_metrics (`src/api.rs:2304-2317`;
+    // `sklearn.py:277-306`): binary average below 3 classes with
+    // positive class 1, macro otherwise; mcc is the multiclass
+    // Gorodkin form sklearn computes; zero-division cells score 0.0
+    spark.udf.register("quackml_classification_metrics",
+      (y: Seq[Int], p: Seq[Int]) => {
+        val classes = (y ++ p).distinct.sorted
+        val idx = classes.zipWithIndex.toMap
+        val k = classes.size
+        val m = Array.ofDim[Long](k, k)
+        y.zip(p).foreach { case (t, h) => m(idx(t))(idx(h)) += 1 }
+        val n = y.length.toLong
+        def cell(tp: Long, fp: Long, fn: Long): (Double, Double, Double) = {
+          val pr = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+          val rc = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+          val f1 = if (pr + rc == 0) 0.0 else 2 * pr * rc / (pr + rc)
+          (pr, rc, f1)
+        }
+        val (precision, recall, f1) =
+          if (k <= 2) {
+            // binary: metrics of the positive class (label 1)
+            val c = idx.getOrElse(1, k - 1)
+            cell(m(c)(c), (0 until k).map(r => m(r)(c)).sum - m(c)(c),
+              m(c).sum - m(c)(c))
+          } else {
+            val per = (0 until k).map(c => cell(m(c)(c),
+              (0 until k).map(r => m(r)(c)).sum - m(c)(c),
+              m(c).sum - m(c)(c)))
+            (per.map(_._1).sum / k, per.map(_._2).sum / k, per.map(_._3).sum / k)
+          }
+        val correct = (0 until k).map(c => m(c)(c)).sum
+        val predK = (0 until k).map(c => (0 until k).map(r => m(r)(c)).sum)
+        val trueK = (0 until k).map(c => m(c).sum)
+        val cov = correct.toDouble * n -
+          predK.zip(trueK).map { case (a, b) => a.toDouble * b }.sum
+        val dp = n.toDouble * n - predK.map(a => a.toDouble * a).sum
+        val dt = n.toDouble * n - trueK.map(a => a.toDouble * a).sum
+        val mcc = if (dp == 0 || dt == 0) 0.0 else cov / math.sqrt(dp * dt)
+        Map(
+          "f1" -> f1, "f1_micro" -> correct.toDouble / n,
+          "precision" -> precision, "recall" -> recall,
+          "accuracy" -> correct.toDouble / n, "mcc" -> mcc)
+      })
   }
 
   /** Deployment strategies (`src/api.rs:695-799`): best_score,

@@ -215,6 +215,44 @@ object StreamingOps {
         (col("r") + 1).cast("long").as("rank"))
   }
 
+  /** PQ-encode a static candidate pool for streaming ADC retrieval —
+    * the build side of [[pqRetrieveStream]]: one stateless codegen
+    * encode pass, m bytes per vector instead of the raw embedding (the
+    * 100 TB scan format `sim_ann_pq` documents). Input needs
+    * (vec_id, v: array<double>). */
+  def pqEncodePool(pool: DataFrame,
+      cb: graft.operators.ProductQuantizer.Codebook): DataFrame = {
+    graft.functions.GraftFunctions.register(pool.sparkSession)
+    graft.operators.ProductQuantizer.encode(pool, "v", cb)
+      .select(col("vec_id").as("cid"), col("pq_codes"))
+  }
+
+  /** Streaming PQ-ADC retrieval — the streaming twin of `sim_ann_pq`'s
+    * shortlist stage: each micro-batch query row computes its m×k ADC
+    * table ONCE (the interpreted HOF, amortized over every candidate),
+    * the static byte-coded pool joins stream-static and scores through
+    * the codegen `graft_pq_adc` lookup-sum — the scan touches m bytes
+    * per candidate, never the raw vector — and a per-query aggregation
+    * keeps the ADC top-k with the batch tie rule (adc asc, cid asc).
+    * Exact-rerank of the shortlist is the downstream consumer's stage,
+    * same as the batch pipeline. State is the per-query top-k only. */
+  def pqRetrieveStream(queries: DataFrame, encodedPool: DataFrame,
+      cb: graft.operators.ProductQuantizer.Codebook,
+      topK: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("qid"),
+      graft.operators.ProductQuantizer.adcTableCol(col("v"), cb).as("tbl"))
+    q.join(encodedPool, col("qid") =!= col("cid"))
+      .withColumn("adc",
+        graft.operators.ProductQuantizer.adcDist(col("pq_codes"), col("tbl")))
+      .groupBy(col("qid"))
+      .agg(slice(array_sort(collect_list(
+        struct(col("adc"), col("cid")))), 1, topK).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("qid"), col("t.cid").as("cid"), col("t.adc").as("adc"),
+        (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Streaming exact dedup — the streaming twin of dd_exact: documents
     * keyed by content fingerprint, first arrival wins, duplicates
     * dropped. `dropDuplicates` keeps per-key state; the watermark bounds

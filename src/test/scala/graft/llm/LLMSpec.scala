@@ -122,6 +122,25 @@ class LLMOpsSpec extends AnyFunSuite {
     assert(emb.length == 16)
     val gen = spark.sql("SELECT quackml_generate('prompt')").head().getSeq[String](0)
     assert(gen.head.startsWith("prompt"))
+
+    // embed_batch: one vector per input, identical to per-text embed
+    val batch = spark.sql(
+      "SELECT quackml_embed_batch(array('hello', 'world'))")
+      .head().getSeq[scala.collection.Seq[Float]](0)
+    assert(batch.length == 2 && batch.head.length == 16)
+    assert(batch.head.toSeq == spark.sql("SELECT quackml_embed('hello')")
+      .head().getSeq[Float](0).toSeq)
+
+    // rank: RankResult rows best-first, corpus_id = input index
+    val rr = spark.sql(
+      "SELECT quackml_rank('q', array('doc a', 'doc b', 'doc c'))")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(rr.length == 3)
+    val scores2 = rr.map(_.getAs[Double]("score"))
+    assert(scores2 == scores2.sorted.reverse)
+    assert(rr.map(_.getAs[Int]("corpus_id")).sorted == Seq(0, 1, 2))
+    assert(rr.forall(r => Seq("doc a", "doc b", "doc c")
+      .contains(r.getAs[String]("text"))))
   }
 
   test("finetune reports the unsupported-runtime policy error") {

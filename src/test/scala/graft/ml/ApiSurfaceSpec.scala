@@ -217,6 +217,38 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(math.abs(ll - (-(math.log(0.9) + math.log(0.9)) / 2.0)) < 1e-12)
   }
 
+  test("sklearn_regression_metrics / sklearn_classification_metrics maps") {
+    Predict.registerMetricFunctions(spark)
+    val rm = spark.sql(
+      "SELECT quackml_regression_metrics(array(1.0d, 2.0d, 3.0d), array(2.0d, 2.0d, 2.0d))")
+      .head().getMap[String, Double](0)
+    assert(math.abs(rm("r2")) < 1e-12)
+    assert(math.abs(rm("mse") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(rm("mae") - 2.0 / 3.0) < 1e-12)
+
+    // binary: y=[1,1,1,0,0,0], p=[1,1,0,1,0,0] → tp=2 fp=1 fn=1
+    val bm = spark.sql(
+      "SELECT quackml_classification_metrics(array(1, 1, 1, 0, 0, 0), array(1, 1, 0, 1, 0, 0))")
+      .head().getMap[String, Double](0)
+    assert(math.abs(bm("precision") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(bm("recall") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(bm("f1") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(bm("accuracy") - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(bm("f1_micro") - 4.0 / 6.0) < 1e-12)
+    // binary mcc by the direct formula: (tp*tn - fp*fn)/sqrt(...)
+    val mccExpect = (2.0 * 2.0 - 1.0 * 1.0) /
+      math.sqrt((2.0 + 1.0) * (2.0 + 1.0) * (2.0 + 1.0) * (2.0 + 1.0))
+    assert(math.abs(bm("mcc") - mccExpect) < 1e-12)
+
+    // multiclass goes macro; a perfect prediction scores 1.0 across
+    // the board including the Gorodkin mcc
+    val mm = spark.sql(
+      "SELECT quackml_classification_metrics(array(0, 1, 2, 2), array(0, 1, 2, 2))")
+      .head().getMap[String, Double](0)
+    assert(Seq("f1", "precision", "recall", "accuracy", "mcc")
+      .forall(kk => math.abs(mm(kk) - 1.0) < 1e-12))
+  }
+
   test("concurrent catalog creates allocate distinct monotonic ids") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._

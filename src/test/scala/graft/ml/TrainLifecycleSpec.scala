@@ -334,6 +334,26 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot be present in both"))
   }
 
+  test("catalog row cache: write-through, cross-instance, and flush coherence") {
+    val cat = freshCatalog()
+    val p = cat.createProject("CacheProj", "regression")
+    // a SECOND instance on the same baseDir sees the row through the
+    // process-wide cache
+    val cat2 = new Catalog(spark, cat.baseDir)
+    assert(cat2.findProject("CacheProj").map(_.id).contains(p.id))
+    // append through instance 2, read through instance 1
+    val p2 = cat2.createProject("CacheProj2", "regression")
+    assert(cat.findProject("CacheProj2").map(_.id).contains(p2.id))
+    // a cache flush must be invisible: the reload reads the same rows
+    // back from parquet (write-through kept disk authoritative)
+    Catalog.rowCache.clear()
+    assert(cat.projects.collect().map(_.name).toSet ==
+      Set("CacheProj", "CacheProj2"))
+    // id allocation stays monotonic across the flush
+    val p3 = cat.createProject("CacheProj3", "regression")
+    assert(p3.id > p2.id && p2.id > p.id)
+  }
+
   test("catalog compacts small append files past the part threshold") {
     val cat = freshCatalog()
     val n = Catalog.COMPACT_PARTS + 10

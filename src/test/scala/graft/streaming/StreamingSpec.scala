@@ -290,6 +290,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PQ-ADC retrieval matches the batch shortlist ranking") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cb = graft.operators.ProductQuantizer.train(e, "v", m = 16, k = 64)
+    val pool = StreamingOps.pqEncodePool(e, cb).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_in").toString
+    e.filter($"vec_id" < 10).coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = StreamingOps.pqRetrieveStream(stream, pool, cb, topK = 10)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("pq_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pq_out")
+        .select($"qid", $"cid", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch truth: the same ADC scan ranked by (adc asc, cid asc)
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"adc".asc, $"cid")
+      val batch = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"),
+          graft.operators.ProductQuantizer.adcTableCol($"v", cb).as("tbl"))
+        .join(pool, $"qid" =!= $"cid")
+        .withColumn("adc",
+          graft.operators.ProductQuantizer.adcDist($"pq_codes", $"tbl"))
+        .withColumn("rank", row_number().over(wA).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"qid", $"cid", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream ${streamed.size} rows vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: exact tf parity, bounded-error df") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
