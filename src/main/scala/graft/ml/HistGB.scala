@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.{PredictionModel, Predictor}
 import org.apache.spark.ml.classification.{ProbabilisticClassificationModel, ProbabilisticClassifier}
 import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
-import org.apache.spark.ml.param.{DoubleArrayParam, DoubleParam, IntArrayParam, IntParam, LongParam, ParamMap}
+import org.apache.spark.ml.param.{DoubleArrayParam, DoubleParam, IntArrayParam, IntParam, LongParam, Param, ParamMap}
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Dataset, Row}
@@ -46,12 +46,20 @@ import scala.collection.mutable.ArrayBuffer
   *   `localCheckpoint` every few rounds so round N's plan does not
   *   replay rounds 0..N−1.
   *
+  * Growth policies: `depthwise` (XGBoost's default level-order),
+  * `leafwise` (LightGBM's best-first growth under a `num_leaves`
+  * budget, Ke et al. 2017), and `oblivious` (CatBoost's symmetric
+  * trees — one shared split per level, Prokhorenkova et al. 2018) all
+  * run on the same histogram machinery; `Train` dispatches each
+  * algorithm name to its native policy.
+  *
   * Deviations, stated: cut points come from a seeded sample capped at
   * `binSampleCap` rows (XGBoost's own `hist` method sketches
-  * approximate quantiles too); LightGBM grows leaf-wise while this
-  * grows depth-wise (XGBoost's default) — `lightgbm` dispatch carries
-  * `compat=depthwise_growth`; CatBoost's ordered boosting is not
-  * reproduced — `catboost` carries `compat=unordered_boosting`.
+  * approximate quantiles too); LightGBM's GOSS/EFB samplings are not
+  * reproduced (both are off in LightGBM's default `gbdt` mode);
+  * CatBoost's ORDERED boosting is not reproduced — `catboost` trains
+  * the plain scheme (CatBoost's own `boosting_type=Plain`, its default
+  * on large datasets) and carries `compat=plain_boosting`.
   */
 private[ml] object HistGBCore {
 
@@ -92,7 +100,8 @@ private[ml] object HistGBCore {
   final case class Cfg(
       rounds: Int, maxDepth: Int, eta: Double, lambda: Double,
       minSplitLoss: Double, minChildWeight: Double, maxBins: Int,
-      binSampleCap: Int, seed: Long, checkpointEvery: Int = 8)
+      binSampleCap: Int, seed: Long, checkpointEvery: Int = 8,
+      policy: String = "depthwise", numLeaves: Int = 31)
 
   /** Flat-node encoding shared by training and the persisted model:
     * stride 5 — [featureIdx|-1, threshold, left, right, leafValue].
@@ -243,113 +252,292 @@ private[ml] object HistGBCore {
     Ensemble(init, flat.toArray, offsets.toArray, k)
   }
 
-  /** One depth-wise tree for class `c`: per level, ONE zipPartitions
-    * pass histograms (g,h) for every active node; split search is a
-    * driver scan of the reduced buffer. */
-  private def growTree(binned: RDD[(Array[Byte], Double)],
-      margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
-      binsPerFeat: Array[Int], maxB: Int): Array[Double] = {
-    val sc = binned.sparkContext
-    val p = binsPerFeat.length
-    // growable training-form tree
+  /** Mutable training-form tree shared by the three growth policies. */
+  private final class TreeBuilder {
     val feat = ArrayBuffer(-1); val thr = ArrayBuffer(-1)
     val left = ArrayBuffer(-1); val right = ArrayBuffer(-1)
     val leafG = ArrayBuffer(0.0); val leafH = ArrayBuffer(0.0)
+    val depth = ArrayBuffer(0)
+
+    /** Split `nid` on (f, bin) with the given left-child stats; returns
+      * the (left, right) child ids. */
+    def split(nid: Int, f: Int, bin: Int, gl: Double, hl: Double,
+        tG: Double, tH: Double): (Int, Int) = {
+      val l = feat.length
+      feat(nid) = f; thr(nid) = bin
+      left(nid) = l; right(nid) = l + 1
+      feat += -1; thr += -1; left += -1; right += -1
+      leafG += gl; leafH += hl; depth += depth(nid) + 1
+      feat += -1; thr += -1; left += -1; right += -1
+      leafG += tG - gl; leafH += tH - hl; depth += depth(nid) + 1
+      (l, l + 1)
+    }
+
+    /** Flatten; leaves get −η·G/(H+λ). */
+    def finish(cfg: Cfg): Array[Double] = {
+      val out = new Array[Double](feat.length * STRIDE)
+      var i = 0
+      while (i < feat.length) {
+        if (feat(i) >= 0) {
+          out(i * STRIDE) = feat(i); out(i * STRIDE + 1) = thr(i)
+          out(i * STRIDE + 2) = left(i); out(i * STRIDE + 3) = right(i)
+        } else {
+          out(i * STRIDE) = -1
+          out(i * STRIDE + 4) =
+            -cfg.eta * leafG(i) / (leafH(i) + cfg.lambda)
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** ONE zipPartitions pass: (g,h) histograms for every node with a
+    * slot assignment (rows route down the partial tree; unslotted
+    * nodes accumulate nothing). Returns the treeReduced flat buffer
+    * laid out [slot][feature][bin][g|h]. */
+  private def histPass(binned: RDD[(Array[Byte], Double)],
+      margins: RDD[Array[Double]], obj: Objective, c: Int,
+      t: TreeBuilder, slotArr: Array[Int], nSlots: Int,
+      p: Int, maxB: Int): Array[Double] = {
+    val sc = binned.sparkContext
+    val bTree = sc.broadcast((t.feat.toArray, t.thr.toArray, t.left.toArray,
+      t.right.toArray, slotArr))
+    val bufSize = nSlots * p * maxB * 2
+    val hist = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
+      val (tf, tt, tl, tr, slots) = bTree.value
+      val acc = new Array[Double](bufSize)
+      it.zip(mit).foreach { case ((bins, y), m) =>
+        var i = 0
+        while (tf(i) >= 0)
+          i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
+        val s = slots(i)
+        if (s >= 0) {
+          val (g, h) = obj.grad(m, y, c)
+          var f = 0
+          while (f < p) {
+            val base = ((s * p + f) * maxB + (bins(f) & 0xff)) * 2
+            acc(base) += g; acc(base + 1) += h
+            f += 1
+          }
+        }
+      }
+      Iterator.single(acc)
+    }.treeReduce({ (a, b) =>
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }, depth = 2)
+    bTree.destroy()
+    hist
+  }
+
+  /** Node totals (G, H) from feature 0's histogram of slot `s`. */
+  private def slotTotals(hist: Array[Double], s: Int, p: Int, maxB: Int,
+      binsPerFeat: Array[Int]): (Double, Double) = {
+    var tG = 0.0; var tH = 0.0
+    var b = 0
+    while (b < binsPerFeat(0)) {
+      tG += hist(((s * p) * maxB + b) * 2)
+      tH += hist(((s * p) * maxB + b) * 2 + 1)
+      b += 1
+    }
+    (tG, tH)
+  }
+
+  /** Best split of slot `s`: (gain, f, bin, gl, hl); gain ≤ 1e-12 when
+    * no admissible split exists. Newton gain per Chen & Guestrin. */
+  private def bestSplit(hist: Array[Double], s: Int, tG: Double, tH: Double,
+      p: Int, maxB: Int, binsPerFeat: Array[Int],
+      cfg: Cfg): (Double, Int, Int, Double, Double) = {
+    var bestGain = 1e-12; var bestF = -1; var bestBin = -1
+    var bestGL = 0.0; var bestHL = 0.0
+    val parentScore = tG * tG / (tH + cfg.lambda)
+    var f = 0
+    while (f < p) {
+      var gl = 0.0; var hl = 0.0
+      var bb = 0
+      while (bb < binsPerFeat(f) - 1) {
+        val base = ((s * p + f) * maxB + bb) * 2
+        gl += hist(base); hl += hist(base + 1)
+        val gr = tG - gl; val hr = tH - hl
+        if (hl >= cfg.minChildWeight && hr >= cfg.minChildWeight) {
+          val gain = 0.5 * (gl * gl / (hl + cfg.lambda) +
+            gr * gr / (hr + cfg.lambda) - parentScore) - cfg.minSplitLoss
+          if (gain > bestGain) {
+            bestGain = gain; bestF = f; bestBin = bb
+            bestGL = gl; bestHL = hl
+          }
+        }
+        bb += 1
+      }
+      f += 1
+    }
+    (bestGain, bestF, bestBin, bestGL, bestHL)
+  }
+
+  /** One tree for class `c` under the configured growth policy:
+    *  - `depthwise` (xgboost/sklearn HistGradientBoosting): per level,
+    *    one pass histograms every frontier node, each node takes its
+    *    own best split.
+    *  - `leafwise` (LightGBM best-first growth, Ke et al. 2017): the
+    *    leaf with the globally best gain splits next, budgeted by
+    *    `numLeaves`; each split costs one pass histogramming only the
+    *    two children the previous split created — the measured slope
+    *    stays row-independent per pass, there are just numLeaves−1
+    *    passes instead of maxDepth.
+    *  - `oblivious` (CatBoost symmetric trees, Prokhorenkova et al.
+    *    2018): per level, one pass histograms the frontier and ALL
+    *    nodes share the single (feature, bin) whose summed gain is
+    *    best — the tree is a 2^depth lookup table at predict time.
+    * All three share the pass machinery; split search is a driver scan
+    * of the reduced buffer either way. */
+  private def growTree(binned: RDD[(Array[Byte], Double)],
+      margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
+      binsPerFeat: Array[Int], maxB: Int): Array[Double] = cfg.policy match {
+    case "leafwise" =>
+      growLeafwise(binned, margins, obj, c, cfg, binsPerFeat, maxB)
+    case "oblivious" =>
+      growOblivious(binned, margins, obj, c, cfg, binsPerFeat, maxB)
+    case _ =>
+      growDepthwise(binned, margins, obj, c, cfg, binsPerFeat, maxB)
+  }
+
+  private def growDepthwise(binned: RDD[(Array[Byte], Double)],
+      margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
+      binsPerFeat: Array[Int], maxB: Int): Array[Double] = {
+    val p = binsPerFeat.length
+    val t = new TreeBuilder
     var frontier = Array(0)
     var level = 0
     while (level < cfg.maxDepth && frontier.nonEmpty) {
-      val slotArr = Array.fill(feat.length)(-1)
+      val slotArr = Array.fill(t.feat.length)(-1)
       frontier.zipWithIndex.foreach { case (nid, s) => slotArr(nid) = s }
-      val bTree = sc.broadcast((feat.toArray, thr.toArray, left.toArray,
-        right.toArray, slotArr))
-      val bufSize = frontier.length * p * maxB * 2
-      val hist = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
-        val (tf, tt, tl, tr, slots) = bTree.value
-        val acc = new Array[Double](bufSize)
-        it.zip(mit).foreach { case ((bins, y), m) =>
-          var i = 0
-          while (tf(i) >= 0)
-            i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
-          val s = slots(i)
-          if (s >= 0) {
-            val (g, h) = obj.grad(m, y, c)
-            var f = 0
-            while (f < p) {
-              val base = ((s * p + f) * maxB + (bins(f) & 0xff)) * 2
-              acc(base) += g; acc(base + 1) += h
-              f += 1
-            }
-          }
-        }
-        Iterator.single(acc)
-      }.treeReduce({ (a, b) =>
-        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
-      }, depth = 2)
-      bTree.destroy()
-
+      val hist = histPass(binned, margins, obj, c, t, slotArr,
+        frontier.length, p, maxB)
       val nextFrontier = new ArrayBuffer[Int]
       frontier.zipWithIndex.foreach { case (nid, s) =>
-        // node totals from feature 0's histogram
-        var tG = 0.0; var tH = 0.0
-        var b = 0
-        while (b < binsPerFeat(0)) {
-          tG += hist(((s * p) * maxB + b) * 2)
-          tH += hist(((s * p) * maxB + b) * 2 + 1)
-          b += 1
-        }
-        leafG(nid) = tG; leafH(nid) = tH
-        var bestGain = 1e-12; var bestF = -1; var bestBin = -1
-        var bestGL = 0.0; var bestHL = 0.0
-        val parentScore = tG * tG / (tH + cfg.lambda)
-        var f = 0
-        while (f < p) {
-          var gl = 0.0; var hl = 0.0
-          var bb = 0
-          while (bb < binsPerFeat(f) - 1) {
-            val base = ((s * p + f) * maxB + bb) * 2
-            gl += hist(base); hl += hist(base + 1)
-            val gr = tG - gl; val hr = tH - hl
-            if (hl >= cfg.minChildWeight && hr >= cfg.minChildWeight) {
-              val gain = 0.5 * (gl * gl / (hl + cfg.lambda) +
-                gr * gr / (hr + cfg.lambda) - parentScore) - cfg.minSplitLoss
-              if (gain > bestGain) {
-                bestGain = gain; bestF = f; bestBin = bb
-                bestGL = gl; bestHL = hl
-              }
-            }
-            bb += 1
-          }
-          f += 1
-        }
+        val (tG, tH) = slotTotals(hist, s, p, maxB, binsPerFeat)
+        t.leafG(nid) = tG; t.leafH(nid) = tH
+        val (_, bestF, bestBin, gl, hl) =
+          bestSplit(hist, s, tG, tH, p, maxB, binsPerFeat, cfg)
         if (bestF >= 0) {
-          val l = feat.length
-          feat(nid) = bestF; thr(nid) = bestBin
-          left(nid) = l; right(nid) = l + 1
-          feat += -1; thr += -1; left += -1; right += -1
-          leafG += bestGL; leafH += bestHL
-          feat += -1; thr += -1; left += -1; right += -1
-          leafG += tG - bestGL; leafH += tH - bestHL
-          nextFrontier += l; nextFrontier += (l + 1)
+          val (l, r) = t.split(nid, bestF, bestBin, gl, hl, tG, tH)
+          nextFrontier += l; nextFrontier += r
         }
       }
       frontier = nextFrontier.toArray
       level += 1
     }
-    // flatten training form; leaves get −η·G/(H+λ)
-    val out = new Array[Double](feat.length * STRIDE)
-    var i = 0
-    while (i < feat.length) {
-      if (feat(i) >= 0) {
-        out(i * STRIDE) = feat(i); out(i * STRIDE + 1) = thr(i)
-        out(i * STRIDE + 2) = left(i); out(i * STRIDE + 3) = right(i)
-      } else {
-        out(i * STRIDE) = -1
-        out(i * STRIDE + 4) =
-          -cfg.eta * leafG(i) / (leafH(i) + cfg.lambda)
+    t.finish(cfg)
+  }
+
+  private def growLeafwise(binned: RDD[(Array[Byte], Double)],
+      margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
+      binsPerFeat: Array[Int], maxB: Int): Array[Double] = {
+    val p = binsPerFeat.length
+    val t = new TreeBuilder
+    // leaves whose histograms are measured and best split known
+    val known = scala.collection.mutable.Map.empty[Int, (Double, Int, Int, Double, Double)]
+    var pending = Array(0)
+    var leaves = 1
+    var continue = true
+    while (continue && leaves < cfg.numLeaves) {
+      if (pending.nonEmpty) {
+        val slotArr = Array.fill(t.feat.length)(-1)
+        pending.zipWithIndex.foreach { case (nid, s) => slotArr(nid) = s }
+        val hist = histPass(binned, margins, obj, c, t, slotArr,
+          pending.length, p, maxB)
+        pending.zipWithIndex.foreach { case (nid, s) =>
+          val (tG, tH) = slotTotals(hist, s, p, maxB, binsPerFeat)
+          t.leafG(nid) = tG; t.leafH(nid) = tH
+          val sp = bestSplit(hist, s, tG, tH, p, maxB, binsPerFeat, cfg)
+          if (sp._2 >= 0) known(nid) = sp
+        }
+        pending = Array.empty
       }
-      i += 1
+      if (known.isEmpty) continue = false
+      else {
+        // global best-gain leaf splits next; ties to the lower node id
+        val (nid, (_, f, bin, gl, hl)) =
+          known.maxBy { case (id, (g, _, _, _, _)) => (g, -id) }
+        known -= nid
+        val (l, r) = t.split(nid, f, bin, gl, hl, t.leafG(nid), t.leafH(nid))
+        leaves += 1
+        if (t.depth(l) < cfg.maxDepth) pending = Array(l, r)
+      }
     }
-    out
+    t.finish(cfg)
+  }
+
+  private def growOblivious(binned: RDD[(Array[Byte], Double)],
+      margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
+      binsPerFeat: Array[Int], maxB: Int): Array[Double] = {
+    val p = binsPerFeat.length
+    val t = new TreeBuilder
+    var frontier = Array(0)
+    var level = 0
+    var continue = true
+    while (continue && level < cfg.maxDepth && frontier.nonEmpty) {
+      val slotArr = Array.fill(t.feat.length)(-1)
+      frontier.zipWithIndex.foreach { case (nid, s) => slotArr(nid) = s }
+      val hist = histPass(binned, margins, obj, c, t, slotArr,
+        frontier.length, p, maxB)
+      val totals = frontier.indices.map(s =>
+        slotTotals(hist, s, p, maxB, binsPerFeat))
+      frontier.zipWithIndex.foreach { case (nid, s) =>
+        t.leafG(nid) = totals(s)._1; t.leafH(nid) = totals(s)._2
+      }
+      // ONE shared (feature, bin) for the whole level: the pair whose
+      // gain summed over the frontier is best; nodes whose children
+      // would violate minChildWeight contribute zero to the sum
+      var bestTotal = 1e-12; var bestF = -1; var bestBin = -1
+      var f = 0
+      while (f < p) {
+        val gl = new Array[Double](frontier.length)
+        val hl = new Array[Double](frontier.length)
+        var bb = 0
+        while (bb < binsPerFeat(f) - 1) {
+          var total = 0.0
+          var s = 0
+          while (s < frontier.length) {
+            val base = ((s * p + f) * maxB + bb) * 2
+            gl(s) += hist(base); hl(s) += hist(base + 1)
+            val (tG, tH) = totals(s)
+            val gr = tG - gl(s); val hr = tH - hl(s)
+            if (hl(s) >= cfg.minChildWeight && hr >= cfg.minChildWeight) {
+              val gain = 0.5 * (gl(s) * gl(s) / (hl(s) + cfg.lambda) +
+                gr * gr / (hr + cfg.lambda) -
+                tG * tG / (tH + cfg.lambda)) - cfg.minSplitLoss
+              if (gain > 0) total += gain
+            }
+            s += 1
+          }
+          if (total > bestTotal) { bestTotal = total; bestF = f; bestBin = bb }
+          bb += 1
+        }
+        f += 1
+      }
+      if (bestF < 0) continue = false
+      else {
+        // every frontier node splits on the SHARED pair (symmetric
+        // tree); a node's own child stats come from its histogram
+        val nextFrontier = new ArrayBuffer[Int]
+        frontier.zipWithIndex.foreach { case (nid, s) =>
+          var gl = 0.0; var hl = 0.0
+          var bb = 0
+          while (bb <= bestBin) {
+            val base = ((s * p + bestF) * maxB + bb) * 2
+            gl += hist(base); hl += hist(base + 1)
+            bb += 1
+          }
+          val (tG, tH) = totals(s)
+          val (l, r) = t.split(nid, bestF, bestBin, gl, hl, tG, tH)
+          nextFrontier += l; nextFrontier += r
+        }
+        frontier = nextFrontier.toArray
+        level += 1
+      }
+    }
+    t.finish(cfg)
   }
 }
 
@@ -365,13 +553,20 @@ private[ml] trait HistGBParams extends org.apache.spark.ml.param.Params {
   final val maxBins = new IntParam(this, "maxBins", "max histogram bins per feature (max_bin)")
   final val binSampleCap = new IntParam(this, "binSampleCap", "rows sampled for cut points")
   final val seed = new LongParam(this, "seed", "binning sample seed")
+  final val growthPolicy = new Param[String](this, "growthPolicy",
+    "tree growth: depthwise (xgboost) | leafwise (lightgbm) | oblivious (catboost)",
+    (v: String) => Set("depthwise", "leafwise", "oblivious").contains(v))
+  final val numLeaves = new IntParam(this, "numLeaves",
+    "leaf budget for leafwise growth (num_leaves)")
   setDefault(numRounds -> 10, maxDepth -> 5, stepSize -> 0.1, regLambda -> 1.0,
     minSplitLoss -> 0.0, minChildWeight -> 1.0, maxBins -> 256,
-    binSampleCap -> 100000, seed -> 42L)
+    binSampleCap -> 100000, seed -> 42L,
+    growthPolicy -> "depthwise", numLeaves -> 31)
 
   private[ml] def cfg = HistGBCore.Cfg($(numRounds), $(maxDepth), $(stepSize),
     $(regLambda), $(minSplitLoss), $(minChildWeight), $(maxBins),
-    $(binSampleCap), $(seed))
+    $(binSampleCap), $(seed),
+    policy = $(growthPolicy), numLeaves = $(numLeaves))
 }
 
 /** Model params: the flattened forest (real-valued thresholds). */
@@ -419,6 +614,8 @@ class HistGBRegressor(override val uid: String)
   def setMinChildWeight(v: Double): this.type = set(minChildWeight, v)
   def setMaxBins(v: Int): this.type = set(maxBins, v)
   def setSeed(v: Long): this.type = set(seed, v)
+  def setGrowthPolicy(v: String): this.type = set(growthPolicy, v)
+  def setNumLeaves(v: Int): this.type = set(numLeaves, v)
 
   override protected def train(ds: Dataset[_]): HistGBRegressionModel = {
     val e = HistGBCore.fit(ds, $(featuresCol), $(labelCol), 0, HistGBCore.Squared, cfg)
@@ -480,6 +677,8 @@ class HistGBClassifier(override val uid: String)
   def setMinChildWeight(v: Double): this.type = set(minChildWeight, v)
   def setMaxBins(v: Int): this.type = set(maxBins, v)
   def setSeed(v: Long): this.type = set(seed, v)
+  def setGrowthPolicy(v: String): this.type = set(growthPolicy, v)
+  def setNumLeaves(v: Int): this.type = set(numLeaves, v)
 
   override protected def train(ds: Dataset[_]): HistGBClassificationModel = {
     val k = getNumClasses(ds)

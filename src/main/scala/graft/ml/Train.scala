@@ -136,19 +136,33 @@ object Train {
         .setNumRounds(hpi(h, "n_estimators", 50))
         .setMaxDepth(hpi(h, "max_depth", 3))
         .setStepSize(hp(h, "learning_rate", 1.0)).setSeed(seed)
-    case ("regression", "hist_gradient_boosting" | "xgboost" | "lightgbm" |
-                        "catboost") =>
+    case ("regression", a @ ("hist_gradient_boosting" | "xgboost" | "lightgbm" |
+                        "catboost")) =>
       // native second-order histogram boosting (HistGB scaladoc) with
       // the reference's exact knob spellings + xgboost's defaults
-      // (`src/bindings/xgboost.rs:40-120`: eta 0.3, depth 6, lambda 1)
-      new HistGBRegressor()
-        .setNumRounds(hpi(h, "n_estimators", hpi(h, "boost_rounds", 10)))
-        .setMaxDepth(hpi(h, "max_depth", 6))
+      // (`src/bindings/xgboost.rs:40-120`: eta 0.3, depth 6, lambda 1);
+      // each algorithm gets its NATIVE growth policy — lightgbm
+      // leaf-wise under num_leaves, catboost oblivious/symmetric
+      val est = new HistGBRegressor()
+        .setNumRounds(hpi(h, "n_estimators",
+          hpi(h, "boost_rounds", hpi(h, "iterations", 10))))
         .setStepSize(hp(h, "eta", hp(h, "learning_rate", 0.3)))
-        .setRegLambda(hp(h, "lambda", hp(h, "reg_lambda", 1.0)))
+        .setRegLambda(hp(h, "lambda", hp(h, "reg_lambda", hp(h, "l2_leaf_reg", 1.0))))
         .setMinSplitLoss(hp(h, "gamma", hp(h, "min_split_loss", 0.0)))
         .setMinChildWeight(hp(h, "min_child_weight", 1.0))
         .setMaxBins(hpi(h, "max_bin", 256)).setSeed(seed)
+      a match {
+        case "lightgbm" =>
+          // LightGBM: leaf budget governs; max_depth ≤ 0 = unbounded
+          val md = hpi(h, "max_depth", -1)
+          est.setGrowthPolicy("leafwise")
+            .setNumLeaves(hpi(h, "num_leaves", 31))
+            .setMaxDepth(if (md <= 0) 30 else md)
+        case "catboost" =>
+          est.setGrowthPolicy("oblivious")
+            .setMaxDepth(hpi(h, "depth", hpi(h, "max_depth", 6)))
+        case _ => est.setMaxDepth(hpi(h, "max_depth", 6))
+      }
     case ("regression", "stochastic_gradient_descent") =>
       new LinearRegression().setSolver("l-bfgs")
         .setMaxIter(hpi(h, "max_iter", 100)).setRegParam(hp(h, "alpha", 0.0001))
@@ -323,19 +337,31 @@ object Train {
         .setNumRounds(hpi(h, "n_estimators", 50))
         .setMaxDepth(hpi(h, "max_depth", 1))
         .setStepSize(hp(h, "learning_rate", 1.0)).setSeed(seed)
-    case ("classification", "hist_gradient_boosting" | "xgboost" | "lightgbm" |
-                            "catboost") =>
+    case ("classification", a @ ("hist_gradient_boosting" | "xgboost" | "lightgbm" |
+                            "catboost")) =>
       // binary → logistic Newton boosting; k>2 → per-class softmax
       // trees (multi:softprob) — MLlib's GBTClassifier is binary-only,
-      // so this also widens the boosting surface to multiclass
-      new HistGBClassifier()
-        .setNumRounds(hpi(h, "n_estimators", hpi(h, "boost_rounds", 10)))
-        .setMaxDepth(hpi(h, "max_depth", 6))
+      // so this also widens the boosting surface to multiclass; growth
+      // policy dispatches per algorithm as in the regression arm
+      val est = new HistGBClassifier()
+        .setNumRounds(hpi(h, "n_estimators",
+          hpi(h, "boost_rounds", hpi(h, "iterations", 10))))
         .setStepSize(hp(h, "eta", hp(h, "learning_rate", 0.3)))
-        .setRegLambda(hp(h, "lambda", hp(h, "reg_lambda", 1.0)))
+        .setRegLambda(hp(h, "lambda", hp(h, "reg_lambda", hp(h, "l2_leaf_reg", 1.0))))
         .setMinSplitLoss(hp(h, "gamma", hp(h, "min_split_loss", 0.0)))
         .setMinChildWeight(hp(h, "min_child_weight", 1.0))
         .setMaxBins(hpi(h, "max_bin", 256)).setSeed(seed)
+      a match {
+        case "lightgbm" =>
+          val md = hpi(h, "max_depth", -1)
+          est.setGrowthPolicy("leafwise")
+            .setNumLeaves(hpi(h, "num_leaves", 31))
+            .setMaxDepth(if (md <= 0) 30 else md)
+        case "catboost" =>
+          est.setGrowthPolicy("oblivious")
+            .setMaxDepth(hpi(h, "depth", hpi(h, "max_depth", 6)))
+        case _ => est.setMaxDepth(hpi(h, "max_depth", 6))
+      }
     case ("classification", "linear_svm") if h.get("exact").contains("true") =>
       // sklearn LinearSVC is squared-hinge liblinear (OvR for k > 2);
       // neither MLlib's hinge LinearSVC nor the softmax substitute is
@@ -503,13 +529,15 @@ object Train {
       // (HistGB scaladoc) — nothing substituted
       Map.empty
     case "lightgbm" =>
-      // same Newton-on-histograms loss, but depth-wise growth where
-      // LightGBM grows leaf-wise (num_leaves) — flagged
-      Map("compat" -> "depthwise_growth")
+      // native leaf-wise (best-first) growth under num_leaves — the
+      // LightGBM scheme; GOSS/EFB samplings are off in LightGBM's
+      // default gbdt mode, so nothing is substituted
+      Map.empty
     case "catboost" =>
-      // plain (unordered) boosting; CatBoost's ordered-boosting /
-      // symmetric-tree scheme is not reproduced — flagged
-      Map("compat" -> "unordered_boosting")
+      // native oblivious/symmetric trees with plain boosting —
+      // CatBoost's boosting_type=Plain (its large-dataset default);
+      // the ORDERED-boosting variant is not reproduced, flagged
+      Map("compat" -> "plain_boosting")
     // ada_boost: SAMME / AdaBoost.R2 are sklearn's own algorithms —
     // nothing substituted, no flag
     case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm" |

@@ -89,8 +89,90 @@ class HistGBSpec extends AnyFunSuite {
       m.hyperparams
     }
     assert(!ledger("xgboost").contains("compat"))
-    assert(ledger("lightgbm").get("compat").contains("depthwise_growth"))
-    assert(ledger("catboost").get("compat").contains("unordered_boosting"))
+    // lightgbm now trains its native leaf-wise scheme — clean ledger;
+    // catboost trains symmetric trees under PLAIN boosting, flagged for
+    // the ordered-boosting variant only
+    assert(!ledger("lightgbm").contains("compat"))
+    assert(ledger("catboost").get("compat").contains("plain_boosting"))
+  }
+
+  // ---- flat-tree decoding helpers (model form, stride 5)
+  private def modelTrees(m: HistGBModelParams): Seq[Array[Double]] = {
+    val flat = m.getOrDefault(m.treesFlat)
+    val off = m.getOrDefault(m.treeOffsets)
+    (0 until off.length - 1).map(t => flat.slice(off(t), off(t + 1)))
+  }
+  private def leafCount(tree: Array[Double]): Int =
+    (0 until tree.length / 5).count(i => tree(i * 5) < 0)
+
+  test("leafwise growth respects the num_leaves budget exactly") {
+    // stairstep target: every additional leaf buys gain, so best-first
+    // growth spends the entire budget; unlimited depth cap
+    val df = (1 to 128).map(i => (Vectors.dense(i.toDouble), (i / 16).toDouble))
+      .toDF("features", "label")
+    val m = new HistGBRegressor().setNumRounds(1).setMaxDepth(30)
+      .setGrowthPolicy("leafwise").setNumLeaves(5).setStepSize(1.0).fit(df)
+    val t = modelTrees(m)
+    assert(t.length == 1 && leafCount(t.head) == 5,
+      s"expected exactly 5 leaves, got ${leafCount(t.head)}")
+    // best-first order: the budgeted tree recovers the 5 coarsest steps
+    // better than a depth-2 (4-leaf) depthwise tree can
+    val mse = (mm: HistGBRegressionModel) => df.collect().map { r =>
+      val d = mm.predict(r.getAs[org.apache.spark.ml.linalg.Vector](0)) - r.getDouble(1)
+      d * d
+    }.sum / 128
+    val depthwise = new HistGBRegressor().setNumRounds(1).setMaxDepth(2)
+      .setStepSize(1.0).fit(df)
+    assert(mse(m) < mse(depthwise),
+      s"5-leaf best-first (${mse(m)}) should beat 4-leaf depthwise (${mse(depthwise)})")
+  }
+
+  test("oblivious growth: every level shares one (feature, threshold)") {
+    // 2-feature interaction data where depthwise would pick different
+    // level-2 splits per node; oblivious must not
+    val df = (1 to 200).map { i =>
+      val a = (i % 10).toDouble; val b = (i / 10 % 10).toDouble
+      (Vectors.dense(a, b), a * 3 + b * b + (if (a > 4 && b < 5) 7.0 else 0.0))
+    }.toDF("features", "label")
+    val m = new HistGBRegressor().setNumRounds(8).setMaxDepth(3)
+      .setGrowthPolicy("oblivious").setStepSize(0.5).fit(df)
+    modelTrees(m).foreach { t =>
+      // BFS levels from the root; internal nodes per level must agree
+      var level = Seq(0)
+      while (level.nonEmpty) {
+        val internal = level.filter(i => t(i * 5) >= 0)
+        val pairs = internal.map(i => (t(i * 5), t(i * 5 + 1))).distinct
+        assert(pairs.size <= 1,
+          s"oblivious level carries ${pairs.size} distinct splits: $pairs")
+        level = internal.flatMap(i => Seq(t(i * 5 + 2).toInt, t(i * 5 + 3).toInt))
+      }
+    }
+    // and it still learns the surface
+    val mse = df.collect().map { r =>
+      val d = m.predict(r.getAs[org.apache.spark.ml.linalg.Vector](0)) - r.getDouble(1)
+      d * d
+    }.sum / 200
+    assert(mse < 20.0, s"oblivious fit too weak: mse $mse")
+  }
+
+  test("catboost/lightgbm knob spellings reach the estimator") {
+    val df = (1 to 120).map(i => (i.toDouble, (i % 5).toDouble, 2.0 * i + (i % 5)))
+      .toDF("a", "b", "target")
+    def fitR2(alg: String, hp: Map[String, String]): Double = {
+      val cat = new Catalog(spark,
+        java.nio.file.Files.createTempDirectory(s"graft_hgbk_$alg").toString)
+      Train.train(spark, cat, Train.TrainConfig(
+        projectName = s"HGBK_$alg", task = "regression", relationName = "t",
+        data = Some(df), yColumn = Seq("target"), algorithm = alg,
+        hyperparams = hp, testSampling = "random", orderCols = Seq("a")))
+      cat.models.collect().head.metrics("r2")
+    }
+    // catboost spellings: iterations / depth / l2_leaf_reg
+    assert(fitR2("catboost", Map("iterations" -> "10", "depth" -> "4",
+      "l2_leaf_reg" -> "1.0")) > 0.9)
+    // lightgbm spellings: num_leaves, unbounded max_depth default
+    assert(fitR2("lightgbm", Map("n_estimators" -> "10",
+      "num_leaves" -> "15")) > 0.9)
   }
 
   test("Train dispatch: multiclass xgboost classification (GBT could not)") {
