@@ -155,6 +155,27 @@ class HistGBSpec extends AnyFunSuite {
     assert(mse < 20.0, s"oblivious fit too weak: mse $mse")
   }
 
+  test("leafwise with an unbinding budget equals depthwise prediction-for-prediction") {
+    // a node's best split depends only on its own rows, so growth ORDER
+    // cannot change the final tree once the leaf budget stops binding:
+    // numLeaves = 2^maxDepth admits every positive-gain split depthwise
+    // would make. Node ids differ (level-order vs split-order), so the
+    // invariant is checked on predictions, which is what matters.
+    val df = (1 to 300).map { i =>
+      val a = (i % 17).toDouble; val b = (i % 23).toDouble
+      (Vectors.dense(a, b), math.sin(a) * 5 + b * 0.7 + (i % 3))
+    }.toDF("features", "label")
+    val lw = new HistGBRegressor().setNumRounds(4).setMaxDepth(4)
+      .setGrowthPolicy("leafwise").setNumLeaves(16).setStepSize(0.3).fit(df)
+    val dw = new HistGBRegressor().setNumRounds(4).setMaxDepth(4)
+      .setStepSize(0.3).fit(df)
+    df.collect().foreach { r =>
+      val v = r.getAs[org.apache.spark.ml.linalg.Vector](0)
+      assert(math.abs(lw.predict(v) - dw.predict(v)) < 1e-9,
+        s"policies diverge at $v: ${lw.predict(v)} vs ${dw.predict(v)}")
+    }
+  }
+
   test("catboost/lightgbm knob spellings reach the estimator") {
     val df = (1 to 120).map(i => (i.toDouble, (i % 5).toDouble, 2.0 * i + (i % 5)))
       .toDF("a", "b", "target")
