@@ -120,6 +120,12 @@ object GraftFunctions {
   }
 
   val pqAdcInfo = new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc")
+  val topKMinInfo = new ExpressionInfo(classOf[TopKMin].getName, "graft_topk_min")
+  private val buildTopKMin: Seq[Expression] => Expression = { children =>
+    require(children.size == 3, "graft_topk_min takes (score, id, k)")
+    TopKMin(Cast(children(0), DoubleType), Cast(children(1), LongType),
+      children(2)).toAggregateExpression()
+  }
   private val buildPqAdc: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "graft_pq_adc takes (codes, table)")
     PqAdc(Cast(children(0), ArrayType(IntegerType)), Cast(children(1), arrArrD))
@@ -128,6 +134,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier("graft_pq_adc"), pqAdcInfo, buildPqAdc)
+    reg.registerFunction(FunctionIdentifier("graft_topk_min"), topKMinInfo, buildTopKMin)
     reg.registerFunction(FunctionIdentifier("graft_h60"), h60Info, buildH60)
     reg.registerFunction(FunctionIdentifier("graft_dot"), dotInfo, buildDot)
     reg.registerFunction(FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist)
@@ -147,7 +154,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap),
     (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg),
     (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight),
-    (FunctionIdentifier("graft_pq_adc"), pqAdcInfo, buildPqAdc))
+    (FunctionIdentifier("graft_pq_adc"), pqAdcInfo, buildPqAdc),
+    (FunctionIdentifier("graft_topk_min"), topKMinInfo, buildTopKMin))
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

@@ -227,15 +227,20 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * (reference `src/api.rs:2357-2392`). */
   def loadAll(path: String): Unit = tableNames.foreach { t =>
     val src = s"$path/$t"
-    if (new java.io.File(src).exists()) {
-      spark.read.parquet(src).coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(dir(t))
-      // restored ids supersede whatever this process allocated — drop
-      // the counter so the next nextId re-seeds from the loaded table,
-      // and the row cache so the next read sees the restored rows
-      Catalog.counters.remove((baseDir, t))
-      Catalog.rowCache.remove((baseDir, t))
-    }
+    if (new java.io.File(src).exists())
+      // under the same per-table lock the read/append paths take — a
+      // concurrent cache-miss read racing an unlocked restore could
+      // collect the PRE-restore parquet and publish it after the
+      // eviction below, pinning stale rows in the cache forever
+      Catalog.writeLock(baseDir, t).synchronized {
+        spark.read.parquet(src).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(dir(t))
+        // restored ids supersede whatever this process allocated — drop
+        // the counter so the next nextId re-seeds from the loaded table,
+        // and the row cache so the next read sees the restored rows
+        Catalog.counters.remove((baseDir, t))
+        Catalog.rowCache.remove((baseDir, t))
+      }
   }
 
   /** Best-scoring model for a project by the task's default metric —

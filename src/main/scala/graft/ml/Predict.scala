@@ -264,17 +264,25 @@ object Predict {
     m.transform(df)
   }
 
+  /** r2 with sklearn's zero-variance rule: a constant y scores 1.0 on
+    * a perfect fit and 0.0 otherwise (never ±Inf/NaN) — shared by
+    * quackml_r2 and the regression-metrics map so the two surfaces
+    * cannot drift. */
+  private def r2Of(y: Seq[Double], p: Seq[Double]): Double = {
+    val n = y.length
+    val mean = y.sum / n
+    val tss = y.map(v => (v - mean) * (v - mean)).sum
+    val rss = y.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum
+    if (tss == 0.0) { if (rss == 0.0) 1.0 else 0.0 }
+    else 1.0 - rss / tss
+  }
+
   /** SQL metric functions — the commented sklearn_* surface
     * (`src/api.rs:2281-2317`) as array-input UDFs over the native
     * metric implementations. */
   def registerMetricFunctions(spark: SparkSession): Unit = {
-    spark.udf.register("quackml_r2", (y: Seq[Double], p: Seq[Double]) => {
-      val n = y.length
-      val mean = y.sum / n
-      val tss = y.map(v => (v - mean) * (v - mean)).sum
-      val rss = y.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum
-      1.0 - rss / tss
-    })
+    spark.udf.register("quackml_r2",
+      (y: Seq[Double], p: Seq[Double]) => r2Of(y, p))
     spark.udf.register("quackml_f1", (y: Seq[Int], p: Seq[Int]) => {
       // pure-Scala confusion matrix (no Spark jobs inside a UDF) with the
       // same binary-flip + NaN-recall semantics as Metrics.classification
@@ -307,11 +315,9 @@ object Predict {
     spark.udf.register("quackml_regression_metrics",
       (y: Seq[Double], p: Seq[Double]) => {
         val n = y.length
-        val mean = y.sum / n
-        val tss = y.map(v => (v - mean) * (v - mean)).sum
         val rss = y.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum
         Map(
-          "r2" -> (1.0 - rss / tss),
+          "r2" -> r2Of(y, p),
           "mse" -> rss / n,
           "mae" -> y.zip(p).map { case (a, b) => math.abs(a - b) }.sum / n)
       })
@@ -335,10 +341,20 @@ object Predict {
         }
         val (precision, recall, f1) =
           if (k <= 2) {
-            // binary: metrics of the positive class (label 1)
-            val c = idx.getOrElse(1, k - 1)
-            cell(m(c)(c), (0 until k).map(r => m(r)(c)).sum - m(c)(c),
-              m(c).sum - m(c)(c))
+            // binary = sklearn average="binary" with pos_label=1: label
+            // 1 scores when present; all-label-0 input scores 0.0
+            // (pos_label absent → zero-division → 0); any other label
+            // pair raises, exactly as sklearn does
+            require(classes.forall(c => c == 0 || c == 1),
+              s"pos_label=1 is not a valid label for classes " +
+                s"${classes.mkString("[", ", ", "]")}; binary metrics " +
+                "need {0, 1} labels (sklearn average=\"binary\")")
+            idx.get(1) match {
+              case Some(c) =>
+                cell(m(c)(c), (0 until k).map(r => m(r)(c)).sum - m(c)(c),
+                  m(c).sum - m(c)(c))
+              case None => (0.0, 0.0, 0.0)
+            }
           } else {
             val per = (0 until k).map(c => cell(m(c)(c),
               (0 until k).map(r => m(r)(c)).sum - m(c)(c),

@@ -205,13 +205,15 @@ object StreamingOps {
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos",
         call_function("graft_dot", col("vq"), col("vc")) / (col("nq") * col("nc")))
-    // top-k inside one agg: sort (-cos, cid) ascending == (cos desc,
-    // cid asc) — the batch window's exact tie rule — then slice k
+    // top-k through the BOUNDED native aggregate: smallest (-cos, cid)
+    // == (cos desc, cid asc), the batch window's exact tie rule. The
+    // aggregation buffer — and so the per-query state-store row — holds
+    // k pairs, never the in-cell candidate list (TopKMin scaladoc).
     scored.groupBy(col("qid"))
-      .agg(slice(array_sort(collect_list(
-        struct((-col("cos")).as("neg"), col("cid"), col("cos")))), 1, topK).as("top"))
+      .agg(call_function("graft_topk_min",
+        -col("cos"), col("cid"), lit(topK)).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
-      .select(col("qid"), col("t.cid").as("cid"), col("t.cos").as("cos"),
+      .select(col("qid"), col("t.id").as("cid"), (-col("t.score")).as("cos"),
         (col("r") + 1).cast("long").as("rank"))
   }
 
@@ -232,10 +234,12 @@ object StreamingOps {
     * table ONCE (the interpreted HOF, amortized over every candidate),
     * the static byte-coded pool joins stream-static and scores through
     * the codegen `graft_pq_adc` lookup-sum — the scan touches m bytes
-    * per candidate, never the raw vector — and a per-query aggregation
-    * keeps the ADC top-k with the batch tie rule (adc asc, cid asc).
+    * per candidate, never the raw vector — and the BOUNDED
+    * `graft_topk_min` aggregate keeps the ADC top-k with the batch tie
+    * rule (adc asc, cid asc): the per-query state-store row is k pairs,
+    * not the pool-sized candidate list a collect_list would buffer.
     * Exact-rerank of the shortlist is the downstream consumer's stage,
-    * same as the batch pipeline. State is the per-query top-k only. */
+    * same as the batch pipeline. */
   def pqRetrieveStream(queries: DataFrame, encodedPool: DataFrame,
       cb: graft.operators.ProductQuantizer.Codebook,
       topK: Int = 10): DataFrame = {
@@ -246,10 +250,10 @@ object StreamingOps {
       .withColumn("adc",
         graft.operators.ProductQuantizer.adcDist(col("pq_codes"), col("tbl")))
       .groupBy(col("qid"))
-      .agg(slice(array_sort(collect_list(
-        struct(col("adc"), col("cid")))), 1, topK).as("top"))
+      .agg(call_function("graft_topk_min",
+        col("adc"), col("cid"), lit(topK)).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
-      .select(col("qid"), col("t.cid").as("cid"), col("t.adc").as("adc"),
+      .select(col("qid"), col("t.id").as("cid"), col("t.score").as("adc"),
         (col("r") + 1).cast("long").as("rank"))
   }
 

@@ -249,6 +249,32 @@ class ApiSurfaceSpec extends AnyFunSuite {
       .forall(kk => math.abs(mm(kk) - 1.0) < 1e-12))
   }
 
+  test("metric edge cases follow sklearn: constant y, absent pos_label") {
+    Predict.registerMetricFunctions(spark)
+    // constant y: r2 = 1.0 on the perfect fit, 0.0 otherwise — never ±Inf
+    val perfect = spark.sql(
+      "SELECT quackml_r2(array(2.0d, 2.0d, 2.0d), array(2.0d, 2.0d, 2.0d))")
+      .head().getDouble(0)
+    assert(perfect == 1.0)
+    val miss = spark.sql(
+      "SELECT quackml_regression_metrics(array(2.0d, 2.0d, 2.0d), array(1.0d, 2.0d, 3.0d))")
+      .head().getMap[String, Double](0)
+    assert(miss("r2") == 0.0 && java.lang.Double.isFinite(miss("r2")))
+    // all-negative binary fold: pos_label=1 absent → f1 0.0, accuracy real
+    val zeros = spark.sql(
+      "SELECT quackml_classification_metrics(array(0, 0, 0), array(0, 0, 0))")
+      .head().getMap[String, Double](0)
+    assert(zeros("f1") == 0.0 && zeros("precision") == 0.0 &&
+      zeros("accuracy") == 1.0)
+    // labels outside {0,1} with k<=2: sklearn raises, so do we
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT quackml_classification_metrics(array(2, 3), array(2, 3))")
+        .head()
+    }
+    assert(e.getMessage.contains("pos_label"))
+  }
+
   test("concurrent catalog creates allocate distinct monotonic ids") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._

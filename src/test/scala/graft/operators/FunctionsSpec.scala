@@ -84,6 +84,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.getDouble(4) == 4.0)
   }
 
+  test("graft_topk_min equals sort+slice with the (score asc, id asc) tie rule") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // deterministic scores with deliberate ties; many groups so partial
+    // aggregation exercises merge() across partitions
+    val df = (1 to 400).map { i =>
+      (i % 8L, ((i * 37) % 25).toDouble, i.toLong)
+    }.toDF("grp", "score", "id").repartition(7)
+    val native = df.groupBy($"grp")
+      .agg(expr("graft_topk_min(score, id, 5)").as("top"))
+      .select($"grp", posexplode($"top").as(Seq("r", "t")))
+      .select($"grp", $"r", $"t.score".as("score"), $"t.id".as("id"))
+    val oracle = df.groupBy($"grp")
+      .agg(slice(array_sort(collect_list(struct($"score", $"id"))), 1, 5).as("top"))
+      .select($"grp", posexplode($"top").as(Seq("r", "t")))
+      .select($"grp", $"r", $"t.score".as("score"), $"t.id".as("id"))
+    assert(native.except(oracle).isEmpty && oracle.except(native).isEmpty)
+    // groups smaller than k return every row
+    val small = Seq((1L, 2.0, 10L), (1L, 1.0, 11L)).toDF("grp", "score", "id")
+      .groupBy($"grp").agg(expr("graft_topk_min(score, id, 5)").as("top"))
+      .select(size($"top")).head().getInt(0)
+    assert(small == 2)
+  }
+
   test("graft_dot stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val plan = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
