@@ -233,9 +233,13 @@ object Bench {
           ",\"isolated\":" + iso + ",\"verdict\":\"" + v + "\"}"
       }.mkString("{", ",", "}")
       // merge this run's isolated medians into the baseline file so the
-      // next flag on the same query has an apples-to-apples comparison
+      // next flag on the same query has an apples-to-apples comparison —
+      // EXCEPT verdict=real: a confirmed regression must keep comparing
+      // against the pre-regression baseline until it is fixed, or each
+      // incremental slowdown would ratchet the baseline and adjudicate
+      // the next one as noise
       val mergedBase = isoBase ++ verdicts.collect {
-        case (q, (iso, v)) if iso > 0 && v != "failed" => q -> iso
+        case (q, (iso, v)) if iso > 0 && v != "failed" && v != "real" => q -> iso
       }
       // the driver captures stdout with a bounded tail — the r6 capture
       // lost the trailing dd_* timings — so the full vector also lands as
@@ -248,7 +252,17 @@ object Bench {
               .mkString("{", ",", "}") + "\n")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_regressions.json"), regJson + "\n")
-        java.nio.file.Files.writeString(prevPath, line + "\n")
+        // the persisted comparison vector carries FORWARD the last good
+        // timing for this run's failed queries (stdout keeps the nulls):
+        // overwriting them with null would erase the pre-breakage
+        // baseline, so the round that fixes the query would have nothing
+        // to diff against and a 10× post-fix slowdown would ship unflagged
+        val persistedQs = (results.map { case (k, v) => "\"" + k + "\":" + v } ++
+          errors.map { case (k, _) =>
+            "\"" + k + "\":" + prev.get(k).map(_.toString).getOrElse("null") })
+          .mkString("{", ",", "}")
+        java.nio.file.Files.writeString(prevPath,
+          s"""{"metric":"total","value":$total,"unit":"sec","queries":$persistedQs,"errors":$errJson,"sf":"$sfDir","iters":$iters}""" + "\n")
       } catch { case _: Throwable => () }
     }
     spark.stop()

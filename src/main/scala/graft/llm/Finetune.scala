@@ -770,13 +770,20 @@ object Finetune {
     // recalls strictly better — the |centroid|² term favors TIGHT
     // cells, exactly the ones where a high dot is achievable, while a
     // raw q·c order chases long centroids of diffuse cells).
+    // probe only cells that OWN candidates: k-means can leave empty
+    // centroids, and a query whose top-nprobe centroids were all empty
+    // would join to nothing and silently get no response row — the
+    // broadcast twin answers every query, so this route must too. The
+    // non-empty set is one O(numCells) collect off the assignment pass.
+    val nonEmpty = cells.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
     val ctx = df.select(col(systemCol), col(userCol)).distinct()
       .withColumn("ctxt", concat(col(systemCol), lit(PAIR_SEP), col(userCol)))
     val q = Ops.embedColumn(ctx, runtime, "ctxt", "cemb", dim = dim)
       .withColumn("wq",
         concat(zip_with(col("cemb").cast("array<double>"), wLit, (a, c) => a * c),
           array(lit(0.0))))
-      .withColumn("cell", explode(quant.probeCol(col("wq"), nprobe)))
+      .withColumn("cell", explode(quant.probeAmongCol(col("wq"), nprobe, nonEmpty)))
       .select(col(systemCol), col(userCol), col("wq"), col("cell"))
 
     q.join(cells, Seq("cell"))

@@ -198,10 +198,15 @@ object Generative {
   /** Deployed-LM argmax tables, loaded once per (catalog, project) and
     * cached — the same namespaced-cache discipline as
     * [[graft.ml.Predict]]'s model cache. */
+  // entries carry the DEPLOYED MODEL PATH they were built from; the
+  // load paths re-resolve the deployment each call (a row-cache-cheap
+  // catalog lookup) and rebuild on mismatch, so a redeploy in the same
+  // JVM serves the NEW model instead of a stale memo — the same
+  // freshness translateText gets by resolving deployedPath per call
   private val lmCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Map[String, String], Map[String, String], String)]()
-  private val lexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+    String, (String, (Map[String, String], Map[String, String], String))]()
+  private val lexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, String])]()
   def clearCaches(): Unit = { lmCache.clear(); lexCache.clear() }
 
   private def deployedPath(catalog: Catalog, project: String): String = {
@@ -212,9 +217,12 @@ object Generative {
   }
 
   private def loadLm(spark: SparkSession, catalog: Catalog, project: String,
-      maxContexts: Long): (Map[String, String], Map[String, String], String) =
-    lmCache.computeIfAbsent(s"${catalog.baseDir}#$project", _ => {
-      val path = deployedPath(catalog, project)
+      maxContexts: Long): (Map[String, String], Map[String, String], String) = {
+    val key = s"${catalog.baseDir}#$project"
+    val path = deployedPath(catalog, project)
+    val hit = lmCache.get(key)
+    if (hit != null && hit._1 == path) return hit._2
+    val built = {
       val uni = spark.read.parquet(s"$path/uni")
       val bi = spark.read.parquet(s"$path/bi")
       val tri = spark.read.parquet(s"$path/tri")
@@ -231,7 +239,10 @@ object Generative {
       val uniTop = uni.agg(max(struct(col("cnt"), col("w")))).head()
         .getStruct(0).getString(1)
       (triMap, biMap, uniTop)
-    })
+    }
+    lmCache.put(key, (path, built))
+    built
+  }
 
   /** One greedy continuation (pure kernel shared by the DataFrame path
     * and the scalar SQL function). */
@@ -431,9 +442,13 @@ object Generative {
     * word) for the scalar SQL path; size is the SOURCE VOCABULARY (not
     * the t-table), guarded like the LM contexts. */
   private def loadLexicon(spark: SparkSession, catalog: Catalog,
-      project: String, maxWords: Long): Map[String, String] =
-    lexCache.computeIfAbsent(s"${catalog.baseDir}#$project", _ => {
-      val lex = spark.read.parquet(s"${deployedPath(catalog, project)}/lex")
+      project: String, maxWords: Long): Map[String, String] = {
+    val key = s"${catalog.baseDir}#$project"
+    val path = deployedPath(catalog, project)
+    val hit = lexCache.get(key)
+    if (hit != null && hit._1 == path) return hit._2
+    val built = {
+      val lex = spark.read.parquet(s"$path/lex")
         .filter(col("e") =!= NULL_TOKEN)
       val n = lex.select("e").distinct().count()
       require(n <= maxWords,
@@ -442,7 +457,10 @@ object Generative {
       lex.groupBy("e").agg(max(struct(col("t"), col("f"))).as("m"))
         .select(col("e"), col("m.f")).collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
-    })
+    }
+    lexCache.put(key, (path, built))
+    built
+  }
 
   /** Catalog bound for the scalar SQL surface — the
     * [[graft.ml.Predict]] singleton discipline: the UDF lambdas must
@@ -482,7 +500,7 @@ object Generative {
       s"text-generation project '$project' is not warmed — deploy happened " +
         "after registerFunctions, or the project does not exist; call " +
         "Generative.warm")
-    v
+    v._2
   }
 
   private def cachedLexicon(project: String): Map[String, String] = {
@@ -491,7 +509,7 @@ object Generative {
       s"translation project '$project' is not warmed — deploy happened " +
         "after registerFunctions, or the project does not exist; call " +
         "Generative.warm")
-    v
+    v._2
   }
 
   /** Scalar SQL surface over the TRAINED generative projects — the

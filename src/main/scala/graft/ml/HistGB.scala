@@ -148,6 +148,20 @@ private[ml] object HistGBCore {
     val raw: RDD[(Vector, Double)] = ds
       .select(col(featuresCol), col(labelCol).cast(DoubleType)).na.drop()
       .rdd.map { case Row(v: Vector, y: Double) => (v, y) }
+      // NaN features would bin to 0 (every edge comparison false) and
+      // route LEFT during training, but the finished model's
+      // `v <= threshold` predicate routes the same row RIGHT —
+      // train/serve skew. na.drop only removes nulls, so drop NaN rows
+      // explicitly; xgboost-style learned missing-direction is out of
+      // scope and this is stated rather than silent.
+      .filter { case (v, y) =>
+        if (y.isNaN) false
+        else {
+          var i = 0; var ok = true
+          while (ok && i < v.size) { if (v(i).isNaN) ok = false; i += 1 }
+          ok
+        }
+      }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = raw.count()
     require(n > 0, "hist gradient boosting needs at least one training row")
@@ -550,7 +564,12 @@ private[ml] trait HistGBParams extends org.apache.spark.ml.param.Params {
   final val regLambda = new DoubleParam(this, "regLambda", "L2 leaf regularization (lambda)")
   final val minSplitLoss = new DoubleParam(this, "minSplitLoss", "gamma: min gain to split")
   final val minChildWeight = new DoubleParam(this, "minChildWeight", "min child hessian sum")
-  final val maxBins = new IntParam(this, "maxBins", "max histogram bins per feature (max_bin)")
+  // bins store as ONE BYTE per feature per row (the memory format the
+  // scaladoc banks on), so 256 is a hard ceiling — an unchecked larger
+  // value would wrap in .toByte and silently corrupt every histogram
+  final val maxBins = new IntParam(this, "maxBins",
+    "max histogram bins per feature (max_bin), byte-binned: 2..256",
+    (v: Int) => v >= 2 && v <= 256)
   final val binSampleCap = new IntParam(this, "binSampleCap", "rows sampled for cut points")
   final val seed = new LongParam(this, "seed", "binning sample seed")
   final val growthPolicy = new Param[String](this, "growthPolicy",

@@ -229,6 +229,10 @@ object Stats {
       df.groupBy(col(c0).cast("string").as("value"))
         .agg(count(lit(1)).as("n"))
         .agg(min(struct((-col("n")).as("negn"), col("value"))).as("m"))
+        // an ungrouped agg over an EMPTY input still emits one row with
+        // a null aggregate; the windowed shape this replaced emitted
+        // zero rows for an empty table, so preserve that contract
+        .filter(col("m").isNotNull)
         .select(lit(c0).as("col_name"), col("m.value").as("mode_value"),
           (-col("m.negn")).as("n"))
     }

@@ -23,8 +23,9 @@ import org.apache.spark.sql.types._
   * Algorithm policy (SURVEY §2.4): exact MLlib equivalent where one
   * exists; the second-order boosting family (xgboost/lightgbm/catboost/
   * hist_gradient_boosting) trains the native [[HistGBRegressor]]/
-  * [[HistGBClassifier]] Newton-on-histograms estimator (scheme-faithful;
-  * lightgbm/catboost growth-order deviations compat-flagged);
+  * [[HistGBClassifier]] Newton-on-histograms estimator (scheme-faithful,
+  * with each algorithm's native growth policy — depth-wise, leaf-wise,
+  * oblivious; only catboost's ordered-boosting variant stays flagged);
   * first-order gradient_boosting_trees stays on MLlib GBT (same
   * scheme); hard error naming the gap otherwise — mirroring the
   * reference's own `todo!()` holes
@@ -150,7 +151,7 @@ object Train {
         .setRegLambda(hp(h, "lambda", hp(h, "reg_lambda", hp(h, "l2_leaf_reg", 1.0))))
         .setMinSplitLoss(hp(h, "gamma", hp(h, "min_split_loss", 0.0)))
         .setMinChildWeight(hp(h, "min_child_weight", 1.0))
-        .setMaxBins(hpi(h, "max_bin", 256)).setSeed(seed)
+        .setMaxBins(math.min(256, hpi(h, "max_bin", 256))).setSeed(seed) // byte-binned cap
       a match {
         case "lightgbm" =>
           // LightGBM: leaf budget governs; max_depth ≤ 0 = unbounded
@@ -350,7 +351,7 @@ object Train {
         .setRegLambda(hp(h, "lambda", hp(h, "reg_lambda", hp(h, "l2_leaf_reg", 1.0))))
         .setMinSplitLoss(hp(h, "gamma", hp(h, "min_split_loss", 0.0)))
         .setMinChildWeight(hp(h, "min_child_weight", 1.0))
-        .setMaxBins(hpi(h, "max_bin", 256)).setSeed(seed)
+        .setMaxBins(math.min(256, hpi(h, "max_bin", 256))).setSeed(seed) // byte-binned cap
       a match {
         case "lightgbm" =>
           val md = hpi(h, "max_depth", -1)

@@ -66,7 +66,9 @@ object ProductQuantizer {
         if (!init.exists(c => java.util.Arrays.equals(c, pts(i)))) init += pts(i).clone()
         i += 1
       }
-      while (init.length < k) init += init(init.length % math.max(init.length, 1)).clone()
+      // pad with copies of the first centroid — inert duplicates (the
+      // strict < tie-break routes every point to the lower id)
+      while (init.length < k) init += init(0).clone()
       var cs = init.toArray
       var it = 0
       while (it < iters) {

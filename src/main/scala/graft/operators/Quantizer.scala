@@ -62,8 +62,18 @@ trait CoarseQuantizer extends Serializable {
 
   /** Default probe list via a sorted array of (distance, id) structs —
     * generated-code size grows with numCells, acceptable query-side. */
-  protected def probeBySort(v: Column, nprobe: Int): Column = {
-    val dists = (0 until numCells).map { k =>
+  protected def probeBySort(v: Column, nprobe: Int): Column =
+    probeAmongCol(v, nprobe, 0 until numCells)
+
+  /** The `nprobe` nearest cells AMONG `allowed`, nearest first. k-means
+    * can leave centroids that own no corpus vectors; a probe restricted
+    * to the non-empty cells (the caller knows them from the one
+    * assignment pass) guarantees every query meets candidates whenever
+    * the pool is non-empty, instead of silently retrieving nothing when
+    * its top-nprobe centroids are all empty. */
+  def probeAmongCol(v: Column, nprobe: Int, allowed: Seq[Int]): Column = {
+    require(allowed.nonEmpty, "probeAmongCol needs at least one allowed cell")
+    val dists = allowed.map { k =>
       struct(sqdist(v, typedlit(centroid(k))).as("d"), lit(k.toLong).as("k"))
     }
     transform(slice(array_sort(array(dists: _*)), 1, nprobe), x => x.getField("k"))

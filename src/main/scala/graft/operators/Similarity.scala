@@ -495,8 +495,8 @@ object Similarity {
 
   /** PQ/ADC ANN over the embeddings table (rows-only gate — the
     * codebook is a trained artifact with no SQL twin; PqSpec pins the
-    * ADC arithmetic bit-exactly on hand-built codebooks): train an
-    * 8-subspace × 16-codeword product quantizer (ProductQuantizer
+    * ADC arithmetic bit-exactly on hand-built codebooks): train a
+    * 16-subspace × 64-codeword product quantizer (ProductQuantizer
     * scaladoc — the 100 TB scan format: m bytes per vector, query =
     * one m×k table + m lookups per candidate, `graft_pq_adc`
     * codegen'd), encode the corpus, answer the standard 10 queries by

@@ -475,9 +475,10 @@ object TextMetricsQueries {
     * SQL-expressible but the full backoff-LM lifecycle is not; the
     * GenerativeSpec cyclic-corpus test pins exact greedy behavior):
     * finetune a trigram stupid-backoff LM on the documents table,
-    * greedily continue each document's lead-2 prompt by 10 tokens with
+    * greedily continue each document's lead-2 prompt by 8 tokens with
     * the deployed model, and emit per-doc token-F1 of the generated
-    * continuation vs the document's actual tokens 3–12. The template
+    * continuation vs the document's actual tokens 3–12 (8 generated vs
+    * 10 gold caps a perfect continuation's F1 at 16/18 ≈ 0.89). The template
     * corpus makes continuations predictable — measured mean F1 0.234
     * at BOTH sf0.01 and sf0.1 — and the floor sits at half the
     * measured value (the ft_*_train convention). */

@@ -162,6 +162,23 @@ class QuantizerSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("probeAmongCol restricts the probe ranking to the allowed cells") {
+    import spark.implicits._
+    val df = emb.limit(20)
+    // exclude cell 0: no probe may return it, and each row's first
+    // probe must be its nearest cell among {1,2,3}
+    val probed = df.select($"v",
+      LcgQuantizer.probeAmongCol($"v", 2, Seq(1, 2, 3)).as("p"),
+      LcgQuantizer.probeAmongCol($"v", 4, Seq(1, 2, 3)).as("pAll"))
+      .collect()
+    probed.foreach { r =>
+      val p = r.getSeq[Long](1)
+      assert(p.length == 2 && !p.contains(0L), p.mkString(","))
+      // asking for more probes than allowed cells returns all allowed
+      assert(r.getSeq[Long](2).sorted == Seq(1L, 2L, 3L))
+    }
+  }
+
   test("persistent IVF index: probe equals the in-memory join and prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfidx_spec").toString
     Similarity.writeIvfIndex(emb, LcgQuantizer, path)
