@@ -506,7 +506,13 @@ object Similarity {
   def sim_ann_pq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val cb = ProductQuantizer.train(e, "v", m = 16, k = 64)
+    // m adapts to the corpus dim (driver-regenerated testdata has
+    // changed schemas between rounds — the r10 events lesson): largest
+    // power-of-two subspace count ≤16 dividing d, so a dim change
+    // degrades granularity instead of throwing on d % m != 0
+    val d = e.select(size($"v")).head().getInt(0)
+    val m = Seq(16, 8, 4, 2, 1).find(d % _ == 0).get
+    val cb = ProductQuantizer.train(e, "v", m = m, k = 64)
     val codes = ProductQuantizer.encode(e, "v", cb)
       .select($"vec_id".as("cid"), $"v".as("vc"), $"pq_codes")
     val q = e.filter($"vec_id" < 10)
