@@ -91,7 +91,9 @@ object Bench {
     val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
+    def vectorJson(qsJson: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson,"errors":$errJson,"sf":"$sfDir","iters":$iters}"""
+    val line = vectorJson(qs)
     println(line)
     // regression detection: diff this vector against the PREVIOUS run's
     // bench_results.json before overwriting it — the r7 knnGraph 1.9×
@@ -261,8 +263,7 @@ object Bench {
           errors.map { case (k, _) =>
             "\"" + k + "\":" + prev.get(k).map(_.toString).getOrElse("null") })
           .mkString("{", ",", "}")
-        java.nio.file.Files.writeString(prevPath,
-          s"""{"metric":"total","value":$total,"unit":"sec","queries":$persistedQs,"errors":$errJson,"sf":"$sfDir","iters":$iters}""" + "\n")
+        java.nio.file.Files.writeString(prevPath, vectorJson(persistedQs) + "\n")
       } catch { case _: Throwable => () }
     }
     spark.stop()

@@ -216,13 +216,20 @@ object Generative {
       throw new IllegalStateException(s"Model $modelId has no persisted file"))
   }
 
+  /** Path-validated memo shared by the LM and lexicon caches: a hit is
+    * only served while the deployment still points at the path it was
+    * built from. */
+  private def cachedByPath[V](cache: java.util.concurrent.ConcurrentHashMap[
+      String, (String, V)], key: String, path: String)(build: => V): V = {
+    val hit = cache.get(key)
+    if (hit != null && hit._1 == path) hit._2
+    else { val v = build; cache.put(key, (path, v)); v }
+  }
+
   private def loadLm(spark: SparkSession, catalog: Catalog, project: String,
       maxContexts: Long): (Map[String, String], Map[String, String], String) = {
-    val key = s"${catalog.baseDir}#$project"
     val path = deployedPath(catalog, project)
-    val hit = lmCache.get(key)
-    if (hit != null && hit._1 == path) return hit._2
-    val built = {
+    cachedByPath(lmCache, s"${catalog.baseDir}#$project", path) {
       val uni = spark.read.parquet(s"$path/uni")
       val bi = spark.read.parquet(s"$path/bi")
       val tri = spark.read.parquet(s"$path/tri")
@@ -240,8 +247,6 @@ object Generative {
         .getStruct(0).getString(1)
       (triMap, biMap, uniTop)
     }
-    lmCache.put(key, (path, built))
-    built
   }
 
   /** One greedy continuation (pure kernel shared by the DataFrame path
@@ -443,11 +448,8 @@ object Generative {
     * the t-table), guarded like the LM contexts. */
   private def loadLexicon(spark: SparkSession, catalog: Catalog,
       project: String, maxWords: Long): Map[String, String] = {
-    val key = s"${catalog.baseDir}#$project"
     val path = deployedPath(catalog, project)
-    val hit = lexCache.get(key)
-    if (hit != null && hit._1 == path) return hit._2
-    val built = {
+    cachedByPath(lexCache, s"${catalog.baseDir}#$project", path) {
       val lex = spark.read.parquet(s"$path/lex")
         .filter(col("e") =!= NULL_TOKEN)
       val n = lex.select("e").distinct().count()
@@ -458,8 +460,6 @@ object Generative {
         .select(col("e"), col("m.f")).collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
     }
-    lexCache.put(key, (path, built))
-    built
   }
 
   /** Catalog bound for the scalar SQL surface — the

@@ -155,12 +155,13 @@ private[ml] object HistGBCore {
       // explicitly; xgboost-style learned missing-direction is out of
       // scope and this is stated rather than silent.
       .filter { case (v, y) =>
-        if (y.isNaN) false
-        else {
-          var i = 0; var ok = true
-          while (ok && i < v.size) { if (v(i).isNaN) ok = false; i += 1 }
-          ok
-        }
+        // NaN can only live among STORED values (sparse zeros are 0.0),
+        // so scanning .values covers dense and sparse without the
+        // per-index binary search v(i) costs on SparseVector
+        !y.isNaN && !(v match {
+          case d: org.apache.spark.ml.linalg.DenseVector => d.values
+          case s: org.apache.spark.ml.linalg.SparseVector => s.values
+        }).exists(_.isNaN)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = raw.count()
@@ -273,6 +274,11 @@ private[ml] object HistGBCore {
     val leafG = ArrayBuffer(0.0); val leafH = ArrayBuffer(0.0)
     val depth = ArrayBuffer(0)
 
+    private def addLeaf(g: Double, h: Double, d: Int): Unit = {
+      feat += -1; thr += -1; left += -1; right += -1
+      leafG += g; leafH += h; depth += d
+    }
+
     /** Split `nid` on (f, bin) with the given left-child stats; returns
       * the (left, right) child ids. */
     def split(nid: Int, f: Int, bin: Int, gl: Double, hl: Double,
@@ -280,10 +286,8 @@ private[ml] object HistGBCore {
       val l = feat.length
       feat(nid) = f; thr(nid) = bin
       left(nid) = l; right(nid) = l + 1
-      feat += -1; thr += -1; left += -1; right += -1
-      leafG += gl; leafH += hl; depth += depth(nid) + 1
-      feat += -1; thr += -1; left += -1; right += -1
-      leafG += tG - gl; leafH += tH - hl; depth += depth(nid) + 1
+      addLeaf(gl, hl, depth(nid) + 1)
+      addLeaf(tG - gl, tH - hl, depth(nid) + 1)
       (l, l + 1)
     }
 
