@@ -260,7 +260,11 @@ class GramRegression(override val uid: String)
   private def kDefault(ds: Dataset[_]): Int =
     if ($(nNonzero) > 0) $(nNonzero)
     else {
-      val p = ds.select(getFeaturesCol).head().getAs[Vector](0).size
+      // probe the NA-DROPPED frame (Gram.featureDim's whole contract) —
+      // head() on the raw frame NPEs when the first row has null features
+      val p = Gram.featureDim(
+        ds.select(org.apache.spark.sql.functions.col(getFeaturesCol)).na.drop(),
+        getFeaturesCol)
       math.max(1, p / 10) // sklearn OMP default: 10% of features
     }
 }
@@ -354,29 +358,22 @@ private[ml] object GramSolvers {
     val p = g.p
     val active = scala.collection.mutable.ArrayBuffer.empty[Int]
     var coef = BDV.zeros[Double](p)
+    def result = (coef.toArray, g.yMean - (coef dot g.xMean))
     while (active.length < math.min(k, p)) {
       val resid = xty - xtx * coef
       val cands = (0 until p).filterNot(active.contains)
-      if (cands.isEmpty) { active += -1 } // exit
-      else {
-        val j = cands.maxBy(i => math.abs(resid(i)))
-        if (math.abs(resid(j)) < 1e-12) active += -1
-        else {
-          active += j
-          val a = active.toIndexedSeq
-          val sub = BDM.tabulate(a.length, a.length)((x, y) => xtx(a(x), a(y)))
-          val rhs = BDV.tabulate(a.length)(x => xty(a(x)))
-          val sol = solve(sub, rhs)
-          coef = BDV.zeros[Double](p)
-          a.zipWithIndex.foreach { case (jj, i) => coef(jj) = sol(i) }
-        }
-      }
-      if (active.lastOption.contains(-1)) {
-        active.remove(active.length - 1)
-        return (coef.toArray, g.yMean - (coef dot g.xMean))
-      }
+      if (cands.isEmpty) return result
+      val j = cands.maxBy(i => math.abs(resid(i)))
+      if (math.abs(resid(j)) < 1e-12) return result // residual exhausted
+      active += j
+      val a = active.toIndexedSeq
+      val sub = BDM.tabulate(a.length, a.length)((x, y) => xtx(a(x), a(y)))
+      val rhs = BDV.tabulate(a.length)(x => xty(a(x)))
+      val sol = solve(sub, rhs)
+      coef = BDV.zeros[Double](p)
+      a.zipWithIndex.foreach { case (jj, i) => coef(jj) = sol(i) }
     }
-    (coef.toArray, g.yMean - (coef dot g.xMean))
+    result
   }
 
   /** LARS path on the centered Gram; `lasso` adds the sign-crossing
@@ -439,6 +436,24 @@ private[ml] object GramSolvers {
     (beta.toArray, g.yMean - (beta dot g.xMean))
   }
 
+  /** Seeded subset machinery shared by RANSAC and Theil–Sen: a bounded
+    * driver-side pool (nTrials·size rows from a seeded sample) and a
+    * per-trial shuffle-draw WITHOUT replacement over it — consecutive
+    * modulo chunks would alias trials into near-duplicate candidate
+    * models once the pool is smaller than nTrials·size. */
+  private def seededPool(data: org.apache.spark.sql.DataFrame, nTrials: Int,
+      size: Int, seed: Long): Array[(Vector, Double)] =
+    data.sample(withReplacement = false,
+        math.min(1.0, (nTrials * size * 20.0) / math.max(data.count(), 1L)), seed)
+      .limit(nTrials * size).collect()
+      .map(r => (r.getAs[Vector](0), r.getDouble(1)))
+
+  private def seededDraw(pool: Array[(Vector, Double)], size: Int,
+      seed: Long, t: Int): Seq[(Vector, Double)] = {
+    val rnd = new scala.util.Random(seed * 7919 + t)
+    rnd.shuffle(pool.indices.toVector).take(size).map(pool)
+  }
+
   /** RANSAC: sklearn's trial scheme with ALL candidate models' inlier
     * counts computed in ONE distributed pass; final exact refit on the
     * winning consensus set (a filtered Gram pass). Residual threshold =
@@ -453,20 +468,19 @@ private[ml] object GramSolvers {
     val yDf = data.select(col(labelCol).cast("double").as("y"))
     val med = Stats.exactPercentiles(yDf, "y", Seq(0.5)).head
     val madDf = yDf.select(sabs(col("y") - lit(med)).as("d"))
-    val thr = math.max(Stats.exactPercentiles(madDf, "d", Seq(0.5)).head, 1e-12)
+    // floor the MAD threshold RELATIVE to the label scale: constant y
+    // gives MAD = 0, but fitLocal's 1e-10 ridge jitter leaves exact
+    // fits with ~1e-10 residuals — a bare 1e-12 floor would then count
+    // ZERO inliers and crash the consensus refit on a trivially
+    // fittable dataset (sklearn fits it: exact minimal solves give
+    // residual 0 <= 0)
+    val thr = math.max(Stats.exactPercentiles(madDf, "d", Seq(0.5)).head,
+      1e-9 * (1.0 + math.abs(med)))
     // seeded driver-side pool: trials × minSamples rows is O(trials·p)
-    val pool = data.sample(withReplacement = false,
-        math.min(1.0, (trials * minSamples * 20.0) / math.max(data.count(), 1L)), seed)
-      .limit(trials * minSamples).collect()
-      .map(r => (r.getAs[Vector](0), r.getDouble(1)))
+    val pool = seededPool(data, trials, minSamples, seed)
     require(pool.length >= minSamples, "RANSAC needs at least p+1 rows")
     val candidates = (0 until trials).flatMap { t =>
-      // per-trial seeded draw WITHOUT replacement over the pool —
-      // consecutive modulo chunks alias trials into near-duplicate
-      // candidate models once the pool is smaller than trials·(p+1)
-      val rnd = new scala.util.Random(seed * 7919 + t)
-      val rows = rnd.shuffle(pool.indices.toVector).take(minSamples).map(pool)
-      fitLocal(rows, p)
+      fitLocal(seededDraw(pool, minSamples, seed, t), p)
     }
     require(candidates.nonEmpty, "RANSAC: no trial produced a solvable model")
     // one pass: inlier count per candidate
@@ -514,17 +528,15 @@ private[ml] object GramSolvers {
     val data = ds.select(col(featuresCol), col(labelCol).cast("double")).na.drop()
     val p = Gram.featureDim(data, featuresCol)
     val size = p + 1
-    val nSubsets = math.max(1, math.min(maxSub, 500))
-    val pool = data.sample(withReplacement = false,
-        math.min(1.0, (nSubsets * size * 20.0) / math.max(data.count(), 1L)), seed)
-      .limit(nSubsets * size).collect()
-      .map(r => (r.getAs[Vector](0), r.getDouble(1)))
+    // honor the caller's budget: maxSubpopulation IS the cap (sklearn
+    // semantics) — the old hard min(maxSub, 500) silently halved the
+    // shipped default of 1000 and made larger settings dead knobs
+    val nSubsets = math.max(1, maxSub)
+    val pool = seededPool(data, nSubsets, size, seed)
     require(pool.length >= size, "theil_sen needs at least p+1 rows")
     val sols = (0 until nSubsets).flatMap { t =>
-      // per-subset seeded draw, same scheme as ransac (no modulo aliasing)
-      val rnd = new scala.util.Random(seed * 7919 + t)
-      val rows = rnd.shuffle(pool.indices.toVector).take(size).map(pool)
-      fitLocal(rows, p).map { case (w, b) => BDV(w :+ b) }
+      fitLocal(seededDraw(pool, size, seed, t), p)
+        .map { case (w, b) => BDV(w :+ b) }
     }
     require(sols.nonEmpty, "theil_sen: no subset produced a solvable model")
     // Weiszfeld spatial median over the (p+1)-dim solutions

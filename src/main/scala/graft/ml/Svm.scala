@@ -347,11 +347,21 @@ class GraftSvmModel(override val uid: String)
   override def numFeatures: Int = $(dim)
   private def rbf: Boolean = $(kernelType) == "rbf"
 
+  // same contract as GraftLinearModel.predict: the two plan shapes
+  // (UDF and bulk transform) must fail identically on a bad width
+  // instead of silently scoring a prefix / throwing a raw AIOOBE
+  private def checkDim(features: Vector): Unit =
+    require(features.size == $(dim),
+      s"quackml_predict: feature vector has ${features.size} elements, " +
+        s"model expects ${$(dim)}")
+
   /** Raw decision value of the FIRST machine — the whole decision
     * function for regression and binary classification; multiclass
     * models have one per class pair (use [[machines]]). */
-  def decision(features: Vector): Double =
+  def decision(features: Vector): Double = {
+    checkDim(features)
     machinesArr.head.decision(features.toArray, $(dim), rbf, $(gammaParam))
+  }
 
   override def predict(features: Vector): Double =
     if (!$(classify)) decision(features)
@@ -362,6 +372,7 @@ class GraftSvmModel(override val uid: String)
       // one-vs-one majority vote; ties → lowest label, the same winner
       // as sklearn's argmax over sorted classes_ (argmax over the
       // ascending label array returns the first = lowest on ties)
+      checkDim(features)
       val x = features.toArray
       val p = $(dim); val isRbf = rbf; val g = $(gammaParam)
       val votes = new Array[Int](labelsArr.length)
@@ -397,6 +408,7 @@ class GraftSvmModel(override val uid: String)
       val k = labelsArr.length
       // pairwise r[i][j] = P(class i | {i, j}, x); machines store
       // P(classPos | x), classNeg < classPos in sorted-label order
+      checkDim(features)
       val r = Array.fill(k, k)(0.0)
       val x = features.toArray
       val p = $(dim); val isRbf = rbf; val g = $(gammaParam)
@@ -606,6 +618,12 @@ class GraftSvm(override val uid: String)
   def setProbability(v: Boolean): this.type = set(probability, v)
 
   override protected def train(ds: Dataset[_]): GraftSvmModel = {
+    // sklearn raises ValueError on C <= 0; an unchecked C = 0 leaves
+    // every alpha at both bounds, the up/low index sets empty, and the
+    // solver "converges" to rho = -Inf → an infinite intercept that
+    // predicts one class for every input with no warning
+    require($(regC) > 0, s"C must be > 0, got ${$(regC)} (sklearn contract)")
+    require($(epsilon) >= 0, s"epsilon must be >= 0, got ${$(epsilon)}")
     val cap = $(maxRows)
     val rows = ds.select(col($(featuresCol)), col($(labelCol)).cast("double"))
       .na.drop().limit(cap + 1).collect()

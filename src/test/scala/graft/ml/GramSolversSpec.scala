@@ -93,6 +93,27 @@ class GramSolversSpec extends AnyFunSuite {
     assert(math.abs(m.intercept - 7.0) < 0.5, m.intercept)
   }
 
+  test("ransac fits a constant-label dataset (MAD = 0) like sklearn") {
+    // MAD of a constant y is 0; the threshold floor must still admit
+    // the (ridge-jittered) exact minimal fits as inliers
+    val df = assemble((1 to 60).map(i => (i / 6.0, 5.0)).toDF("x", "y"), Seq("x"))
+    val m = fit("ransac", df)
+    assert(math.abs(m.intercept - 5.0) < 1e-3, m.intercept)
+    assert(math.abs(m.coeffs(0)) < 1e-3, m.coeffs)
+  }
+
+  test("omp default nNonzero tolerates a leading null-features row") {
+    import spark.implicits._
+    val good = (1 to 50).map(i =>
+      (org.apache.spark.ml.linalg.Vectors.dense(i / 5.0, (i % 7).toDouble),
+        3.0 * (i / 5.0) + 7.0))
+    val df = ((null.asInstanceOf[org.apache.spark.ml.linalg.Vector], 0.0) +: good)
+      .toDF("features", "y")
+    val m = new GramRegression().setSolver("omp")
+      .setLabelCol("y").setFeaturesCol("features").fit(df)
+    assert(math.abs(m.coeffs(0) - 3.0) < 0.1, m.coeffs)
+  }
+
   test("theil_sen is robust to the same outliers") {
     val rnd = new scala.util.Random(23)
     val df = assemble((1 to 300).map { i =>

@@ -345,6 +345,32 @@ class SvmSpec extends AnyFunSuite {
       .isInstanceOf[org.apache.spark.ml.classification.LinearSVC])
   }
 
+  test("SVM model rejects wrong-width feature vectors with the UDF-path message") {
+    import spark.implicits._
+    val df = (1 to 40).map(i =>
+      (org.apache.spark.ml.linalg.Vectors.dense(i.toDouble, (i % 3).toDouble),
+        if (i % 2 == 0) 1.0 else 0.0)).toDF("features", "label")
+    val m = new GraftSvm().setSvmTask("svc").setKernel("linear").fit(df)
+    // too long: must raise, not silently score a prefix
+    val eLong = intercept[IllegalArgumentException](
+      m.predict(org.apache.spark.ml.linalg.Vectors.dense(1.0, 2.0, 3.0)))
+    assert(eLong.getMessage.contains("model expects 2"), eLong.getMessage)
+    // too short: same message, not an ArrayIndexOutOfBoundsException
+    val eShort = intercept[IllegalArgumentException](
+      m.predict(org.apache.spark.ml.linalg.Vectors.dense(1.0)))
+    assert(eShort.getMessage.contains("model expects 2"), eShort.getMessage)
+  }
+
+  test("C <= 0 refuses loudly instead of training an infinite intercept") {
+    import spark.implicits._
+    val df = (1 to 20).map(i =>
+      (org.apache.spark.ml.linalg.Vectors.dense(i.toDouble),
+        if (i > 10) 1.0 else 0.0)).toDF("features", "label")
+    val e = intercept[IllegalArgumentException](
+      new GraftSvm().setSvmTask("svc").setRegC(0.0).fit(df))
+    assert(e.getMessage.contains("C must be > 0"), e.getMessage)
+  }
+
   test("train() dispatch: exact=true fits SMO and records no compat flag") {
     val cat = new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_svmx").toString)
