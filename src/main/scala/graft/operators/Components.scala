@@ -67,6 +67,15 @@ object Components {
       it += 1
     }
     und.unpersist()
+    // an exit via maxIter would hand back PARTIALLY-propagated labels —
+    // distinct components still sharing no common minimum — and the
+    // dedup keep-list downstream would silently split one duplicate
+    // cluster into several. Pointer jumping converges in O(log diameter)
+    // rounds, so hitting the cap is a caller error worth naming.
+    require(changed == 0,
+      s"connected components did not converge within $maxIter rounds " +
+        "(labels still moving); raise maxIter — convergence needs " +
+        "~log2(graph diameter) pointer-jumping rounds")
     labels
   }
 
@@ -99,8 +108,17 @@ object Components {
   // least-recently-USED session, so a hot long-lived fan-out session
   // survives per-request newSession() churn (insertion order would
   // evict the hot session first, being the oldest insert)
+  /** Per-entry lazy holder: `lazy val` gives a PER-KEY latch, so the
+    * global `sharedLabels` lock only covers map bookkeeping — the
+    * multi-action CC fixpoint itself runs outside it, and a session
+    * whose labels are already memoized never blocks behind another
+    * session's in-flight computation. */
+  private final class LazyLabels(thunk: () => DataFrame) {
+    lazy val get: DataFrame = thunk()
+  }
+
   private val sharedLabels =
-    new java.util.LinkedHashMap[String, scala.collection.mutable.Map[String, DataFrame]](
+    new java.util.LinkedHashMap[String, scala.collection.mutable.Map[String, LazyLabels]](
       16, 0.75f, true)
   // contexts that already carry the eviction listener; weak keys are safe
   // here because the Boolean value holds no reference back to the context
@@ -128,8 +146,8 @@ object Components {
     * pattern the memo exists for (many consumers, ONE session). */
   private val MAX_MEMO_SESSIONS = 8
 
-  def simhashComponents(s: SparkSession, dir: String): DataFrame =
-    sharedLabels.synchronized {
+  def simhashComponents(s: SparkSession, dir: String): DataFrame = {
+    val holder = sharedLabels.synchronized {
       if (evictionHooked.put(s.sparkContext, java.lang.Boolean.TRUE) == null) {
         s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
@@ -146,9 +164,11 @@ object Components {
         // it unreachable, GC timing decides when
       }
       sharedLabels.computeIfAbsent(key, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir,
-          connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db"))
+        .getOrElseUpdate(dir, new LazyLabels(() =>
+          connectedComponents(Dedup.simhashPairsUnordered(s, dir), "da", "db")))
     }
+    holder.get // the fixpoint runs here, outside the global lock
+  }
 
   /** Drops the memoized labels for `s`. The bench harness calls this at
     * the top of every timing pass so each pass pays the real CC cost

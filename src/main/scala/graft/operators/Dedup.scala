@@ -104,7 +104,11 @@ object Dedup {
       dfCap: Option[Int] = Some(DF_CAP),
       maxFanout: Long = 2000000000L): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).cache()
+    // localCheckpoint, not cache(): the frame rides inside the returned
+    // lazy plan, so a cache() here would pin CacheManager memory for the
+    // session lifetime with no unpersist site (knnGraph documents the
+    // same choice)
+    val sh = shingles(s, dir).localCheckpoint()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val joinable = dfCap match {
       case Some(cap) =>
@@ -113,7 +117,7 @@ object Dedup {
         sh.join(broadcast(rare), "hs")
       case None =>
         val fanout = sh.groupBy($"hs").agg(count(lit(1)).as("df"))
-          .agg(sum($"df" * $"df")).head().getLong(0)
+          .agg(coalesce(sum($"df" * $"df"), lit(0L))).head().getLong(0)
         require(fanout <= maxFanout,
           s"exact all-pairs n-gram Jaccard would generate $fanout candidate " +
             s"comparisons (> $maxFanout); use the df-capped default " +
@@ -190,7 +194,7 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(transform(array_sort(collect_list(struct($"j", $"mh"))),
         x => x.getField("mh")).as("sig"))
-      .cache()
+      .localCheckpoint() // two consumers, no unpersist site: see above
     val bands = sigArr.select($"doc_id",
         explode(sequence(lit(0), lit(NUM_HASHES / BAND_ROWS - 1))).as("band"), $"sig")
       .withColumn("bsig", array_join(transform(
@@ -269,9 +273,12 @@ object Dedup {
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash near-dup pairs: 4 bands × 15 bits generate candidates
-    * (a pair within Hamming distance 3 must agree on ≥1 band), verified
-    * by exact popcount of the XOR; emit pairs with distance ≤ 6. */
+  /** SimHash near-dup pairs: 7 bands × 9 bits generate candidates —
+    * COMPLETE for the emitted range (a pair within Hamming distance 6
+    * differs in ≤6 of the 7 disjoint bands, so ≥1 band agrees; the old
+    * 4×15 banding was only complete to distance 3 and silently dropped
+    * true pairs at 4–6) — verified by exact popcount of the XOR; emit
+    * pairs with distance ≤ 6. */
   def dd_simhash_pairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsUnordered(s, dir).orderBy(col("da"), col("db"))
 
@@ -280,10 +287,10 @@ object Dedup {
     * of the pair relation. */
   private[operators] def simhashPairsUnordered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = dd_simhash(s, dir).cache()
+    val sh = dd_simhash(s, dir).localCheckpoint() // see ngramJaccardPairs
     val bands = sh.select($"doc_id", $"simhash",
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bsig", expr("shiftright(simhash, cast(band * 15 as int)) & 32767"))
+        explode(sequence(lit(0), lit(6))).as("band"))
+      .withColumn("bsig", expr("shiftright(simhash, cast(band * 9 as int)) & 511"))
     val cand = bands.select($"doc_id".as("da"), $"simhash".as("ha"), $"band", $"bsig")
       .join(bands.select($"doc_id".as("db"), $"simhash".as("hb"), $"band", $"bsig"),
         Seq("band", "bsig"))
@@ -315,8 +322,8 @@ object Dedup {
        |    CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bsig
-       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 9)) & 511 AS bsig
+       |  FROM sig, (SELECT unnest(range(0, 7)) AS band) bs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
        |    a.simhash AS ha, b.simhash AS hb

@@ -37,12 +37,31 @@ object Similarity {
     call_function("graft_sqdist", a, b)
 
   /** Embeddings with doubled vectors and precomputed L2 norm. */
+  /** One dim probe per (dir, JVM): the closed-form LCG twins (LSH
+    * planes, IVF cells, kNN grid) hard-code a 64-stride in BOTH the
+    * Spark arithmetic and the DuckDB oracles. On a regenerated corpus
+    * with a different dim, `graft_dot(v, 64-dim-plane)` would go NULL
+    * on the Spark side while the oracle computes real sums — a silent
+    * divergence (and a silent single-bucket LSH). Fail loudly instead;
+    * the trained-quantizer and PQ paths adapt to any dim. */
+  private val checkedDims = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    Tables.embeddings(s, dir)
+    val df = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
+    checkedDims.computeIfAbsent(dir, _ => {
+      df.select(size($"v")).limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == 64,
+          s"embeddings at $dir have dim ${r.getInt(0)}; the LCG oracle-twin " +
+            "arithmetic (LSH planes / IVF cells / kNN grid) is pinned to 64 " +
+            "dims on both engines — regenerate the oracles for the new dim")
+      }
+      64
+    })
+    df
   }
 
   private val embSqlCte =
@@ -128,13 +147,11 @@ object Similarity {
   // --------------------------------------------------------------- LSH ANN
   private val NUM_PLANES = 8
 
-  /** Deterministic pseudo-random hyperplane component r(k, i) ∈ [-0.5, 0.5)
-    * via a closed-form LCG — identical arithmetic in the oracle. */
-  private def plane(k: Int): Seq[Double] =
-    (0 until 64).map { i =>
-      ((1103515245L * (k * 64 + i) + 12345L) % 2147483648L).toDouble /
-        2147483648.0 - 0.5
-    }
+  /** Deterministic pseudo-random hyperplane r(k) ∈ [-0.5, 0.5)^64 —
+    * the SAME closed-form LCG grid the IVF gate quantizer uses
+    * ([[LcgQuantizer.centroid]]); one definition so the oracle
+    * arithmetic cannot drift between the LSH and IVF twins. */
+  private def plane(k: Int): Seq[Double] = LcgQuantizer.centroid(k)
 
   private def sigCol(v: Column): Column =
     (0 until NUM_PLANES).map { k =>
@@ -223,13 +240,19 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** DuckDB spelling of ||v − centroid(k)||² against the shared LCG
+    * grid — ONE definition for the IVF / probe2 / kNN-graph oracles so
+    * the closed-form constants cannot drift between them (the Spark
+    * side likewise routes through [[LcgQuantizer.centroid]]). */
+  private def lcgSqDistSql(k: Int): String =
+    s"""list_sum(list_transform(range(1, len(v) + 1),
+       |  i -> (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
+       |    / 2147483648.0 - 0.5))
+       |    * (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
+       |    / 2147483648.0 - 0.5))))""".stripMargin
+
   val simIvfSql: String = {
-    def d(k: Int) =
-      s"""list_sum(list_transform(range(1, len(v) + 1),
-         |  i -> (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
-         |    / 2147483648.0 - 0.5))
-         |    * (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
-         |    / 2147483648.0 - 0.5))))""".stripMargin
+    def d(k: Int) = lcgSqDistSql(k)
     s"""WITH $embSqlCte,
        |cells AS (
        |  SELECT n.vec_id, v, nrm,
@@ -263,12 +286,7 @@ object Similarity {
   }
 
   val simIvfProbe2Sql: String = {
-    def d(k: Int) =
-      s"""list_sum(list_transform(range(1, len(v) + 1),
-         |  i -> (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
-         |    / 2147483648.0 - 0.5))
-         |    * (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
-         |    / 2147483648.0 - 0.5))))""".stripMargin
+    def d(k: Int) = lcgSqDistSql(k)
     s"""WITH $embSqlCte,
        |dd AS (SELECT vec_id, v, nrm, ${d(0)} AS d0, ${d(1)} AS d1,
        |         ${d(2)} AS d2, ${d(3)} AS d3 FROM n),
@@ -351,8 +369,10 @@ object Similarity {
     val assigned = e.withColumn("cell", quant.cellCol(col("v")))
     val cells =
       if (quant.cheapAssignment) assigned else assigned.localCheckpoint()
+    // coalesce: an empty corpus aggregates to one null row — the guard
+    // should let the naturally-empty graph through, not NPE
     val fattest = cells.groupBy(col("cell")).count()
-      .agg(max(col("count"))).head.getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).head.getLong(0)
     require(fattest <= maxCellRows,
       s"kNN-graph in-cell join is quadratic in cell population and the " +
         s"fattest cell has $fattest rows > $maxCellRows; refit the " +
@@ -439,8 +459,15 @@ object Similarity {
   def sim_ann_ivf_indexed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
+    // collision-free path key: encode the FULL dir — String.hashCode
+    // collisions would alias two corpora onto one index directory.
+    // Build-vs-read follows the repo's single-writer discipline (the
+    // returned plan is lazy so the audit sees the dynamicpruning scan;
+    // rebuilding an index while another invocation reads it is the same
+    // unsupported pattern as concurrent catalog writers).
     val path = indexRoot.resolve(
-      java.lang.Integer.toHexString(dir.hashCode)).toString
+      java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(dir.getBytes("UTF-8"))).toString
     writeIvfIndex(e, LcgQuantizer, path)
     annIvfIndexed(s, path, e.filter($"vec_id" < 10), LcgQuantizer)
       .orderBy($"qid", $"rank")
@@ -468,12 +495,7 @@ object Similarity {
   }
 
   val simKnnGraphSql: String = {
-    def d(k: Int) =
-      s"""list_sum(list_transform(range(1, len(v) + 1),
-         |  i -> (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
-         |    / 2147483648.0 - 0.5))
-         |    * (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
-         |    / 2147483648.0 - 0.5))))""".stripMargin
+    def d(k: Int) = lcgSqDistSql(k)
     s"""WITH $embSqlCte,
        |cells AS (
        |  SELECT vec_id, v, nrm,
