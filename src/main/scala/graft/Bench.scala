@@ -240,8 +240,14 @@ object Bench {
       // against the pre-regression baseline until it is fixed, or each
       // incremental slowdown would ratchet the baseline and adjudicate
       // the next one as noise
+      val kindOf = flagged.map(f => f._1 -> f._4).toMap
       val mergedBase = isoBase ++ verdicts.collect {
-        case (q, (iso, v)) if iso > 0 && v != "failed" && v != "real" => q -> iso
+        // a confirmed-real SLOWDOWN keeps the pre-regression baseline;
+        // a confirmed-real SPEEDUP is the new reality and becomes the
+        // reference (else the stale slow baseline would adjudicate any
+        // later regression back to the old speed as noise)
+        case (q, (iso, v)) if iso > 0 && v != "failed" &&
+            !(v == "real" && kindOf.getOrElse(q, "slower") == "slower") => q -> iso
       }
       // the driver captures stdout with a bounded tail — the r6 capture
       // lost the trailing dd_* timings — so the full vector also lands as
