@@ -59,9 +59,10 @@ import org.apache.spark.sql.types._
   * dot-product retrieval with a reweighted query — the same shape as
   * the ANN operators, so the candidate pool can route through IVF/LSH
   * past the broadcast guard. Generating novel text (abstractive
-  * response synthesis) still needs a neural trainer —
-  * translation/text-generation keep the documented
-  * unsupported-runtime error from `Ops.finetune`.
+  * response synthesis) still needs a neural trainer — the
+  * translation/text-generation tasks route to the
+  * classical-statistical [[Generative]] trainers (trigram backoff LM,
+  * IBM Model 1), compat-flagged in the model ledger.
   */
 object Finetune {
   /** Separator between the members of a text pair — the JVM analog of
@@ -133,9 +134,9 @@ object Finetune {
           .as(cfg.textCol), col(cfg.labelCol))
       else df0
 
-    // frozen encoder: ONE embed pass serves the emptiness probes, every
-    // LBFGS iteration, and the eval transform — uncached, the
-    // frozen-encoder map re-runs up to 4× per finetune
+    // frozen encoder: cached so ONE embed pass serves the emptiness
+    // probes, every LBFGS iteration, and the eval transform (uncached,
+    // the frozen-encoder map would re-run up to 4x per finetune)
     val embedded = Ops.embedColumn(df.select(col(cfg.textCol), col(cfg.labelCol)),
         cfg.runtime, cfg.textCol, "emb", dim = cfg.dim)
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("emb")))
@@ -529,6 +530,10 @@ object Finetune {
         col(cfg.labelCol).as("resp"))
       .filter(size(TextMetrics.tokens(col("ctx"))) > 0 &&
         size(TextMetrics.tokens(col("resp"))) > 0)
+      // duplicate triples share one uid, and the pairs⋈ctxEmb uid join
+      // below would multiply them QUADRATICALLY (k copies → k² training
+      // rows) — chat logs repeat exchanges all the time, so dedup here
+      .distinct()
     val buckets = 32
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("uid"))

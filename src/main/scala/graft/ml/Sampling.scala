@@ -105,8 +105,16 @@ object Sampling {
     * `DataFrame.randomSplit` behavior but reproducible row-wise. */
   def splitByFraction(df: DataFrame, keyCols: Seq[String], testSize: Double,
       seed: Long = 42L): (DataFrame, DataFrame) = {
+    // test_size > 1 means an ABSOLUTE row count (`snapshot.rs:803-819`,
+    // honored by train()'s ordered split): resolve it to a fraction
+    // here, else `h < testSize·1e6` is true for every row and the whole
+    // corpus silently becomes the test set (train == test under the
+    // tiny-relation fallback → leaked, inflated metrics)
+    val frac =
+      if (testSize > 1.0) math.min(1.0, testSize / math.max(df.count(), 1L))
+      else testSize
     val h = abs(xxhash64((lit(seed) +: keyCols.map(col)): _*)) % 1000000L
-    val isTest = h < (testSize * 1000000L).toLong
+    val isTest = h < (frac * 1000000L).toLong
     (df.filter(!isTest), df.filter(isTest))
   }
 }

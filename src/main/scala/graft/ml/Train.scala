@@ -56,18 +56,30 @@ object Train {
       orderedSplit: Boolean = false,
       seed: Long = 42L)
 
+  /** Per-task default metric (`task.rs:71-88` — incl. the finetune
+    * tasks, whose hyphenated names are what [[graft.llm.Finetune]]
+    * writes as project tasks; without them `best_score` deploys on
+    * finetune projects crash here). The reference spells translation's
+    * metric "blue" (sic, `task.rs:79`); this catalog records the key
+    * as "bleu", so the lookup uses the corrected spelling. */
   def defaultTargetMetric(task: String): String = task match {
     case "regression" => "r2"
     case "classification" => "f1"
     case "clustering" => "silhouette"
     case "decomposition" => "cumulative_explained_variance"
+    case "text-classification" | "text-pair-classification" |
+         "question-answering" => "f1"
+    case "summarization" => "rouge_ngram_f1"
+    case "translation" => "bleu"
+    case "text-generation" => "perplexity"
+    case "conversation" => "f1" // dual-encoder head's recorded metric
     case t => throw new IllegalArgumentException(s"No default target metric for task: $t")
   }
 
-  /** Higher-is-better direction (`task.rs:97-106`). */
+  /** Higher-is-better direction (`task.rs:90-106`): only the
+    * perplexity-scored generation tasks invert. */
   def metricPositive(task: String): Boolean = task match {
-    case "regression" | "classification" | "clustering" | "decomposition" => true
-    case "text_generation" | "text2text" => false
+    case "text-generation" | "text_generation" | "text2text" => false
     case _ => true
   }
 
@@ -111,11 +123,15 @@ object Train {
         .setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(0.0)
         .setStandardization(false)
     case ("regression", "lasso") =>
+      // standardization(false) like the ridge case: sklearn penalizes
+      // RAW coefficients; MLlib's default standardizes first, which
+      // changes the sparsity pattern for the same alpha
       new LinearRegression().setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(1.0)
-        .setMaxIter(hpi(h, "max_iter", 100))
+        .setMaxIter(hpi(h, "max_iter", 100)).setStandardization(false)
     case ("regression", "elastic_net") =>
       new LinearRegression().setRegParam(hp(h, "alpha", 1.0))
         .setElasticNetParam(hp(h, "l1_ratio", 0.5)).setMaxIter(hpi(h, "max_iter", 100))
+        .setStandardization(false)
     case ("regression", "random_forest") =>
       new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 100))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
@@ -319,7 +335,7 @@ object Train {
         .setTol(hp(h, "gradient_tolerance", 1e-6))
     case ("classification", "ridge") =>
       new LogisticRegression().setRegParam(hp(h, "alpha", 1.0)).setElasticNetParam(0.0)
-        .setMaxIter(hpi(h, "max_iter", 100))
+        .setMaxIter(hpi(h, "max_iter", 100)).setStandardization(false)
     case ("classification", "random_forest") =>
       new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 100))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
@@ -490,12 +506,23 @@ object Train {
     val names = fixed.keys.toSeq ++ searchParams.keys.toSeq
     val values: Seq[Seq[String]] =
       fixed.values.map(Seq(_)).toSeq ++ searchParams.values.toSeq
-    val product = values.foldLeft(Seq(Seq.empty[String])) { (acc, vs) =>
-      acc.flatMap(combo => vs.map(combo :+ _))
-    }
+    val gridSize = values.foldLeft(1L)((a, vs) => a * math.max(vs.size, 1))
     val chosen = search match {
-      case Some("random") => new scala.util.Random(seed).shuffle(product).take(nIter)
-      case _ => product
+      case Some("random") =>
+        // draw n_iter DISTINCT index tuples directly — materializing the
+        // full cartesian product just to shuffle-take n_iter of it is
+        // O(grid) driver memory for a method whose whole point is NOT
+        // visiting the grid (6 keys × 10 values = 1M combos for 10 draws)
+        val rnd = new scala.util.Random(seed)
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Int]]
+        val want = math.min(nIter.toLong, gridSize).toInt
+        while (seen.size < want)
+          seen += values.map(vs => rnd.nextInt(math.max(vs.size, 1)))
+        seen.toSeq.map(idx => values.zip(idx).map { case (vs, i) => vs(i) })
+      case _ =>
+        values.foldLeft(Seq(Seq.empty[String])) { (acc, vs) =>
+          acc.flatMap(combo => vs.map(combo :+ _))
+        }
     }
     val combos = if (chosen.isEmpty) Seq(Seq.empty[String]) else chosen
     combos.map(vals => names.zip(vals).toMap)
@@ -584,6 +611,12 @@ object Train {
     // multi-output regression (reference: sklearn MultiOutputRegressor,
     // `sklearn.py:119-134`): one fitted regressor per target column
     val multiTarget = cfg.task == "regression" && cfg.yColumn.size > 1
+    // multi-target is a regression feature (train_joint, api.rs:494-693);
+    // silently training on yColumn.head while the snapshot records every
+    // target as modeled would be a lying catalog row
+    require(cfg.task == "regression" || cfg.yColumn.size <= 1,
+      s"multi-target (${cfg.yColumn.size} y columns) is regression-only; " +
+        s"task '${cfg.task}' trains a single label")
     if (multiTarget) require(cfg.search.isEmpty && cfg.searchParams.isEmpty,
       "hyperparameter search is single-target only")
     val labelCol = cfg.yColumn.headOption.getOrElse("__no_label")
@@ -690,6 +723,11 @@ object Train {
       * score_time) — the timings feed search_results parity. */
     def scoredFit(h: Map[String, String], tr: org.apache.spark.sql.DataFrame,
         va: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      // an empty fold (training set smaller than cv, or a degenerate
+      // hash/slice) would NPE regression scoring or feed NaN into the
+      // maxBy selection (NaN wins under TotalOrdering) — name the fix
+      require(!va.isEmpty && !tr.isEmpty,
+        s"empty CV fold — training rows < cv folds? reduce cv (searchArgs)")
       val t0 = System.nanoTime()
       val m = fitOne(h, tr)
       val t1 = System.nanoTime()
@@ -700,9 +738,18 @@ object Train {
     // hyperparameter search (grid | random × k-fold CV), reference
     // defaults: n_iter=10, cv=5 when searching else 1 (`model.rs:732-740`)
     val nIter = cfg.searchArgs.get("n_iter").map(_.toInt).getOrElse(10)
-    val cv = cfg.searchArgs.get("cv").map(_.toInt)
-      .getOrElse(if (cfg.search.isDefined) 5 else 1)
     val combos = allHyperparams(cfg.hyperparams, cfg.searchParams, cfg.search, nIter, cfg.seed)
+    // cv keys on whether a SEARCH is actually running (combos > 1 — a
+    // bare searchParams grid without `search` still searches), not on
+    // the search flag alone: a cv<2 search would select the best combo
+    // on procTest, the same held-out slice the final metrics report —
+    // test-set leakage into model selection. Reference default is cv=5
+    // when searching (`model.rs:732-740`).
+    val cv = cfg.searchArgs.get("cv").map(_.toInt)
+      .getOrElse(if (cfg.search.isDefined || combos.size > 1) 5 else 1)
+    require(combos.size <= 1 || cv >= 2,
+      s"hyperparameter search with cv=$cv would select on the held-out " +
+        "test set (leakage); use cv >= 2")
     val (bestHyper, searchResults) =
       if (combos.size <= 1 && cfg.search.isEmpty) (cfg.hyperparams, "")
       else {
@@ -811,7 +858,14 @@ object Train {
         val rep = Metrics.classification(pred, labelCol, "prediction")
         val base = Map("f1" -> rep.f1Macro, "f1_micro" -> rep.f1Micro,
           "precision" -> rep.precision, "recall" -> rep.recall, "accuracy" -> rep.accuracy)
-        val classes = pred.select(col(labelCol).cast("int")).distinct().count()
+        // the binary-extras gate keys on the MODEL's class count, not
+        // the test slice's: a 3-class model whose small test split
+        // happens to carry 2 label values would otherwise record a
+        // bogus roc_auc/log_loss from one entry of a k-class softmax
+        val classes = model.stages.collectFirst {
+          case c: org.apache.spark.ml.classification.ClassificationModel[_, _] =>
+            c.numClasses.toLong
+        }.getOrElse(pred.select(col(labelCol).cast("int")).distinct().count())
         if (classes == 2 && pred.columns.contains("probability")) {
           val p1 = element_at(
             org.apache.spark.ml.functions.vector_to_array(col("probability")), 2)

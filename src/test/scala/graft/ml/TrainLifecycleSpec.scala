@@ -334,6 +334,33 @@ class TrainLifecycleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot be present in both"))
   }
 
+  test("finetune tasks have metric defaults and directions (best_score deploys)") {
+    assert(Train.defaultTargetMetric("text-generation") == "perplexity")
+    assert(!Train.metricPositive("text-generation")) // lower perplexity deploys
+    assert(Train.defaultTargetMetric("summarization") == "rouge_ngram_f1")
+    assert(Train.defaultTargetMetric("translation") == "bleu")
+    assert(Train.metricPositive("translation"))
+    assert(Train.defaultTargetMetric("conversation") == "f1")
+  }
+
+  test("splitByFraction resolves an absolute test count (test_size > 1)") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i, s"row$i")).toDF("id", "t")
+    val (tr, te) = Sampling.splitByFraction(df, Seq("id"), 20.0)
+    val nTe = te.count(); val nTr = tr.count()
+    // hash split is approximate (±binomial): the old bug made EVERY row
+    // a test row, so the load-bearing assert is a real two-way split
+    assert(nTr + nTe == 200 && nTe > 0 && nTe < 60,
+      s"expected ~20 test rows, got $nTe test / $nTr train")
+  }
+
+  test("random search draws n_iter combos without materializing the grid") {
+    val grid = (1 to 6).map(i => s"k$i" -> (1 to 10).map(_.toString)).toMap
+    val combos = Train.allHyperparams(Map.empty, grid, Some("random"), 10, 42L)
+    assert(combos.size == 10 && combos.distinct.size == 10)
+    assert(combos.forall(_.keySet == grid.keySet))
+  }
+
   test("catalog row cache: write-through, cross-instance, and flush coherence") {
     val cat = freshCatalog()
     val p = cat.createProject("CacheProj", "regression")
