@@ -733,15 +733,26 @@ object Finetune {
     * candidate norms equal, argmax inner product = nearest r' by
     * cosine, so the trained k-means IVF machinery applies unchanged.
     *
-    * 100 TB shape: pool embeds distributed (one map pass), the norm cap
-    * is one tiny agg, k-means fits on the augmented vectors (sampled at
-    * scale), cell assignment is the `graft_cell` codegen map
-    * materialized ONCE, and each query probes `nprobe` cells through an
-    * equi-join — per-query work is the probed cells' population, not
-    * the pool. Approximate like every IVF probe (recall rises with
+    * 100 TB shape: the candidate pool becomes a PERSISTENT IVF index —
+    * the same cell-partitioned parquet layout as
+    * [[graft.operators.Similarity.writeIvfIndex]] — built in one pass
+    * (pool embeds distributed, the norm cap is one tiny agg, k-means
+    * fits on a bounded sample of the augmented vectors, the trained
+    * `graft_cell` assignment is the map `partitionBy` splits into cell
+    * directories). The index is CONTENT-ADDRESSED by (runtime, dim,
+    * targetCellRows, pool fingerprint), and crucially it does NOT
+    * depend on the head's coefficients — `w` only reweights the QUERY
+    * (q' = [w⊙c, 0]) — so retraining or redeploying the project never
+    * invalidates it; any deployed head serves off the same store. Every
+    * retrieval after the build is a partition-pruned read of the probed
+    * cells' directories (the `sim_ann_ivf_indexed` dynamicpruning plan
+    * shape, audited in PLANS.md): per-query work is the probed cells'
+    * population, not the pool, and the scan reads nprobe/numCells of
+    * the index. Approximate like every IVF probe (recall rises with
     * nprobe); the parity spec pins top-1 agreement vs the exact
     * broadcast path. Tie rule matches `respondText`: equal scores
-    * resolve to the greater response string via the max(struct) order. */
+    * resolve to the greater response string via the max(struct) order.
+    * Build-vs-read follows the repo's single-writer discipline. */
   def respondTextAnn(spark: SparkSession, catalog: Catalog, project: String,
       df: DataFrame, systemCol: String = "system", userCol: String = "user",
       candidates: DataFrame, candidateCol: String = "response",
@@ -750,9 +761,88 @@ object Finetune {
     val wLit = typedlit(w.toSeq)
 
     val pool = candidates.select(col(candidateCol).as("resp")).distinct()
-      .localCheckpoint()
-    val nCand = pool.count()
+    // order-independent content fingerprint in ONE cheap agg (no embed,
+    // no checkpoint): count + xor of per-row hashes + total byte length.
+    // This is what lets reuse be VERIFIED rather than assumed — a pool
+    // that changed in any row lands in a different index directory.
+    val fp = pool.agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(resp))").as("x"),
+      coalesce(sum(length(col("resp"))), lit(0L)).as("len")).head()
+    val nCand = fp.getLong(0)
     require(nCand > 0, "respondTextAnn needs a non-empty candidate pool")
+    val xorHash = if (fp.isNullAt(1)) 0L else fp.getLong(1)
+    val idxDir = java.nio.file.Paths.get(graft.operators.Similarity.indexPath(
+      "conv_ivf", runtime, dim.toString, targetCellRows.toString,
+      nCand.toString, xorHash.toString, fp.getLong(2).toString))
+    val (quant, nonEmpty) =
+      if (java.nio.file.Files.exists(idxDir.resolve(CONV_INDEX_DONE)))
+        readConvIndexMeta(idxDir)
+      else buildConvIndex(spark, pool, runtime, dim, targetCellRows, nCand, idxDir)
+
+    // Probe ranking is the quantizer's L2-to-centroid order (measured
+    // against pure inner-product centroid ranking on this corpus: L2
+    // recalls strictly better — the |centroid|² term favors TIGHT
+    // cells, exactly the ones where a high dot is achievable, while a
+    // raw q·c order chases long centroids of diffuse cells).
+    // Probe only cells that OWN candidates (k-means can leave empty
+    // centroids; an all-empty top-nprobe would silently answer nothing
+    // while the broadcast twin answers every query) — the non-empty set
+    // comes from the index metadata, recorded at build time.
+    val ctx = df.select(col(systemCol), col(userCol)).distinct()
+      .withColumn("ctxt", concat(col(systemCol), lit(PAIR_SEP), col(userCol)))
+    val q = Ops.embedColumn(ctx, runtime, "ctxt", "cemb", dim = dim)
+      .withColumn("wq",
+        concat(zip_with(col("cemb").cast("array<double>"), wLit, (a, c) => a * c),
+          array(lit(0.0))))
+      .withColumn("cell", explode(quant.probeAmongCol(col("wq"), nprobe, nonEmpty)))
+      .select(col(systemCol), col(userCol), col("wq"), col("cell"))
+      // materialize the (narrow) embedded batch ONCE: it feeds both the
+      // probed-cell union below and the retrieval join
+      .localCheckpoint()
+
+    // STATIC partition pruning, stronger than relying on Catalyst's DPP
+    // heuristic (which wants a selective filter on the probe side): the
+    // union of probed cells is O(numCells) — collect it and push an IN
+    // filter onto the index scan's partition column, so the scan reads
+    // ONLY the probed cells' directories. A small serve batch touches
+    // few cells and reads a sliver of the index; a batch that probes
+    // everything degrades gracefully to the full (still one-pass) read.
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // The explicit schema pins `cell` to BIGINT so both the IN filter
+    // and the equi-join hit the partition column without a cast (a cast
+    // there defeats pruning) — same discipline as Similarity.annIvfIndexed.
+    val idx = spark.read.schema("resp STRING, v ARRAY<DOUBLE>, cell BIGINT")
+      .parquet(idxDir.resolve("cells").toString)
+      .where(col("cell").isin(probed: _*))
+
+    q.join(idx, Seq("cell"))
+      .withColumn("score",
+        call_function("graft_dot", col("wq"), col("v")) + lit(b))
+      .groupBy(col(systemCol), col(userCol))
+      .agg(max(struct(col("score"), col("resp"))).as("m"))
+      .select(col(systemCol), col(userCol), col("m.resp").as("response"))
+  }
+
+  private val CONV_INDEX_DONE = "_GRAFT_INDEX_DONE"
+
+  /** Build counter, exposed for the reuse spec: serving the same pool
+    * twice — or after a retrain/redeploy — must NOT rebuild the index. */
+  private[graft] val convIndexBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One-pass build of the conversation retrieval index: embed the pool
+    * distributed, apply the MIPS augmentation r' = [r, √(M²−|r|²)]
+    * (all r' share norm M, so argmax inner product = nearest by L2),
+    * fit the coarse quantizer on a bounded sample, and write the
+    * cell-partitioned store via [[graft.operators.Similarity.writeIvfIndex]].
+    * Centroids + the non-empty cell list land in a small binary sidecar
+    * (exact double round-trip); the done-marker is written LAST so a
+    * crashed build is rebuilt, never served. */
+  private def buildConvIndex(spark: SparkSession, pool: DataFrame,
+      runtime: String, dim: Int, targetCellRows: Long, nCand: Long,
+      idxDir: java.nio.file.Path): (graft.operators.KMeansQuantizer, Seq[Int]) = {
+    convIndexBuilds.incrementAndGet()
     val emb = Ops.embedColumn(pool, runtime, "resp", "remb", dim = dim)
       .select(col("resp"), col("remb").cast("array<double>").as("r"))
       .withColumn("n2", call_function("graft_dot", col("r"), col("r")))
@@ -767,36 +857,36 @@ object Finetune {
     // early, same discipline as the DBSCAN gate's quantizer
     val quant = graft.operators.KMeansQuantizer.fitSampled(
       aug.select(col("v")), k, nCand, maxIter = 8)
-    val cells = aug.withColumn("cell", quant.cellCol(col("v")))
-      .localCheckpoint() // trained assignment is the expensive map: once
+    graft.operators.Similarity.writeIvfIndex(
+      aug, quant, idxDir.resolve("cells").toString)
+    // non-empty cells = the partition directories that exist: O(numCells)
+    // filesystem metadata off the store itself, no extra Spark job
+    val nonEmpty = Option(idxDir.resolve("cells").toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq.map(_.getName)
+      .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt).sorted
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(idxDir.resolve("meta.bin"))))
+    try {
+      out.writeInt(quant.centroids.length)
+      out.writeInt(quant.centroids.headOption.map(_.length).getOrElse(0))
+      quant.centroids.foreach(_.foreach(out.writeDouble))
+      out.writeInt(nonEmpty.size)
+      nonEmpty.foreach(out.writeInt)
+    } finally out.close()
+    java.nio.file.Files.write(idxDir.resolve(CONV_INDEX_DONE), Array.empty[Byte])
+    (quant, nonEmpty)
+  }
 
-    // Probe ranking is the quantizer's L2-to-centroid order (measured
-    // against pure inner-product centroid ranking on this corpus: L2
-    // recalls strictly better — the |centroid|² term favors TIGHT
-    // cells, exactly the ones where a high dot is achievable, while a
-    // raw q·c order chases long centroids of diffuse cells).
-    // probe only cells that OWN candidates: k-means can leave empty
-    // centroids, and a query whose top-nprobe centroids were all empty
-    // would join to nothing and silently get no response row — the
-    // broadcast twin answers every query, so this route must too. The
-    // non-empty set is one O(numCells) collect off the assignment pass.
-    val nonEmpty = cells.select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val ctx = df.select(col(systemCol), col(userCol)).distinct()
-      .withColumn("ctxt", concat(col(systemCol), lit(PAIR_SEP), col(userCol)))
-    val q = Ops.embedColumn(ctx, runtime, "ctxt", "cemb", dim = dim)
-      .withColumn("wq",
-        concat(zip_with(col("cemb").cast("array<double>"), wLit, (a, c) => a * c),
-          array(lit(0.0))))
-      .withColumn("cell", explode(quant.probeAmongCol(col("wq"), nprobe, nonEmpty)))
-      .select(col(systemCol), col(userCol), col("wq"), col("cell"))
-
-    q.join(cells, Seq("cell"))
-      .withColumn("score",
-        call_function("graft_dot", col("wq"), col("v")) + lit(b))
-      .groupBy(col(systemCol), col(userCol))
-      .agg(max(struct(col("score"), col("resp"))).as("m"))
-      .select(col(systemCol), col(userCol), col("m.resp").as("response"))
+  private def readConvIndexMeta(
+      idxDir: java.nio.file.Path): (graft.operators.KMeansQuantizer, Seq[Int]) = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(idxDir.resolve("meta.bin"))))
+    try {
+      val k = in.readInt(); val d = in.readInt()
+      val cents = Array.fill(k)(Array.fill(d)(in.readDouble()))
+      val nonEmpty = Seq.fill(in.readInt())(in.readInt())
+      (new graft.operators.KMeansQuantizer(cents), nonEmpty)
+    } finally in.close()
   }
 
   /** Score raw text with a finetuned project: embed with the SAME

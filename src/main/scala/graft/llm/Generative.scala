@@ -180,7 +180,11 @@ object Generative {
       .filter(col("name") === cfg.projectName)
       .select(element_at(col("metrics"), "perplexity")).collect().headOption
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    val shouldDeploy = cfg.automaticDeploy && deployed.forall(old => ppl < old)
+    // a NaN perplexity (no held-out doc reached the trigram order) must
+    // neither deploy as a "score" nor — once stored — permanently block
+    // every later real model behind `ppl < NaN` (always false)
+    val shouldDeploy = cfg.automaticDeploy && !ppl.isNaN &&
+      deployed.forall(old => old.isNaN || ppl < old)
     if (shouldDeploy) catalog.deploy(project.id, modelRow.id, "new_score")
 
     contractRow(spark, cfg.projectName, "text-generation", "finetune:ngram_lm",

@@ -50,6 +50,15 @@ class Catalog(val spark: SparkSession, val baseDir: String) {
     * Cross-PROCESS writers remain out of scope (single-writer
     * discipline, same as the reference's in-process catalog). */
   private def read[T: org.apache.spark.sql.Encoder](t: String): org.apache.spark.sql.Dataset[T] = {
+    // the logs table is append-heavy (every train/finetune writes one)
+    // and rarely read (dump_all, specs): caching it would re-materialize
+    // an ever-growing Seq on each write-through in a long-lived session,
+    // so it reads straight from parquet instead
+    if (t == "logs") Catalog.writeLock(baseDir, t).synchronized {
+      return spark.createDataset(
+        if (exists(t)) spark.read.parquet(dir(t)).as[T].collect().toSeq
+        else Seq.empty[T])
+    }
     val key = (baseDir, t)
     var rows = Catalog.rowCache.get(key)
     if (rows == null) Catalog.writeLock(baseDir, t).synchronized {

@@ -62,7 +62,13 @@ object Train {
     * finetune projects crash here). The reference spells translation's
     * metric "blue" (sic, `task.rs:79`); this catalog records the key
     * as "bleu", so the lookup uses the corrected spelling. */
-  def defaultTargetMetric(task: String): String = task match {
+  def defaultTargetMetric(task0: String): String = {
+    // the reference's Task::from_str accepts underscore spellings too
+    // (text_generation, text_classification) — normalize before the
+    // match so an underscore-spelled project task deploys instead of
+    // throwing on best_score (metricPositive already aliases both)
+    val task = task0.replace('_', '-')
+    task match {
     case "regression" => "r2"
     case "classification" => "f1"
     case "clustering" => "silhouette"
@@ -74,6 +80,7 @@ object Train {
     case "text-generation" => "perplexity"
     case "conversation" => "f1" // dual-encoder head's recorded metric
     case t => throw new IllegalArgumentException(s"No default target metric for task: $t")
+    }
   }
 
   /** Higher-is-better direction (`task.rs:90-106`): only the

@@ -406,6 +406,20 @@ object Similarity {
     root
   }
 
+  /** Content-addressed index directory name: a SHA-256 hex digest of the
+    * key parts. Fixed 64-char length (Base64 of a raw path overflowed
+    * the 255-byte filename limit past ~190-byte paths), collision-free
+    * for practical purposes, and shared by every persistent-index
+    * consumer (the `sim_ann_ivf_indexed` gate, the conversation
+    * retrieval index in [[graft.llm.Finetune]]). */
+  def indexPath(keyParts: String*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    keyParts.foreach { p =>
+      md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+    }
+    indexRoot.resolve(md.digest().map("%02x".format(_)).mkString).toString
+  }
+
   /** Write the corpus as a PERSISTENT IVF index: one parquet table
     * PARTITIONED BY the quantizer cell id. This is the inverted-file
     * layout the `annIvf` scaladoc promises at scale, as real storage:
@@ -459,15 +473,13 @@ object Similarity {
   def sim_ann_ivf_indexed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    // collision-free path key: encode the FULL dir — String.hashCode
+    // collision-free path key: digest the FULL dir — String.hashCode
     // collisions would alias two corpora onto one index directory.
     // Build-vs-read follows the repo's single-writer discipline (the
     // returned plan is lazy so the audit sees the dynamicpruning scan;
     // rebuilding an index while another invocation reads it is the same
     // unsupported pattern as concurrent catalog writers).
-    val path = indexRoot.resolve(
-      java.util.Base64.getUrlEncoder.withoutPadding
-        .encodeToString(dir.getBytes("UTF-8"))).toString
+    val path = indexPath("sim_ann_ivf_indexed", dir)
     writeIvfIndex(e, LcgQuantizer, path)
     annIvfIndexed(s, path, e.filter($"vec_id" < 10), LcgQuantizer)
       .orderBy($"qid", $"rank")

@@ -349,6 +349,7 @@ class LLMOpsSpec extends AnyFunSuite {
     // prunes, and with nprobe = numCells nothing is pruned
     val k = graft.operators.KMeansQuantizer
       .chooseK(pool.distinct().count(), targetCellRows = 16L)
+    val builds0 = Finetune.convIndexBuilds.get()
     val annAll = Finetune.respondTextAnn(spark, cat, "ConvAnn", ctx,
       "system", "user", candidates = pool,
       targetCellRows = 16L, nprobe = k)
@@ -369,6 +370,23 @@ class LLMOpsSpec extends AnyFunSuite {
     val agree8 = exact.join(ann8, Seq("system", "user"))
       .filter($"response" === $"exact_response").count()
     assert(agree8 >= (total * 0.6).toLong, s"nprobe=8 agreement $agree8/$total")
+    // the persistent index is content-addressed by the POOL (not the
+    // head): the second serve above must have reused the first build,
+    // and a retrain + redeploy must not invalidate it either — w only
+    // reweights the query side
+    val buildsAfterTwoServes = Finetune.convIndexBuilds.get()
+    assert(buildsAfterTwoServes == builds0 + 1,
+      "two serves over the same pool must share ONE index build")
+    Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+      projectName = "ConvAnn", task = "conversation", data = Some(d),
+      textCol = "system", text2Col = "user", labelCol = "assistant",
+      dim = 64, hyperparams = Map("max_iter" -> "5")))
+    graft.ml.Predict.clearCaches()
+    val annAfterRetrain = Finetune.respondTextAnn(spark, cat, "ConvAnn", ctx,
+      "system", "user", candidates = pool, targetCellRows = 16L, nprobe = 8)
+    assert(annAfterRetrain.count() == total)
+    assert(Finetune.convIndexBuilds.get() == buildsAfterTwoServes,
+      "retrain/redeploy must not rebuild the content-addressed pool index")
     exact.unpersist()
     ()
   }

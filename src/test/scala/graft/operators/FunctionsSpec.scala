@@ -106,6 +106,19 @@ class FunctionsSpec extends AnyFunSuite {
       .groupBy($"grp").agg(expr("graft_topk_min(score, id, 5)").as("top"))
       .select(size($"top")).head().getInt(0)
     assert(small == 2)
+    // DUPLICATE (score, id) rows count with multiplicity, exactly like
+    // the collect_list spelling — a set-backed buffer would collapse
+    // them and shift the k-th element
+    val dup = Seq((1L, 1.0, 10L), (1L, 1.0, 10L), (1L, 1.0, 10L),
+      (1L, 2.0, 20L), (1L, 3.0, 30L)).toDF("grp", "score", "id")
+      .repartition(3) // dupes straddle partitions: merge() must count too
+    val dupNative = dup.groupBy($"grp")
+      .agg(expr("graft_topk_min(score, id, 3)").as("top"))
+      .select(posexplode($"top").as(Seq("r", "t")))
+      .select($"t.score".as("score"), $"t.id".as("id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(dupNative == Seq((1.0, 10L), (1.0, 10L), (1.0, 10L)),
+      s"multiplicity must survive: $dupNative")
   }
 
   test("graft_dot stays inside whole-stage codegen") {
