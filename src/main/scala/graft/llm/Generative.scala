@@ -211,7 +211,7 @@ object Generative {
     String, (String, (Map[String, String], Map[String, String], String))]()
   private val lexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Map[String, String])]()
-  def clearCaches(): Unit = { lmCache.clear(); lexCache.clear() }
+  def clearCaches(): Unit = { lmCache.clear(); lexCache.clear(); lmDistCache.clear() }
 
   private def deployedPath(catalog: Catalog, project: String): String = {
     val modelId = catalog.deployedModelId(project).getOrElse(
@@ -291,6 +291,242 @@ object Generative {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // generation knobs: beam search + seeded sampling over the trained LM
+  // ------------------------------------------------------------------
+
+  /** Per-level conditional DISTRIBUTIONS of the deployed LM (the greedy
+    * path only needs argmax): `tri` maps a 2-token context to its top
+    * continuations with trigram MLE c(uvw)/c(uv), `bi` a 1-token
+    * context with bigram MLE c(vw)/c(v), `uniTop` the top unigrams with
+    * c(w)/N — the exact per-level scores the Brants stupid-backoff
+    * perplexity uses, so decode and eval agree on the model. Candidate
+    * lists are capped at [[TOP_CAND]] per context (beam/nucleus decode
+    * only ever needs the head of the distribution; the cap bounds the
+    * broadcast at TOP_CAND·nCtx rows under the same `maxContexts`
+    * guard as the argmax tables). */
+  private[llm] final case class LmDist(
+      tri: Map[String, IndexedSeq[(String, Double)]],
+      bi: Map[String, IndexedSeq[(String, Double)]],
+      uniTop: IndexedSeq[(String, Double)])
+
+  /** Candidates kept per context level — the distribution head decode
+    * branches over. Published beam implementations expand at most
+    * O(beam width) per step; 16 leaves headroom above the reference's
+    * documented num_beams=5 golden test. */
+  private val TOP_CAND = 16
+
+  private val lmDistCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, LmDist)]()
+
+  private def loadLmDist(spark: SparkSession, catalog: Catalog,
+      project: String, maxContexts: Long): LmDist = {
+    val path = deployedPath(catalog, project)
+    cachedByPath(lmDistCache, s"${catalog.baseDir}#$project", path) {
+      val uni = spark.read.parquet(s"$path/uni")
+      val bi = spark.read.parquet(s"$path/bi")
+      val tri = spark.read.parquet(s"$path/tri")
+      val nCtx = tri.select("ctx").distinct().count() +
+        bi.select("ctx").distinct().count()
+      require(nCtx <= maxContexts,
+        s"LM has $nCtx distinct contexts > $maxContexts broadcast guard; " +
+          "prune low-count contexts before decode (standard LM pruning)")
+      // top-K rows per ctx by (cnt desc, w desc — the repo-wide
+      // max(struct) tie rule), probabilities against the LOWER-order
+      // count denominator (Brants scores, same as backoffPerplexity)
+      def topK(counts: DataFrame, den: DataFrame): Map[String, IndexedSeq[(String, Double)]] = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ctx")).orderBy(col("cnt").desc, col("w").desc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TOP_CAND)
+          .join(den, Seq("ctx"))
+          .select(col("ctx"), col("w"), (col("cnt") / col("den")).as("p"), col("rn"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(3))
+              .map(r => (r.getString(1), r.getDouble(2))).toIndexedSeq
+          }
+      }
+      // denominator for tri rows is the BIGRAM count of the context
+      // (ctx = "u⊕v" matches bi's concat(ctx, SEP, w)); for bi rows the
+      // unigram count of the context word
+      val biAsCtx = bi.select(concat(col("ctx"), lit(SEP), col("w")).as("ctx"),
+        col("cnt").cast("double").as("den"))
+      val uniAsCtx = uni.select(col("w").as("ctx"), col("cnt").cast("double").as("den"))
+      val n = uni.agg(sum("cnt")).head().getLong(0).toDouble
+      val uniTop = uni
+        .orderBy(col("cnt").desc, col("w").desc).limit(TOP_CAND)
+        .collect().map(r => (r.getString(0), r.getLong(1) / n)).toIndexedSeq
+      LmDist(topK(tri, biAsCtx), topK(bi, uniAsCtx), uniTop)
+    }
+  }
+
+  private def tokenize(s: String): Vector[String] =
+    Option(s).getOrElse("").trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toVector
+
+  /** Backoff-union candidate set for the context ending in (…, u, v):
+    * trigram continuations at their MLE, then UNSEEN-at-tri bigram
+    * continuations at 0.4·MLE, then unseen-at-both unigrams at
+    * 0.4²·MLE — each word scored at the HIGHEST level that knows it
+    * (Brants et al. 2007 §3). Never empty: `uniTop` always has rows on
+    * a trained model. */
+  private[llm] def candScores(d: LmDist, ctx: Vector[String]): IndexedSeq[(String, Double)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (ctx.length >= 2)
+      d.tri.getOrElse(ctx(ctx.length - 2) + SEP + ctx.last, Vector.empty)
+        .foreach { case (w, p) => if (!out.contains(w)) out.update(w, p) }
+    if (ctx.nonEmpty)
+      d.bi.getOrElse(ctx.last, Vector.empty)
+        .foreach { case (w, p) => if (!out.contains(w)) out.update(w, BACKOFF * p) }
+    d.uniTop.foreach { case (w, p) =>
+      if (!out.contains(w)) out.update(w, BACKOFF * BACKOFF * p)
+    }
+    out.toIndexedSeq
+  }
+
+  /** Deterministic length-normalized beam search (width = `numBeams`,
+    * score = Σ ln S / length — HF's length_penalty=1.0 formula; with no
+    * EOS token every live beam shares a length, so normalization is
+    * shown for parity, not ranking). Ties resolve to the
+    * lexicographically GREATER continuation — the same direction as
+    * greedy's max(struct(cnt, w)) rule. Returns the top `numReturn`
+    * beams, best first. */
+  private[llm] def beamSearch(d: LmDist, prompt: String, maxNew: Int,
+      numBeams: Int, numReturn: Int): Seq[String] = {
+    require(numBeams >= 1, s"num_beams must be >= 1, got $numBeams")
+    require(numReturn >= 1 && numReturn <= numBeams,
+      s"num_return_sequences ($numReturn) must be in [1, num_beams=$numBeams]")
+    val ptoks = tokenize(prompt)
+    if (maxNew <= 0) return Seq.fill(numReturn)("")
+    final case class Beam(toks: Vector[String], logSum: Double)
+    val ord: Ordering[Beam] = Ordering.by((b: Beam) =>
+      (b.logSum / b.toks.length, b.toks.mkString(" ")))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String.reverse))
+    var beams = Vector(Beam(Vector.empty, 0.0))
+    var step = 0
+    while (step < maxNew) {
+      beams = beams.flatMap { b =>
+        candScores(d, ptoks ++ b.toks).map { case (w, p) =>
+          Beam(b.toks :+ w, b.logSum + math.log(p))
+        }
+      }.sorted(ord).take(numBeams)
+      step += 1
+    }
+    beams.take(numReturn).map(_.toks.mkString(" "))
+  }
+
+  /** One seeded ancestral sample: per step, temperature-shape the
+    * backoff candidate scores (p^(1/T)), truncate to the nucleus — the
+    * smallest prefix of the (prob desc, word asc) order whose
+    * cumulative mass reaches `topP` (Holtzman et al. 2020) — then draw
+    * from the renormalized head with the caller's RNG. Deterministic
+    * under a fixed seed regardless of partitioning (the caller seeds
+    * per (prompt, sequence index)). */
+  private[llm] def sampleSeq(d: LmDist, prompt: String, maxNew: Int,
+      temperature: Double, topP: Double, rng: java.util.Random): String = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    require(topP > 0.0 && topP <= 1.0, s"top_p must be in (0, 1], got $topP")
+    var ctx = tokenize(prompt)
+    val out = new scala.collection.mutable.ArrayBuffer[String](math.max(maxNew, 0))
+    var step = 0
+    while (step < maxNew) {
+      val shaped = candScores(d, ctx)
+        .map { case (w, p) => (w, math.pow(p, 1.0 / temperature)) }
+        .sortBy { case (w, q) => (-q, w) }
+      val total = shaped.iterator.map(_._2).sum
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var cum = 0.0
+      var i = 0
+      while (i < shaped.length && (kept.isEmpty || cum < topP * total)) {
+        kept += shaped(i); cum += shaped(i)._2; i += 1
+      }
+      val draw = rng.nextDouble() * cum
+      var acc = 0.0
+      var pick = kept.head._1
+      var j = 0
+      var found = false
+      while (j < kept.length && !found) {
+        acc += kept(j)._2
+        if (draw < acc) { pick = kept(j)._1; found = true }
+        j += 1
+      }
+      if (!found) pick = kept.last._1 // draw == cum exactly (fp edge)
+      ctx = ctx :+ pick
+      out += pick
+      step += 1
+    }
+    out.mkString(" ")
+  }
+
+  /** Resolve the new-token budget for one prompt from the config map:
+    * `max_new_tokens` wins; `max_length` is the reference's TOTAL
+    * length cap (prompt + continuation, HF semantics); default 10 (the
+    * greedy path's default). */
+  private def newTokenBudget(config: Map[String, String], promptLen: Int): Int =
+    config.get("max_new_tokens").map(_.toInt)
+      .orElse(config.get("max_length").map(ml => math.max(0, ml.toInt - promptLen)))
+      .getOrElse(10)
+
+  /** Generation with the reference's knob surface (`api.rs` golden
+    * tests: num_beams, num_return_sequences, do_sample, temperature,
+    * top_p, max_length) over the DEPLOYED trigram LM. Dispatch follows
+    * HF: `do_sample=true` → seeded nucleus sampling (`seed` knob,
+    * default 42 — the sandbox has no nondeterminism budget, so sampling
+    * is reproducible BY DESIGN and stated); `num_beams>1` →
+    * deterministic length-normalized beam search; else greedy (which
+    * requires num_return_sequences=1, as HF does). Adds `generated`
+    * ARRAY<STRING> (always num_return_sequences entries, best first).
+    * Only the capped distribution tables broadcast; decode stays a map
+    * stage — same 100 TB shape as [[generateText]]. */
+  def generateTextCfg(spark: SparkSession, catalog: Catalog, project: String,
+      df: DataFrame, promptCol: String = "prompt",
+      config: Map[String, String] = Map.empty,
+      maxContexts: Long = 2000000L): DataFrame = {
+    val dist = loadLmDist(spark, catalog, project, maxContexts)
+    val numBeams = config.get("num_beams").map(_.toInt).getOrElse(1)
+    val numReturn = config.get("num_return_sequences").map(_.toInt).getOrElse(1)
+    val doSample = config.get("do_sample").exists(_.toBoolean)
+    val temperature = config.get("temperature").map(_.toDouble).getOrElse(1.0)
+    val topP = config.get("top_p").map(_.toDouble).getOrElse(1.0)
+    val seed = config.get("seed").map(_.toLong).getOrElse(42L)
+    if (!doSample && numBeams == 1) require(numReturn == 1,
+      "num_return_sequences > 1 needs do_sample=true or num_beams > 1 " +
+        "(greedy search returns a single sequence — HF contract)")
+    val bc = spark.sparkContext.broadcast(dist)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("generated", ArrayType(StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val promptIdx = df.schema.fieldIndex(promptCol)
+    df.mapPartitions { it =>
+      val d = bc.value
+      it.map { row =>
+        val prompt = row.getString(promptIdx)
+        val budget = newTokenBudget(config, tokenize(prompt).length)
+        val gen: Seq[String] =
+          if (doSample) (0 until numReturn).map { i =>
+            // partition-independent seed: stable per (prompt, index)
+            val rng = new java.util.Random(
+              seed * 1000003L + i * 7919L + Option(prompt).getOrElse("").hashCode)
+            sampleSeq(d, prompt, budget, temperature, topP, rng)
+          }
+          else if (numBeams > 1) beamSearch(d, prompt, budget, numBeams, numReturn)
+          else Seq(greedyFromDist(d, prompt, budget))
+        Row.fromSeq(row.toSeq :+ gen)
+      }
+    }(enc)
+  }
+
+  /** Greedy over the distribution tables (beam width 1 of the SAME
+    * score surface): used by the cfg path so all three strategies rank
+    * candidates identically. The argmax-table `greedy` twin picks the
+    * trigram argmax whenever the context is known; this one picks the
+    * backoff-score argmax — identical whenever the trigram level is
+    * decisive (GenerativeSpec pins the memorized-cycle equality). */
+  private[llm] def greedyFromDist(d: LmDist, prompt: String, maxNew: Int): String =
+    beamSearch(d, prompt, maxNew, 1, 1).head
 
   // ------------------------------------------------------------------
   // translation: IBM Model 1 via distributed EM
@@ -490,7 +726,8 @@ object Generative {
       .collect().foreach { r =>
         r.getString(1) match {
           case "text-generation" =>
-            loadLm(spark, catalog, r.getString(0), maxContexts); ()
+            loadLm(spark, catalog, r.getString(0), maxContexts)
+            loadLmDist(spark, catalog, r.getString(0), maxContexts); ()
           case "translation" =>
             loadLexicon(spark, catalog, r.getString(0), maxContexts); ()
           case _ => ()
@@ -505,6 +742,39 @@ object Generative {
         "after registerFunctions, or the project does not exist; call " +
         "Generative.warm")
     v._2
+  }
+
+  private def cachedLmDist(project: String): LmDist = {
+    val v = lmDistCache.get(s"${boundCatalog.baseDir}#$project")
+    require(v != null,
+      s"text-generation project '$project' is not warmed — deploy happened " +
+        "after registerFunctions, or the project does not exist; call " +
+        "Generative.warm")
+    v._2
+  }
+
+  /** Parse a generate-args JSON object (the reference's `args =>
+    * '{"num_beams": 5, ...}'` shape) into the flat string map the
+    * decode knobs read. Numbers, booleans, and strings all render via
+    * their JSON literal; nested values are rejected. */
+  private[llm] def parseGenArgs(json: String): Map[String, String] = {
+    val trimmed = Option(json).getOrElse("").trim
+    if (trimmed.isEmpty) return Map.empty
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(trimmed) match {
+      case JObject(fields) => fields.map {
+        case (k, JString(s)) => k -> s
+        case (k, JInt(i)) => k -> i.toString
+        case (k, JLong(i)) => k -> i.toString
+        case (k, JDouble(x)) => k -> x.toString
+        case (k, JDecimal(x)) => k -> x.toString
+        case (k, JBool(b)) => k -> b.toString
+        case (k, v) => throw new IllegalArgumentException(
+          s"generate args key '$k' has unsupported JSON value: $v")
+      }.toMap
+      case other => throw new IllegalArgumentException(
+        s"generate args must be a JSON object, got: $other")
+    }
   }
 
   private def cachedLexicon(project: String): Map[String, String] = {
@@ -535,6 +805,38 @@ object Generative {
       (project: String, prompt: String, n: Int) => {
         val (tm, bm, top) = cachedLm(project)
         greedy(tm, bm, top, prompt, n)
+      })
+    // knob-bearing twin: quackml_generate_lm_cfg(project, prompt, args)
+    // with the reference's args-JSON shape ({"num_beams":5,
+    // "num_return_sequences":3, "do_sample":true, "temperature":0.9,
+    // "top_p":0.8, "max_length"/"max_new_tokens", "seed"}); returns
+    // ARRAY<STRING>, best sequence first
+    spark.udf.register("quackml_generate_lm_cfg",
+      (project: String, prompt: String, argsJson: String) => {
+        val d = cachedLmDist(project)
+        val cfg = parseGenArgs(argsJson)
+        val numBeams = cfg.get("num_beams").map(_.toInt).getOrElse(1)
+        val numReturn = cfg.get("num_return_sequences").map(_.toInt).getOrElse(1)
+        val doSample = cfg.get("do_sample").exists(_.toBoolean)
+        val temperature = cfg.get("temperature").map(_.toDouble).getOrElse(1.0)
+        val topP = cfg.get("top_p").map(_.toDouble).getOrElse(1.0)
+        val seed = cfg.get("seed").map(_.toLong).getOrElse(42L)
+        val budget = {
+          val pl = Option(prompt).getOrElse("").trim.toLowerCase
+            .split("\\s+").count(_.nonEmpty)
+          cfg.get("max_new_tokens").map(_.toInt)
+            .orElse(cfg.get("max_length").map(ml => math.max(0, ml.toInt - pl)))
+            .getOrElse(10)
+        }
+        if (!doSample && numBeams == 1) require(numReturn == 1,
+          "num_return_sequences > 1 needs do_sample=true or num_beams > 1")
+        if (doSample) (0 until numReturn).map { i =>
+          val rng = new java.util.Random(
+            seed * 1000003L + i * 7919L + Option(prompt).getOrElse("").hashCode)
+          sampleSeq(d, prompt, budget, temperature, topP, rng)
+        }
+        else if (numBeams > 1) beamSearch(d, prompt, budget, numBeams, numReturn)
+        else Seq(greedyFromDist(d, prompt, budget))
       })
     spark.udf.register("quackml_translate",
       (project: String, text: String) => {

@@ -58,6 +58,83 @@ class GenerativeSpec extends AnyFunSuite {
     assert(gen("z") == "x y z")
   }
 
+  test("generation knobs: beam search finds the garden-path continuation greedy misses") {
+    // classic garden path: after "s s", "a" is the likelier FIRST step
+    // (6 vs 4) but every "a" future is diffuse (6 continuations at 1/6
+    // each) while "b" commits to "z" with probability 1. Greedy takes
+    // a (then the w-tie resolves to the greater word); beam width 2
+    // must back out and return "b z" (avg log-prob ln(.4)/2 = -0.46
+    // beats (ln .6 + ln 1/6)/2 = -1.15).
+    val docs = ((1 to 6).map(i => s"s s a w$i") ++
+      (1 to 4).map(_ => "s s b z")).toDF("text")
+    val c = cat("garden")
+    Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+      projectName = "GenBeam", task = "text-generation",
+      data = Some(docs), textCol = "text", testSize = 0.0))
+    val greedy = Generative.generateText(spark, c, "GenBeam",
+      Seq("s s").toDF("prompt"), maxNewTokens = 2)
+      .head().getString(1)
+    assert(greedy == "a w6", s"greedy: '$greedy'")
+    val beams = Generative.generateTextCfg(spark, c, "GenBeam",
+      Seq("s s").toDF("prompt"),
+      config = Map("num_beams" -> "2", "num_return_sequences" -> "2",
+        "max_new_tokens" -> "2"))
+      .head().getSeq[String](1)
+    assert(beams == Seq("b z", "a w6"),
+      s"beam-2 must rank the committed path first: $beams")
+    // greedy via the cfg path = beam width 1 over the same score surface
+    val cfgGreedy = Generative.generateTextCfg(spark, c, "GenBeam",
+      Seq("s s").toDF("prompt"), config = Map("max_new_tokens" -> "2"))
+      .head().getSeq[String](1)
+    assert(cfgGreedy == Seq("a w6"))
+    // HF contract: greedy with num_return_sequences > 1 is an error
+    intercept[IllegalArgumentException] {
+      Generative.generateTextCfg(spark, c, "GenBeam",
+        Seq("s s").toDF("prompt"),
+        config = Map("num_return_sequences" -> "3")).collect()
+    }
+  }
+
+  test("generation knobs: seeded sampling is reproducible; nucleus truncation pins the head") {
+    val doc = Seq.fill(30)("a b c d").mkString(" ")
+    val docs = (1 to 40).map(_ => doc).toDF("text")
+    val c = cat("sample")
+    Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+      projectName = "GenSamp", task = "text-generation",
+      data = Some(docs), textCol = "text"))
+    def sample(cfg: Map[String, String]): Seq[String] =
+      Generative.generateTextCfg(spark, c, "GenSamp",
+        Seq("a b").toDF("prompt"), config = cfg).head().getSeq[String](1)
+    // same seed → bit-identical output, independent of partitioning
+    val s1 = sample(Map("do_sample" -> "true", "temperature" -> "0.9",
+      "num_return_sequences" -> "3", "seed" -> "7", "max_new_tokens" -> "4"))
+    val s2 = sample(Map("do_sample" -> "true", "temperature" -> "0.9",
+      "num_return_sequences" -> "3", "seed" -> "7", "max_new_tokens" -> "4"))
+    assert(s1 == s2, s"seeded sampling must reproduce: $s1 vs $s2")
+    assert(s1.length == 3)
+    // a tight nucleus keeps only the dominant continuation at every
+    // step of the memorized cycle → sampling degenerates to the greedy
+    // cycle, for ANY seed
+    val tight = sample(Map("do_sample" -> "true", "top_p" -> "0.1",
+      "seed" -> "999", "max_new_tokens" -> "6"))
+    assert(tight == Seq("c d a b c d"), s"tight nucleus: $tight")
+    // max_length is the reference's TOTAL cap: prompt (2) + 4 new
+    val ml = Generative.generateTextCfg(spark, c, "GenSamp",
+      Seq("a b").toDF("prompt"),
+      config = Map("num_beams" -> "2", "max_length" -> "6"))
+      .head().getSeq[String](1)
+    assert(ml == Seq("c d a b"), s"max_length budget: $ml")
+    // scalar SQL twin with the reference's args-JSON shape
+    Generative.clearCaches()
+    Generative.registerFunctions(spark, c)
+    val viaSql = spark.sql(
+      """SELECT quackml_generate_lm_cfg('GenSamp', 'a b',
+        |  '{"num_beams": 2, "num_return_sequences": 2, "max_new_tokens": 4}')
+        |""".stripMargin).head().getSeq[String](0)
+    assert(viaSql.head == "c d a b", s"sql twin: $viaSql")
+    assert(viaSql.length == 2)
+  }
+
   test("finetune rejects a genuinely unknown task") {
     val c = cat("bad")
     intercept[IllegalArgumentException] {
