@@ -56,10 +56,16 @@ import scala.collection.mutable.ArrayBuffer
   * Deviations, stated: cut points come from a seeded sample capped at
   * `binSampleCap` rows (XGBoost's own `hist` method sketches
   * approximate quantiles too); LightGBM's GOSS/EFB samplings are not
-  * reproduced (both are off in LightGBM's default `gbdt` mode);
-  * CatBoost's ORDERED boosting is not reproduced — `catboost` trains
-  * the plain scheme (CatBoost's own `boosting_type=Plain`, its default
-  * on large datasets) and carries `compat=plain_boosting`.
+  * reproduced (both are off in LightGBM's default `gbdt` mode).
+  * CatBoost's ORDERED boosting is an OPT-IN
+  * (`boosting_type=Ordered` → [[HistGBCore.fitOrdered]], the
+  * Prokhorenkova et al. 2018 Algorithm-1 block approximation, k=1
+  * objectives); the DEFAULT stays the plain scheme — CatBoost's own
+  * `boosting_type=Plain`, its default on large datasets, because the
+  * prediction shift ordered corrects is an O(1/n) effect that vanishes
+  * at the corpus sizes this engine targets while ordered costs
+  * fold_count margins per row and an extra pass per round — flagged
+  * `compat=plain_boosting` unless the opt-in is asked for.
   */
 private[ml] object HistGBCore {
 
@@ -101,7 +107,8 @@ private[ml] object HistGBCore {
       rounds: Int, maxDepth: Int, eta: Double, lambda: Double,
       minSplitLoss: Double, minChildWeight: Double, maxBins: Int,
       binSampleCap: Int, seed: Long, checkpointEvery: Int = 8,
-      policy: String = "depthwise", numLeaves: Int = 31)
+      policy: String = "depthwise", numLeaves: Int = 31,
+      foldCount: Int = 8)
 
   /** Flat-node encoding shared by training and the persisted model:
     * stride 5 — [featureIdx|-1, threshold, left, right, leafValue].
@@ -488,7 +495,20 @@ private[ml] object HistGBCore {
 
   private def growOblivious(binned: RDD[(Array[Byte], Double)],
       margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
-      binsPerFeat: Array[Int], maxB: Int): Array[Double] = {
+      binsPerFeat: Array[Int], maxB: Int): Array[Double] =
+    growObliviousWith(cfg, binsPerFeat, maxB) { (t, slotArr, nSlots) =>
+      histPass(binned, margins, obj, c, t, slotArr, nSlots,
+        binsPerFeat.length, maxB)
+    }.finish(cfg)
+
+  /** Oblivious (symmetric-tree) growth over ANY histogram source: the
+    * `histFor(tree, slotArr, nSlots)` closure returns the reduced
+    * [slot][feature][bin][g|h] buffer for the current frontier — the
+    * plain path aggregates gradients at the single model margin, the
+    * ordered path at each row's fold-prefix margin. Returns the grown
+    * (unfinished) tree so the caller controls leaf valuation. */
+  private def growObliviousWith(cfg: Cfg, binsPerFeat: Array[Int], maxB: Int)(
+      histFor: (TreeBuilder, Array[Int], Int) => Array[Double]): TreeBuilder = {
     val p = binsPerFeat.length
     val t = new TreeBuilder
     var frontier = Array(0)
@@ -497,8 +517,7 @@ private[ml] object HistGBCore {
     while (continue && level < cfg.maxDepth && frontier.nonEmpty) {
       val slotArr = Array.fill(t.feat.length)(-1)
       frontier.zipWithIndex.foreach { case (nid, s) => slotArr(nid) = s }
-      val hist = histPass(binned, margins, obj, c, t, slotArr,
-        frontier.length, p, maxB)
+      val hist = histFor(t, slotArr, frontier.length)
       val totals = frontier.indices.map(s =>
         slotTotals(hist, s, p, maxB, binsPerFeat))
       frontier.zipWithIndex.foreach { case (nid, s) =>
@@ -555,7 +574,263 @@ private[ml] object HistGBCore {
         level += 1
       }
     }
-    t.finish(cfg)
+    t
+  }
+
+  // ------------------------------------------------------------------
+  // CatBoost ORDERED boosting (opt-in)
+  // ------------------------------------------------------------------
+
+  /** Ordered boosting (Prokhorenkova et al. 2018, "CatBoost: unbiased
+    * boosting with categorical features", Algorithm 1) under the BLOCK
+    * approximation CatBoost itself ships (`fold_permutation_block`):
+    * a seeded permutation is sliced into `foldCount` blocks; block j's
+    * rows take their gradients at the margin of the PREFIX model
+    * trained on blocks 0..j−1 (block 0 at the constant init margin),
+    * so no row's gradient ever comes from a model that saw it — the
+    * prediction-shift fix that is the paper's point. Per round:
+    *  - tree STRUCTURE grows oblivious from the ordered gradients
+    *    (one histogram pass per level, same buffer shape as plain);
+    *  - ONE extra pass aggregates per-(leaf, block) (G, H); prefix
+    *    sums over blocks give every prefix model its Newton leaf
+    *    values; the RETURNED tree carries the full-prefix values;
+    *  - one zipPartitions pass advances all `foldCount` margins.
+    * State per row is `foldCount` doubles (vs 1 for plain) and each
+    * round costs one extra pass — the documented price of the opt-in.
+    * Ordered targets SMALL data (prediction shift vanishes as n grows;
+    * CatBoost's own default on large datasets is Plain), so `Train`
+    * keeps `compat=plain_boosting` unless `boosting_type=Ordered` is
+    * asked for. k=1 objectives only (squared / binary logistic);
+    * multiclass softmax stays plain and says so. */
+  def fitOrdered(ds: Dataset[_], featuresCol: String, labelCol: String,
+      numClasses: Int, obj: Objective, cfg: Cfg): Ensemble = {
+    require(obj.k(numClasses) == 1,
+      "ordered boosting supports single-ensemble objectives (regression / " +
+        "binary); multiclass softmax trains the plain scheme — drop " +
+        "boosting_type=Ordered for k > 2")
+    require(cfg.foldCount >= 2, s"fold_count must be >= 2, got ${cfg.foldCount}")
+    val sc = ds.sparkSession.sparkContext
+    val raw: RDD[(Vector, Double)] = ds
+      .select(col(featuresCol), col(labelCol).cast(DoubleType)).na.drop()
+      .rdd.map { case Row(v: Vector, y: Double) => (v, y) }
+      .filter { case (v, y) =>
+        !y.isNaN && !(v match {
+          case d: org.apache.spark.ml.linalg.DenseVector => d.values
+          case s: org.apache.spark.ml.linalg.SparseVector => s.values
+        }).exists(_.isNaN)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = raw.count()
+    require(n > 0, "hist gradient boosting needs at least one training row")
+    val p = raw.first()._1.size
+    val F = cfg.foldCount
+
+    val frac = math.min(1.0, cfg.binSampleCap.toDouble / n)
+    val sampled =
+      (if (frac >= 1.0) raw else raw.sample(withReplacement = false, frac, cfg.seed))
+        .map(_._1.toArray).collect()
+    val edges: Array[Array[Double]] = Array.tabulate(p) { f =>
+      val vals = sampled.map(_(f)).sorted
+      val cuts = new ArrayBuffer[Double]
+      var q = 1
+      while (q < cfg.maxBins) {
+        val c = vals(math.min(vals.length - 1,
+          ((q.toLong * vals.length) / cfg.maxBins).toInt))
+        if (cuts.isEmpty || c > cuts.last) cuts += c
+        q += 1
+      }
+      cuts.toArray
+    }
+    val binsPerFeat = edges.map(_.length + 1)
+    val maxB = binsPerFeat.max
+    val bEdges = sc.broadcast(edges)
+
+    // bin once + attach the permutation block: a seeded hash of the
+    // stable row index defines the permutation order u_i ∈ [0,1);
+    // block j = rows with u ∈ [j/F, (j+1)/F) — exactly "the j-th slice
+    // of a random permutation", duplicate-row safe (index, not content)
+    val seed = cfg.seed
+    val binned: RDD[(Array[Byte], Double, Byte)] = raw.zipWithIndex()
+      .map { case ((v, y), idx) =>
+        val e = bEdges.value
+        val b = new Array[Byte](e.length)
+        var f = 0
+        while (f < e.length) { b(f) = binOf(e(f), v(f)).toByte; f += 1 }
+        var h = idx * 0x9E3779B97F4A7C15L + seed
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        val u = (h >>> 11).toDouble / (1L << 53).toDouble
+        (b, y, math.min(F - 1, (u * F).toInt).toByte)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    binned.count()
+    raw.unpersist(blocking = false)
+
+    val init: Array[Double] = obj match {
+      case Squared => Array(binned.map(_._2).sum() / n)
+      case Logistic =>
+        val pos = binned.map(_._2).sum()
+        Array(math.log(math.max(pos, 1e-12) / math.max(n - pos, 1e-12)))
+      case _ => throw new IllegalStateException("unreachable: k == 1 checked above")
+    }
+    val init0 = init(0)
+
+    // margins(i)(j), j < F: prediction of the SUPPORTING model trained
+    // on blocks 0..j (drives the ordered gradients); margins(i)(F):
+    // the APPLIED model — structure comes from the ordered gradients,
+    // its leaf values from plain gradients at this margin (CatBoost's
+    // own split of roles: ordered fixes the STRUCTURE bias; the final
+    // Newton step runs on all data at the aggregate model)
+    var margins: RDD[Array[Double]] =
+      binned.map(_ => Array.fill(F + 1)(init0)).persist(StorageLevel.MEMORY_AND_DISK)
+    margins.count()
+
+    // ordered gradient of a row: evaluated at its PREFIX model's margin
+    @inline def orderedGH(m: Array[Double], fold: Int, y: Double): (Double, Double) =
+      obj.grad(Array(if (fold == 0) init0 else m(fold - 1)), y, 0)
+
+    val allTrees = new ArrayBuffer[Array[Double]]
+    var r = 0
+    while (r < cfg.rounds) {
+      // ---- structure from ordered gradients, oblivious growth
+      val t = growObliviousWith(cfg, binsPerFeat, maxB) { (tb, slotArr, nSlots) =>
+        val bTree = sc.broadcast((tb.feat.toArray, tb.thr.toArray,
+          tb.left.toArray, tb.right.toArray, slotArr))
+        val bufSize = nSlots * p * maxB * 2
+        val hist = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
+          val (tf, tt, tl, tr, slots) = bTree.value
+          val acc = new Array[Double](bufSize)
+          it.zip(mit).foreach { case ((bins, y, fold), m) =>
+            var i = 0
+            while (tf(i) >= 0)
+              i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
+            val s = slots(i)
+            if (s >= 0) {
+              val (g, h) = orderedGH(m, fold & 0xff, y)
+              var f = 0
+              while (f < p) {
+                val base = ((s * p + f) * maxB + (bins(f) & 0xff)) * 2
+                acc(base) += g; acc(base + 1) += h
+                f += 1
+              }
+            }
+          }
+          Iterator.single(acc)
+        }.treeReduce({ (a, b) =>
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }, depth = 2)
+        bTree.destroy()
+        hist
+      }
+
+      // ---- per-(leaf, block) ordered (G, H) + per-leaf PLAIN (G, H)
+      // at the applied model's margin, all in one pass
+      val leafIds = t.feat.indices.filter(t.feat(_) < 0).toArray
+      val leafSlot = Array.fill(t.feat.length)(-1)
+      leafIds.zipWithIndex.foreach { case (nid, s) => leafSlot(nid) = s }
+      val nL = leafIds.length
+      val bT = sc.broadcast((t.feat.toArray, t.thr.toArray, t.left.toArray,
+        t.right.toArray, leafSlot))
+      val gh = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
+        val (tf, tt, tl, tr, slots) = bT.value
+        val acc = new Array[Double](nL * (F + 1) * 2)
+        it.zip(mit).foreach { case ((bins, y, fold), m) =>
+          var i = 0
+          while (tf(i) >= 0)
+            i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
+          val (g, h) = orderedGH(m, fold & 0xff, y)
+          val base = (slots(i) * (F + 1) + (fold & 0xff)) * 2
+          acc(base) += g; acc(base + 1) += h
+          val (gp, hp) = obj.grad(Array(m(F)), y, 0)
+          val baseP = (slots(i) * (F + 1) + F) * 2
+          acc(baseP) += gp; acc(baseP + 1) += hp
+        }
+        Iterator.single(acc)
+      }.treeReduce({ (a, b) =>
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }, depth = 2)
+
+      // ---- prefix sums over blocks → per-prefix supporting-model
+      // Newton leaves; slot F = the applied model's plain Newton leaves
+      val leafVals = Array.ofDim[Double](F + 1, nL)
+      var s = 0
+      while (s < nL) {
+        var gPre = 0.0; var hPre = 0.0
+        var j = 0
+        while (j < F) {
+          gPre += gh((s * (F + 1) + j) * 2); hPre += gh((s * (F + 1) + j) * 2 + 1)
+          leafVals(j)(s) = -cfg.eta * gPre / (hPre + cfg.lambda)
+          j += 1
+        }
+        leafVals(F)(s) = -cfg.eta * gh((s * (F + 1) + F) * 2) /
+          (gh((s * (F + 1) + F) * 2 + 1) + cfg.lambda)
+        s += 1
+      }
+
+      // ---- advance every prefix model's margin
+      val bVals = sc.broadcast(leafVals)
+      val next = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
+        val (tf, tt, tl, tr, slots) = bT.value
+        val vals = bVals.value
+        it.zip(mit).map { case ((bins, _, _), m) =>
+          var i = 0
+          while (tf(i) >= 0)
+            i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
+          val sl = slots(i)
+          val nm = m.clone()
+          var j = 0
+          while (j < vals.length) { nm(j) += vals(j)(sl); j += 1 }
+          nm
+        }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      // NOTE: bT/bVals stay alive — `next`'s lineage references them and
+      // a MEMORY_AND_DISK eviction may recompute (same discipline as the
+      // plain loop's round-tree broadcast)
+      if ((r + 1) % cfg.checkpointEvery == 0) next.localCheckpoint()
+      next.count()
+      margins.unpersist(blocking = false)
+      margins = next
+
+      // ---- the returned tree carries the FULL-prefix leaf values
+      val flatTree = {
+        val out = new Array[Double](t.feat.length * STRIDE)
+        var i = 0
+        while (i < t.feat.length) {
+          if (t.feat(i) >= 0) {
+            out(i * STRIDE) = t.feat(i); out(i * STRIDE + 1) = t.thr(i)
+            out(i * STRIDE + 2) = t.left(i); out(i * STRIDE + 3) = t.right(i)
+          } else {
+            out(i * STRIDE) = -1
+            out(i * STRIDE + 4) = leafVals(F)(leafSlot(i))
+          }
+          i += 1
+        }
+        out
+      }
+      allTrees += flatTree
+      r += 1
+    }
+    margins.unpersist(blocking = false)
+    binned.unpersist(blocking = false)
+
+    val offsets = new ArrayBuffer[Int]
+    val flat = new ArrayBuffer[Double]
+    allTrees.foreach { t =>
+      offsets += flat.length
+      var i = 0
+      while (i < t.length / STRIDE) {
+        val f = t(i * STRIDE).toInt
+        if (f >= 0) {
+          flat += f.toDouble
+          flat += edges(f)(t(i * STRIDE + 1).toInt)
+          flat += t(i * STRIDE + 2); flat += t(i * STRIDE + 3); flat += 0.0
+        } else {
+          flat += -1.0; flat += 0.0; flat += -1.0; flat += -1.0
+          flat += t(i * STRIDE + 4)
+        }
+        i += 1
+      }
+    }
+    offsets += flat.length
+    Ensemble(init, flat.toArray, offsets.toArray, 1)
   }
 }
 
@@ -581,15 +856,32 @@ private[ml] trait HistGBParams extends org.apache.spark.ml.param.Params {
     (v: String) => Set("depthwise", "leafwise", "oblivious").contains(v))
   final val numLeaves = new IntParam(this, "numLeaves",
     "leaf budget for leafwise growth (num_leaves)")
+  final val orderedBoosting = new org.apache.spark.ml.param.BooleanParam(this,
+    "orderedBoosting",
+    "CatBoost ordered boosting (boosting_type=Ordered): prefix-model " +
+      "gradients over a seeded permutation; oblivious policy, k=1 only")
+  final val foldCount = new IntParam(this, "foldCount",
+    "permutation blocks for ordered boosting (>= 2)", (v: Int) => v >= 2)
   setDefault(numRounds -> 10, maxDepth -> 5, stepSize -> 0.1, regLambda -> 1.0,
     minSplitLoss -> 0.0, minChildWeight -> 1.0, maxBins -> 256,
     binSampleCap -> 100000, seed -> 42L,
-    growthPolicy -> "depthwise", numLeaves -> 31)
+    growthPolicy -> "depthwise", numLeaves -> 31,
+    orderedBoosting -> false, foldCount -> 8)
 
   private[ml] def cfg = HistGBCore.Cfg($(numRounds), $(maxDepth), $(stepSize),
     $(regLambda), $(minSplitLoss), $(minChildWeight), $(maxBins),
     $(binSampleCap), $(seed),
-    policy = $(growthPolicy), numLeaves = $(numLeaves))
+    policy = $(growthPolicy), numLeaves = $(numLeaves),
+    foldCount = $(foldCount))
+
+  private[ml] def fitCore(ds: Dataset[_], fCol: String, lCol: String,
+      numClasses: Int, obj: HistGBCore.Objective): HistGBCore.Ensemble =
+    if ($(orderedBoosting)) {
+      require($(growthPolicy) == "oblivious",
+        "ordered boosting is the CatBoost scheme — it requires " +
+          s"growthPolicy=oblivious, got ${$(growthPolicy)}")
+      HistGBCore.fitOrdered(ds, fCol, lCol, numClasses, obj, cfg)
+    } else HistGBCore.fit(ds, fCol, lCol, numClasses, obj, cfg)
 }
 
 /** Model params: the flattened forest (real-valued thresholds). */
@@ -639,9 +931,11 @@ class HistGBRegressor(override val uid: String)
   def setSeed(v: Long): this.type = set(seed, v)
   def setGrowthPolicy(v: String): this.type = set(growthPolicy, v)
   def setNumLeaves(v: Int): this.type = set(numLeaves, v)
+  def setOrderedBoosting(v: Boolean): this.type = set(orderedBoosting, v)
+  def setFoldCount(v: Int): this.type = set(foldCount, v)
 
   override protected def train(ds: Dataset[_]): HistGBRegressionModel = {
-    val e = HistGBCore.fit(ds, $(featuresCol), $(labelCol), 0, HistGBCore.Squared, cfg)
+    val e = fitCore(ds, $(featuresCol), $(labelCol), 0, HistGBCore.Squared)
     val m = new HistGBRegressionModel(uid + "_m")
     m.set(m.treesFlat, e.treesFlat).set(m.treeOffsets, e.treeOffsets)
       .set(m.initMargins, e.initMargins).set(m.numEnsembles, e.k)
@@ -702,11 +996,13 @@ class HistGBClassifier(override val uid: String)
   def setSeed(v: Long): this.type = set(seed, v)
   def setGrowthPolicy(v: String): this.type = set(growthPolicy, v)
   def setNumLeaves(v: Int): this.type = set(numLeaves, v)
+  def setOrderedBoosting(v: Boolean): this.type = set(orderedBoosting, v)
+  def setFoldCount(v: Int): this.type = set(foldCount, v)
 
   override protected def train(ds: Dataset[_]): HistGBClassificationModel = {
     val k = getNumClasses(ds)
     val obj = if (k <= 2) HistGBCore.Logistic else HistGBCore.Softmax
-    val e = HistGBCore.fit(ds, $(featuresCol), $(labelCol), k, obj, cfg)
+    val e = fitCore(ds, $(featuresCol), $(labelCol), k, obj)
     val m = new HistGBClassificationModel(uid + "_m")
     m.set(m.treesFlat, e.treesFlat).set(m.treeOffsets, e.treeOffsets)
       .set(m.initMargins, e.initMargins).set(m.numEnsembles, e.k)

@@ -185,6 +185,9 @@ object Train {
         case "catboost" =>
           est.setGrowthPolicy("oblivious")
             .setMaxDepth(hpi(h, "depth", hpi(h, "max_depth", 6)))
+            .setOrderedBoosting(
+              h.get("boosting_type").exists(_.equalsIgnoreCase("ordered")))
+            .setFoldCount(hpi(h, "fold_count", 8))
         case _ => est.setMaxDepth(hpi(h, "max_depth", 6))
       }
     case ("regression", "stochastic_gradient_descent") =>
@@ -384,6 +387,9 @@ object Train {
         case "catboost" =>
           est.setGrowthPolicy("oblivious")
             .setMaxDepth(hpi(h, "depth", hpi(h, "max_depth", 6)))
+            .setOrderedBoosting(
+              h.get("boosting_type").exists(_.equalsIgnoreCase("ordered")))
+            .setFoldCount(hpi(h, "fold_count", 8))
         case _ => est.setMaxDepth(hpi(h, "max_depth", 6))
       }
     case ("classification", "linear_svm") if h.get("exact").contains("true") =>
@@ -544,7 +550,7 @@ object Train {
   }
 
   /** Whether the nearest-equivalent substitution was applied. */
-  private def compatNote(algorithm: String, h: Map[String, String],
+  private[ml] def compatNote(algorithm: String, h: Map[String, String],
       numClasses: => Int = 2, task: String = ""): Map[String, String] =
     algorithm match {
     case "linear_svm" if task == "regression" && h.get("exact").contains("true") =>
@@ -569,10 +575,13 @@ object Train {
       // default gbdt mode, so nothing is substituted
       Map.empty
     case "catboost" =>
-      // native oblivious/symmetric trees with plain boosting —
-      // CatBoost's boosting_type=Plain (its large-dataset default);
-      // the ORDERED-boosting variant is not reproduced, flagged
-      Map("compat" -> "plain_boosting")
+      // native oblivious/symmetric trees; boosting_type=Ordered runs
+      // the real ordered scheme (HistGBCore.fitOrdered) and needs no
+      // flag — the default is plain (CatBoost's boosting_type=Plain,
+      // its large-dataset default), flagged so the ledger states it
+      if (h.get("boosting_type").exists(_.equalsIgnoreCase("ordered")))
+        Map.empty
+      else Map("compat" -> "plain_boosting")
     // ada_boost: SAMME / AdaBoost.R2 are sklearn's own algorithms —
     // nothing substituted, no flag
     case "kernel_ridge" | "gaussian_process" | "svm" | "nu_svm" |
