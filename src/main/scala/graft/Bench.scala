@@ -76,6 +76,20 @@ object Bench {
         name -> median(passes.map(_.find(_._1 == name).get._2.toOption.get))
       }
     errors.foreach { case (n, m) => System.err.println(s"BENCH FAILED $n: $m") }
+    // per-gate time budget (VERDICT r11 item 6): each round adds
+    // lifecycle-heavy gates and the suite total creeps — a single gate
+    // past the budget must be LOUD at review time, not discovered in a
+    // round-over-round diff. 12 s at sf0.1 is ~2× the most expensive
+    // honest lifecycle gate in the r12 vector (see SCALE.md "bench
+    // envelope"). The budget is SF-independent: lifecycle gates are
+    // dominated by fixed train/eval cost, so scaling the bar with SF
+    // would cry wolf on every sf0.01 iteration run.
+    val budgetSec = 12.0
+    results.filter(_._2 > budgetSec).foreach { case (name, sec) =>
+      System.err.println(
+        f"BENCH BUDGET EXCEEDED: $name%-28s $sec%8.3f s > $budgetSec%.0f s — " +
+          "split the gate or re-justify the envelope in SCALE.md")
+    }
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + v } ++
       errors.map { case (k, _) => "\"" + k + "\":null" })
       .mkString("{", ",", "}")
