@@ -817,7 +817,15 @@ object Finetune {
       .parquet(idxDir.resolve("cells").toString)
       .where(col("cell").isin(probed: _*))
 
-    q.join(idx, Seq("cell"))
+    // broadcast the QUERY side (the serving batch — bounded by the
+    // caller, vs the unbounded pool): the probe becomes a broadcast
+    // hash join streamed over the pruned index scan, in whole-stage
+    // codegen, with NO shuffle/sort of the index — and the plan stays
+    // this shape even where AQE is unavailable (measured: the same
+    // join as a static sort-merge was 10× slower through the
+    // checkpoint/toRdd path at 10× scale, SMJ buffering every per-cell
+    // match group)
+    broadcast(q).join(idx, Seq("cell"))
       .withColumn("score",
         call_function("graft_dot", col("wq"), col("v")) + lit(b))
       .groupBy(col(systemCol), col(userCol))

@@ -161,15 +161,36 @@ object TextMetricsQueries {
     * summarization mean r1_f 0.78 → floor 0.5; QA mean token-F1 0.41 →
     * floor 0.2; conversation retrieval mean token-F1 0.23 (chance ≈
     * 0.05 over the 500-candidate pool) → floor 0.1. */
+  private lazy val floorMatRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_mat")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+  private val floorMatSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def qualityFloor(df: DataFrame, metricCol: String,
       floor: Double): DataFrame = {
-    // localCheckpoint the per-doc metric frame FIRST: both the floor
+    // materialize the per-doc metric frame FIRST: both the floor
     // aggregate and the returned rows read the materialized (narrow:
     // doc_id + a few doubles) result instead of re-running the trained
     // inference pipeline upstream twice — measured 19.2 s vs 10 s on
     // the conversation gate, whose retrieval join dominates. Linear in
-    // docs, so the materialization itself scales.
-    val mat = df.localCheckpoint()
+    // docs, so the materialization itself scales. The cut goes through
+    // a parquet write+read rather than localCheckpoint: checkpoint
+    // executes the plan on the AQE-LESS toRdd path, which at 10× scale
+    // ran the retrieval join 10×+ slower (static SMJ, no runtime
+    // re-plan) — a write action executes the SAME plan with AQE, and
+    // the frame is tiny, so the round-trip is noise.
+    val s = df.sparkSession
+    val path = floorMatRoot.resolve(
+      s"m${floorMatSeq.incrementAndGet()}").toString
+    df.write.mode("overwrite").parquet(path)
+    val mat = s.read.parquet(path)
     val bar = mat.agg(avg(col(metricCol)).as("__gate_mean"))
       .filter(col("__gate_mean") >= floor)
     mat.join(broadcast(bar)).drop("__gate_mean")
