@@ -87,8 +87,17 @@ case class TopKMin(score: Expression, id: Expression, kExpr: Expression,
       Iterator.fill(c)(InternalRow(s, i): Any)
     }.toArray)
 
+  // wire format: [version: Byte][count: Int][(score: Double, id: Long,
+  // multiplicity: Int)*]. The leading version byte makes a state-store
+  // checkpoint written by a different binary restore-or-fail LOUDLY
+  // (a format change bumps FORMAT_VERSION and old state raises below)
+  // instead of reading garbage — buffers cross checkpoint boundaries
+  // in streaming restarts.
+  private final val FORMAT_VERSION: Byte = 2
+
   override def serialize(b: TopKBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + b.m.size * 20)
+    val bb = ByteBuffer.allocate(1 + 4 + b.m.size * 20)
+    bb.put(FORMAT_VERSION)
     bb.putInt(b.m.size)
     b.m.foreach { case ((s, i), c) => bb.putDouble(s); bb.putLong(i); bb.putInt(c) }
     bb.array()
@@ -96,6 +105,12 @@ case class TopKMin(score: Expression, id: Expression, kExpr: Expression,
 
   override def deserialize(bytes: Array[Byte]): TopKBuf = {
     val bb = ByteBuffer.wrap(bytes)
+    val ver = bb.get()
+    if (ver != FORMAT_VERSION)
+      throw new IllegalStateException(
+        s"graft_topk_min buffer format $ver does not match this binary's " +
+          s"$FORMAT_VERSION — the streaming checkpoint was written by an " +
+          "incompatible version; restart from a fresh checkpoint")
     val n = bb.getInt
     val b = createAggregationBuffer()
     var i = 0

@@ -762,23 +762,34 @@ object Finetune {
 
     val pool = candidates.select(col(candidateCol).as("resp")).distinct()
     // order-independent content fingerprint in ONE cheap agg (no embed,
-    // no checkpoint): count + xor of per-row hashes + total byte length.
+    // no checkpoint): count + TWO per-row hash XORs over independently
+    // salted hash families + total byte length. A single XOR cancels
+    // structured differences more easily than two unrelated hash
+    // families do (a change must cancel in BOTH simultaneously to
+    // collide, ~2^-128); XOR, unlike a sum of full-range hash longs,
+    // also cannot overflow under spark.sql.ansi.enabled.
     // This is what lets reuse be VERIFIED rather than assumed — a pool
     // that changed in any row lands in a different index directory.
     val fp = pool.agg(
       count(lit(1)).as("n"),
       expr("bit_xor(xxhash64(resp))").as("x"),
+      expr("bit_xor(xxhash64(concat(resp, 'g2')))").as("x2"),
       coalesce(sum(length(col("resp"))), lit(0L)).as("len")).head()
     val nCand = fp.getLong(0)
     require(nCand > 0, "respondTextAnn needs a non-empty candidate pool")
     val xorHash = if (fp.isNullAt(1)) 0L else fp.getLong(1)
-    val idxDir = java.nio.file.Paths.get(graft.operators.Similarity.indexPath(
+    val idxDir = graft.operators.Similarity.indexPath(spark,
       "conv_ivf", runtime, dim.toString, targetCellRows.toString,
-      nCand.toString, xorHash.toString, fp.getLong(2).toString))
+      nCand.toString, xorHash.toString, fp.getLong(2).toString,
+      fp.getLong(3).toString)
+    // all index metadata I/O goes through the path's Hadoop FileSystem —
+    // the root may be local in tests and DFS (s3/hdfs) on a cluster
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val (quant, nonEmpty) =
-      if (java.nio.file.Files.exists(idxDir.resolve(CONV_INDEX_DONE)))
-        readConvIndexMeta(idxDir)
-      else buildConvIndex(spark, pool, runtime, dim, targetCellRows, nCand, idxDir)
+      if (fs.exists(new org.apache.hadoop.fs.Path(idxDir, CONV_INDEX_DONE)))
+        readConvIndexMeta(fs, idxDir)
+      else buildConvIndex(spark, fs, pool, runtime, dim, targetCellRows, nCand, idxDir)
 
     // Probe ranking is the quantizer's L2-to-centroid order (measured
     // against pure inner-product centroid ranking on this corpus: L2
@@ -814,7 +825,7 @@ object Finetune {
     // and the equi-join hit the partition column without a cast (a cast
     // there defeats pruning) — same discipline as Similarity.annIvfIndexed.
     val idx = spark.read.schema("resp STRING, v ARRAY<DOUBLE>, cell BIGINT")
-      .parquet(idxDir.resolve("cells").toString)
+      .parquet(s"$idxDir/cells")
       .where(col("cell").isin(probed: _*))
 
     // broadcast the QUERY side (the serving batch — bounded by the
@@ -847,9 +858,10 @@ object Finetune {
     * Centroids + the non-empty cell list land in a small binary sidecar
     * (exact double round-trip); the done-marker is written LAST so a
     * crashed build is rebuilt, never served. */
-  private def buildConvIndex(spark: SparkSession, pool: DataFrame,
+  private def buildConvIndex(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, pool: DataFrame,
       runtime: String, dim: Int, targetCellRows: Long, nCand: Long,
-      idxDir: java.nio.file.Path): (graft.operators.KMeansQuantizer, Seq[Int]) = {
+      idxDir: String): (graft.operators.KMeansQuantizer, Seq[Int]) = {
     convIndexBuilds.incrementAndGet()
     val emb = Ops.embedColumn(pool, runtime, "resp", "remb", dim = dim)
       .select(col("resp"), col("remb").cast("array<double>").as("r"))
@@ -865,15 +877,15 @@ object Finetune {
     // early, same discipline as the DBSCAN gate's quantizer
     val quant = graft.operators.KMeansQuantizer.fitSampled(
       aug.select(col("v")), k, nCand, maxIter = 8)
-    graft.operators.Similarity.writeIvfIndex(
-      aug, quant, idxDir.resolve("cells").toString)
+    graft.operators.Similarity.writeIvfIndex(aug, quant, s"$idxDir/cells")
     // non-empty cells = the partition directories that exist: O(numCells)
-    // filesystem metadata off the store itself, no extra Spark job
-    val nonEmpty = Option(idxDir.resolve("cells").toFile.listFiles())
-      .getOrElse(Array.empty[java.io.File]).toSeq.map(_.getName)
+    // filesystem metadata off the store itself, no extra Spark job —
+    // via the index's own FileSystem, so the same code walks s3/hdfs
+    val nonEmpty = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idxDir/cells"))
+      .toSeq.map(_.getPath.getName)
       .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt).sorted
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(idxDir.resolve("meta.bin"))))
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(s"$idxDir/meta.bin"), true))
     try {
       out.writeInt(quant.centroids.length)
       out.writeInt(quant.centroids.headOption.map(_.length).getOrElse(0))
@@ -881,14 +893,15 @@ object Finetune {
       out.writeInt(nonEmpty.size)
       nonEmpty.foreach(out.writeInt)
     } finally out.close()
-    java.nio.file.Files.write(idxDir.resolve(CONV_INDEX_DONE), Array.empty[Byte])
+    // done-marker LAST: a crashed build leaves no marker and is rebuilt
+    fs.create(new org.apache.hadoop.fs.Path(idxDir, CONV_INDEX_DONE), true).close()
     (quant, nonEmpty)
   }
 
-  private def readConvIndexMeta(
-      idxDir: java.nio.file.Path): (graft.operators.KMeansQuantizer, Seq[Int]) = {
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      java.nio.file.Files.newInputStream(idxDir.resolve("meta.bin"))))
+  private def readConvIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
+      idxDir: String): (graft.operators.KMeansQuantizer, Seq[Int]) = {
+    val in = new java.io.DataInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(s"$idxDir/meta.bin")))
     try {
       val k = in.readInt(); val d = in.readInt()
       val cents = Array.fill(k)(Array.fill(d)(in.readDouble()))

@@ -304,8 +304,10 @@ object Generative {
     * perplexity uses, so decode and eval agree on the model. Candidate
     * lists are capped at [[TOP_CAND]] per context (beam/nucleus decode
     * only ever needs the head of the distribution; the cap bounds the
-    * broadcast at TOP_CAND·nCtx rows under the same `maxContexts`
-    * guard as the argmax tables). */
+    * broadcast at TOP_CAND·nCtx rows under the dedicated — and
+    * deliberately LOWER — [[DefaultMaxDistContexts]] guard, not the
+    * argmax tables' 2M guard, because every admitted context costs
+    * TOP_CAND× the argmax footprint here). */
   private[llm] final case class LmDist(
       tri: Map[String, IndexedSeq[(String, Double)]],
       bi: Map[String, IndexedSeq[(String, Double)]],
@@ -317,11 +319,21 @@ object Generative {
     * documented num_beams=5 golden test. */
   private val TOP_CAND = 16
 
+  /** Separate, LOWER guard for the DISTRIBUTION tables: each context
+    * carries up to [[TOP_CAND]](16) candidate rows where the argmax
+    * tables carry one, so inheriting the 2M argmax guard would admit a
+    * ~32M-entry driver map (multi-GB) the moment a corpus sits at the
+    * ceiling. 500k caps the dist head at 8M small tuples while leaving
+    * every realistic decode corpus loadable; past it, count-prune
+    * low-frequency contexts at train time (standard LM entropy/count
+    * pruning — Brants et al. 2007 §4) or raise the knob explicitly. */
+  private[llm] val DefaultMaxDistContexts = 500000L
+
   private val lmDistCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, LmDist)]()
 
-  private def loadLmDist(spark: SparkSession, catalog: Catalog,
-      project: String, maxContexts: Long): LmDist = {
+  private[llm] def loadLmDist(spark: SparkSession, catalog: Catalog,
+      project: String, maxDistContexts: Long): LmDist = {
     val path = deployedPath(catalog, project)
     cachedByPath(lmDistCache, s"${catalog.baseDir}#$project", path) {
       val uni = spark.read.parquet(s"$path/uni")
@@ -329,9 +341,14 @@ object Generative {
       val tri = spark.read.parquet(s"$path/tri")
       val nCtx = tri.select("ctx").distinct().count() +
         bi.select("ctx").distinct().count()
-      require(nCtx <= maxContexts,
-        s"LM has $nCtx distinct contexts > $maxContexts broadcast guard; " +
-          "prune low-count contexts before decode (standard LM pruning)")
+      require(nCtx <= maxDistContexts,
+        s"LM has $nCtx distinct contexts > $maxDistContexts " +
+          s"distribution-table guard (each context broadcasts up to " +
+          s"$TOP_CAND candidates — ${TOP_CAND}× the argmax tables' " +
+          "per-context footprint, so this guard is deliberately lower " +
+          "than the argmax maxContexts); prune low-count contexts before " +
+          "decode (standard LM pruning, Brants et al. 2007 §4) or raise " +
+          "maxDistContexts")
       // top-K rows per ctx by (cnt desc, w desc — the repo-wide
       // max(struct) tie rule), probabilities against the LOWER-order
       // count denominator (Brants scores, same as backoffPerplexity)
@@ -484,8 +501,9 @@ object Generative {
   def generateTextCfg(spark: SparkSession, catalog: Catalog, project: String,
       df: DataFrame, promptCol: String = "prompt",
       config: Map[String, String] = Map.empty,
-      maxContexts: Long = 2000000L): DataFrame = {
-    val dist = loadLmDist(spark, catalog, project, maxContexts)
+      maxDistContexts: Long = DefaultMaxDistContexts): DataFrame = {
+    val dist = loadLmDist(spark, catalog, project,
+      config.get("max_dist_contexts").map(_.toLong).getOrElse(maxDistContexts))
     val numBeams = config.get("num_beams").map(_.toInt).getOrElse(1)
     val numReturn = config.get("num_return_sequences").map(_.toInt).getOrElse(1)
     val doSample = config.get("do_sample").exists(_.toBoolean)
@@ -727,7 +745,8 @@ object Generative {
         r.getString(1) match {
           case "text-generation" =>
             loadLm(spark, catalog, r.getString(0), maxContexts)
-            loadLmDist(spark, catalog, r.getString(0), maxContexts); ()
+            loadLmDist(spark, catalog, r.getString(0),
+              math.min(maxContexts, DefaultMaxDistContexts)); ()
           case "translation" =>
             loadLexicon(spark, catalog, r.getString(0), maxContexts); ()
           case _ => ()

@@ -600,8 +600,17 @@ private[ml] object HistGBCore {
     * Ordered targets SMALL data (prediction shift vanishes as n grows;
     * CatBoost's own default on large datasets is Plain), so `Train`
     * keeps `compat=plain_boosting` unless `boosting_type=Ordered` is
-    * asked for. k=1 objectives only (squared / binary logistic);
-    * multiclass softmax stays plain and says so. */
+    * asked for. POLICY — k=1 objectives only (squared / binary
+    * logistic): extending the scheme to multiclass softmax would
+    * multiply the per-row state to `foldCount`·k doubles and add k
+    * leaf-value passes per round, for a regime (small n, where
+    * prediction shift matters) in which k one-vs-rest binary ordered
+    * ensembles already cover the need; CatBoost's own large-data
+    * default is Plain, so the distributed multiclass path trains the
+    * plain scheme. `Train`'s catboost dispatch enforces this: a k>2
+    * classification project with `boosting_type=Ordered` falls back
+    * to plain and the ledger records `compat=plain_boosting` —
+    * callers of this method directly get the require below. */
   def fitOrdered(ds: Dataset[_], featuresCol: String, labelCol: String,
       numClasses: Int, obj: Objective, cfg: Cfg): Ensemble = {
     require(obj.k(numClasses) == 1,
@@ -609,6 +618,10 @@ private[ml] object HistGBCore {
         "binary); multiclass softmax trains the plain scheme — drop " +
         "boosting_type=Ordered for k > 2")
     require(cfg.foldCount >= 2, s"fold_count must be >= 2, got ${cfg.foldCount}")
+    // the per-row fold id is stored in a Byte (read back & 0xff) —
+    // more than 255 folds would silently alias blocks mod 256
+    require(cfg.foldCount <= 255,
+      s"fold_count must be <= 255 (byte-packed fold ids), got ${cfg.foldCount}")
     val sc = ds.sparkSession.sparkContext
     val raw: RDD[(Vector, Double)] = ds
       .select(col(featuresCol), col(labelCol).cast(DoubleType)).na.drop()

@@ -385,10 +385,15 @@ object Train {
             .setNumLeaves(hpi(h, "num_leaves", 31))
             .setMaxDepth(if (md <= 0) 30 else md)
         case "catboost" =>
+          // Ordered boosting is defined for single-ensemble objectives
+          // only (HistGBCore.fitOrdered); multiclass softmax falls back
+          // to the plain scheme instead of crashing in fitOrdered's
+          // require — compatNote records compat=plain_boosting for it
           est.setGrowthPolicy("oblivious")
             .setMaxDepth(hpi(h, "depth", hpi(h, "max_depth", 6)))
             .setOrderedBoosting(
-              h.get("boosting_type").exists(_.equalsIgnoreCase("ordered")))
+              h.get("boosting_type").exists(_.equalsIgnoreCase("ordered"))
+                && numClasses <= 2)
             .setFoldCount(hpi(h, "fold_count", 8))
         case _ => est.setMaxDepth(hpi(h, "max_depth", 6))
       }
@@ -578,8 +583,12 @@ object Train {
       // native oblivious/symmetric trees; boosting_type=Ordered runs
       // the real ordered scheme (HistGBCore.fitOrdered) and needs no
       // flag — the default is plain (CatBoost's boosting_type=Plain,
-      // its large-dataset default), flagged so the ledger states it
-      if (h.get("boosting_type").exists(_.equalsIgnoreCase("ordered")))
+      // its large-dataset default), flagged so the ledger states it.
+      // Ordered + multiclass softmax (k > 2) trains plain instead
+      // (fitOrdered is single-ensemble only) and the fallback is
+      // flagged exactly like a plain request.
+      if (h.get("boosting_type").exists(_.equalsIgnoreCase("ordered"))
+          && !(task == "classification" && numClasses > 2))
         Map.empty
       else Map("compat" -> "plain_boosting")
     // ada_boost: SAMME / AdaBoost.R2 are sklearn's own algorithms —

@@ -392,32 +392,34 @@ object Similarity {
   }
 
   // ------------------------------------------------ persistent IVF index
-  /** One temp root per JVM for the persistent-index gate, reused across
-    * invocations (repeated bench/verify passes overwrite in place instead
-    * of orphaning a directory per call) and removed on JVM exit. */
-  private lazy val indexRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft_ivf_index")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(root.toFile)
-    }))
-    root
-  }
+  /** Root for persistent index stores. Resolution order:
+    *  1. the `graft.index.root` runtime conf — set it to a shared DFS
+    *     path on a real cluster (s3://…, hdfs://…) so an index built by
+    *     one job serves every later job;
+    *  2. default: `<spark.sql.warehouse.dir>/graft_indexes` — already a
+    *     durable, usually-shared location, so train-once-serve-many
+    *     holds across JVM sessions out of the box.
+    * There is deliberately NO delete-on-exit: a persistent index is a
+    * build-once-serve-many artifact whose lifecycle belongs to the
+    * owner of the root (content-addressed names make stale entries
+    * inert, never wrong — a changed corpus lands in a new directory). */
+  def indexRoot(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.getOption("graft.index.root").getOrElse(
+      s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/graft_indexes")
 
-  /** Content-addressed index directory name: a SHA-256 hex digest of the
-    * key parts. Fixed 64-char length (Base64 of a raw path overflowed
-    * the 255-byte filename limit past ~190-byte paths), collision-free
-    * for practical purposes, and shared by every persistent-index
-    * consumer (the `sim_ann_ivf_indexed` gate, the conversation
-    * retrieval index in [[graft.llm.Finetune]]). */
-  def indexPath(keyParts: String*): String = {
+  /** Content-addressed index directory name under [[indexRoot]]: a
+    * SHA-256 hex digest of the key parts. Fixed 64-char length (Base64
+    * of a raw path overflowed the 255-byte filename limit past
+    * ~190-byte paths), collision-free for practical purposes, and
+    * shared by every persistent-index consumer (the
+    * `sim_ann_ivf_indexed` gate, the conversation retrieval index in
+    * [[graft.llm.Finetune]]). */
+  def indexPath(s: org.apache.spark.sql.SparkSession, keyParts: String*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     keyParts.foreach { p =>
       md.update(p.getBytes("UTF-8")); md.update(0.toByte)
     }
-    indexRoot.resolve(md.digest().map("%02x".format(_)).mkString).toString
+    indexRoot(s) + "/" + md.digest().map("%02x".format(_)).mkString
   }
 
   /** Write the corpus as a PERSISTENT IVF index: one parquet table
@@ -479,7 +481,7 @@ object Similarity {
     // returned plan is lazy so the audit sees the dynamicpruning scan;
     // rebuilding an index while another invocation reads it is the same
     // unsupported pattern as concurrent catalog writers).
-    val path = indexPath("sim_ann_ivf_indexed", dir)
+    val path = indexPath(s, "sim_ann_ivf_indexed", dir)
     writeIvfIndex(e, LcgQuantizer, path)
     annIvfIndexed(s, path, e.filter($"vec_id" < 10), LcgQuantizer)
       .orderBy($"qid", $"rank")

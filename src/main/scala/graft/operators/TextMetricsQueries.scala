@@ -172,8 +172,15 @@ object TextMetricsQueries {
     root
   }
   private val floorMatSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // per-gate previous materialization, deleted once the gate is
+  // re-invoked (the prior returned frame has been consumed by then —
+  // bench/verify fully drain one invocation before the next), so a
+  // long-lived session holds at most ONE materialization per gate
+  // instead of accumulating unbounded temp parquet until JVM exit
+  private val floorMatPrev =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def qualityFloor(df: DataFrame, metricCol: String,
+  private def qualityFloor(gate: String, df: DataFrame, metricCol: String,
       floor: Double): DataFrame = {
     // materialize the per-doc metric frame FIRST: both the floor
     // aggregate and the returned rows read the materialized (narrow:
@@ -188,8 +195,14 @@ object TextMetricsQueries {
     // the frame is tiny, so the round-trip is noise.
     val s = df.sparkSession
     val path = floorMatRoot.resolve(
-      s"m${floorMatSeq.incrementAndGet()}").toString
+      s"${gate}_m${floorMatSeq.incrementAndGet()}").toString
     df.write.mode("overwrite").parquet(path)
+    Option(floorMatPrev.put(gate, path)).foreach { prev =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(prev))
+    }
     val mat = s.read.parquet(path)
     val bar = mat.agg(avg(col(metricCol)).as("__gate_mean"))
       .filter(col("__gate_mean") >= floor)
@@ -219,7 +232,7 @@ object TextMetricsQueries {
       data = Some(d.select($"text", $"gold")), labelCol = "gold",
       dim = 64, hyperparams = Map("max_iter" -> "10")))
     val sums = graft.llm.Finetune.summarizeText(s, cat, "SummarGate", d.select($"text"))
-    qualityFloor(
+    qualityFloor("summarize",
       TextMetrics.rougePairs(d.join(sums, "text"), "summary", "gold")
         .select($"doc_id", $"r1_p", $"r1_r", $"r1_f", $"r2_p", $"r2_r", $"r2_f"),
       "r1_f", 0.5)
@@ -271,7 +284,7 @@ object TextMetricsQueries {
     val preds = graft.llm.Finetune.answerText(s, cat, "SquadGate",
         d.select($"text".as("context"), $"question"), "context", "question")
       .select($"context", $"question".as("q2"), $"answer".as("pred"))
-    qualityFloor(
+    qualityFloor("qa",
       d.join(preds, d("text") === preds("context") && d("question") === preds("q2"))
         .select($"doc_id",
           TextMetrics.tokens($"pred").as("tp"), TextMetrics.tokens($"answer").as("tg"))
@@ -312,7 +325,7 @@ object TextMetricsQueries {
     val resp = graft.llm.Finetune.respondText(s, cat, "ConvGate",
       d.select($"system", $"user"), "system", "user",
       candidates = d.select($"assistant".as("response")))
-    qualityFloor(
+    qualityFloor("conversation",
       d.join(resp, Seq("system", "user"))
         .select($"doc_id",
           TextMetrics.tokens($"response").as("tp"),
@@ -371,7 +384,7 @@ object TextMetricsQueries {
     val resp = graft.llm.Finetune.respondTextAnn(s, cat, "ConvGateAnn",
       d.select($"system", $"user"), "system", "user",
       candidates = d.select($"assistant".as("response")), nprobe = 2)
-    qualityFloor(
+    qualityFloor("conversation_ann",
       d.join(resp, Seq("system", "user"))
         .select($"doc_id",
           TextMetrics.tokens($"response").as("tp"),
@@ -527,7 +540,7 @@ object TextMetricsQueries {
       data = Some(d.select($"text"))))
     val gen = graft.llm.Generative.generateText(s, cat, "GenGate",
       d.select($"prompt").distinct(), "prompt", maxNewTokens = 8)
-    qualityFloor(
+    qualityFloor("generate",
       d.join(gen, "prompt")
         .select($"doc_id",
           TextMetrics.tokens($"generated").as("tp"),
@@ -568,7 +581,7 @@ object TextMetricsQueries {
       hyperparams = Map("em_iters" -> "4")))
     val tr = graft.llm.Generative.translateText(s, cat, "XlatGate",
       d.select($"src").distinct(), "src")
-    qualityFloor(
+    qualityFloor("translate",
       d.join(tr, "src")
         .select($"doc_id",
           TextMetrics.tokens($"translated").as("tp"),

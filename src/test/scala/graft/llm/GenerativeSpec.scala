@@ -199,4 +199,34 @@ class GenerativeSpec extends AnyFunSuite {
     if (second.head().getBoolean(3)) assert(deployedId == ms.last.id)
     else assert(deployedId == ms.head.id)
   }
+
+  test("dist-table guard is independent of (and lower than) the argmax guard") {
+    // the distribution tables broadcast up to TOP_CAND(16) candidates
+    // per context where the argmax tables broadcast one, so they carry
+    // their OWN ceiling: at a context count the greedy path still
+    // loads, the knob-decode path must refuse with the pruning message
+    val doc = Seq.fill(30)("a b c d").mkString(" ")
+    val docs = (1 to 40).map(_ => doc).toDF("text")
+    val c = cat("distguard")
+    Finetune.finetune(spark, c, Finetune.FinetuneConfig(
+      projectName = "GenGuard", task = "text-generation",
+      data = Some(docs), textCol = "text"))
+    // the cyclic corpus has 8 distinct tri+bi contexts: a ceiling of 4
+    // sits between "argmax loads" and "dist refuses"
+    val prompts = Seq("a b").toDF("prompt")
+    assert(Generative.generateText(spark, c, "GenGuard", prompts,
+      maxNewTokens = 2, maxContexts = 4000000L).count() == 1L)
+    val ex = intercept[IllegalArgumentException] {
+      Generative.generateTextCfg(spark, c, "GenGuard", prompts,
+        config = Map("num_beams" -> "2"), maxDistContexts = 4L).count()
+    }
+    assert(ex.getMessage.contains("distribution-table guard"), ex.getMessage)
+    assert(ex.getMessage.contains("prune low-count contexts"), ex.getMessage)
+    // default ceilings encode the same relationship: dist < argmax
+    assert(Generative.DefaultMaxDistContexts < 2000000L)
+    // the same project decodes fine once the dist guard admits it —
+    // and a FAILED load must not have poisoned the cache
+    assert(Generative.generateTextCfg(spark, c, "GenGuard", prompts,
+      config = Map("num_beams" -> "2")).count() == 1L)
+  }
 }

@@ -322,6 +322,12 @@ class LLMOpsSpec extends AnyFunSuite {
   test("respondTextAnn: IVF-routed retrieval vs the broadcast path") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // isolated index root: the default root is DURABLE across sessions
+    // (that's its contract, pinned by the cross-session test below), so
+    // this test's exact build-count assertions need a root no previous
+    // run has written to
+    spark.conf.set("graft.index.root",
+      java.nio.file.Files.createTempDirectory("graft_ftann_idx").toString)
     val cat = new graft.ml.Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_ftann").toString)
     // the ft_conversation_train construction on the sf0.001 corpus:
@@ -388,7 +394,59 @@ class LLMOpsSpec extends AnyFunSuite {
     assert(Finetune.convIndexBuilds.get() == buildsAfterTwoServes,
       "retrain/redeploy must not rebuild the content-addressed pool index")
     exact.unpersist()
+    spark.conf.unset("graft.index.root")
     ()
+  }
+
+  test("persistent index root: a SECOND SparkSession reuses the first session's build") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // explicit root through the `graft.index.root` conf seam — on a
+    // real cluster this is a DFS path; the default (under the shared
+    // warehouse dir) resolves identically across sessions, this just
+    // keeps the test's store isolated from other suites
+    val root = java.nio.file.Files.createTempDirectory("graft_xsession_idx").toString
+    spark.conf.set("graft.index.root", root)
+    val catDir = java.nio.file.Files.createTempDirectory("graft_xsession_cat").toString
+    val cat = new graft.ml.Catalog(spark, catDir)
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", concat_ws(" ", slice(t, 1, 3)).as("system"),
+        concat_ws(" ", slice(t, 4, 5)).as("user"),
+        concat_ws(" ", slice(t, 9, 10)).as("assistant"))
+    Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+      projectName = "ConvX", task = "conversation", data = Some(d),
+      textCol = "system", text2Col = "user", labelCol = "assistant",
+      dim = 64, hyperparams = Map("max_iter" -> "5")))
+    graft.ml.Predict.clearCaches()
+    val ctx = d.select($"system", $"user").limit(20)
+    val pool = d.select($"assistant".as("response"))
+    val first = Finetune.respondTextAnn(spark, cat, "ConvX", ctx,
+      "system", "user", candidates = pool, targetCellRows = 16L, nprobe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(first.nonEmpty)
+    val buildsAfterFirst = Finetune.convIndexBuilds.get()
+    // a brand-new session: isolated SQL conf/function registry, same
+    // JVM — the index must be FOUND on disk, not in any session state
+    val spark2 = spark.newSession()
+    graft.functions.GraftFunctions.register(spark2)
+    spark2.conf.set("graft.index.root", root)
+    val cat2 = new graft.ml.Catalog(spark2, catDir)
+    val d2 = graft.Tables.documents(spark2, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        concat_ws(" ", slice(t, 1, 3)).as("system"),
+        concat_ws(" ", slice(t, 4, 5)).as("user"),
+        concat_ws(" ", slice(t, 9, 10)).as("assistant"))
+    val second = Finetune.respondTextAnn(spark2, cat2, "ConvX",
+      d2.select(col("system"), col("user")).limit(20), "system", "user",
+      candidates = d2.select(col("assistant").as("response")),
+      targetCellRows = 16L, nprobe = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(Finetune.convIndexBuilds.get() == buildsAfterFirst,
+      "the second session must serve off the first session's index — zero new builds")
+    // same pool, same head, same probe → same responses
+    assert(second == first, "cross-session serve must return identical responses")
+    spark.conf.unset("graft.index.root") // don't leak the root to other suites
   }
 
   test("unknown runtime names a clear registration error") {

@@ -139,4 +139,53 @@ class OnnxRuntimeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("LIVE golden: embed → ANN index → retrieval, recall vs the stub baseline (env-gated)") {
+    // closes the "live neural inference" gap the moment weights exist:
+    // point GRAFT_ONNX_MODEL/GRAFT_ONNX_VOCAB at a real sentence-encoder
+    // export (optimum/transformers.onnx shape) with the onnxruntime jar
+    // mounted and the FULL serving chain — embed, finetuned retrieval
+    // head, persistent IVF index, partition-pruned ANN serve — runs on
+    // real embeddings and must retrieve at least as well as the
+    // deterministic hashing baseline on the same corpus. Self-canceling
+    // where the env contract is absent (no network, no weights in CI).
+    if (!OnnxRuntime.available) {
+      info("GRAFT_ONNX_MODEL/GRAFT_ONNX_VOCAB or the onnxruntime jar absent — " +
+        "live end-to-end golden skipped; the same chain is spec-covered on " +
+        "the deterministic runtimes (LLMSpec respondTextAnn suite)")
+    } else {
+      val spark = graft.ml.TestSpark.spark
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val t = filter(split(trim(lower($"text")), "\\s+"),
+        x => org.apache.spark.sql.functions.length(x) > 0)
+      val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", concat_ws(" ", slice(t, 1, 3)).as("system"),
+          concat_ws(" ", slice(t, 4, 5)).as("user"),
+          concat_ws(" ", slice(t, 9, 10)).as("assistant"))
+      def recallWith(runtime: String): Double = {
+        val cat = new graft.ml.Catalog(spark,
+          java.nio.file.Files.createTempDirectory(s"graft_live_$runtime").toString)
+        Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+          projectName = "LiveConv", task = "conversation", data = Some(d),
+          textCol = "system", text2Col = "user", labelCol = "assistant",
+          runtime = runtime, dim = 64, hyperparams = Map("max_iter" -> "10")))
+        graft.ml.Predict.clearCaches()
+        val resp = Finetune.respondTextAnn(spark, cat, "LiveConv",
+          d.select($"system", $"user"), "system", "user",
+          candidates = d.select($"assistant".as("response")),
+          targetCellRows = 16L, nprobe = 4)
+        val joined = d.join(resp, Seq("system", "user"))
+        joined.filter($"response" === $"assistant").count().toDouble /
+          joined.count().toDouble
+      }
+      val live = recallWith("onnx")
+      val stub = recallWith("hashing_tf")
+      info(f"live-ONNX retrieval recall $live%.3f vs hashing baseline $stub%.3f")
+      // a real sentence encoder must not lose to byte-hashing on its own
+      // task; 0.05 absorbs k-means partitioning variance between runs
+      assert(live >= stub - 0.05,
+        f"live encoder recall $live%.3f fell below the stub baseline $stub%.3f")
+    }
+  }
 }
