@@ -756,10 +756,35 @@ object Finetune {
   def respondTextAnn(spark: SparkSession, catalog: Catalog, project: String,
       df: DataFrame, systemCol: String = "system", userCol: String = "user",
       candidates: DataFrame, candidateCol: String = "response",
-      targetCellRows: Long = 500L, nprobe: Int = 2): DataFrame = {
-    val (w, b, dim, runtime) = conversationHead(spark, catalog, project)
-    val wLit = typedlit(w.toSeq)
+      targetCellRows: Long = 500L, nprobe: Int = 2): DataFrame =
+    respondTextAnnIndexed(spark, catalog, project, df, systemCol, userCol,
+      prepareConvIndex(spark, catalog, project, candidates, candidateCol,
+        targetCellRows), nprobe)
 
+  /** Prepared, reusable conversation-retrieval index: the resolved
+    * store path plus the coarse quantizer + non-empty cell list read
+    * from its sidecar. Obtain via [[prepareConvIndex]]; serve any
+    * number of batches through [[respondTextAnnIndexed]] with ZERO
+    * pool-side work per batch. */
+  final case class ConvIndexHandle private[llm] (
+      idxDir: String,
+      quant: graft.operators.KMeansQuantizer,
+      nonEmpty: Seq[Int])
+
+  /** Fingerprint the pool, build the content-addressed IVF store if it
+    * does not exist yet, and return a serve handle.
+    *
+    * SCALE SEAM: the reuse-verification fingerprint is one aggregate
+    * over the DISTINCT pool — O(pool) — and the convenience
+    * [[respondTextAnn]] pays it on EVERY call, which the serve-slope
+    * harness measures as the only pool-proportional term left in the
+    * serve (exponent 0.27 at 10×; tools/ServeSlope). A serving job at
+    * real scale calls THIS once and then serves handle-first, making
+    * per-batch work independent of pool size. */
+  def prepareConvIndex(spark: SparkSession, catalog: Catalog, project: String,
+      candidates: DataFrame, candidateCol: String = "response",
+      targetCellRows: Long = 500L): ConvIndexHandle = {
+    val (_, _, dim, runtime) = conversationHead(spark, catalog, project)
     val pool = candidates.select(col(candidateCol).as("resp")).distinct()
     // order-independent content fingerprint in ONE cheap agg (no embed,
     // no checkpoint): count + TWO per-row hash XORs over independently
@@ -790,6 +815,23 @@ object Finetune {
       if (fs.exists(new org.apache.hadoop.fs.Path(idxDir, CONV_INDEX_DONE)))
         readConvIndexMeta(fs, idxDir)
       else buildConvIndex(spark, fs, pool, runtime, dim, targetCellRows, nCand, idxDir)
+    ConvIndexHandle(idxDir, quant, nonEmpty)
+  }
+
+  /** Serve a query batch off a prepared index — the per-batch cost is
+    * the batch embed + the probed cells' population; NOTHING here
+    * scales with the pool. Same arithmetic, plan shape (static
+    * partition-pruned scan + broadcast-query hash join), and tie rule
+    * as the fingerprinting convenience entry, which delegates here. */
+  def respondTextAnnIndexed(spark: SparkSession, catalog: Catalog,
+      project: String, df: DataFrame, systemCol: String = "system",
+      userCol: String = "user", handle: ConvIndexHandle,
+      nprobe: Int = 2): DataFrame = {
+    val (w, b, dim, runtime) = conversationHead(spark, catalog, project)
+    val wLit = typedlit(w.toSeq)
+    val quant = handle.quant
+    val nonEmpty = handle.nonEmpty
+    val idxDir = handle.idxDir
 
     // Probe ranking is the quantizer's L2-to-centroid order (measured
     // against pure inner-product centroid ranking on this corpus: L2

@@ -393,6 +393,20 @@ class LLMOpsSpec extends AnyFunSuite {
     assert(annAfterRetrain.count() == total)
     assert(Finetune.convIndexBuilds.get() == buildsAfterTwoServes,
       "retrain/redeploy must not rebuild the content-addressed pool index")
+    // handle-first serving (the pool-independent per-batch path): same
+    // index, same probe, byte-identical responses to the fingerprinting
+    // convenience entry — and no new build
+    val handle = Finetune.prepareConvIndex(spark, cat, "ConvAnn", pool,
+      targetCellRows = 16L)
+    val viaHandle = Finetune.respondTextAnnIndexed(spark, cat, "ConvAnn",
+      ctx, "system", "user", handle, nprobe = 8)
+    assert(annAfterRetrain.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+      .sameElements(viaHandle.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted),
+      "handle-based serve must equal the fingerprinting path under the same head")
+    assert(Finetune.convIndexBuilds.get() == buildsAfterTwoServes,
+      "prepareConvIndex over the same pool must reuse, not rebuild")
     exact.unpersist()
     spark.conf.unset("graft.index.root")
     ()
