@@ -418,8 +418,73 @@ object Dedup {
        |WHERE doc_id >= 20
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- span (line) dedup
+  /** Duplicated-span removal — the C4/RefinedWeb "remove repeated
+    * lines/substrings" pass at BLOCK granularity (the synthetic corpus
+    * has no newlines, so the dedup unit is a fixed n-token block; on a
+    * corpus with lines the same operator runs with lines as blocks):
+    * every document splits into consecutive `n`-token blocks, block
+    * CONTENT is df-counted across the whole corpus, and any block
+    * occurring in more than `maxDf` places is dropped from every
+    * document that carries it. Emits per-doc stats plus the cleaned
+    * text reassembled from surviving blocks in order.
+    *
+    * 100 TB shape: blocks are O(corpus tokens / n) rows keyed by a
+    * 60-bit content hash (8-byte shuffle keys like [[shingles]]); the
+    * df count is a map-side-combinable groupBy, and the count joins
+    * back on the same key — AQE's skew-join splits a hot boilerplate
+    * block's partition instead of melting one task. Per-doc reassembly
+    * regroups on doc_id: every stage is a bounded equi-shuffle, no
+    * pair space anywhere (contrast dd_ngram_jaccard, which compares
+    * documents; this op only counts content). */
+  def spanDedup(s: SparkSession, docs: DataFrame, n: Int = 8,
+      maxDf: Long = 1L): DataFrame = {
+    import s.implicits._
+    val tk = docs.select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 1)
+    val bl = tk.select($"doc_id", posexplode(
+        transform(sequence(lit(0), floor((size($"t") - 1) / lit(n)).cast("int")),
+          i => slice($"t", i * n + 1, lit(n)))).as(Seq("bi", "block")))
+      // chr(1)-joined key: without a separator ("ab","c") and ("a","bc")
+      // would collide; the oracle keys the same chr(1)-joined string
+      .withColumn("key", h60(s, concat_ws("\u0001", $"block")))
+    val df = bl.groupBy($"key").agg(count(lit(1)).as("df"))
+    bl.join(df, "key")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when($"df" > maxDf, 1L).otherwise(0L)).as("removed_blocks"),
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(when($"df" <= maxDf, struct($"bi", $"block")))),
+          kb => kb("block")))).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  def dd_span_dedup(s: SparkSession, dir: String): DataFrame =
+    spanDedup(s, Tables.documents(s, dir))
+
+  val ddSpanDedupSql: String = {
+    val h = h60Sql.format("array_to_string(b, chr(1))")
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents WHERE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)) >= 1),
+      |bl AS (
+      |  SELECT doc_id, i AS bi, t[(i*8 + 1):least((i+1)*8, len(t))] AS b
+      |  FROM tok, unnest(range(0, (len(t) - 1) // 8 + 1)) AS u(i)),
+      |keyed AS (SELECT doc_id, bi, b, HKEY AS key FROM bl),
+      |cnt AS (SELECT key, count(*) AS df FROM keyed GROUP BY key)
+      |SELECT k.doc_id,
+      |  count(*) AS n_blocks,
+      |  CAST(sum(CASE WHEN c.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_blocks,
+      |  coalesce(string_agg(CASE WHEN c.df <= 1 THEN array_to_string(k.b, ' ') END, ' ' ORDER BY k.bi), '') AS clean_text
+      |FROM keyed k JOIN cnt c USING (key)
+      |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin.replace("HKEY", h)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> dd_exact _,
+    "dd_span_dedup"    -> dd_span_dedup _,
     "dd_ngram_jaccard" -> dd_ngram_jaccard _,
     "dd_ngram_jaccard_capped" -> dd_ngram_jaccard_capped _,
     "dd_minhash_lsh"   -> dd_minhash_lsh _,
@@ -430,6 +495,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd_exact"         -> ddExactSql,
+    "dd_span_dedup"    -> ddSpanDedupSql,
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_ngram_jaccard_capped" -> ddNgramCappedSql,
     "dd_minhash_lsh"   -> ddMinhashSql,

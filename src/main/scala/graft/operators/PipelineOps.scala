@@ -156,7 +156,45 @@ object PipelineOps {
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  // ----------------------------------------------------- PII scrubbing
+  /** PII scrub before a corpus reaches training: RAW IDENTIFIERS are
+    * pseudonymized (a keyed-hash token — referentially CONSISTENT, so
+    * joins/sessionization still work downstream, but the raw id never
+    * leaves the pipeline; the standard tokenization trade-off) and
+    * free-text payloads get their numeric literals redacted (ids,
+    * amounts, phone fragments — the conservative numeric-PII sweep).
+    * Deterministic content hashing, never RNG — re-running reproduces
+    * the same pseudonyms bit-for-bit (same property as [[mixSample]]).
+    *
+    * 100 TB shape: a pure map stage — no shuffle, no state; both the
+    * pseudonym hash and the regex run inside whole-stage codegen, and
+    * the scan reads only the three columns touched. Streaming-safe by
+    * construction (stateless). */
+  def piiScrub(s: SparkSession, events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      (Dedup.h60(s, concat(lit("uid|"), col("user_id").cast("string")))
+        % 1000000L).as("pseudo_uid"),
+      regexp_replace(col("props"), lit("[0-9]+"), lit("<NUM>"))
+        .as("props_scrubbed"),
+      regexp_count(col("props"), lit("[0-9]+")).cast("long").as("digits_masked"))
+
+  def ds_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    piiScrub(s, Tables.events(s, dir)).orderBy($"event_id")
+  }
+
+  val dsPiiScrubSql: String = {
+    val h = Dedup.h60Sql.format("'uid|' || CAST(user_id AS VARCHAR)")
+    s"""SELECT event_id,
+       |  $h % 1000000 AS pseudo_uid,
+       |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_scrubbed,
+       |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS digits_masked
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_pii_scrub"      -> ds_pii_scrub _,
     "ds_mix_sample"     -> ds_mix_sample _,
     "ds_pack_sequences" -> ds_pack_sequences _,
     "ds_corpus_stats"   -> ds_corpus_stats _,
@@ -164,6 +202,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_pii_scrub"      -> dsPiiScrubSql,
     "ds_mix_sample"     -> dsMixSampleSql,
     "ds_pack_sequences" -> dsPackSequencesSql,
     "ds_corpus_stats"   -> dsCorpusStatsSql,

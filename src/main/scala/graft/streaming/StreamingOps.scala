@@ -279,6 +279,15 @@ object StreamingOps {
   def mixSampleStream(spark: SparkSession, docs: DataFrame): DataFrame =
     graft.operators.PipelineOps.mixSample(spark, docs)
 
+  /** Streaming twin of ds_pii_scrub: scrub a live event feed before it
+    * lands in the training corpus. Stateless by construction (keyed-hash
+    * pseudonym + regex redaction, no state store, no watermark) — a
+    * record scrubs identically in batch and micro-batch, so the SAME
+    * operator body serves both; this symbol only documents the contract
+    * and pins it in StreamingSpec. */
+  def piiScrubStream(spark: SparkSession, events: DataFrame): DataFrame =
+    graft.operators.PipelineOps.piiScrub(spark, events)
+
   /** Streaming twin of ds_heavy_hitters: running corpus vocabulary
     * profile over a live document feed — per-term total frequency and
     * document frequency as an incrementally-maintained aggregate

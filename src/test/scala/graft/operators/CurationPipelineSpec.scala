@@ -72,4 +72,54 @@ class CurationPipelineSpec extends AnyFunSuite {
       .groupBy($"component").count().agg(max($"count")).head().getLong(0)
     assert(survivorsPerCluster <= 1L)
   }
+
+  test("spanDedup: corpus-duplicated blocks vanish from every carrier, unique blocks survive in order") {
+    // blocks are 2 tokens; "dup dup" appears in docs 1 AND 2 (df=2 →
+    // removed from BOTH); every other block is unique and must survive
+    // in document order. doc 3 is one short block, untouched.
+    val docs = Seq(
+      (1L, "a1 a2 dup dup b1 b2"),
+      (2L, "c1 c2 dup dup"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(spark, docs, n = 2, maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((3L, 1L, "a1 a2 b1 b2")))
+    assert(out(2L) == ((2L, 1L, "c1 c2")))
+    assert(out(3L) == ((1L, 0L, "solo")))
+    // a doc that is ENTIRELY duplicated content empties to ""
+    val all = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
+    val gone = Dedup.spanDedup(spark, all, n = 2, maxDf = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gone(1L) == "" && gone(2L) == "")
+    // maxDf = 2 tolerates a pair: nothing removed
+    val kept = Dedup.spanDedup(spark, all, n = 2, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(kept(1L) == "x y" && kept(2L) == "x y")
+  }
+
+  test("piiScrub: referentially consistent pseudonyms, full numeric redaction, stateless plan") {
+    val ev = Seq(
+      (1L, 7L, """{"k": 87, "v": 3}"""),
+      (2L, 7L, """{"k": 0}"""),
+      (3L, 9L, """no digits""")).toDF("event_id", "user_id", "props")
+    val out = PipelineOps.piiScrub(spark, ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    // same user → same pseudonym (joinability survives); different user → different
+    assert(out(1L)._1 == out(2L)._1)
+    assert(out(1L)._1 != out(3L)._1)
+    // raw id never equals its pseudonym space trivially; bounded < 1e6
+    assert(out(1L)._1 >= 0 && out(1L)._1 < 1000000L)
+    // every digit run redacted, count matches
+    assert(out(1L)._2 == """{"k": <NUM>, "v": <NUM>}""" && out(1L)._3 == 2L)
+    assert(out(3L)._2 == "no digits" && out(3L)._3 == 0L)
+    // deterministic: re-running reproduces identical pseudonyms
+    val again = PipelineOps.piiScrub(spark, ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again(1L) == out(1L)._1 && again(3L) == out(3L)._1)
+    // stateless map stage: no shuffle anywhere in the plan
+    val plan = PipelineOps.piiScrub(spark, ev)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"piiScrub must not shuffle:\n$plan")
+  }
 }

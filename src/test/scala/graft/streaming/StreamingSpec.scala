@@ -190,6 +190,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII scrub equals the batch scrub row for row (stateless)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii_stream").toString
+    graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"props").orderBy($"event_id").limit(300)
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/ev_stream")
+    val staged = spark.read.parquet(s"$dir/ev_stream")
+    val stream = spark.readStream.schema(staged.schema).parquet(s"$dir/ev_stream")
+    val q = StreamingOps.piiScrubStream(spark, stream).writeStream
+      .outputMode("append").format("memory").queryName("pii_out").start()
+    try {
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"event_id", $"pseudo_uid", $"props_scrubbed", $"digits_masked")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val streamed = rows(spark.table("pii_out"))
+      val batch = rows(graft.operators.PipelineOps.piiScrub(spark, staged))
+      assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming model scoring via foreachBatch transform") {
     import spark.implicits._
     val cat = new graft.ml.Catalog(spark,
