@@ -756,10 +756,14 @@ object Finetune {
   def respondTextAnn(spark: SparkSession, catalog: Catalog, project: String,
       df: DataFrame, systemCol: String = "system", userCol: String = "user",
       candidates: DataFrame, candidateCol: String = "response",
-      targetCellRows: Long = 500L, nprobe: Int = 2): DataFrame =
-    respondTextAnnIndexed(spark, catalog, project, df, systemCol, userCol,
-      prepareConvIndex(spark, catalog, project, candidates, candidateCol,
+      targetCellRows: Long = 500L, nprobe: Int = 2): DataFrame = {
+    // resolve the head ONCE for prepare + serve: each resolution is two
+    // small catalog collects, measurable when the gate serves per-pass
+    val head = conversationHead(spark, catalog, project)
+    serveConvResolved(spark, head, df, systemCol, userCol,
+      prepareConvResolved(spark, head, candidates, candidateCol,
         targetCellRows), nprobe)
+  }
 
   /** Prepared, reusable conversation-retrieval index: the resolved
     * store path plus the coarse quantizer + non-empty cell list read
@@ -783,8 +787,14 @@ object Finetune {
     * per-batch work independent of pool size. */
   def prepareConvIndex(spark: SparkSession, catalog: Catalog, project: String,
       candidates: DataFrame, candidateCol: String = "response",
-      targetCellRows: Long = 500L): ConvIndexHandle = {
-    val (_, _, dim, runtime) = conversationHead(spark, catalog, project)
+      targetCellRows: Long = 500L): ConvIndexHandle =
+    prepareConvResolved(spark, conversationHead(spark, catalog, project),
+      candidates, candidateCol, targetCellRows)
+
+  private def prepareConvResolved(spark: SparkSession,
+      head: (Array[Double], Double, Int, String), candidates: DataFrame,
+      candidateCol: String, targetCellRows: Long): ConvIndexHandle = {
+    val (_, _, dim, runtime) = head
     val pool = candidates.select(col(candidateCol).as("resp")).distinct()
     // order-independent content fingerprint in ONE cheap agg (no embed,
     // no checkpoint): count + TWO per-row hash XORs over independently
@@ -826,8 +836,15 @@ object Finetune {
   def respondTextAnnIndexed(spark: SparkSession, catalog: Catalog,
       project: String, df: DataFrame, systemCol: String = "system",
       userCol: String = "user", handle: ConvIndexHandle,
-      nprobe: Int = 2): DataFrame = {
-    val (w, b, dim, runtime) = conversationHead(spark, catalog, project)
+      nprobe: Int = 2): DataFrame =
+    serveConvResolved(spark, conversationHead(spark, catalog, project),
+      df, systemCol, userCol, handle, nprobe)
+
+  private def serveConvResolved(spark: SparkSession,
+      head: (Array[Double], Double, Int, String), df: DataFrame,
+      systemCol: String, userCol: String, handle: ConvIndexHandle,
+      nprobe: Int): DataFrame = {
+    val (w, b, dim, runtime) = head
     val wLit = typedlit(w.toSeq)
     val quant = handle.quant
     val nonEmpty = handle.nonEmpty
