@@ -920,8 +920,18 @@ object Finetune {
   private def buildConvIndex(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, pool: DataFrame,
       runtime: String, dim: Int, targetCellRows: Long, nCand: Long,
-      idxDir: String): (graft.operators.KMeansQuantizer, Seq[Int]) = {
+      finalDir: String): (graft.operators.KMeansQuantizer, Seq[Int]) = {
     convIndexBuilds.incrementAndGet()
+    // BUILD-THEN-PUBLISH: the root is shared across sessions now, so two
+    // jobs can race to build the same content hash. Everything (cells,
+    // sidecar, done-marker) lands in a private staging dir; a single
+    // rename publishes it. Atomic on HDFS-like stores (directory move);
+    // on S3 rename is copy-based, so prefer an HDFS-consistent root or
+    // an external build lock there. The loser of the race deletes its
+    // staging dir and serves the winner’s published index — identical
+    // content by construction (same pool fingerprint).
+    val idxDir =
+      s"$finalDir.build-${java.lang.Long.toHexString(System.nanoTime())}"
     val emb = Ops.embedColumn(pool, runtime, "resp", "remb", dim = dim)
       .select(col("resp"), col("remb").cast("array<double>").as("r"))
       .withColumn("n2", call_function("graft_dot", col("r"), col("r")))
@@ -954,6 +964,16 @@ object Finetune {
     } finally out.close()
     // done-marker LAST: a crashed build leaves no marker and is rebuilt
     fs.create(new org.apache.hadoop.fs.Path(idxDir, CONV_INDEX_DONE), true).close()
+    if (!fs.rename(new org.apache.hadoop.fs.Path(idxDir),
+        new org.apache.hadoop.fs.Path(finalDir))) {
+      // another writer published first (rename refuses an existing
+      // destination): discard the staging copy, serve theirs
+      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      require(fs.exists(new org.apache.hadoop.fs.Path(finalDir, CONV_INDEX_DONE)),
+        s"conversation index publish race lost to an UNFINISHED build at " +
+          s"$finalDir — remove the debris and retry")
+      return readConvIndexMeta(fs, finalDir)
+    }
     (quant, nonEmpty)
   }
 
