@@ -98,6 +98,53 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(kept(1L) == "x y" && kept(2L) == "x y")
   }
 
+  test("spanDedup invariants on a seeded random corpus") {
+    // 120 docs over a 12-word vocab, lengths 1..40 — plenty of genuine
+    // block collisions. Invariants the closed-form fixture can't sweep:
+    // block count arithmetic, kept+removed partition, order-preserving
+    // reassembly, and maxDf=∞ identity.
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a","b","c","d","e","f","g","h","i","j","k","l")
+    val docs = (1 to 120).map { id =>
+      val len = 1 + rng.nextInt(40)
+      (id.toLong, Vector.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val n = 4
+    val out = Dedup.spanDedup(spark, docs, n = n, maxDf = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == original.keySet)
+    original.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val (nBlocks, removed, clean) = out(id)
+      assert(nBlocks == (toks.length + n - 1) / n, s"doc $id block count")
+      assert(removed >= 0 && removed <= nBlocks, s"doc $id removed range")
+      // reassembly = the original's blocks with `removed` of them
+      // deleted, order preserved: clean tokens must be the concatenation
+      // of a sub-sequence of the original block list
+      val blocks = toks.grouped(n).map(_.mkString(" ")).toVector
+      val cleanBlocks =
+        if (clean.isEmpty) Vector.empty
+        else {
+          // greedily match clean against the block list in order
+          var rest = clean
+          blocks.flatMap { b =>
+            if (rest == b) { rest = ""; Some(b) }
+            else if (rest.startsWith(b + " ")) { rest = rest.drop(b.length + 1); Some(b) }
+            else None
+          }
+        }
+      assert(cleanBlocks.size == nBlocks - removed,
+        s"doc $id: clean text is not the ordered concatenation of kept blocks")
+    }
+    // maxDf = ∞ → identity (modulo normalization)
+    val id = Dedup.spanDedup(spark, docs, n = n, maxDf = Long.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    original.foreach { case (k, text) =>
+      assert(id(k) == text.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
+  }
+
   test("piiScrub: referentially consistent pseudonyms, full numeric redaction, stateless plan") {
     val ev = Seq(
       (1L, 7L, """{"k": 87, "v": 3}"""),
