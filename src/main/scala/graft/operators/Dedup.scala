@@ -463,6 +463,77 @@ object Dedup {
   def dd_span_dedup(s: SparkSession, dir: String): DataFrame =
     spanDedup(s, Tables.documents(s, dir))
 
+  /** Exact-substring dedup, OFFSET-ROBUST (the RefinedWeb/C4 variant
+    * [[spanDedup]]'s block alignment can miss): every stride-1 n-token
+    * shingle is df-counted across the corpus (occurrence count, so a
+    * self-repeating doc marks its own repeats too), and every TOKEN
+    * covered by any shingle with df > maxDf is removed. A duplicated
+    * passage is caught at ANY offset — the suffix-array semantics of
+    * published exact-substring dedup, expressed as bounded equi-joins:
+    * shingle rows are O(corpus tokens), the df count is map-side
+    * combinable, dup starts regroup per doc, and the token marking is a
+    * per-row map over (tokens × in-doc dup starts) — no pair space, no
+    * driver state. Docs shorter than n tokens carry no shingles and
+    * pass through untouched. */
+  def exactSubstringDedup(s: SparkSession, docs: DataFrame, n: Int = 10,
+      maxDf: Long = 1L): DataFrame = {
+    import s.implicits._
+    val tk = docs.select($"doc_id", toks($"text").as("t"))
+    val sh = tk.filter(size($"t") >= n)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(1), size($"t") - (n - 1)),
+          i => h60(s, concat_ws("", slice($"t", i, lit(n))))))
+        .as(Seq("p0", "key")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"key") // 1-based starts
+    val df = sh.groupBy($"key").agg(count(lit(1)).as("df"))
+    val dupStarts = sh.join(df.filter($"df" > maxDf), "key")
+      .groupBy($"doc_id").agg(sort_array(collect_list($"pos")).as("starts"))
+    tk.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("st", coalesce($"starts", array().cast("array<int>")))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        filter($"t", (_, j) =>
+          !exists($"st", st => st <= j + 1 && j + 1 <= st + (n - 1)))
+          .as("kept"))
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - size($"kept")).cast("long").as("removed_tokens"),
+        concat_ws(" ", $"kept").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  def dd_exact_substring(s: SparkSession, dir: String): DataFrame =
+    exactSubstringDedup(s, Tables.documents(s, dir))
+
+  val ddExactSubstringSql: String = {
+    val n = 10
+    val h = h60Sql.format(s"array_to_string(t[i:i+$n-1], chr(1))")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i AS pos, $h AS key
+       |  FROM tok, unnest(range(1, len(t) - $n + 2)) AS u(i)
+       |  WHERE len(t) >= $n),
+       |cnt AS (SELECT key, count(*) AS df FROM sh GROUP BY key),
+       |dup AS (
+       |  SELECT s.doc_id, list_sort(list(s.pos)) AS starts
+       |  FROM sh s JOIN cnt c USING (key) WHERE c.df > 1 GROUP BY s.doc_id),
+       |mark AS (
+       |  SELECT k.doc_id, k.t, coalesce(d.starts, []) AS st
+       |  FROM tok k LEFT JOIN dup d USING (doc_id)),
+       |res AS (
+       |  SELECT doc_id, t,
+       |    list_filter(list_transform(t, (x, j) ->
+       |      CASE WHEN len(list_filter(st, s -> s <= j AND j <= s + $n - 1)) = 0
+       |           THEN x ELSE NULL END), y -> y IS NOT NULL) AS kept
+       |  FROM mark)
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(t) - len(kept) AS BIGINT) AS removed_tokens,
+       |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+       |FROM res ORDER BY doc_id""".stripMargin
+  }
+
   val ddSpanDedupSql: String = {
     val h = h60Sql.format("array_to_string(b, chr(1))")
     """WITH tok AS (
@@ -485,6 +556,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> dd_exact _,
     "dd_span_dedup"    -> dd_span_dedup _,
+    "dd_exact_substring" -> dd_exact_substring _,
     "dd_ngram_jaccard" -> dd_ngram_jaccard _,
     "dd_ngram_jaccard_capped" -> dd_ngram_jaccard_capped _,
     "dd_minhash_lsh"   -> dd_minhash_lsh _,
@@ -496,6 +568,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_exact"         -> ddExactSql,
     "dd_span_dedup"    -> ddSpanDedupSql,
+    "dd_exact_substring" -> ddExactSubstringSql,
     "dd_ngram_jaccard" -> ddNgramSql,
     "dd_ngram_jaccard_capped" -> ddNgramCappedSql,
     "dd_minhash_lsh"   -> ddMinhashSql,

@@ -98,6 +98,37 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(kept(1L) == "x y" && kept(2L) == "x y")
   }
 
+  test("exactSubstringDedup catches SHIFTED duplication that block alignment misses") {
+    // the duplicated passage "p q r s" sits at offset 0 in doc 1 and
+    // offset 1 in doc 2 — block-aligned spanDedup(n=4) sees different
+    // blocks ("p q r s" vs "z p q r"/"s …") and removes nothing from
+    // doc 2; the stride-1 variant must remove the passage from BOTH
+    val docs = Seq(
+      (1L, "p q r s a b c d"),
+      (2L, "z p q r s e f g")).toDF("doc_id", "text")
+    val blocked = Dedup.spanDedup(spark, docs, n = 4, maxDf = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(blocked(1L) == 0L && blocked(2L) == 0L,
+      "block alignment must miss the shifted duplicate (that's the gap)")
+    val any = Dedup.exactSubstringDedup(spark, docs, n = 4, maxDf = 1)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // exactly the 4 tokens of the shared passage vanish from each doc
+    assert(any(1L) == ((8L, 4L, "a b c d")), any(1L).toString)
+    assert(any(2L) == ((8L, 4L, "z e f g")), any(2L).toString)
+    // self-repetition: occurrence counting marks within-doc repeats too
+    val selfRep = Seq((1L, "x y x y x y x y")).toDF("doc_id", "text")
+    val sr = Dedup.exactSubstringDedup(spark, selfRep, n = 4, maxDf = 1)
+      .head()
+    assert(sr.getLong(2) == 8L && sr.getString(3).isEmpty,
+      "a self-repeating doc empties (every 4-shingle occurs twice+)")
+    // docs shorter than n pass through untouched
+    val short = Dedup.exactSubstringDedup(spark,
+      Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"), n = 4, maxDf = 1)
+      .collect().map(r => r.getString(3))
+    assert(short.forall(_ == "a b"))
+  }
+
   test("spanDedup invariants on a seeded random corpus") {
     // 120 docs over a 12-word vocab, lengths 1..40 — plenty of genuine
     // block collisions. Invariants the closed-form fixture can't sweep:
