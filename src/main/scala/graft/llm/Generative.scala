@@ -567,10 +567,12 @@ object Generative {
     * (e, f, t). The exploded (sid, j, e, f) frame — Model 1's
     * |f|·(|e|+1) pair space per sentence — is built ONCE and persisted;
     * each iteration is: join t → per-(sid, j) WINDOW normalizer →
-    * expected-count aggregate → per-e window ratio. The window sums
-    * replace aggregate+join-back pairs, so the big frame shuffles once
-    * per iteration instead of twice (measured: −9% on the sf0.1 gate);
-    * the t-table localCheckpoints per iteration. */
+    * expected-count aggregate → per-e ratio. The (sid,j) window sum
+    * replaces an aggregate + join-back, so the BIG frame shuffles once
+    * per iteration instead of twice (measured: −5..9% on the sf0.1
+    * gate) and its groups are sentence-length-bounded (skew-safe); the
+    * per-e totals stay a join (see inline note on skew). The t-table
+    * localCheckpoints per iteration. */
   private def ibm1Em(pairs: DataFrame, srcCol: String, tgtCol: String,
       iters: Int): DataFrame = {
     val src = TextMetrics.tokens(col(srcCol))
@@ -595,14 +597,19 @@ object Generative {
            .withColumn("tv", coalesce(col("t"), lit(init))).drop("t"))
       // per-(sid,j) normalizer as a WINDOW sum: one shuffle of the
       // exploded frame instead of two (aggregate + join-back would
-      // re-shuffle the big frame onto (sid,j) a second time); same for
-      // the per-e totals over the much smaller counts frame
+      // re-shuffle the big frame onto (sid,j) a second time). SKEW-SAFE
+      // because a (sid,j) group is one target position's |e|+1 rows —
+      // sentence-length-bounded, never corpus-bounded.
       val wz = org.apache.spark.sql.expressions.Window.partitionBy("sid", "j")
       val counts = scored.withColumn("z", sum(col("tv")).over(wz))
         .withColumn("d", col("tv") / col("z"))
         .groupBy("e", "f").agg(sum("d").as("cef"))
-      val we = org.apache.spark.sql.expressions.Window.partitionBy("e")
-      val tNew = counts.withColumn("ce", sum(col("cef")).over(we))
+      // per-e totals DELIBERATELY stay aggregate + join-back: an `e`
+      // group is df-like (a stopword e aligns with much of the target
+      // vocab), and WindowExec cannot skew-split where AQE's skew-join
+      // can — same trade as ds_tfidf_keywords' df join
+      val totals = counts.groupBy("e").agg(sum("cef").as("ce"))
+      val tNew = counts.join(totals, "e")
         .select(col("e"), col("f"), (col("cef") / col("ce")).as("t"))
         .localCheckpoint()
       t = tNew

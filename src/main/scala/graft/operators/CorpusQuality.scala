@@ -163,6 +163,12 @@ object CorpusQuality {
     val docs = Tables.documents(s, dir)
     val tok = docs.select($"doc_id", explode(toksNE($"text")).as("term"))
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // df DELIBERATELY stays an aggregate + join-back rather than a
+    // window count (the IBM-1 EM rewrite): a window over `term` puts a
+    // stopword's every (doc, term) row in ONE partition that WindowExec
+    // cannot split, while AQE's skew-join splits the equivalent join
+    // partition — the join route costs ~8% more at sf0.1 and survives
+    // term skew at corpus scale, which is the design bar here
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")

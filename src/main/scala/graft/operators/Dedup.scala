@@ -479,6 +479,7 @@ object Dedup {
       maxDf: Long = 1L): DataFrame = {
     import s.implicits._
     val tk = docs.select($"doc_id", toks($"text").as("t"))
+      .filter($"t".isNotNull) // null text → null token array, not a row
     val sh = tk.filter(size($"t") >= n)
       .select($"doc_id", posexplode(
         transform(sequence(lit(1), size($"t") - (n - 1)),
