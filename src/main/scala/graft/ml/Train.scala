@@ -334,10 +334,14 @@ object Train {
       new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 100))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
     case ("regression", "bagging") =>
-      // bagging-of-trees == random forest with ALL features per split
-      new RandomForestRegressor().setNumTrees(hpi(h, "n_estimators", 10))
+      // sklearn BaggingRegressor scheme (per-estimator bootstrap +
+      // per-estimator feature subsets + mean vote) — see Bagging.scala
+      new BaggingRegressor().setNumEstimators(hpi(h, "n_estimators", 10))
+        .setMaxSamples(hp(h, "max_samples", 1.0))
+        .setMaxFeatures(hp(h, "max_features", 1.0))
+        .setBootstrap(hpb(h, "bootstrap", true))
+        .setBootstrapFeatures(hpb(h, "bootstrap_features", false))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
-        .setFeatureSubsetStrategy("all")
     // ---------------- classification
     case ("classification", "linear") =>
       new LogisticRegression().setMaxIter(hpi(h, "max_iterations", hpi(h, "max_iter", 100)))
@@ -488,9 +492,14 @@ object Train {
           .setGamma(hp(h, "gamma", -1.0)).setSeed(seed),
         linearClassifier("rff_features")))
     case ("classification", "bagging") =>
-      new RandomForestClassifier().setNumTrees(hpi(h, "n_estimators", 10))
+      // sklearn BaggingClassifier scheme (per-estimator bootstrap +
+      // per-estimator feature subsets + soft voting) — see Bagging.scala
+      new BaggingClassifier().setNumEstimators(hpi(h, "n_estimators", 10))
+        .setMaxSamples(hp(h, "max_samples", 1.0))
+        .setMaxFeatures(hp(h, "max_features", 1.0))
+        .setBootstrap(hpb(h, "bootstrap", true))
+        .setBootstrapFeatures(hpb(h, "bootstrap_features", false))
         .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
-        .setFeatureSubsetStrategy("all")
     // ---------------- clustering
     case ("clustering", "kmeans" | "mini_batch_kmeans") =>
       new KMeans().setK(hpi(h, "n_clusters", 8)).setSeed(seed)
@@ -606,7 +615,10 @@ object Train {
     case "svm" | "kernel_ridge" | "nu_svm" => Map("compat" -> "rff_kernel_approx")
     case "gaussian_process" => Map("compat" -> "rff_gp_approx")
     case "bayesian_ridge" => Map("compat" -> "ridge_point_estimate")
-    case "bagging" => Map("compat" -> "bagged_trees")
+    // bagging is now the sklearn scheme itself (Bagging.scala); the
+    // one stated substitution is the Poisson bootstrap in place of an
+    // exact-n resample (Chamandy et al. 2012 — the data-parallel form)
+    case "bagging" => Map("compat" -> "poisson_bootstrap")
     case "perceptron" => Map("compat" -> "logistic")
     case "mini_batch_kmeans" => Map("compat" -> "kmeans")
     case "birch" => Map("compat" -> "bisecting_kmeans")

@@ -1,0 +1,115 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sklearn-scheme bagging (Bagging scaladoc): per-estimator bootstrap +
+  * feature subsets, soft-vote classification, mean-vote regression,
+  * persistence round-trip, and the Train dispatch knobs. */
+class BaggingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def clsFixture = (1 to 200).map { i =>
+    val y = if (i % 2 == 0) 1.0 else 0.0
+    // signal in feature 0, noise in 1..3
+    (Vectors.dense(y * 4 + (i % 5) * 0.2, (i % 7).toDouble,
+      (i % 11).toDouble, (i % 3).toDouble), y)
+  }.toDF("features", "label")
+
+  test("classification: bagged trees separate, probabilities sum to 1") {
+    val m = new BaggingClassifier().setNumEstimators(5).setSeed(7).fit(clsFixture)
+    val out = m.transform(clsFixture).select("prediction", "label", "probability")
+    assert(out.filter($"prediction" =!= $"label").count() == 0)
+    val p = out.head().getAs[Vector]("probability")
+    assert(math.abs(p.toArray.sum - 1.0) < 1e-9)
+  }
+
+  test("soft voting: raw scores are summed per-tree leaf distributions") {
+    val m = new BaggingClassifier().setNumEstimators(3).setSeed(1).fit(clsFixture)
+    val flat = m.getOrDefault(m.treesFlat)
+    val off = m.getOrDefault(m.treeOffsets)
+    val dist = m.getOrDefault(m.leafDist)
+    val v = Vectors.dense(4.4, 1.0, 2.0, 1.0)
+    val manual = new Array[Double](2)
+    (0 until off.length - 1).foreach { t =>
+      val leaf = BaggingCore.leafIndex(flat, off(t), v)
+      val pos = flat(off(t) + leaf * 5 + 4).toInt
+      (0 until 2).foreach(c => manual(c) += dist(pos + c))
+    }
+    assert(m.predictRaw(v).toArray.zip(manual).forall { case (a, b) =>
+      math.abs(a - b) < 1e-12 })
+  }
+
+  test("max_features draws a per-estimator subset; trees stay in the original space") {
+    // d = 4, max_features = 0.5 → each tree trains on 2 features; after
+    // the remap every split id must still address the 4-dim vector
+    val m = new BaggingClassifier().setNumEstimators(6).setMaxFeatures(0.5)
+      .setSeed(3).fit(clsFixture)
+    val flat = m.getOrDefault(m.treesFlat)
+    val off = m.getOrDefault(m.treeOffsets)
+    val perTreeFeats = (0 until off.length - 1).map { t =>
+      (off(t) until off(t + 1) by 5).collect {
+        case p if flat(p) >= 0 => flat(p).toInt
+      }.toSet
+    }
+    assert(perTreeFeats.forall(s => s.subsetOf(Set(0, 1, 2, 3))))
+    // a 2-feature subset can never split on 3+ distinct features
+    assert(perTreeFeats.forall(_.size <= 2))
+    // seeded draws differ across estimators (not all trees saw feature 0)
+    assert(perTreeFeats.exists(!_.contains(0)))
+    // drawFeatures itself: floor(0.5·4)=2, sorted, within range, no dups
+    val idx = BaggingCore.drawFeatures(4, 0.5, withReplacement = false,
+      new scala.util.Random(9))
+    assert(idx.length == 2 && idx.distinct.length == 2 && idx.forall(i => i >= 0 && i < 4))
+  }
+
+  test("bootstrap=false, max_samples=1.0: every tree sees the full frame → identical trees") {
+    val m = new BaggingClassifier().setNumEstimators(3).setBootstrap(false)
+      .setSeed(5).fit(clsFixture)
+    val flat = m.getOrDefault(m.treesFlat)
+    val off = m.getOrDefault(m.treeOffsets)
+    val dist = m.getOrDefault(m.leafDist)
+    // canonical form: leaf slot-4 is a POINTER into the shared dist
+    // buffer (differs per tree even for identical trees) — substitute
+    // the pointed-to distribution before comparing
+    def canon(t: Int): Seq[Any] =
+      (off(t) until off(t + 1) by 5).flatMap { p =>
+        if (flat(p) < 0) Seq("leaf", dist.slice(flat(p + 4).toInt,
+          flat(p + 4).toInt + 2).toSeq)
+        else flat.slice(p, p + 5).toSeq
+      }
+    val t0 = canon(0)
+    (1 until off.length - 1).foreach(t => assert(canon(t) == t0))
+  }
+
+  test("regression: mean vote fits a step function; persistence round-trips") {
+    val df = (1 to 200).map { i =>
+      val x = (i % 20).toDouble
+      (Vectors.dense(x, (i % 3).toDouble), if (x < 10) 1.0 else 5.0)
+    }.toDF("features", "label")
+    val m = new BaggingRegressor().setNumEstimators(5).setSeed(11).fit(df)
+    val mse = m.transform(df)
+      .select(avg(($"prediction" - $"label") * ($"prediction" - $"label")))
+      .head().getDouble(0)
+    assert(mse < 0.1, s"bagged regression mse $mse")
+    val dir = java.nio.file.Files.createTempDirectory("bagspec").toString + "/m"
+    m.write.overwrite().save(dir)
+    val loaded = BaggingRegressionModel.load(dir)
+    val v = Vectors.dense(3.0, 1.0)
+    assert(loaded.predict(v) == m.predict(v))
+  }
+
+  test("Train dispatch: bagging honors the sklearn knobs with a clean scheme ledger") {
+    val est = Train.estimatorFor("classification", "bagging",
+      Map("n_estimators" -> "4", "max_features" -> "0.5", "max_samples" -> "0.8"),
+      seed = 42L)
+    val bc = est.asInstanceOf[BaggingClassifier]
+    assert(bc.getOrDefault(bc.numEstimators) == 4)
+    assert(bc.getOrDefault(bc.maxFeatures) == 0.5)
+    assert(bc.getOrDefault(bc.maxSamples) == 0.8)
+  }
+
+  private def avg(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.avg(c)
+}
