@@ -585,6 +585,88 @@ object Similarity {
     filled.join(broadcast(bar)).drop("__m").orderBy($"qid")
   }
 
+  /** IVF-PQ ANN — the two halves composed the way FAISS's IndexIVFPQ
+    * does (Jégou, Douze & Schmid 2011 §IV, residual encoding): a
+    * trained coarse quantizer prunes the search to `nprobe` cells, and
+    * WITHIN a cell every candidate is scanned as m PQ bytes encoding
+    * its RESIDUAL v − centroid(cell) (residuals have smaller energy
+    * than raw vectors, so the same code budget quantizes finer); the
+    * query recomputes its own residual — and hence its ADC table — per
+    * probed cell, then the ADC shortlist reranks by exact distance.
+    *
+    * Scale position: this is the missing link between the repo's IVF
+    * gates (cell-pruned but full-vector in-cell math) and the PQ gate
+    * (m-byte scan but over the WHOLE corpus — its measured exponent
+    * 0.64 is exactly that full scan). Here per-query work is
+    * nprobe · targetCellRows CODE scans + a 50-row exact rerank: the
+    * corpus never shuffles (residual encode is a stateless map; the
+    * serve join broadcasts the query batch against the cell-keyed
+    * codes), and per-query cost is corpus-size-independent by
+    * construction. Rows-only gate (two trained artifacts — centroids
+    * and codebook — have no SQL twin); mean recall vs the exact top-10,
+    * computed in-gate, floors the output at 0.3. */
+  def sim_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val n = e.count()
+    val quant = KMeansQuantizer.fitSampled(e,
+      KMeansQuantizer.chooseK(n, targetCellRows = 500L), n)
+    val centLit = typedlit(quant.centroids.map(_.toSeq).toSeq)
+    val withCell = e.withColumn("cell", quant.cellCol($"v"))
+      .withColumn("resid",
+        zip_with($"v", element_at(centLit, ($"cell" + 1).cast("int")), (a, b) => a - b))
+    val d = e.select(size($"v")).head().getInt(0)
+    val m = Seq(16, 8, 4, 2, 1).find(d % _ == 0).get
+    // PQ trains on residuals (sampled, driver-side, like the raw-PQ gate)
+    val cb = ProductQuantizer.train(withCell.select($"resid"), "resid", m = m, k = 64)
+    val codes = ProductQuantizer.encode(withCell, "resid", cb)
+      .select($"vec_id".as("cid"), $"cell", $"v".as("vc"), $"pq_codes")
+    // query side: one residual ADC table PER probed cell. nprobe grows
+    // as √numCells — the standard recall-stability rule as nlist grows
+    // with the corpus (per-query candidates = nprobe·targetCellRows =
+    // O(√n·cellRows): recall holds while work stays strongly sublinear;
+    // a FIXED nprobe keeps work constant but lets recall decay toward
+    // nprobe/numCells on weakly clustered corpora)
+    val nprobe = math.max(2, math.ceil(math.sqrt(quant.numCells)).toInt)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("vq"))
+      .withColumn("cell", explode(quant.probeCol($"vq", nprobe)))
+      .withColumn("qresid",
+        zip_with($"vq", element_at(centLit, ($"cell" + 1).cast("int")), (a, b) => a - b))
+      .withColumn("tbl", ProductQuantizer.adcTableCol($"qresid", cb))
+    val scored = broadcast(q).join(codes, Seq("cell"))
+      .filter($"qid" =!= $"cid")
+      .withColumn("adc", ProductQuantizer.adcDist($"pq_codes", $"tbl"))
+      .select($"qid", $"cid", $"adc", $"vq", $"vc")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"adc".asc, $"cid")
+    // exact math only on the 50-row ADC shortlist (the FAISS refine)
+    val answered = scored.withColumn("rnA", row_number().over(wA))
+      .filter($"rnA" <= 50)
+      .withColumn("ex", sqdist($"vq", $"vc"))
+      .withColumn("rnR", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"ex".asc, $"cid")))
+      .filter($"rnR" <= 10).select($"qid", $"cid")
+    // truth for the recall floor: EXACT top-10 over the full corpus
+    // (10 fixed queries broadcast — O(n) gate-quality work, not serving)
+    val allQ = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("vq"))
+    val truth = broadcast(allQ)
+      .join(e.select($"vec_id".as("cid"), $"v".as("vc")), $"qid" =!= $"cid")
+      .withColumn("ex", sqdist($"vq", $"vc"))
+      .withColumn("rnE", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"ex".asc, $"cid")))
+      .filter($"rnE" <= 10).select($"qid", $"cid")
+    val per = truth.join(answered, Seq("qid", "cid"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_overlap"))
+    val filled = allQ.select($"qid").join(per, Seq("qid"), "left")
+      .select($"qid", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .withColumn("recall", $"n_overlap".cast("double") / lit(10.0))
+    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.3)
+    filled.join(broadcast(bar)).drop("__m").orderBy($"qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine"    -> sim_topk_cosine _,
     "sim_neardup_cosine" -> sim_neardup_cosine _,
@@ -594,7 +676,8 @@ object Similarity {
     "sim_ann_ivf_indexed" -> sim_ann_ivf_indexed _,
     "sim_knn_graph"      -> sim_knn_graph _,
     "sim_knn_graph_trained" -> sim_knn_graph_trained _,
-    "sim_ann_pq"         -> sim_ann_pq _
+    "sim_ann_pq"         -> sim_ann_pq _,
+    "sim_ann_ivfpq"      -> sim_ann_ivfpq _
   )
 
   val oracles: Map[String, String] = Map(

@@ -76,4 +76,52 @@ class PqSpec extends AnyFunSuite {
     val wrong = top.filter($"qid" % 3 =!= $"cid" % 3).count()
     assert(wrong == 0, s"$wrong of 45 ADC neighbors crossed clusters")
   }
+
+  test("sim_ann_ivfpq gate: 10 queries answered, recall floored, deterministic") {
+    val out = Similarity.queries("sim_ann_ivfpq")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.length == 10)
+    val recalls = out.map(_.getAs[Double]("recall"))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"IVF-PQ mean recall $mean under the gate floor")
+    // trained artifacts are seeded → the gate is replay-stable
+    val again = Similarity.queries("sim_ann_ivfpq")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getAs[Double]("recall")).toSeq
+    assert(again == recalls.toSeq)
+  }
+
+  test("IVF-PQ residual advantage: same code budget, finer quantization") {
+    // four tight clusters far apart with k=4 codewords: raw PQ must
+    // spend its ENTIRE codebook on the between-cluster offsets, leaving
+    // nothing for within-cluster detail; residual PQ spends the same
+    // budget purely on the small within-cluster spread
+    import graft.operators.{KMeansQuantizer, ProductQuantizer => PQ}
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 120L).map { i =>
+      val base = (i % 4) * 50.0
+      (i, Seq.fill(4)(base + rng.nextGaussian()))
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val quant = KMeansQuantizer.fit(df, 4)
+    val centLit = typedlit(quant.centroids.map(_.toSeq).toSeq)
+    val withCell = df.withColumn("cell", quant.cellCol($"v"))
+      .withColumn("resid", zip_with($"v", element_at(centLit, ($"cell" + 1).cast("int")),
+        (a, b) => a - b))
+    val cbRaw = PQ.train(df, "v", m = 2, k = 4)
+    val cbRes = PQ.train(withCell.select($"resid"), "resid", m = 2, k = 4)
+    def meanAdcErr(encoded: org.apache.spark.sql.DataFrame, vCol: String,
+        cb: PQ.Codebook): Double = {
+      // reconstruction error ‖x − decode(encode(x))‖² averaged: ADC of
+      // x against its own codes IS that error
+      encoded.withColumn("tbl", PQ.adcTableCol(col(vCol), cb))
+        .withColumn("err", PQ.adcDist($"pq_codes", $"tbl"))
+        .agg(avg($"err")).head().getDouble(0)
+    }
+    val rawErr = meanAdcErr(PQ.encode(df, "v", cbRaw), "v", cbRaw)
+    val resErr = meanAdcErr(PQ.encode(withCell, "resid", cbRes), "resid", cbRes)
+    assert(resErr < rawErr / 2,
+      s"residual PQ error $resErr not clearly under raw PQ error $rawErr")
+  }
 }
