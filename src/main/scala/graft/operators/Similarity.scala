@@ -605,13 +605,16 @@ object Similarity {
     * construction. Rows-only gate (two trained artifacts — centroids
     * and codebook — have no SQL twin); mean recall vs the exact top-10,
     * computed in-gate, floors the output at 0.3. */
-  def sim_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = emb(s, dir)
-    val n = e.count()
-    val quant = KMeansQuantizer.fitSampled(e,
-      KMeansQuantizer.chooseK(n, targetCellRows = 500L), n)
-    val centLit = typedlit(quant.centroids.map(_.toSeq).toSeq)
+  /** The IVF-PQ SERVE path alone (what a production retrieval job runs
+    * per batch, and what PLANS.md audits — the gate wraps this in an
+    * O(n) exact-truth recall audit whose broadcast-nested-loop shapes
+    * are quality-check machinery, not serving): residual-encode the
+    * corpus once, then per query probe `nprobe` cells, ADC-scan their
+    * codes, exact-rerank the 50-row shortlist. */
+  def annIvfPqServe(e: DataFrame, quant: CoarseQuantizer,
+      queryPred: Column, topK: Int = 10, shortlist: Int = 50): DataFrame = {
+    import e.sparkSession.implicits._
+    val centLit = typedlit((0 until quant.numCells).map(quant.centroid))
     val withCell = e.withColumn("cell", quant.cellCol($"v"))
       .withColumn("resid",
         zip_with($"v", element_at(centLit, ($"cell" + 1).cast("int")), (a, b) => a - b))
@@ -628,7 +631,7 @@ object Similarity {
     // a FIXED nprobe keeps work constant but lets recall decay toward
     // nprobe/numCells on weakly clustered corpora)
     val nprobe = math.max(2, math.ceil(math.sqrt(quant.numCells)).toInt)
-    val q = e.filter($"vec_id" < 10)
+    val q = e.filter(queryPred)
       .select($"vec_id".as("qid"), $"v".as("vq"))
       .withColumn("cell", explode(quant.probeCol($"vq", nprobe)))
       .withColumn("qresid",
@@ -640,14 +643,23 @@ object Similarity {
       .select($"qid", $"cid", $"adc", $"vq", $"vc")
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"adc".asc, $"cid")
-    // exact math only on the 50-row ADC shortlist (the FAISS refine)
-    val answered = scored.withColumn("rnA", row_number().over(wA))
-      .filter($"rnA" <= 50)
+    // exact math only on the shortlist (the FAISS refine)
+    scored.withColumn("rnA", row_number().over(wA))
+      .filter($"rnA" <= shortlist)
       .withColumn("ex", sqdist($"vq", $"vc"))
       .withColumn("rnR", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"qid").orderBy($"ex".asc, $"cid")))
-      .filter($"rnR" <= 10).select($"qid", $"cid")
+      .filter($"rnR" <= topK).select($"qid", $"cid")
+  }
+
+  def sim_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val n = e.count()
+    val quant = KMeansQuantizer.fitSampled(e,
+      KMeansQuantizer.chooseK(n, targetCellRows = 500L), n)
+    val answered = annIvfPqServe(e, quant, $"vec_id" < 10)
     // truth for the recall floor: EXACT top-10 over the full corpus
     // (10 fixed queries broadcast — O(n) gate-quality work, not serving)
     val allQ = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("vq"))
