@@ -60,6 +60,16 @@ trait CoarseQuantizer extends Serializable {
   protected def sqdist(a: Column, b: Column): Column =
     call_function("graft_sqdist", a, b)
 
+  /** v − centroid(cell): the residual IVF-PQ encodes (Jégou et al.
+    * 2011 §IV — residuals have smaller energy than raw vectors, so the
+    * same PQ code budget quantizes finer). `cell` is the row's
+    * already-computed owner (corpus side) or probed cell (query side,
+    * which recomputes its residual PER probed cell). */
+  def residualCol(v: Column, cell: Column): Column =
+    zip_with(v, element_at(
+      typedlit((0 until numCells).map(centroid)), (cell + 1).cast("int")),
+      (a, b) => a - b)
+
   /** Default probe list via a sorted array of (distance, id) structs —
     * generated-code size grows with numCells, acceptable query-side. */
   protected def probeBySort(v: Column, nprobe: Int): Column =

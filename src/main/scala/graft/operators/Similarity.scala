@@ -614,10 +614,8 @@ object Similarity {
   def annIvfPqServe(e: DataFrame, quant: CoarseQuantizer,
       queryPred: Column, topK: Int = 10, shortlist: Int = 50): DataFrame = {
     import e.sparkSession.implicits._
-    val centLit = typedlit((0 until quant.numCells).map(quant.centroid))
     val withCell = e.withColumn("cell", quant.cellCol($"v"))
-      .withColumn("resid",
-        zip_with($"v", element_at(centLit, ($"cell" + 1).cast("int")), (a, b) => a - b))
+      .withColumn("resid", quant.residualCol($"v", $"cell"))
     val d = e.select(size($"v")).head().getInt(0)
     val m = Seq(16, 8, 4, 2, 1).find(d % _ == 0).get
     // PQ trains on residuals (sampled, driver-side, like the raw-PQ gate)
@@ -634,8 +632,7 @@ object Similarity {
     val q = e.filter(queryPred)
       .select($"vec_id".as("qid"), $"v".as("vq"))
       .withColumn("cell", explode(quant.probeCol($"vq", nprobe)))
-      .withColumn("qresid",
-        zip_with($"vq", element_at(centLit, ($"cell" + 1).cast("int")), (a, b) => a - b))
+      .withColumn("qresid", quant.residualCol($"vq", $"cell"))
       .withColumn("tbl", ProductQuantizer.adcTableCol($"qresid", cb))
     val scored = broadcast(q).join(codes, Seq("cell"))
       .filter($"qid" =!= $"cid")

@@ -257,6 +257,57 @@ object StreamingOps {
         (col("r") + 1).cast("long").as("rank"))
   }
 
+  /** IVF-PQ-encode a static candidate pool — the build side of
+    * [[ivfpqRetrieveStream]] and the streaming twin of
+    * `sim_ann_ivfpq`'s build pass: one cell assignment + one RESIDUAL
+    * PQ encode, both stateless codegen maps. At scale the result is
+    * written partitioned by `cell` so each micro-batch reads only the
+    * probed cells' files AND touches m bytes per candidate — the two
+    * pruning axes composed. Input needs (vec_id, v: array<double>);
+    * `cb` must be trained on the pool's residuals (train it on
+    * `pool.select(quant.residualCol(col("v"), quant.cellCol(col("v"))))`). */
+  def ivfpqEncodePool(pool: DataFrame, quant: graft.operators.CoarseQuantizer,
+      cb: graft.operators.ProductQuantizer.Codebook): DataFrame = {
+    graft.functions.GraftFunctions.register(pool.sparkSession)
+    val withCell = pool.withColumn("cell", quant.cellCol(col("v")))
+      .withColumn("resid", quant.residualCol(col("v"), col("cell")))
+    graft.operators.ProductQuantizer.encode(withCell, "resid", cb)
+      .select(col("vec_id").as("cid"), col("cell"), col("pq_codes"))
+  }
+
+  /** Streaming IVF-PQ retrieval — the streaming twin of
+    * `sim_ann_ivfpq`'s serve path (Similarity.annIvfPqServe): each
+    * micro-batch query probes its `nprobe` nearest cells, computes one
+    * RESIDUAL ADC table per probed cell (residual differs per cell, so
+    * the table must too), joins the cell-keyed byte-coded pool
+    * stream-static on `cell`, scores through the codegen
+    * `graft_pq_adc` lookup-sum, and keeps the ADC top-k via the
+    * BOUNDED `graft_topk_min` aggregate (per-query state = k pairs).
+    * Candidates outside the probed cells are never read — the join
+    * key prunes them before any byte is touched. Exact rerank of the
+    * shortlist is the downstream consumer's stage, as in batch. */
+  def ivfpqRetrieveStream(queries: DataFrame, encodedPool: DataFrame,
+      quant: graft.operators.CoarseQuantizer,
+      cb: graft.operators.ProductQuantizer.Codebook,
+      topK: Int = 10, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries
+      .withColumn("cell", explode(quant.probeCol(col("v"), nprobe)))
+      .withColumn("qresid", quant.residualCol(col("v"), col("cell")))
+      .select(col("vec_id").as("qid"), col("cell"),
+        graft.operators.ProductQuantizer.adcTableCol(col("qresid"), cb).as("tbl"))
+    q.join(encodedPool, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc",
+        graft.operators.ProductQuantizer.adcDist(col("pq_codes"), col("tbl")))
+      .groupBy(col("qid"))
+      .agg(call_function("graft_topk_min",
+        col("adc"), col("cid"), lit(topK)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("qid"), col("t.id").as("cid"), col("t.score").as("adc"),
+        (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Streaming exact dedup — the streaming twin of dd_exact: documents
     * keyed by content fingerprint, first arrival wins, duplicates
     * dropped. `dropDuplicates` keeps per-key state; the watermark bounds

@@ -351,6 +351,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ retrieval matches the batch in-probed-cell ADC ranking") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val quant = graft.operators.LcgQuantizer
+    // codebook trains on RESIDUALS, exactly as the batch op documents
+    val cb = graft.operators.ProductQuantizer.train(
+      e.select(quant.residualCol($"v", quant.cellCol($"v")).as("resid")),
+      "resid", m = 16, k = 64)
+    val pool = StreamingOps.ivfpqEncodePool(e, quant, cb).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_in").toString
+    e.filter($"vec_id" < 10).coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = StreamingOps.ivfpqRetrieveStream(stream, pool, quant, cb,
+        topK = 10, nprobe = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ivfpq_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ivfpq_out")
+        .select($"qid", $"cid", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch truth: the same probed-cell ADC scan ranked (adc asc, cid asc)
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"adc".asc, $"cid")
+      val batch = e.filter($"vec_id" < 10)
+        .withColumn("cell", explode(quant.probeCol($"v", 2)))
+        .withColumn("qresid", quant.residualCol($"v", $"cell"))
+        .select($"vec_id".as("qid"), $"cell",
+          graft.operators.ProductQuantizer.adcTableCol($"qresid", cb).as("tbl"))
+        .join(pool, Seq("cell"))
+        .filter($"qid" =!= $"cid")
+        .withColumn("adc",
+          graft.operators.ProductQuantizer.adcDist($"pq_codes", $"tbl"))
+        .withColumn("rank", row_number().over(wA).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"qid", $"cid", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream ${streamed.size} rows vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: exact tf parity, bounded-error df") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
