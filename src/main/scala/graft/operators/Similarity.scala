@@ -650,6 +650,64 @@ object Similarity {
       .filter($"rnR" <= topK).select($"qid", $"cid")
   }
 
+  /** Write the corpus as a PERSISTENT IVF-PQ index: one parquet table
+    * PARTITIONED BY the quantizer cell, holding the full vector AND the
+    * m-byte PQ codes of the RESIDUAL v − centroid(cell). Serving prunes
+    * on two independent axes: partition pruning limits every scan to
+    * the probed cells, and parquet COLUMN pruning keeps the ADC pass on
+    * the codes column alone — the full-vector column is only read by
+    * the shortlist rerank's second, equally partition-pruned scan.
+    * Same train-once-serve-many store discipline as [[writeIvfIndex]]
+    * (content-addressed path under `graft.index.root`). */
+  def writeIvfPqIndex(e: DataFrame, quant: CoarseQuantizer,
+      cb: ProductQuantizer.Codebook, path: String): Unit = {
+    val withCell = e.withColumn("cell", quant.cellCol(col("v")))
+      .withColumn("resid", quant.residualCol(col("v"), col("cell")))
+    ProductQuantizer.encode(withCell, "resid", cb)
+      .select(col("vec_id"), col("v"), col("pq_codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe a persistent IVF-PQ index (the indexed twin of
+    * [[annIvfPqServe]]): the ADC pass reads ONLY (pq_codes, vec_id) of
+    * the probed cells — dynamic partition pruning from the cell
+    * equi-join plus column pruning from the pinned read schema — and
+    * the exact rerank re-fetches full vectors for the ≤`shortlist`
+    * survivors per query through a second (cell, cid)-keyed
+    * partition-pruned scan with the tiny shortlist broadcast. Returns
+    * (qid, cid, ex, rank) — exact squared distance on the reranked
+    * top-k. */
+  def annIvfPqIndexed(s: SparkSession, indexPath: String, queries: DataFrame,
+      quant: CoarseQuantizer, cb: ProductQuantizer.Codebook,
+      topK: Int = 10, shortlist: Int = 50, nprobe: Int = 2): DataFrame = {
+    val codes = s.read
+      .schema("vec_id BIGINT, pq_codes ARRAY<BIGINT>, cell BIGINT")
+      .parquet(indexPath)
+      .select(col("vec_id").as("cid"), col("pq_codes"), col("cell"))
+    val q = queries
+      .withColumn("cell", explode(quant.probeCol(col("v"), nprobe)))
+      .withColumn("qresid", quant.residualCol(col("v"), col("cell")))
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("cell"),
+        ProductQuantizer.adcTableCol(col("qresid"), cb).as("tbl"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").asc, col("cid"))
+    val short = q.join(codes, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("adc", ProductQuantizer.adcDist(col("pq_codes"), col("tbl")))
+      .withColumn("rnA", row_number().over(wA)).filter(col("rnA") <= shortlist)
+      .select(col("qid"), col("vq"), col("cell"), col("cid"))
+    val full = s.read
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, cell BIGINT")
+      .parquet(indexPath)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("cell"))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ex").asc, col("cid"))
+    broadcast(short).join(full, Seq("cell", "cid"))
+      .withColumn("ex", sqdist(col("vq"), col("vc")))
+      .withColumn("rnR", row_number().over(wE)).filter(col("rnR") <= topK)
+      .select(col("qid"), col("cid"), col("ex"),
+        col("rnR").cast("long").as("rank"))
+  }
+
   def sim_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)

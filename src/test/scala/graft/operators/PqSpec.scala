@@ -91,6 +91,38 @@ class PqSpec extends AnyFunSuite {
     assert(again == recalls.toSeq)
   }
 
+  test("persistent IVF-PQ index: storage round-trip parity + two-axis pruning") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val quant = KMeansQuantizer.fit(e, 2)
+    // the same deterministic residual codebook the in-memory serve
+    // trains internally (same m from dim=64, same k/seed/sample)
+    val cb = ProductQuantizer.train(
+      e.withColumn("cell", quant.cellCol($"v"))
+        .select(quant.residualCol($"v", $"cell").as("resid")),
+      "resid", m = 16, k = 64)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx"
+    Similarity.writeIvfPqIndex(e, quant, cb, path)
+    val out = Similarity.annIvfPqIndexed(spark, path,
+      e.filter($"vec_id" < 5), quant, cb, topK = 5, nprobe = 2)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // in-memory serve on the same quantizer: identical ADC scores →
+    // identical shortlist → identical reranked ids (the storage
+    // round-trip changes nothing)
+    val truth = Similarity.annIvfPqServe(e, quant, $"vec_id" < 5, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == truth,
+      s"indexed ${got.size} pairs != in-memory serve ${truth.size}")
+    // two-axis pruning: the ADC pass's scan reads codes WITHOUT the
+    // full-vector column (column pruning from the pinned read schema)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+    assert(schemas.exists(s => s.contains("pq_codes") && !s.contains("v:array")),
+      s"no codes-only scan found in:\n${schemas.mkString("\n")}")
+  }
+
   test("IVF-PQ residual advantage: same code budget, finer quantization") {
     // four tight clusters far apart with k=4 codewords: raw PQ must
     // spend its ENTIRE codebook on the between-cluster offsets, leaving
