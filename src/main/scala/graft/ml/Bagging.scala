@@ -68,6 +68,17 @@ private[ml] trait BaggingParams extends org.apache.spark.ml.param.Params {
 }
 
 private[ml] object BaggingCore {
+  /** Knob sanity up front — a zero-estimator fit would otherwise
+    * surface later as a NaN mean vote, and fractions outside (0, 1]
+    * are outside sklearn's float-knob contract. */
+  def validate(nEst: Int, maxSamples: Double, maxFeatures: Double): Unit = {
+    require(nEst >= 1, s"bagging needs n_estimators >= 1, got $nEst")
+    require(maxSamples > 0.0 && maxSamples <= 1.0,
+      s"bagging max_samples must be in (0, 1], got $maxSamples")
+    require(maxFeatures > 0.0 && maxFeatures <= 1.0,
+      s"bagging max_features must be in (0, 1], got $maxFeatures")
+  }
+
   /** Draw the per-estimator feature subset (sorted; may repeat when
     * withReplacement). ⌊frac·d⌋ floored like sklearn, at least 1. */
   def drawFeatures(d: Int, frac: Double, withReplacement: Boolean,
@@ -172,6 +183,7 @@ class BaggingClassifier(override val uid: String)
   def setSeed(v: Long): this.type = set(seed, v)
 
   override protected def train(ds: Dataset[_]): BaggingClassificationModel = {
+    BaggingCore.validate($(numEstimators), $(maxSamples), $(maxFeatures))
     val k = getNumClasses(ds)
     val df: DataFrame = ds.select(col($(featuresCol)).as("f"),
         col($(labelCol)).cast(DoubleType).as("y"))
@@ -275,6 +287,7 @@ class BaggingRegressor(override val uid: String)
   def setSeed(v: Long): this.type = set(seed, v)
 
   override protected def train(ds: Dataset[_]): BaggingRegressionModel = {
+    BaggingCore.validate($(numEstimators), $(maxSamples), $(maxFeatures))
     val df: DataFrame = ds.select(col($(featuresCol)).as("f"),
         col($(labelCol)).cast(DoubleType).as("y"))
       .na.drop().localCheckpoint()

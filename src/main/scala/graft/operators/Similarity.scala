@@ -616,7 +616,9 @@ object Similarity {
     import e.sparkSession.implicits._
     val withCell = e.withColumn("cell", quant.cellCol($"v"))
       .withColumn("resid", quant.residualCol($"v", $"cell"))
-    val d = e.select(size($"v")).head().getInt(0)
+    val dRow = e.select(size($"v")).head(1)
+    require(dRow.nonEmpty, "IVF-PQ needs a non-empty corpus")
+    val d = dRow(0).getInt(0)
     val m = Seq(16, 8, 4, 2, 1).find(d % _ == 0).get
     // PQ trains on residuals (sampled, driver-side, like the raw-PQ gate)
     val cb = ProductQuantizer.train(withCell.select($"resid"), "resid", m = m, k = 64)
