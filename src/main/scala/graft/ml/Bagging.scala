@@ -227,8 +227,12 @@ class BaggingClassifier(override val uid: String)
             s"bagging: leaf $node got no rows in the distribution pass — " +
               "the seeded sample replayed differently between fit and stats"))
           flat(p + 4) = dists.length.toDouble
+          // a bootstrap sample can miss the HIGHEST class entirely, in
+          // which case this tree's probability vectors are shorter than
+          // k — the absent classes get probability 0, like sklearn's
+          // per-estimator class_ mapping padded to the ensemble's
           var c = 0
-          while (c < k) { dists += dv(c); c += 1 }
+          while (c < k) { dists += (if (c < dv.size) dv(c) else 0.0); c += 1 }
         }
         p += 5
       }

@@ -83,6 +83,23 @@ class BaggingSpec extends AnyFunSuite {
     (1 until off.length - 1).foreach(t => assert(canon(t) == t0))
   }
 
+  test("rare highest class: estimators that miss it still produce k-length distributions") {
+    // class 2 has two rows; at max_samples=0.3 most Poisson bootstraps
+    // drop it entirely, so those trees train on 2 classes and their
+    // leaf distributions must pad to k=3 (deterministic under the seed)
+    val df = ((1 to 60).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (Vectors.dense(y * 4 + (i % 5) * 0.2, (i % 7).toDouble), y)
+    } ++ Seq((Vectors.dense(20.0, 1.0), 2.0), (Vectors.dense(20.2, 2.0), 2.0)))
+      .toDF("features", "label")
+    val m = new BaggingClassifier().setNumEstimators(8).setMaxSamples(0.3)
+      .setSeed(17).fit(df)
+    assert(m.numClasses == 3)
+    val probs = m.transform(df).select("probability").collect()
+      .map(_.getAs[Vector](0))
+    assert(probs.forall(p => p.size == 3 && math.abs(p.toArray.sum - 1.0) < 1e-9))
+  }
+
   test("regression: mean vote fits a step function; persistence round-trips") {
     val df = (1 to 200).map { i =>
       val x = (i % 20).toDouble
