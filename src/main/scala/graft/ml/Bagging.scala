@@ -54,9 +54,9 @@ import scala.collection.mutable.ArrayBuffer
 private[ml] trait BaggingParams extends org.apache.spark.ml.param.Params {
   final val numEstimators = new IntParam(this, "numEstimators", "n_estimators")
   final val maxSamples = new DoubleParam(this, "maxSamples",
-    "row-sample fraction per estimator (sklearn max_samples)")
+    "rows per estimator: fraction in (0,1] or absolute count above 1 (sklearn max_samples)")
   final val maxFeatures = new DoubleParam(this, "maxFeatures",
-    "feature fraction per estimator (sklearn max_features)")
+    "features per estimator: fraction in (0,1] or absolute count above 1 (sklearn max_features)")
   final val bootstrap = new BooleanParam(this, "bootstrap",
     "rows drawn with replacement (Poisson bootstrap)")
   final val bootstrapFeatures = new BooleanParam(this, "bootstrapFeatures",
@@ -69,25 +69,49 @@ private[ml] trait BaggingParams extends org.apache.spark.ml.param.Params {
 
 private[ml] object BaggingCore {
   /** Knob sanity up front — a zero-estimator fit would otherwise
-    * surface later as a NaN mean vote, and fractions outside (0, 1]
-    * are outside sklearn's float-knob contract. */
+    * surface later as a NaN mean vote. Values in (0, 1] are fractions;
+    * values above 1 follow sklearn's INT form of the same knobs
+    * (absolute counts) and must be whole numbers. */
   def validate(nEst: Int, maxSamples: Double, maxFeatures: Double): Unit = {
     require(nEst >= 1, s"bagging needs n_estimators >= 1, got $nEst")
-    require(maxSamples > 0.0 && maxSamples <= 1.0,
-      s"bagging max_samples must be in (0, 1], got $maxSamples")
-    require(maxFeatures > 0.0 && maxFeatures <= 1.0,
-      s"bagging max_features must be in (0, 1], got $maxFeatures")
+    def knob(name: String, v: Double): Unit = {
+      require(v > 0.0, s"bagging $name must be positive, got $v")
+      require(v <= 1.0 || v == math.floor(v),
+        s"bagging $name above 1 is an absolute count and must be whole, got $v")
+    }
+    knob("max_samples", maxSamples)
+    knob("max_features", maxFeatures)
   }
 
+  /** sklearn's dual-typed knob: a fraction in (0, 1] of `total`, or an
+    * absolute count above 1 (capped at `total`); at least 1. */
+  def resolveCount(v: Double, total: Int): Int =
+    if (v <= 1.0) math.max(1, (v * total).toInt)
+    else math.min(total, v.toInt)
+
+  /** The row-sample fraction Spark's `sample` needs for the knob. */
+  def resolveFraction(v: Double, total: Long): Double =
+    if (v <= 1.0) v else math.min(1.0, v / total)
+
   /** Draw the per-estimator feature subset (sorted; may repeat when
-    * withReplacement). ⌊frac·d⌋ floored like sklearn, at least 1. */
-  def drawFeatures(d: Int, frac: Double, withReplacement: Boolean,
+    * withReplacement). Fraction knobs floor like sklearn, at least 1. */
+  def drawFeatures(d: Int, maxFeatures: Double, withReplacement: Boolean,
       rng: scala.util.Random): Array[Int] = {
-    val k = math.max(1, (frac * d).toInt)
+    val k = resolveCount(maxFeatures, d)
     if (!withReplacement && k >= d) Array.range(0, d)
     else if (withReplacement) Array.fill(k)(rng.nextInt(d)).sorted
     else rng.shuffle(List.range(0, d)).take(k).sorted.toArray
   }
+
+  /** True when the subset is the identity — the default
+    * max_features=1.0 path, where slicing would be a pure per-row copy
+    * (and would densify sparse vectors) for nothing. */
+  def isIdentity(idx: Array[Int], d: Int): Boolean =
+    idx.length == d && {
+      var i = 0
+      while (i < d && idx(i) == i) i += 1
+      i == d
+    }
 
   /** Remap split feature ids from the sliced space back to the
     * original vector space, in place. Leaves have slot0 = -1. */
@@ -188,9 +212,9 @@ class BaggingClassifier(override val uid: String)
     val df: DataFrame = ds.select(col($(featuresCol)).as("f"),
         col($(labelCol)).cast(DoubleType).as("y"))
       .na.drop().localCheckpoint() // freeze: seeded sample() must see stable partitions
-    val first = df.head(1)
-    require(first.nonEmpty, "bagging needs at least one training row")
-    val d = first(0).getAs[Vector]("f").size
+    val nRows = df.count()
+    require(nRows > 0, "bagging needs at least one training row")
+    val d = df.head().getAs[Vector]("f").size
     val trees = ArrayBuffer.empty[Array[Double]]
     val dists = ArrayBuffer.empty[Double]
     var m = 0
@@ -198,24 +222,31 @@ class BaggingClassifier(override val uid: String)
       val rng = new scala.util.Random($(seed) + m)
       val featIdx = BaggingCore.drawFeatures(d, $(maxFeatures),
         $(bootstrapFeatures), rng)
-      val sampled = BaggingCore.sampleRows(df, $(bootstrap), $(maxSamples),
-        $(seed) + m)
-      val idx = featIdx // stable closure capture
-      val sliceU = udf((v: Vector) => Vectors.dense(idx.map(v.apply)))
-      val sliced = sampled.withColumn("fs", sliceU(col("f")))
+      val sampled = BaggingCore.sampleRows(df, $(bootstrap),
+        BaggingCore.resolveFraction($(maxSamples), nRows), $(seed) + m)
+      val identity = BaggingCore.isIdentity(featIdx, d)
+      // identity subsets (the default max_features=1.0) train on the
+      // raw column — no per-row copy, sparse vectors stay sparse
+      val (trainFrame, featCol) =
+        if (identity) (sampled, "f")
+        else {
+          val idx = featIdx // stable closure capture
+          val sliceU = udf((v: Vector) => Vectors.dense(idx.map(v.apply)))
+          (sampled.withColumn("fs", sliceU(col("f"))), "fs")
+        }
       val tree = new DecisionTreeClassifier()
-        .setFeaturesCol("fs").setLabelCol("y")
+        .setFeaturesCol(featCol).setLabelCol("y")
         .setMaxDepth($(maxDepth)).setSeed($(seed) + m)
-        .fit(sliced)
+        .fit(trainFrame)
       val flat = AdaBoostCore.flatten(tree.rootNode)
-      BaggingCore.remapFeatures(flat, featIdx)
+      if (!identity) BaggingCore.remapFeatures(flat, featIdx)
       // recover each leaf's class distribution from the tree's own
       // probability output: every row in a leaf carries the same
       // vector, so distinct((leafIndex, probability)) is one row per
       // populated leaf — O(rows) map + O(leaves · k) collect
       val flatLoc = flat
       val leafU = udf((v: Vector) => BaggingCore.leafIndex(flatLoc, 0, v))
-      val leafRows = tree.transform(sliced)
+      val leafRows = tree.transform(trainFrame)
         .select(leafU(col("f")).as("leaf"), col("probability"))
         .distinct().collect()
       val byLeaf = leafRows.map(r => r.getInt(0) -> r.getAs[Vector](1)).toMap
@@ -295,26 +326,31 @@ class BaggingRegressor(override val uid: String)
     val df: DataFrame = ds.select(col($(featuresCol)).as("f"),
         col($(labelCol)).cast(DoubleType).as("y"))
       .na.drop().localCheckpoint()
-    val first = df.head(1)
-    require(first.nonEmpty, "bagging needs at least one training row")
-    val d = first(0).getAs[Vector]("f").size
+    val nRows = df.count()
+    require(nRows > 0, "bagging needs at least one training row")
+    val d = df.head().getAs[Vector]("f").size
     val trees = ArrayBuffer.empty[Array[Double]]
     var m = 0
     while (m < $(numEstimators)) {
       val rng = new scala.util.Random($(seed) + m)
       val featIdx = BaggingCore.drawFeatures(d, $(maxFeatures),
         $(bootstrapFeatures), rng)
-      val sampled = BaggingCore.sampleRows(df, $(bootstrap), $(maxSamples),
-        $(seed) + m)
-      val idx = featIdx
-      val sliceU = udf((v: Vector) => Vectors.dense(idx.map(v.apply)))
-      val sliced = sampled.withColumn("fs", sliceU(col("f")))
+      val sampled = BaggingCore.sampleRows(df, $(bootstrap),
+        BaggingCore.resolveFraction($(maxSamples), nRows), $(seed) + m)
+      val identity = BaggingCore.isIdentity(featIdx, d)
+      val (trainFrame, featCol) =
+        if (identity) (sampled, "f")
+        else {
+          val idx = featIdx
+          val sliceU = udf((v: Vector) => Vectors.dense(idx.map(v.apply)))
+          (sampled.withColumn("fs", sliceU(col("f"))), "fs")
+        }
       val tree = new DecisionTreeRegressor()
-        .setFeaturesCol("fs").setLabelCol("y")
+        .setFeaturesCol(featCol).setLabelCol("y")
         .setMaxDepth($(maxDepth)).setSeed($(seed) + m)
-        .fit(sliced)
+        .fit(trainFrame)
       val flat = AdaBoostCore.flatten(tree.rootNode)
-      BaggingCore.remapFeatures(flat, featIdx)
+      if (!identity) BaggingCore.remapFeatures(flat, featIdx)
       trees += flat
       m += 1
     }

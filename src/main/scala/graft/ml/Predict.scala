@@ -82,6 +82,8 @@ object Predict {
     case p: HistGBClassificationModel => p.predict
     case p: AdaBoostRegressionModel => p.predict
     case p: AdaBoostClassificationModel => p.predict
+    case p: BaggingRegressionModel => p.predict
+    case p: BaggingClassificationModel => p.predict
     case p: org.apache.spark.ml.clustering.KMeansModel => v => p.predict(v).toDouble
     case p: GraftLinearModel => p.predict
     case p: GraftKernelModel => p.predict

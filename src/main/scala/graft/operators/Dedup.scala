@@ -511,7 +511,8 @@ object Dedup {
     s"""WITH tok AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS t
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE text IS NOT NULL),
        |sh AS (
        |  SELECT doc_id, i AS pos, $h AS key
        |  FROM tok, unnest(range(1, len(t) - $n + 2)) AS u(i)

@@ -605,25 +605,45 @@ object Similarity {
     * construction. Rows-only gate (two trained artifacts — centroids
     * and codebook — have no SQL twin); mean recall vs the exact top-10,
     * computed in-gate, floors the output at 0.3. */
+  /** Train the residual PQ codebook the IVF-PQ family shares: m = the
+    * largest power-of-two ≤ 16 dividing the dim (a dim change degrades
+    * granularity instead of throwing — the r10 events lesson), k = 64
+    * codewords, fitted on the corpus residuals. ONE definition so the
+    * gate, the persistence spec, and the streaming twin cannot drift
+    * on hyperparameters. Train-once-serve-many: serve entry points
+    * take the codebook as a parameter rather than refitting per call. */
+  def trainResidualCodebook(e: DataFrame, quant: CoarseQuantizer,
+      vCol: String = "v"): ProductQuantizer.Codebook = {
+    val dRow = e.select(size(col(vCol))).head(1)
+    require(dRow.nonEmpty, "IVF-PQ needs a non-empty corpus")
+    val d = dRow(0).getInt(0)
+    val m = Seq(16, 8, 4, 2, 1).find(d % _ == 0).get
+    val resid = e.withColumn("__cell", quant.cellCol(col(vCol)))
+      .select(quant.residualCol(col(vCol), col("__cell")).as("resid"))
+    ProductQuantizer.train(resid, "resid", m = m, k = 64)
+  }
+
   /** The IVF-PQ SERVE path alone (what a production retrieval job runs
     * per batch, and what PLANS.md audits — the gate wraps this in an
     * O(n) exact-truth recall audit whose broadcast-nested-loop shapes
     * are quality-check machinery, not serving): residual-encode the
-    * corpus once, then per query probe `nprobe` cells, ADC-scan their
-    * codes, exact-rerank the 50-row shortlist. */
+    * corpus once, then per query probe its cells, ADC-scan their
+    * codes, exact-rerank the 50-row shortlist. `cb` comes from
+    * [[trainResidualCodebook]] — trained once, served many times. */
   def annIvfPqServe(e: DataFrame, quant: CoarseQuantizer,
-      queryPred: Column, topK: Int = 10, shortlist: Int = 50): DataFrame = {
+      cb: ProductQuantizer.Codebook, queryPred: Column,
+      topK: Int = 10, shortlist: Int = 50): DataFrame = {
     import e.sparkSession.implicits._
     val withCell = e.withColumn("cell", quant.cellCol($"v"))
       .withColumn("resid", quant.residualCol($"v", $"cell"))
-    val dRow = e.select(size($"v")).head(1)
-    require(dRow.nonEmpty, "IVF-PQ needs a non-empty corpus")
-    val d = dRow(0).getInt(0)
-    val m = Seq(16, 8, 4, 2, 1).find(d % _ == 0).get
-    // PQ trains on residuals (sampled, driver-side, like the raw-PQ gate)
-    val cb = ProductQuantizer.train(withCell.select($"resid"), "resid", m = m, k = 64)
     val codes = ProductQuantizer.encode(withCell, "resid", cb)
       .select($"vec_id".as("cid"), $"cell", $"v".as("vc"), $"pq_codes")
+    // probe only cells that OWN candidates — k-means can leave empty
+    // centroids, and an all-empty top-nprobe would silently answer
+    // nothing (the same guard Finetune's conversation serve applies);
+    // O(numCells) metadata collect
+    val nonEmpty = withCell.select($"cell").distinct().collect()
+      .map(_.getLong(0).toInt).toSeq.sorted
     // query side: one residual ADC table PER probed cell. nprobe grows
     // as √numCells — the standard recall-stability rule as nlist grows
     // with the corpus (per-query candidates = nprobe·targetCellRows =
@@ -633,7 +653,7 @@ object Similarity {
     val nprobe = math.max(2, math.ceil(math.sqrt(quant.numCells)).toInt)
     val q = e.filter(queryPred)
       .select($"vec_id".as("qid"), $"v".as("vq"))
-      .withColumn("cell", explode(quant.probeCol($"vq", nprobe)))
+      .withColumn("cell", explode(quant.probeAmongCol($"vq", nprobe, nonEmpty)))
       .withColumn("qresid", quant.residualCol($"vq", $"cell"))
       .withColumn("tbl", ProductQuantizer.adcTableCol($"qresid", cb))
     val scored = broadcast(q).join(codes, Seq("cell"))
@@ -686,8 +706,13 @@ object Similarity {
       .schema("vec_id BIGINT, pq_codes ARRAY<BIGINT>, cell BIGINT")
       .parquet(indexPath)
       .select(col("vec_id").as("cid"), col("pq_codes"), col("cell"))
+    // non-empty cells = the index's partition set (cells with no rows
+    // were never written) — probe among them so a query whose nearest
+    // centroids are all empty still meets candidates
+    val nonEmpty = codes.select(col("cell")).distinct().collect()
+      .map(_.getLong(0).toInt).toSeq.sorted
     val q = queries
-      .withColumn("cell", explode(quant.probeCol(col("v"), nprobe)))
+      .withColumn("cell", explode(quant.probeAmongCol(col("v"), nprobe, nonEmpty)))
       .withColumn("qresid", quant.residualCol(col("v"), col("cell")))
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("cell"),
         ProductQuantizer.adcTableCol(col("qresid"), cb).as("tbl"))
@@ -716,7 +741,8 @@ object Similarity {
     val n = e.count()
     val quant = KMeansQuantizer.fitSampled(e,
       KMeansQuantizer.chooseK(n, targetCellRows = 500L), n)
-    val answered = annIvfPqServe(e, quant, $"vec_id" < 10)
+    val cb = trainResidualCodebook(e, quant)
+    val answered = annIvfPqServe(e, quant, cb, $"vec_id" < 10)
     // truth for the recall floor: EXACT top-10 over the full corpus
     // (10 fixed queries broadcast — O(n) gate-quality work, not serving)
     val allQ = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("vq"))

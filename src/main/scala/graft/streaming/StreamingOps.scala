@@ -264,8 +264,9 @@ object StreamingOps {
     * written partitioned by `cell` so each micro-batch reads only the
     * probed cells' files AND touches m bytes per candidate — the two
     * pruning axes composed. Input needs (vec_id, v: array<double>);
-    * `cb` must be trained on the pool's residuals (train it on
-    * `pool.select(quant.residualCol(col("v"), quant.cellCol(col("v"))))`). */
+    * `cb` must be trained on the pool's residuals —
+    * `Similarity.trainResidualCodebook(pool, quant)` is the one shared
+    * definition. */
   def ivfpqEncodePool(pool: DataFrame, quant: graft.operators.CoarseQuantizer,
       cb: graft.operators.ProductQuantizer.Codebook): DataFrame = {
     graft.functions.GraftFunctions.register(pool.sparkSession)
@@ -291,8 +292,13 @@ object StreamingOps {
       cb: graft.operators.ProductQuantizer.Codebook,
       topK: Int = 10, nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
+    // the pool is the STATIC side — its non-empty cell set is known
+    // before the stream starts; probe among those cells only (the
+    // empty-centroid guard the batch serve applies)
+    val nonEmpty = encodedPool.select(col("cell")).distinct().collect()
+      .map(_.getLong(0).toInt).toSeq.sorted
     val q = queries
-      .withColumn("cell", explode(quant.probeCol(col("v"), nprobe)))
+      .withColumn("cell", explode(quant.probeAmongCol(col("v"), nprobe, nonEmpty)))
       .withColumn("qresid", quant.residualCol(col("v"), col("cell")))
       .select(col("vec_id").as("qid"), col("cell"),
         graft.operators.ProductQuantizer.adcTableCol(col("qresid"), cb).as("tbl"))

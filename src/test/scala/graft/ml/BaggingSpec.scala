@@ -127,6 +127,45 @@ class BaggingSpec extends AnyFunSuite {
     assert(bc.getOrDefault(bc.maxSamples) == 0.8)
   }
 
+  test("integer knob form: max_samples above 1 is an absolute count, like sklearn") {
+    // 100 of 200 rows per estimator ≙ fraction 0.5; non-integer > 1 refuses
+    assert(BaggingCore.resolveFraction(100.0, 200L) == 0.5)
+    assert(BaggingCore.resolveCount(3.0, 4) == 3)
+    assert(BaggingCore.resolveCount(99.0, 4) == 4) // capped at d
+    intercept[IllegalArgumentException] {
+      BaggingCore.validate(2, 1.5, 1.0)
+    }
+    val m = new BaggingClassifier().setNumEstimators(3).setMaxSamples(100.0)
+      .setSeed(5).fit(clsFixture)
+    assert(m.transform(clsFixture).filter($"prediction" =!= $"label").count() == 0)
+  }
+
+  test("full lifecycle: train(bagging) → deploy → quackml_predict serves the model") {
+    val cat = new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_bag_cat").toString)
+    val df = (1 to 200).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (y * 4 + (i % 5) * 0.2, (i % 7).toDouble, (i % 11).toDouble,
+        (i % 3).toDouble, y)
+    }.toDF("x0", "x1", "x2", "x3", "target")
+    val out = Train.train(spark, cat, Train.TrainConfig(
+      projectName = "BagLife", task = "classification",
+      relationName = "quackml_baglife", data = Some(df),
+      yColumn = Seq("target"), algorithm = "bagging",
+      hyperparams = Map("n_estimators" -> "5"),
+      testSampling = "random"))
+    assert(out.head().getBoolean(3))
+    Predict.clearCaches()
+    Predict.registerFunctions(spark, cat)
+    // the regression this pins: rowPredictor must dispatch the Bagging
+    // models, or this UDF call throws "no row predictor"
+    val pred = spark.sql(
+      "SELECT quackml_predict('BagLife', array(cast(4.4 as float), " +
+        "cast(1.0 as float), cast(2.0 as float), cast(1.0 as float)))")
+      .head().getFloat(0)
+    assert(pred == 1.0f, s"separable class-1 point scored $pred")
+  }
+
   private def avg(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.avg(c)
 }

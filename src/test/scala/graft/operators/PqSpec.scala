@@ -96,21 +96,17 @@ class PqSpec extends AnyFunSuite {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val quant = KMeansQuantizer.fit(e, 2)
-    // the same deterministic residual codebook the in-memory serve
-    // trains internally (same m from dim=64, same k/seed/sample)
-    val cb = ProductQuantizer.train(
-      e.withColumn("cell", quant.cellCol($"v"))
-        .select(quant.residualCol($"v", $"cell").as("resid")),
-      "resid", m = 16, k = 64)
+    // the ONE shared codebook definition — no hand-duplicated m/k
+    val cb = Similarity.trainResidualCodebook(e, quant)
     val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx"
     Similarity.writeIvfPqIndex(e, quant, cb, path)
     val out = Similarity.annIvfPqIndexed(spark, path,
       e.filter($"vec_id" < 5), quant, cb, topK = 5, nprobe = 2)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // in-memory serve on the same quantizer: identical ADC scores →
-    // identical shortlist → identical reranked ids (the storage
-    // round-trip changes nothing)
-    val truth = Similarity.annIvfPqServe(e, quant, $"vec_id" < 5, topK = 5)
+    // in-memory serve on the same quantizer + codebook: identical ADC
+    // scores → identical shortlist → identical reranked ids (the
+    // storage round-trip changes nothing)
+    val truth = Similarity.annIvfPqServe(e, quant, cb, $"vec_id" < 5, topK = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.nonEmpty && got == truth,
       s"indexed ${got.size} pairs != in-memory serve ${truth.size}")
@@ -137,10 +133,8 @@ class PqSpec extends AnyFunSuite {
     }
     val df = vecs.toDF("vec_id", "v")
     val quant = KMeansQuantizer.fit(df, 4)
-    val centLit = typedlit(quant.centroids.map(_.toSeq).toSeq)
     val withCell = df.withColumn("cell", quant.cellCol($"v"))
-      .withColumn("resid", zip_with($"v", element_at(centLit, ($"cell" + 1).cast("int")),
-        (a, b) => a - b))
+      .withColumn("resid", quant.residualCol($"v", $"cell"))
     val cbRaw = PQ.train(df, "v", m = 2, k = 4)
     val cbRes = PQ.train(withCell.select($"resid"), "resid", m = 2, k = 4)
     def meanAdcErr(encoded: org.apache.spark.sql.DataFrame, vCol: String,

@@ -379,8 +379,10 @@ class StreamingSpec extends AnyFunSuite {
       // batch truth: the same probed-cell ADC scan ranked (adc asc, cid asc)
       val wA = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"adc".asc, $"cid")
+      val nonEmpty = pool.select($"cell").distinct().collect()
+        .map(_.getLong(0).toInt).toSeq.sorted
       val batch = e.filter($"vec_id" < 10)
-        .withColumn("cell", explode(quant.probeCol($"v", 2)))
+        .withColumn("cell", explode(quant.probeAmongCol($"v", 2, nonEmpty)))
         .withColumn("qresid", quant.residualCol($"v", $"cell"))
         .select($"vec_id".as("qid"), $"cell",
           graft.operators.ProductQuantizer.adcTableCol($"qresid", cb).as("tbl"))
