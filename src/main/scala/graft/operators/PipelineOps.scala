@@ -96,6 +96,57 @@ object PipelineOps {
        |  (cum_tokens - n_tokens) // $PACK_BUDGET AS pack_id
        |FROM cum ORDER BY doc_id""".stripMargin
 
+  /** Per-source token budget for ds_token_budget (how many tokens each
+    * source may contribute to the mix). */
+  val TOKEN_BUDGET = 800L
+
+  /** Budget-based corpus mixing — the other half of the mixing story
+    * next to rate-based [[ds_mix_sample]]: pretraining recipes cap each
+    * SOURCE at a token budget (e.g. "≤ B tokens of forum data"), drawn
+    * by a REPRODUCIBLE shuffle. Docs order within their source by a
+    * salted md5-derived hash of the doc id (the same engine-portable
+    * h60 arithmetic the dedup family replays in DuckDB — a seeded,
+    * data-independent permutation), a grouped distributed prefix sum
+    * accumulates token counts in that order, and a doc is kept while
+    * its source's INCLUSIVE cumulative count stays within the budget —
+    * complete docs only, no mid-doc truncation.
+    *
+    * Scale shape: one map stage (token count + hash) + the two-phase
+    * grouped prefix sum (range repartition + per-partition totals, no
+    * global Window) — identical machinery to ds_pack_sequences, whose
+    * measured slope is 0.27. An exact budget needs exactly this one
+    * ordered pass; nothing cheaper is correct. */
+  def ds_token_budget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withTokens = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .withColumn("shuf",
+        Dedup.h60(s, concat(lit("tb1:"), $"doc_id".cast("string"))))
+    Distributed.groupedPrefixSum(withTokens, Seq("source"),
+        Seq($"shuf", $"doc_id"), "n_tokens", "cum_tokens")
+      .filter($"cum_tokens" <= TOKEN_BUDGET)
+      .select($"source", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"doc_id")
+  }
+
+  val dsTokenBudgetSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+       |    ${Dedup.h60Sql.format("'tb1:' || CAST(doc_id AS VARCHAR)")} AS shuf
+       |  FROM documents),
+       |cum AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY shuf, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM tk)
+       |SELECT source, doc_id, n_tokens, cum_tokens FROM cum
+       |WHERE cum_tokens <= $TOKEN_BUDGET
+       |ORDER BY source, doc_id""".stripMargin
+
   // -------------------------------------------------- decontamination
   /** Benchmark decontamination: flag corpus documents sharing ≥ K
     * distinct 3-gram shingles with any benchmark document (here: the
@@ -197,6 +248,7 @@ object PipelineOps {
     "ds_pii_scrub"      -> ds_pii_scrub _,
     "ds_mix_sample"     -> ds_mix_sample _,
     "ds_pack_sequences" -> ds_pack_sequences _,
+    "ds_token_budget"   -> ds_token_budget _,
     "ds_corpus_stats"   -> ds_corpus_stats _,
     "dd_contamination"  -> dd_contamination _
   )
@@ -205,6 +257,7 @@ object PipelineOps {
     "ds_pii_scrub"      -> dsPiiScrubSql,
     "ds_mix_sample"     -> dsMixSampleSql,
     "ds_pack_sequences" -> dsPackSequencesSql,
+    "ds_token_budget"   -> dsTokenBudgetSql,
     "ds_corpus_stats"   -> dsCorpusStatsSql,
     "dd_contamination"  -> ddContaminationSql
   )

@@ -40,6 +40,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token budget: inclusive per-source cums within budget, maximal, deterministic") {
+    val out = PipelineOps.ds_token_budget(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every kept doc's inclusive cum respects the budget
+    assert(out.forall(_.getLong(3) <= PipelineOps.TOKEN_BUDGET))
+    // independent reimplementation: driver-side walk of the seeded
+    // shuffle order must reproduce the selection EXACTLY — the kept set
+    // is the maximal prefix (in (shuf, doc_id) order, per source) whose
+    // inclusive cum stays within budget; a later small doc that would
+    // still "fit" knapsack-wise is correctly excluded (cum is monotone)
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        size(filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n"),
+        Dedup.h60(spark, concat(lit("tb1:"), $"doc_id".cast("string"))).as("shuf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = docs.groupBy(_._2).values.flatMap { rows =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).toSeq.flatMap { r =>
+        cum += r._3
+        if (cum <= PipelineOps.TOKEN_BUDGET) Some(r._1) else None
+      }
+    }.toSet
+    assert(out.map(_.getLong(1)).toSet == expected)
+    // reproducible shuffle: same selection on a second run
+    val again = PipelineOps.ds_token_budget(spark, sf).collect()
+    assert(again.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).toSeq)
+  }
+
   test("contamination only reports corpus-vs-benchmark pairs above the floor") {
     val rows = PipelineOps.dd_contamination(spark, sf).collect()
     rows.foreach { r =>
