@@ -604,7 +604,8 @@ object Similarity {
     * codes), and per-query cost is corpus-size-independent by
     * construction. Rows-only gate (two trained artifacts — centroids
     * and codebook — have no SQL twin); mean recall vs the exact top-10,
-    * computed in-gate, floors the output at 0.3. */
+    * computed in-gate, floors the output at 0.45 (measured 0.56 at 1×
+    * and 10× — the floor trips on a real regression, not on noise). */
   /** Train the residual PQ codebook the IVF-PQ family shares: m = the
     * largest power-of-two ≤ 16 dividing the dim (a dim change degrades
     * granularity instead of throwing — the r10 events lesson), k = 64
@@ -688,6 +689,71 @@ object Similarity {
     ProductQuantizer.encode(withCell, "resid", cb)
       .select(col("vec_id"), col("v"), col("pq_codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // Metadata sidecar (VERDICT r13 item 2): record the non-empty cell
+    // list at BUILD time — it is exactly the partition directories that
+    // exist, O(numCells) filesystem metadata, no Spark job — so no serve
+    // batch ever re-derives it with a distinct() over the index (the
+    // conversation store's CONV_INDEX_DONE discipline,
+    // Finetune.buildConvIndex). Probe centroids + the residual codebook
+    // ride along so a fresh serving session needs no trained objects in
+    // memory: [[preparePqIndex]] reconstructs both with exact double
+    // round-trip fidelity.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(e.sparkSession.sessionState.newHadoopConf())
+    val nonEmpty = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt).sorted
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(p, PQ_META), true))
+    try {
+      out.writeInt(quant.numCells)
+      val d = quant.centroid(0).length
+      out.writeInt(d)
+      (0 until quant.numCells).foreach(i =>
+        quant.centroid(i).foreach(out.writeDouble))
+      out.writeInt(cb.m); out.writeInt(cb.subDim); out.writeInt(cb.k)
+      cb.centers.foreach(_.foreach(_.foreach(out.writeDouble)))
+      out.writeInt(nonEmpty.size)
+      nonEmpty.foreach(out.writeInt)
+    } finally out.close()
+  }
+
+  /** Sidecar filename for persistent IVF-PQ index metadata; the leading
+    * underscore keeps Spark's parquet reader from listing it as data
+    * (the `_SUCCESS` convention). */
+  private val PQ_META = "_graft_pqmeta.bin"
+
+  /** Prepared, reusable IVF-PQ index handle: everything the serve path
+    * needs — probe centroids, residual codebook, non-empty cell list —
+    * read ONCE from the index sidecar. Obtain via [[preparePqIndex]];
+    * serve any number of batches through [[annIvfPqServeIndexed]] with
+    * per-batch work independent of index size (no scan, no collect, no
+    * distinct touches the index outside the pruned probe itself). */
+  final case class PqIndexHandle private[operators] (
+      path: String,
+      quant: KMeansQuantizer,
+      cb: ProductQuantizer.Codebook,
+      nonEmpty: Seq[Int])
+
+  /** Read an index's sidecar into a serve handle — O(numCells·dim)
+    * metadata off the index FileSystem, zero Spark jobs. The quantizer
+    * comes back as a centroid table: serving needs only centroid
+    * LOOKUPS (probe ranking via probeAmongCol, residuals via
+    * residualCol) — cell assignment is already baked into the partition
+    * column at build time — so even an index built with a non-k-means
+    * quantizer serves identically through the stored centroids. */
+  def preparePqIndex(s: SparkSession, path: String): PqIndexHandle = {
+    val p = new org.apache.hadoop.fs.Path(path, PQ_META)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      val nc = in.readInt(); val d = in.readInt()
+      val cents = Array.fill(nc)(Array.fill(d)(in.readDouble()))
+      val m = in.readInt(); val sd = in.readInt(); val k = in.readInt()
+      val centers = Array.fill(m)(Array.fill(k)(Array.fill(sd)(in.readDouble())))
+      val nonEmpty = Seq.fill(in.readInt())(in.readInt())
+      PqIndexHandle(path, new KMeansQuantizer(cents),
+        ProductQuantizer.Codebook(m, sd, k, centers), nonEmpty)
+    } finally in.close()
   }
 
   /** Probe a persistent IVF-PQ index (the indexed twin of
@@ -701,18 +767,36 @@ object Similarity {
     * top-k. */
   def annIvfPqIndexed(s: SparkSession, indexPath: String, queries: DataFrame,
       quant: CoarseQuantizer, cb: ProductQuantizer.Codebook,
-      topK: Int = 10, shortlist: Int = 50, nprobe: Int = 2): DataFrame = {
+      topK: Int = 10, shortlist: Int = 50, nprobe: Int = -1): DataFrame =
+    // the caller's trained objects and the sidecar's are the same values
+    // by construction (writeIvfPqIndex stored them; exact double
+    // round-trip) — route through the handle so the serve path is ONE
+    // code path and never re-derives the cell set from the data
+    annIvfPqServeIndexed(s, preparePqIndex(s, indexPath), queries,
+      topK, shortlist, nprobe)
+
+  /** Handle-first IVF-PQ serve (the per-batch production entry): all
+    * index metadata comes from the prepared handle, so per-batch work is
+    * the batch's own probe — nothing here scales with the index beyond
+    * the pruned cell reads. `nprobe <= 0` selects the √numCells rule
+    * (the same recall-stability default as [[annIvfPqServe]] — a FIXED
+    * nprobe silently loses recall as nlist grows with the corpus). */
+  def annIvfPqServeIndexed(s: SparkSession, handle: PqIndexHandle,
+      queries: DataFrame, topK: Int = 10, shortlist: Int = 50,
+      nprobe: Int = -1): DataFrame = {
+    val indexPath = handle.path
+    val quant = handle.quant
+    val cb = handle.cb
+    val nonEmpty = handle.nonEmpty
+    val np =
+      if (nprobe > 0) nprobe
+      else math.max(2, math.ceil(math.sqrt(quant.numCells)).toInt)
     val codes = s.read
       .schema("vec_id BIGINT, pq_codes ARRAY<BIGINT>, cell BIGINT")
       .parquet(indexPath)
       .select(col("vec_id").as("cid"), col("pq_codes"), col("cell"))
-    // non-empty cells = the index's partition set (cells with no rows
-    // were never written) — probe among them so a query whose nearest
-    // centroids are all empty still meets candidates
-    val nonEmpty = codes.select(col("cell")).distinct().collect()
-      .map(_.getLong(0).toInt).toSeq.sorted
     val q = queries
-      .withColumn("cell", explode(quant.probeAmongCol(col("v"), nprobe, nonEmpty)))
+      .withColumn("cell", explode(quant.probeAmongCol(col("v"), np, nonEmpty)))
       .withColumn("qresid", quant.residualCol(col("v"), col("cell")))
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("cell"),
         ProductQuantizer.adcTableCol(col("qresid"), cb).as("tbl"))
@@ -758,7 +842,11 @@ object Similarity {
     val filled = allQ.select($"qid").join(per, Seq("qid"), "left")
       .select($"qid", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
       .withColumn("recall", $"n_overlap".cast("double") / lit(10.0))
-    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.3)
+    // floor at 0.45 (VERDICT r13 item 5): 0.3 was the bring-up floor;
+    // measured mean recall held 0.56 at 1× AND 10× corpus (SCALE.md),
+    // so 0.45 trips on a real recall regression (bad codebook, broken
+    // residuals) instead of coasting
+    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.45)
     filled.join(broadcast(bar)).drop("__m").orderBy($"qid")
   }
 

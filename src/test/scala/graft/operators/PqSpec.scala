@@ -84,7 +84,7 @@ class PqSpec extends AnyFunSuite {
     val recalls = out.map(_.getAs[Double]("recall"))
     assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
     val mean = recalls.sum / recalls.length
-    assert(mean >= 0.3, s"IVF-PQ mean recall $mean under the gate floor")
+    assert(mean >= 0.45, s"IVF-PQ mean recall $mean under the gate floor")
     // trained artifacts are seeded → the gate is replay-stable
     val again = Similarity.queries("sim_ann_ivfpq")(spark, "/root/testdata/sf0.01")
       .collect().map(_.getAs[Double]("recall")).toSeq
@@ -117,6 +117,27 @@ class PqSpec extends AnyFunSuite {
     val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
     assert(schemas.exists(s => s.contains("pq_codes") && !s.contains("v:array")),
       s"no codes-only scan found in:\n${schemas.mkString("\n")}")
+    // handle-first serve (VERDICT r13 item 2): the sidecar round-trips
+    // the trained objects exactly, and serving through the prepared
+    // handle — zero pool-side work per batch — answers identically
+    val handle = Similarity.preparePqIndex(spark, path)
+    assert(handle.quant.numCells == quant.numCells)
+    assert((0 until quant.numCells).forall(i =>
+      handle.quant.centroid(i) == quant.centroid(i)),
+      "sidecar centroid round-trip is not exact")
+    assert(handle.cb == cb.copy(centers = handle.cb.centers) &&
+      handle.cb.centers.flatten.flatten.toSeq == cb.centers.flatten.flatten.toSeq,
+      "sidecar codebook round-trip is not exact")
+    val viaHandle = Similarity.annIvfPqServeIndexed(spark, handle,
+        e.filter($"vec_id" < 5), topK = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHandle == got, "handle serve diverged from inline serve")
+    // nprobe <= 0 selects the √numCells rule; with 2 cells that IS 2,
+    // so the default must reproduce the explicit-nprobe answer
+    val viaDefault = Similarity.annIvfPqServeIndexed(spark, handle,
+        e.filter($"vec_id" < 5), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDefault == got, "sqrt-rule default nprobe diverged")
   }
 
   test("IVF-PQ residual advantage: same code budget, finer quantization") {
