@@ -63,8 +63,12 @@ private[ml] trait BaggingParams extends org.apache.spark.ml.param.Params {
     "features drawn with replacement")
   final val maxDepth = new IntParam(this, "maxDepth", "base-tree depth")
   final val seed = new LongParam(this, "seed", "sampling + base-tree seed")
+  // maxDepth defaults to Spark's tree-depth ceiling (30): sklearn's
+  // Bagging* base estimator is an UNPRUNED full-depth DecisionTree, and
+  // a depth-5 default would quietly underfit relative to the reference
+  // (ADVICE r13); max_depth stays an explicit knob for bounded trees
   setDefault(numEstimators -> 10, maxSamples -> 1.0, maxFeatures -> 1.0,
-    bootstrap -> true, bootstrapFeatures -> false, maxDepth -> 5, seed -> 42L)
+    bootstrap -> true, bootstrapFeatures -> false, maxDepth -> 30, seed -> 42L)
 }
 
 private[ml] object BaggingCore {

@@ -341,7 +341,8 @@ object Train {
         .setMaxFeatures(hp(h, "max_features", 1.0))
         .setBootstrap(hpb(h, "bootstrap", true))
         .setBootstrapFeatures(hpb(h, "bootstrap_features", false))
-        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+        // 30 = Spark's depth ceiling ≈ sklearn's unpruned default tree
+        .setMaxDepth(hpi(h, "max_depth", 30)).setSeed(seed)
     // ---------------- classification
     case ("classification", "linear") =>
       new LogisticRegression().setMaxIter(hpi(h, "max_iterations", hpi(h, "max_iter", 100)))
@@ -499,7 +500,8 @@ object Train {
         .setMaxFeatures(hp(h, "max_features", 1.0))
         .setBootstrap(hpb(h, "bootstrap", true))
         .setBootstrapFeatures(hpb(h, "bootstrap_features", false))
-        .setMaxDepth(hpi(h, "max_depth", 5)).setSeed(seed)
+        // 30 = Spark's depth ceiling ≈ sklearn's unpruned default tree
+        .setMaxDepth(hpi(h, "max_depth", 30)).setSeed(seed)
     // ---------------- clustering
     case ("clustering", "kmeans" | "mini_batch_kmeans") =>
       new KMeans().setK(hpi(h, "n_clusters", 8)).setSeed(seed)

@@ -432,6 +432,31 @@ object MLQueries {
     """SELECT 'hgb_demo' AS project, 'regression' AS task,
       |  'xgboost' AS algorithm, CAST(true AS BOOLEAN) AS deploy""".stripMargin
 
+  /** True-sklearn bagging lifecycle (VERDICT r13 item 7 — the scheme
+    * was spec-tested only; this pins it under the driver harness too):
+    * per-estimator Poisson bootstrap + unpruned full-depth base trees
+    * (Bagging.scala) on diabetes, quality-floored like [[ml_train_hgb]]:
+    * the contract row only survives if held-out r2 clears a floor far
+    * below the measured value, so a silently broken resample/vote fails
+    * the gate as a row-count mismatch. */
+  def ml_train_bagging(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_catalog_bg").toString
+    val cat = new Catalog(s, base)
+    val out = Train.train(s, cat, Train.TrainConfig(
+      projectName = "bagging_demo", task = "regression",
+      relationName = "quackml_diabetes", data = Some(Datasets.diabetes(s)),
+      yColumn = Seq("target"), algorithm = "bagging",
+      hyperparams = Map("n_estimators" -> "10"),
+      testSampling = "random", orderCols = Seq("age")))
+    val r2 = cat.models.collect().head.metrics("r2")
+    out.filter(lit(r2) >= 0.2)
+  }
+
+  val mlTrainBaggingSql: String =
+    """SELECT 'bagging_demo' AS project, 'regression' AS task,
+      |  'bagging' AS algorithm, CAST(true AS BOOLEAN) AS deploy""".stripMargin
+
   def ml_train_svm_ovo(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
@@ -477,7 +502,8 @@ object MLQueries {
     "ml_train_joint"    -> ml_train_joint _,
     "ml_train_svm_rbf"  -> ml_train_svm_rbf _,
     "ml_train_svm_ovo"  -> ml_train_svm_ovo _,
-    "ml_train_hgb"      -> ml_train_hgb _
+    "ml_train_hgb"      -> ml_train_hgb _,
+    "ml_train_bagging"  -> ml_train_bagging _
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,6 +522,7 @@ object MLQueries {
     "ml_train_contract" -> mlTrainContractSql,
     "ml_train_joint"    -> mlTrainJointSql,
     "ml_train_svm_rbf"  -> mlTrainSvmSql,
-    "ml_train_hgb"      -> mlTrainHgbSql
+    "ml_train_hgb"      -> mlTrainHgbSql,
+    "ml_train_bagging"  -> mlTrainBaggingSql
   )
 }
