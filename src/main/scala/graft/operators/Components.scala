@@ -44,15 +44,32 @@ object Components {
     var labels = und.select(col("v").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // FRONTIER propagation (VERDICT r13 item 6 — dd_canonical's 0.62
+    // slope was every round re-joining the FULL edge set): a node's
+    // neighbor-min can only improve through a neighbor whose own label
+    // decreased since the node last aggregated over all its neighbors
+    // (labels are monotone decreasing), so after round 1 only edges
+    // whose source sits in last round's changed set are rescanned.
+    // Converged components drop out of the frontier and cost nothing in
+    // later rounds; the fixpoint (changed == 0) is unchanged, so the
+    // result is exact — the same labels as the full re-join, just
+    // without re-deriving the parts that already converged.
+    var frontier: DataFrame = null // null = round 1, every edge active
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val nbrMin = und
+      val active =
+        if (frontier == null) und
+        else und.join(frontier.select(col("id").as("u")), "u")
+      val nbrMin = active
         .join(labels.select(col("id").as("u"), col("comp").as("uc")), "u")
         .groupBy(col("v").as("id")).agg(min("uc").as("nc"))
-      val viaNbr = labels.join(nbrMin, Seq("id"))
-        .select(col("id"), least(col("comp"), col("nc")).as("comp"),
-          (col("nc") < col("comp")).as("chg"))
+      // left join: nodes outside the frontier's neighborhood keep their
+      // label (they had no improving neighbor this round by invariant)
+      val viaNbr = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
+          coalesce(col("nc") < col("comp"), lit(false)).as("chg"))
         .localCheckpoint() // materialized once; the self-join below reads it twice
       // pointer jumping (path compression): follow the label one hop —
       // comp' = comp(comp(v)) — so label trees halve in height each
@@ -63,6 +80,7 @@ object Components {
           (col("chg") || coalesce(col("cc") < col("comp"), lit(false))).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
+      frontier = next.filter(col("chg")).select(col("id"))
       labels = next.drop("chg")
       it += 1
     }
