@@ -964,17 +964,25 @@ object Finetune {
     } finally out.close()
     // done-marker LAST: a crashed build leaves no marker and is rebuilt
     fs.create(new org.apache.hadoop.fs.Path(idxDir, CONV_INDEX_DONE), true).close()
-    if (!fs.rename(new org.apache.hadoop.fs.Path(idxDir),
-        new org.apache.hadoop.fs.Path(finalDir))) {
-      // another writer published first (rename refuses an existing
-      // destination): discard the staging copy, serve theirs
-      fs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
-      require(fs.exists(new org.apache.hadoop.fs.Path(finalDir, CONV_INDEX_DONE)),
-        s"conversation index publish race lost to an UNFINISHED build at " +
-          s"$finalDir — remove the debris and retry")
-      return readConvIndexMeta(fs, finalDir)
-    }
-    (quant, nonEmpty)
+    // Publish. Hadoop's legacy FileSystem.rename does NOT uniformly
+    // refuse an existing destination: on HDFS (and RawLocalFileSystem's
+    // FileUtil.copy fallback) it moves the staging dir INTO the existing
+    // destination directory and returns true (ADVICE r13) — so (a) an
+    // exists() check guards the common race, and (b) the exists→rename
+    // window is closed after the fact: any staging dir nested inside the
+    // published index is debris to delete, and the top-level done-marker
+    // is verified regardless of which writer won. Either way the served
+    // content is identical by construction (same pool fingerprint).
+    val finalPath = new org.apache.hadoop.fs.Path(finalDir)
+    val staging = new org.apache.hadoop.fs.Path(idxDir)
+    val won = !fs.exists(finalPath) && fs.rename(staging, finalPath)
+    val nestedDebris = new org.apache.hadoop.fs.Path(finalPath, staging.getName)
+    if (fs.exists(nestedDebris)) fs.delete(nestedDebris, true)
+    if (!won && fs.exists(staging)) fs.delete(staging, true)
+    require(fs.exists(new org.apache.hadoop.fs.Path(finalPath, CONV_INDEX_DONE)),
+      s"conversation index publish race lost to an UNFINISHED build at " +
+        s"$finalDir — remove the debris and retry")
+    if (won) (quant, nonEmpty) else readConvIndexMeta(fs, finalDir)
   }
 
   private def readConvIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
