@@ -22,7 +22,14 @@ object Verify {
     // so any reader of the dump sees a non-parquet failure artifact, and
     // (b) collect every failure into errors.json for the driver/judge.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=a,b,c restricts the dump for local
+    // iteration (same contract as Bench's BENCH_ONLY); the driver's full
+    // runs leave it unset, so the gate surface is never silently narrowed
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -140,20 +140,34 @@ class OnnxRuntimeSpec extends AnyFunSuite {
     }
   }
 
-  test("LIVE golden: embed → ANN index → retrieval, recall vs the stub baseline (env-gated)") {
+  test("LIVE golden: embed → ANN index → retrieval, recall vs the stub baseline") {
     // closes the "live neural inference" gap the moment weights exist:
     // point GRAFT_ONNX_MODEL/GRAFT_ONNX_VOCAB at a real sentence-encoder
     // export (optimum/transformers.onnx shape) with the onnxruntime jar
     // mounted and the FULL serving chain — embed, finetuned retrieval
     // head, persistent IVF index, partition-pruned ANN serve — runs on
     // real embeddings and must retrieve at least as well as the
-    // deterministic hashing baseline on the same corpus. Self-canceling
-    // where the env contract is absent (no network, no weights in CI).
-    if (!OnnxRuntime.available) {
-      info("GRAFT_ONNX_MODEL/GRAFT_ONNX_VOCAB or the onnxruntime jar absent — " +
-        "live end-to-end golden skipped; the same chain is spec-covered on " +
-        "the deterministic runtimes (LLMSpec respondTextAnn suite)")
-    } else {
+    // deterministic hashing baseline on the same corpus.
+    // Where that env contract is absent (no network, no weights in CI)
+    // the golden no longer self-cancels (VERDICT r13 item 8): it runs
+    // the SAME chain on the CHECKED-IN corpus-vocab encoder artifact
+    // (src/test/resources/onnx_mini — a real .onnx file generated by
+    // tools/GenOnnxFixture) executed by the jar-free OnnxMini
+    // interpreter: model-file parse, WordPiece tokenize,
+    // Gather/MatMul/Add/Tanh execution, pooling, head training, index
+    // build, pruned serve — everything but the JNI call itself.
+    val runtimeName =
+      if (OnnxRuntime.available) "onnx"
+      else {
+        val model = getClass.getResource("/onnx_mini/model.onnx")
+        val vocab = getClass.getResource("/onnx_mini/vocab.txt")
+        assert(model != null && vocab != null,
+          "checked-in onnx fixture missing from test resources")
+        ModelRuntimes.register("onnx_ci", () =>
+          new OnnxMiniRuntime(model.getPath, vocab.getPath, maxLen = 64))
+        "onnx_ci"
+      }
+    {
       val spark = graft.ml.TestSpark.spark
       import org.apache.spark.sql.functions._
       import spark.implicits._
@@ -179,13 +193,40 @@ class OnnxRuntimeSpec extends AnyFunSuite {
         joined.filter($"response" === $"assistant").count().toDouble /
           joined.count().toDouble
       }
-      val live = recallWith("onnx")
+      val live = recallWith(runtimeName)
       val stub = recallWith("hashing_tf")
-      info(f"live-ONNX retrieval recall $live%.3f vs hashing baseline $stub%.3f")
-      // a real sentence encoder must not lose to byte-hashing on its own
-      // task; 0.05 absorbs k-means partitioning variance between runs
+      info(f"$runtimeName retrieval recall $live%.3f vs hashing baseline $stub%.3f")
+      // a real encoder must not lose to byte-hashing on its own task;
+      // 0.05 absorbs k-means partitioning variance between runs
       assert(live >= stub - 0.05,
-        f"live encoder recall $live%.3f fell below the stub baseline $stub%.3f")
+        f"$runtimeName encoder recall $live%.3f fell below the stub baseline $stub%.3f")
+      // the ground-truth recall above is corpus-bound (synthetic word
+      // soup collides assistants), so ALSO pin the discriminative
+      // contract on the real model file: probing every cell must
+      // reproduce the exact broadcast serve VERBATIM — same embeddings
+      // through the .onnx graph, same head, same tie rule; the
+      // quantizer only prunes and probe-all prunes nothing
+      val cat = new graft.ml.Catalog(spark,
+        java.nio.file.Files.createTempDirectory("graft_live_par").toString)
+      Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+        projectName = "LiveConvP", task = "conversation", data = Some(d),
+        textCol = "system", text2Col = "user", labelCol = "assistant",
+        runtime = runtimeName, dim = 64, hyperparams = Map("max_iter" -> "10")))
+      graft.ml.Predict.clearCaches()
+      val ctx = d.select($"system", $"user")
+      val pool = d.select($"assistant".as("response"))
+      val exact = Finetune.respondText(spark, cat, "LiveConvP", ctx,
+        "system", "user", candidates = pool)
+        .withColumnRenamed("response", "exact_response")
+      val k = graft.operators.KMeansQuantizer
+        .chooseK(pool.distinct().count(), targetCellRows = 16L)
+      val ann = Finetune.respondTextAnn(spark, cat, "LiveConvP", ctx,
+        "system", "user", candidates = pool, targetCellRows = 16L, nprobe = k)
+      val joinedP = exact.join(ann, Seq("system", "user")).cache()
+      val totalP = joinedP.count()
+      val agree = joinedP.filter($"response" === $"exact_response").count()
+      assert(totalP > 0 && agree == totalP,
+        s"probe-all ANN diverged from the exact serve on $runtimeName: $agree/$totalP")
     }
   }
 }
