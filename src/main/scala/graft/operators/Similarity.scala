@@ -538,7 +538,7 @@ object Similarity {
     * codegen'd), encode the corpus, answer the standard 10 queries by
     * ADC top-10, and emit per-query recall against the EXACT L2
     * top-10 computed in the same pass — quality-floored on mean
-    * recall at half the measured value. */
+    * recall at 0.6 (measured 0.96 at sf0.01, 0.85 at sf0.1). */
   def sim_ann_pq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
@@ -581,7 +581,10 @@ object Similarity {
     val filled = allQ.join(per, Seq("qid"), "left")
       .select($"qid", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
       .withColumn("recall", $"n_overlap".cast("double") / lit(10.0))
-    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.3)
+    // floor raised with the IVF-PQ gate's (VERDICT r13 item 5):
+    // measured mean recall 0.96 at sf0.01 / 0.85 at sf0.1 — 0.6 trips
+    // on a real shortlist/ADC regression instead of coasting at 0.3
+    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.6)
     filled.join(broadcast(bar)).drop("__m").orderBy($"qid")
   }
 

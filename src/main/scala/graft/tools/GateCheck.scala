@@ -27,7 +27,7 @@ object GateCheck {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         val rows = df.count()
         val sec = (System.nanoTime() - t0) / 1e9
-        val quality = Seq("f1", "r1_f").find(df.columns.contains)
+        val quality = Seq("f1", "r1_f", "recall").find(df.columns.contains)
           .map(c => f" mean($c)=${df.agg(avg(col(c))).head().getDouble(0)}%.4f")
           .getOrElse("")
         println(f"[gatecheck] $name rows=$rows%d t=$sec%.2fs$quality")
