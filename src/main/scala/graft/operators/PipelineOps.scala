@@ -282,7 +282,171 @@ object PipelineOps {
        |FROM staged2 ORDER BY event_id""".stripMargin
   }
 
+  // --------------------------------------- DSIR importance resampling
+  /** Bucket count for hashed-n-gram importance features (DSIR §3 uses
+    * 10⁴ hash buckets; 4096 keeps the model a comfortably broadcastable
+    * plan literal while the synthetic corpus vocabulary saturates far
+    * fewer). */
+  val DSIR_BUCKETS = 4096
+
+  /** Fitted importance model: per-bucket log-odds
+    * ln p̂_target(b) − ln p̂_rest(b) under add-1 smoothing, plus the
+    * ratio an UNSEEN bucket gets (both counts zero). O(buckets)
+    * driver-side state — model size is fixed by construction,
+    * independent of corpus size, exactly like a trained quantizer's
+    * centroid table. */
+  final case class ImportanceModel(buckets: Int, lr: Map[Int, Double],
+      unseenLr: Double)
+
+  /** Fit DSIR-style hashed-bigram importance weights (Xie, Santurkar,
+    * Ma & Liang, "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): hash every token bigram into a fixed
+    * bucket space, estimate the target distribution (docs matching
+    * `targetPred`) and the contrast distribution over buckets with
+    * add-1 smoothing, and keep their per-bucket log ratio. The contrast
+    * is the COMPLEMENT (non-target docs), not the whole corpus: with
+    * target ⊂ corpus every bucket has ct ≤ craw, the raw ratio is
+    * bounded by the bucket's target share, and `logw > 0` would
+    * degenerate to "target-exclusive vocabulary only" — against the
+    * complement the ratio is the standard NB log-odds whose sign says
+    * "more target-like than not" (DSIR proper contrasts two DISJOINT
+    * corpora, which the complement restores).
+    *
+    * 100 TB shape: ONE corpus pass — a map-side-combinable
+    * groupBy(bucket) whose result is at most `buckets` rows regardless
+    * of corpus size — then an O(buckets) collect of metadata scale
+    * (the same discipline as the IVF index's cell sidecar). Nothing
+    * here retains per-document state. */
+  def fitImportance(s: SparkSession, docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      buckets: Int = DSIR_BUCKETS): ImportanceModel = {
+    import s.implicits._
+    // explode_OUTER, then drop the null rows on the attribute: a plain
+    // explode makes InferFiltersFromGenerate push a size(bs)>0 filter
+    // whose predicate INLINES the whole bigram transform — including
+    // the tokenizer, re-run per array element — tripling the pass and
+    // turning it quadratic per doc (measured 10 s → 1.3 s at sf0.1).
+    // The rule skips outer generates; the null filter is a cheap
+    // attribute comparison above the Generate.
+    val dist = bigramBuckets(s, docs, buckets, targetPred)
+      .select($"is_t", explode_outer($"bs").as("b"))
+      .filter($"b".isNotNull)
+      .groupBy($"b").agg(
+        sum(when($"is_t", 1L).otherwise(0L)).as("ct"),
+        sum(when($"is_t", 0L).otherwise(1L)).as("cr"))
+      .collect()
+    val tTot = dist.map(_.getLong(1)).sum
+    val rTot = dist.map(_.getLong(2)).sum
+    def ratio(ct: Long, cr: Long): Double =
+      math.log(ct + 1.0) - math.log(tTot + buckets.toDouble) -
+        math.log(cr + 1.0) + math.log(rTot + buckets.toDouble)
+    ImportanceModel(buckets,
+      dist.map(r => r.getLong(0).toInt -> ratio(r.getLong(1), r.getLong(2))).toMap,
+      ratio(0L, 0L))
+  }
+
+  /** (doc frame) → (…, is_t, bs: array of bigram bucket ids). Bigram
+    * keys are chr(1)-joined (the [[Dedup]] shingle discipline) and
+    * bucketed by the shared 60-bit hash, so the DuckDB oracle replays
+    * them exactly. */
+  private def bigramBuckets(s: SparkSession, docs: DataFrame, buckets: Int,
+      targetPred: org.apache.spark.sql.Column = col("lang") === "en"): DataFrame = {
+    import s.implicits._
+    docs.select($"doc_id", targetPred.as("is_t"),
+      filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0).as("t"))
+      // concat_ws over a 2-slice, not concat(element_at, element_at):
+      // the same string (and the Dedup shingle idiom), measured ~10x
+      // faster through the interpreted lambda path at sf0.1
+      .withColumn("bs", when(size($"t") >= 2,
+        transform(sequence(lit(1), size($"t") - 1),
+          i => pmod(Dedup.h60(s, concat_ws("\u0001", slice($"t", i, lit(2)))),
+            lit(buckets.toLong))))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Score a document frame against a fitted importance model:
+    * logw(d) = (1/n_d)·Σ_bigrams lr(bucket) — the length-normalized
+    * average log-odds; `kept` = looks more target-like than
+    * non-target (logw > 0). DSIR proper resamples
+    * proportionally to exp(logw); the deterministic keep flag is the
+    * reproducible-pipeline variant (same stance as [[mixSample]] —
+    * hash-thresholding over RNG), and logw is returned so a caller can
+    * implement any resampling rule on top.
+    *
+    * 100 TB shape: a PURE MAP stage — the model rides in as a plan
+    * literal (≤`buckets` entries), each row folds over its own bigram
+    * array, no join, no shuffle, no state. Streaming-safe by
+    * construction; [[graft.streaming.StreamingOps.importanceScoreStream]]
+    * is this same function applied to a readStream frame. Rounded to 6
+    * decimals so the two engines' summation orders cannot flip a
+    * comparison bit (the ta_doc_perplexity float discipline). */
+  def importanceScore(s: SparkSession, docs: DataFrame,
+      model: ImportanceModel): DataFrame = {
+    import s.implicits._
+    // DENSE array literal indexed by bucket id, unseen slots pre-filled
+    // with the unseen ratio: element_at on an array literal is O(1) per
+    // lookup where a map literal (ArrayBasedMapData) is a LINEAR scan —
+    // measured 14.7 s → ~3 s on the sf0.1 gate for the same plan shape
+    val lrArr = Array.tabulate(model.buckets)(i =>
+      model.lr.getOrElse(i, model.unseenLr))
+    val lrLit = typedlit(lrArr.toSeq)
+    val scored = bigramBuckets(s, docs, model.buckets)
+      .withColumn("n_bigrams", size($"bs").cast("long"))
+      .withColumn("sw", aggregate($"bs", lit(0.0), (acc, b) =>
+        acc + element_at(lrLit, (b + 1).cast("int"))))
+      .withColumn("logw", when($"n_bigrams" > 0,
+        round($"sw" / $"n_bigrams", 6)).otherwise(lit(0.0)))
+    scored.select($"doc_id", $"n_bigrams", $"logw",
+      ($"logw" > 0.0).as("kept"))
+  }
+
+  /** Gate: fit on the corpus with target = English docs, score every
+    * document. The oracle replays the identical arithmetic in SQL
+    * (bucket counts are exact integers; ln/ratios over them agree
+    * bit-for-bit; the per-doc sum is rounded to 6 decimals on both
+    * sides before compare). */
+  def ds_importance_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    importanceScore(s, docs, fitImportance(s, docs, $"lang" === "en"))
+      .orderBy($"doc_id")
+  }
+
+  val dsImportanceSampleSql: String = {
+    val b = DSIR_BUCKETS
+    val h = Dedup.h60Sql.format("t[i] || chr(1) || t[i+1]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang = 'en' AS is_t,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, is_t, ($h) % $b AS bkt
+       |  FROM tok, unnest(range(1, len(t))) AS u(i)
+       |  WHERE len(t) >= 2),
+       |dist AS (
+       |  SELECT bkt,
+       |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |  FROM bg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS rt FROM dist),
+       |lr AS (
+       |  SELECT bkt,
+       |    ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tt + $b AS DOUBLE))
+       |    - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(rt + $b AS DOUBLE)) AS lr
+       |  FROM dist, tot),
+       |w AS (
+       |  SELECT bg.doc_id, sum(lr.lr) AS sw, CAST(count(*) AS BIGINT) AS n_bigrams
+       |  FROM bg JOIN lr ON lr.bkt = bg.bkt GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(w.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(round(w.sw / w.n_bigrams, 6), 0.0) AS logw,
+       |  coalesce(round(w.sw / w.n_bigrams, 6), 0.0) > 0.0 AS kept
+       |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_importance_sample" -> ds_importance_sample _,
     "ds_pii_scrub"      -> ds_pii_scrub _,
     "ds_mix_sample"     -> ds_mix_sample _,
     "ds_pack_sequences" -> ds_pack_sequences _,
@@ -292,6 +456,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_importance_sample" -> dsImportanceSampleSql,
     "ds_pii_scrub"      -> dsPiiScrubSql,
     "ds_mix_sample"     -> dsMixSampleSql,
     "ds_pack_sequences" -> dsPackSequencesSql,

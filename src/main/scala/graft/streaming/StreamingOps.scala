@@ -345,6 +345,17 @@ object StreamingOps {
   def piiScrubStream(spark: SparkSession, events: DataFrame): DataFrame =
     graft.operators.PipelineOps.piiScrub(spark, events)
 
+  /** Streaming twin of ds_importance_sample's SCORING stage: the model
+    * is fitted once on a batch corpus (train-once-serve-many — the same
+    * split as the IVF index build vs its pruned serve), then a live
+    * document feed scores STATELESSLY: the per-bucket log-ratios ride
+    * in as a plan literal, each row folds over its own bigram array,
+    * and buckets the fit corpus never saw fall back to the model's
+    * unseen ratio — no join, no state store, no watermark. */
+  def importanceScoreStream(spark: SparkSession, docs: DataFrame,
+      model: graft.operators.PipelineOps.ImportanceModel): DataFrame =
+    graft.operators.PipelineOps.importanceScore(spark, docs, model)
+
   /** Streaming twin of ds_heavy_hitters: running corpus vocabulary
     * profile over a live document feed — per-term total frequency and
     * document frequency as an incrementally-maintained aggregate

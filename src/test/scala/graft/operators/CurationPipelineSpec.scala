@@ -251,4 +251,46 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(distinctPseudos == n,
       s"$distinctPseudos distinct pseudonyms for $n distinct users — collision")
   }
+
+  test("importance sampling: target-vocab docs outscore off-target, mixed in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en", "src0"),
+      (2L, "alpha beta alpha beta", "en", "src1"),
+      (3L, "gamma delta gamma delta gamma", "de", "src0"),
+      (4L, "gamma delta gamma delta", "zh", "src1"),
+      (5L, "alpha beta gamma delta", "fr", "src0"), // mixed vocab
+      (6L, "solo", "en", "src0")                    // <2 tokens, no bigrams
+    ).toDF("doc_id", "text", "lang", "source")
+    val m = PipelineOps.fitImportance(spark, docs, $"lang" === "en")
+    val out = PipelineOps.importanceScore(spark, docs, m).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // en-vocab docs look target-like, off-vocab docs don't
+    assert(out(1L)._3 && out(2L)._3, out.toString)
+    assert(!out(3L)._3 && !out(4L)._3, out.toString)
+    // the mixed doc sits strictly between the pure-vocab extremes
+    assert(out(1L)._2 > out(5L)._2 && out(5L)._2 > out(3L)._2, out.toString)
+    // no bigrams → neutral pass-through, never a crash or a keep
+    assert(out(6L) == ((0L, 0.0, false)), out(6L).toString)
+    // deterministic: refit + rescore reproduces bit-identical weights
+    val again = PipelineOps.importanceScore(spark, docs,
+      PipelineOps.fitImportance(spark, docs, $"lang" === "en")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.forall { case (k, v) => again(k) == v._2 })
+    // PINNED smoothing artifact: a bucket neither distribution ever saw
+    // scores ln((Q+B)/(T+B)) — slightly POSITIVE when the raw corpus
+    // outweighs the target, so fully-novel text defaults to kept.
+    // Callers filtering novel-domain streams should threshold on logw,
+    // not the zero flag; the spec pins the behavior so it can't drift
+    // silently.
+    assert(m.unseenLr > 0)
+    val novel = Seq((9L, "qqq zzz qqq", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val ns = PipelineOps.importanceScore(spark, novel, m).head()
+    assert(math.abs(ns.getDouble(2) - m.unseenLr) < 1e-6)
+    // pure map stage: no Exchange in the scoring plan
+    val plan = PipelineOps.importanceScore(spark, docs, m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"importanceScore must not shuffle:\n$plan")
+  }
 }

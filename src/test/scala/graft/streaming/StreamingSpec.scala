@@ -213,6 +213,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("importance scoring: fit-once batch model serves a stream with batch parity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_stream").toString
+    val staticDocs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"lang", $"source")
+      .orderBy($"doc_id").limit(200).coalesce(2)
+    staticDocs.write.mode("overwrite").parquet(s"$dir/docs_stream")
+    val staged = spark.read.parquet(s"$dir/docs_stream")
+    // train-once-serve-many: the model fits on the BATCH corpus; the
+    // stream only scores (stateless map — no state store, no watermark)
+    val model = graft.operators.PipelineOps.fitImportance(
+      spark, staged, $"lang" === "en")
+    val stream = spark.readStream.schema(staged.schema).parquet(s"$dir/docs_stream")
+    val q = StreamingOps.importanceScoreStream(spark, stream, model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_out").start()
+    try {
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"n_bigrams", $"logw", $"kept")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+      val streamed = rows(spark.table("dsir_out"))
+      val batch = rows(graft.operators.PipelineOps.importanceScore(spark, staged, model))
+      assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+      assert(batch.nonEmpty && batch.exists(_._4) && batch.exists(!_._4),
+        "fixture should produce both kept and dropped docs")
+    } finally q.stop()
+  }
+
   test("streaming model scoring via foreachBatch transform") {
     import spark.implicits._
     val cat = new graft.ml.Catalog(spark,
