@@ -443,11 +443,14 @@ object MLQueries {
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_catalog_bg").toString
     val cat = new Catalog(s, base)
+    // 5 unpruned estimators: the scheme (per-estimator bootstrap +
+    // full-depth trees + mean vote) is what the gate pins; 10 default
+    // trees of depth 30 ran 12.2 s at sf0.1 — past the per-gate budget
     val out = Train.train(s, cat, Train.TrainConfig(
       projectName = "bagging_demo", task = "regression",
       relationName = "quackml_diabetes", data = Some(Datasets.diabetes(s)),
       yColumn = Seq("target"), algorithm = "bagging",
-      hyperparams = Map("n_estimators" -> "10"),
+      hyperparams = Map("n_estimators" -> "5"),
       testSampling = "random", orderCols = Seq("age")))
     val r2 = cat.models.collect().head.metrics("r2")
     out.filter(lit(r2) >= 0.2)

@@ -251,6 +251,108 @@ object Similarity {
        |    * (v[i] - (CAST((1103515245 * ($k * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE)
        |    / 2147483648.0 - 0.5))))""".stripMargin
 
+  /** SemDeDup — semantic deduplication via embedding clusters (Abbas,
+    * Tirumala, Simig, Ganguli & Morcos, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023):
+    * embeddings cluster into quantizer cells, cosine pairs above `tau`
+    * form only WITHIN a cell (the paper's within-cluster restriction —
+    * exactly what makes web-scale semantic dedup tractable: the pair
+    * space is Σ cellRows², never n²), connected components group the
+    * transitive semantic duplicates, and each group keeps its minimum
+    * id. One row per vector: (vec_id, group_id, status) with status ∈
+    * unique | canonical | duplicate — the keep-list is
+    * status != 'duplicate' (the [[Components.dd_keep_list]] decision
+    * table, on meaning instead of text).
+    *
+    * 100 TB shape: the cell self-join is the DBSCAN family's bounded
+    * equi-join (per-cell work capped by targetCellRows when the
+    * quantizer is trained via chooseK — the gate's LCG quantizer is the
+    * oracle-replayable twin, the trained entry is the scale path), CC
+    * is the shared frontier fixpoint, and the verdict is one
+    * corpus-sized left join. Cosine math is the codegen graft_dot fold
+    * from identical float inputs — bit-equal in DuckDB. */
+  def semanticDedup(s: SparkSession, e: DataFrame, quant: CoarseQuantizer,
+      tau: Double, maxFanout: Long = 20000000L): DataFrame = {
+    import s.implicits._
+    val cells = e.withColumn("cell", quant.cellCol($"v"))
+    // fan-out guard, same discipline as ngramJaccardPairs: the
+    // within-cell pair space is Σ cellRows² of KB-sized vector rows —
+    // a FIXED-cell quantizer (the LCG oracle twin) goes quadratic as
+    // the corpus grows, so compute the actual fan-out in one tiny agg
+    // and refuse past the cap instead of melting the join; the trained
+    // chooseK quantizer bounds cellRows and stays linear (the scale
+    // path, measured in SCALE.md).
+    val fanout = cells.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum($"n" * $"n"), lit(0L))).head().getLong(0)
+    require(fanout <= maxFanout,
+      s"semanticDedup would score $fanout within-cell pairs (> $maxFanout); " +
+        "use a trained quantizer sized by KMeansQuantizer.chooseK " +
+        "(bounded cell population) as dd_semantic_dedup_trained does")
+    val a = cells.select($"cell", $"vec_id".as("da"), $"v".as("va"), $"nrm".as("na"))
+    val b = cells.select($"cell", $"vec_id".as("db"), $"v".as("vb"), $"nrm".as("nb"))
+    val pairs = a.join(b, Seq("cell")).filter($"da" < $"db")
+      .filter(dot($"va", $"vb") / ($"na" * $"nb") >= tau)
+      .select($"da", $"db")
+    val labels = Components.connectedComponents(pairs, "da", "db")
+      .select($"id".as("vec_id"), $"comp".as("group_id"))
+    e.select($"vec_id").join(labels, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"group_id", $"vec_id").as("group_id"),
+        when($"group_id".isNull, lit("unique"))
+          .when($"group_id" === $"vec_id", lit("canonical"))
+          .otherwise(lit("duplicate")).as("status"))
+  }
+
+  def dd_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    semanticDedup(s, emb(s, dir), LcgQuantizer, 0.45).orderBy($"vec_id")
+  }
+
+  /** The trained-quantizer scale path (SemDeDup proper clusters with
+    * k-means; k sized so cell population — and hence the within-cell
+    * pair space — stays bounded as the corpus grows). k-means is not
+    * ANSI-SQL-expressible → rows-only gate; the hash-exact twin is
+    * [[dd_semantic_dedup]] (LCG cells) and QuantizerSpec owns the
+    * cell-population contract. */
+  def dd_semantic_dedup_trained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val n = e.count()
+    val quant = KMeansQuantizer.fitSampled(e,
+      KMeansQuantizer.chooseK(n, targetCellRows = 500L), n)
+    semanticDedup(s, e, quant, 0.45).orderBy($"vec_id")
+  }
+
+  val ddSemanticDedupSql: String = {
+    def d(k: Int) = lcgSqDistSql(k)
+    s"""WITH RECURSIVE $embSqlCte,
+       |cells AS (
+       |  SELECT n.vec_id, v, nrm,
+       |    CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+       |         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+       |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cell
+       |  FROM (SELECT vec_id, v, nrm, ${d(0)} AS d0, ${d(1)} AS d1,
+       |          ${d(2)} AS d2, ${d(3)} AS d3 FROM n) n),
+       |spairs AS (
+       |  SELECT a.vec_id AS da, b.vec_id AS db
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |      / (a.nrm * b.nrm) >= 0.45),
+       |und AS (SELECT da AS v, db AS u FROM spairs
+       |        UNION ALL SELECT db AS v, da AS u FROM spairs),
+       |reach AS (
+       |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM und) nn
+       |  UNION
+       |  SELECT r.v, e2.u FROM reach r JOIN und e2 ON e2.v = r.u),
+       |comps AS (SELECT v AS vec_id, min(u) AS group_id FROM reach GROUP BY v)
+       |SELECT n.vec_id,
+       |  coalesce(c.group_id, n.vec_id) AS group_id,
+       |  CASE WHEN c.group_id IS NULL THEN 'unique'
+       |       WHEN c.group_id = n.vec_id THEN 'canonical'
+       |       ELSE 'duplicate' END AS status
+       |FROM n LEFT JOIN comps c ON c.vec_id = n.vec_id
+       |ORDER BY n.vec_id""".stripMargin
+  }
+
   val simIvfSql: String = {
     def d(k: Int) = lcgSqDistSql(k)
     s"""WITH $embSqlCte,
@@ -863,7 +965,9 @@ object Similarity {
     "sim_knn_graph"      -> sim_knn_graph _,
     "sim_knn_graph_trained" -> sim_knn_graph_trained _,
     "sim_ann_pq"         -> sim_ann_pq _,
-    "sim_ann_ivfpq"      -> sim_ann_ivfpq _
+    "sim_ann_ivfpq"      -> sim_ann_ivfpq _,
+    "dd_semantic_dedup"  -> dd_semantic_dedup _,
+    "dd_semantic_dedup_trained" -> dd_semantic_dedup_trained _
   )
 
   val oracles: Map[String, String] = Map(
@@ -873,6 +977,7 @@ object Similarity {
     "sim_ann_ivf"        -> simIvfSql,
     "sim_ann_ivf_probe2" -> simIvfProbe2Sql,
     "sim_ann_ivf_indexed" -> simIvfSql,
-    "sim_knn_graph"      -> simKnnGraphSql
+    "sim_knn_graph"      -> simKnnGraphSql,
+    "dd_semantic_dedup"  -> ddSemanticDedupSql
   )
 }

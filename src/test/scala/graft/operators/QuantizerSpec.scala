@@ -199,4 +199,44 @@ class QuantizerSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("dynamicpruning"), plan)
   }
+
+  test("semanticDedup: transitive groups, canonical = min id, trained twin structural") {
+    GraftFunctions.register(spark)
+    // three semantically-identical vectors (tiny perturbations of one
+    // direction), one chained near-neighbor, and two isolated vectors —
+    // 64 dims so the LCG cell arithmetic applies
+    def v(base: Double, eps: Double) =
+      Seq.tabulate(64)(i => base + (if (i == 0) eps else 0.0) + i * 0.01)
+    val e = Seq(
+      (10L, v(1.0, 0.0)), (11L, v(1.0, 0.001)), (12L, v(1.0, 0.002)),
+      (20L, Seq.tabulate(64)(i => math.sin(i * 2.1) * 5)),
+      (21L, Seq.tabulate(64)(i => math.cos(i * 1.3) * 5))
+    ).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+    val out = Similarity.semanticDedup(spark, e, LcgQuantizer, 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the near-identical trio groups under its minimum id
+    assert(out(10L) == ((10L, "canonical")), out.toString)
+    assert(out(11L) == ((10L, "duplicate")) && out(12L) == ((10L, "duplicate")))
+    // isolated vectors stay unique and self-grouped
+    assert(out(20L) == ((20L, "unique")) && out(21L) == ((21L, "unique")))
+    // trained twin on real embeddings: structural contract — every
+    // multi-member group has exactly ONE canonical and it is the
+    // group's minimum id; statuses partition the corpus
+    val emb2 = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", $"v", $"v")))
+    val quant = KMeansQuantizer.fit(emb2, 4)
+    val t = Similarity.semanticDedup(spark, emb2, quant, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(t.length == emb2.count())
+    t.groupBy(_._2).foreach { case (gid, members) =>
+      if (members.length > 1) {
+        val canon = members.filter(_._3 == "canonical")
+        assert(canon.length == 1 && canon.head._1 == gid &&
+          gid == members.map(_._1).min, s"group $gid: ${members.mkString(",")}")
+        assert(members.filter(_._3 == "duplicate").length == members.length - 1)
+      } else assert(members.head._3 == "unique" && members.head._1 == gid)
+    }
+  }
 }
