@@ -400,6 +400,72 @@ object PipelineOps {
       ($"logw" > 0.0).as("kept"))
   }
 
+  // ------------------------------------- trained quality classifier
+  /** GPT-3-style quality classifier (Brown et al. 2020, Appendix A —
+    * the published web-corpus filter): train a bag-of-hashed-ngrams
+    * logistic classifier to recognize a SEED of known-good documents,
+    * score the whole corpus, and keep a document when its score clears
+    * a Pareto-sampled bar — `prob > 1 − pareto(α=9)` — so low-scoring
+    * docs still get in occasionally (the paper's trick to avoid a hard
+    * cliff that would skew the surviving distribution). The Pareto draw
+    * is DETERMINISTIC here: the uniform comes from the keyed 60-bit
+    * content hash, never RNG state (the [[mixSample]] stance — retries
+    * and speculative tasks reproduce the same keep set bit-for-bit).
+    *
+    * 100 TB shape: featurize is a map stage (HashingTF over tokens —
+    * Spark's native hashed bag-of-words, numFeatures fixed); the fit
+    * sees only the seed + an equal-size hash-sampled complement (LBFGS
+    * over a bounded frame); scoring is model.transform — one map pass,
+    * no shuffle. Rows-only gate (a trained LBFGS classifier has no SQL
+    * twin): floored on held-out accuracy ≥ 0.9 against the seed
+    * predicate, so a broken featurizer/fit empties the gate. */
+  def qualityClassifier(s: SparkSession, docs: DataFrame,
+      seedPred: org.apache.spark.sql.Column,
+      numFeatures: Int = DSIR_BUCKETS): DataFrame = {
+    import s.implicits._
+    val tk = docs.select($"doc_id", seedPred.cast("double").as("label"),
+      filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0).as("toks"))
+    val feat = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(numFeatures)
+      .transform(tk)
+    // deterministic 80/20 split by keyed id hash — replays identically
+    val withFold = feat.withColumn("fold",
+      Dedup.h60(s, concat(lit("qc|"), $"doc_id".cast("string"))) % 10)
+    val train = withFold.filter($"fold" < 8)
+    val test = withFold.filter($"fold" >= 8)
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(30).setRegParam(1e-4)
+      .fit(train)
+    val heldOut = model.transform(test)
+    val nTest = heldOut.count()
+    val acc =
+      if (nTest == 0) 0.0
+      else heldOut.filter($"prediction" === $"label").count().toDouble / nTest
+    val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    val scored = model.transform(feat)
+      .withColumn("prob", probOf($"probability"))
+      // u ∈ (0,1]: scaled keyed hash; pareto(9) = u^(-1/9) − 1
+      .withColumn("u",
+        (Dedup.h60(s, concat(lit("qp|"), $"doc_id".cast("string"))) % 1000000L
+          + 1L).cast("double") / 1000000.0)
+      .withColumn("kept", $"prob" > lit(1.0) - (pow($"u", -1.0 / 9.0) - 1.0))
+      .select($"doc_id", $"label".cast("boolean").as("is_seed"),
+        $"prob", $"kept")
+    // inline quality floor: a classifier that cannot re-recognize its
+    // own seed on held-out docs is broken — empty the gate
+    scored.filter(lit(acc) >= 0.9)
+  }
+
+  def ds_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // seed: documents mentioning the (content-bearing) term — a
+    // deterministic stand-in for "matches a high-quality reference
+    // corpus"; the classifier must learn it from hashed features alone
+    qualityClassifier(s, Tables.documents(s, dir),
+      $"text".contains("spark")).orderBy($"doc_id")
+  }
+
   /** Gate: fit on the corpus with target = English docs, score every
     * document. The oracle replays the identical arithmetic in SQL
     * (bucket counts are exact integers; ln/ratios over them agree
@@ -447,6 +513,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_importance_sample" -> ds_importance_sample _,
+    "ds_quality_classifier" -> ds_quality_classifier _,
     "ds_pii_scrub"      -> ds_pii_scrub _,
     "ds_mix_sample"     -> ds_mix_sample _,
     "ds_pack_sequences" -> ds_pack_sequences _,

@@ -252,6 +252,30 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"$distinctPseudos distinct pseudonyms for $n distinct users — collision")
   }
 
+  test("qualityClassifier: learns the seed, Pareto keep is deterministic, floor trips on unlearnable seed") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = PipelineOps.qualityClassifier(spark, docs,
+      $"text".contains("spark")).cache()
+    val n = docs.count()
+    assert(out.count() == n, "floor must pass on a learnable seed")
+    // the classifier separates: seed docs score far above non-seed
+    val agg = out.groupBy($"is_seed")
+      .agg(avg($"prob").as("p")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(agg(true) > 0.9 && agg(false) < 0.1, agg.toString)
+    // deterministic: the Pareto keep set replays bit-for-bit
+    val again = PipelineOps.qualityClassifier(spark, docs,
+      $"text".contains("spark"))
+    assert(out.select($"doc_id", $"kept").except(
+      again.select($"doc_id", $"kept")).count() == 0)
+    // an unlearnable seed (content-independent id hash) cannot clear
+    // the 0.9 held-out accuracy floor — the gate empties, never lies
+    val broken = PipelineOps.qualityClassifier(spark, docs,
+      Dedup.h60(spark, concat(lit("x|"), $"doc_id".cast("string"))) % 2 === 0)
+    assert(broken.count() == 0, "unlearnable seed must trip the floor")
+  }
+
   test("importance sampling: target-vocab docs outscore off-target, mixed in between") {
     import spark.implicits._
     val docs = Seq(
