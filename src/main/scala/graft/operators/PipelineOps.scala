@@ -419,42 +419,73 @@ object PipelineOps {
     * no shuffle. Rows-only gate (a trained LBFGS classifier has no SQL
     * twin): floored on held-out accuracy ≥ 0.9 against the seed
     * predicate, so a broken featurizer/fit empties the gate. */
-  def qualityClassifier(s: SparkSession, docs: DataFrame,
+  /** Fitted quality filter: the logistic head plus its featurizer
+    * width and the held-out accuracy the fit measured — model-sized
+    * state only (a coefficient vector of `numFeatures` doubles), the
+    * same train-once-serve-many split as [[fitImportance]]. */
+  final case class QualityModel(numFeatures: Int,
+      lr: org.apache.spark.ml.classification.LogisticRegressionModel,
+      heldOutAccuracy: Double)
+
+  def fitQualityClassifier(s: SparkSession, docs: DataFrame,
       seedPred: org.apache.spark.sql.Column,
-      numFeatures: Int = DSIR_BUCKETS): DataFrame = {
+      numFeatures: Int = DSIR_BUCKETS): QualityModel = {
     import s.implicits._
-    val tk = docs.select($"doc_id", seedPred.cast("double").as("label"),
-      filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0).as("toks"))
     val feat = new org.apache.spark.ml.feature.HashingTF()
       .setInputCol("toks").setOutputCol("features")
       .setNumFeatures(numFeatures)
-      .transform(tk)
+      .transform(docs.select($"doc_id", seedPred.cast("double").as("label"),
+        filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0).as("toks")))
     // deterministic 80/20 split by keyed id hash — replays identically
     val withFold = feat.withColumn("fold",
       Dedup.h60(s, concat(lit("qc|"), $"doc_id".cast("string"))) % 10)
-    val train = withFold.filter($"fold" < 8)
-    val test = withFold.filter($"fold" >= 8)
     val model = new org.apache.spark.ml.classification.LogisticRegression()
       .setMaxIter(30).setRegParam(1e-4)
-      .fit(train)
-    val heldOut = model.transform(test)
+      .fit(withFold.filter($"fold" < 8))
+    val heldOut = model.transform(withFold.filter($"fold" >= 8))
     val nTest = heldOut.count()
     val acc =
       if (nTest == 0) 0.0
       else heldOut.filter($"prediction" === $"label").count().toDouble / nTest
+    QualityModel(numFeatures, model, acc)
+  }
+
+  /** Score a document frame against a fitted quality model: P(seed)
+    * from the logistic head, kept = `prob > 1 − pareto(9)` with the
+    * Pareto draw derived from the keyed content hash. A PURE MAP stage
+    * (HashingTF + model.transform + hash threshold — no join, no
+    * shuffle, no state), so the SAME function serves a readStream frame
+    * ([[graft.streaming.StreamingOps.qualityScoreStream]]). */
+  def qualityScore(s: SparkSession, docs: DataFrame,
+      model: QualityModel): DataFrame = {
+    import s.implicits._
+    val feat = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(model.numFeatures)
+      .transform(docs.withColumn("toks",
+        filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0)))
     val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
-    val scored = model.transform(feat)
+    model.lr.transform(feat)
       .withColumn("prob", probOf($"probability"))
       // u ∈ (0,1]: scaled keyed hash; pareto(9) = u^(-1/9) − 1
       .withColumn("u",
         (Dedup.h60(s, concat(lit("qp|"), $"doc_id".cast("string"))) % 1000000L
           + 1L).cast("double") / 1000000.0)
       .withColumn("kept", $"prob" > lit(1.0) - (pow($"u", -1.0 / 9.0) - 1.0))
-      .select($"doc_id", $"label".cast("boolean").as("is_seed"),
-        $"prob", $"kept")
+      .select($"doc_id", $"prob", $"kept")
+  }
+
+  def qualityClassifier(s: SparkSession, docs: DataFrame,
+      seedPred: org.apache.spark.sql.Column,
+      numFeatures: Int = DSIR_BUCKETS): DataFrame = {
+    import s.implicits._
+    val model = fitQualityClassifier(s, docs, seedPred, numFeatures)
+    val scored = qualityScore(s, docs, model)
+      .join(docs.select($"doc_id", seedPred.as("is_seed")), Seq("doc_id"))
+      .select($"doc_id", $"is_seed", $"prob", $"kept")
     // inline quality floor: a classifier that cannot re-recognize its
     // own seed on held-out docs is broken — empty the gate
-    scored.filter(lit(acc) >= 0.9)
+    scored.filter(lit(model.heldOutAccuracy) >= 0.9)
   }
 
   def ds_quality_classifier(s: SparkSession, dir: String): DataFrame = {

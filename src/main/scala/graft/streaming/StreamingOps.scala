@@ -356,6 +356,16 @@ object StreamingOps {
       model: graft.operators.PipelineOps.ImportanceModel): DataFrame =
     graft.operators.PipelineOps.importanceScore(spark, docs, model)
 
+  /** Streaming twin of ds_quality_classifier's SCORING stage: the
+    * GPT-3-style quality head is fitted once on a batch seed
+    * (train-once-serve-many), then a live document feed scores
+    * statelessly — HashingTF + the logistic head + the hash-derived
+    * Pareto keep bar are all map work; no join, no state store, no
+    * watermark. */
+  def qualityScoreStream(spark: SparkSession, docs: DataFrame,
+      model: graft.operators.PipelineOps.QualityModel): DataFrame =
+    graft.operators.PipelineOps.qualityScore(spark, docs, model)
+
   /** Streaming twin of ds_heavy_hitters: running corpus vocabulary
     * profile over a live document feed — per-term total frequency and
     * document frequency as an incrementally-maintained aggregate

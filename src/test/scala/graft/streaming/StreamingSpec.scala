@@ -243,6 +243,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality scoring: fit-once batch head serves a stream with batch parity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_stream").toString
+    val staticDocs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(200).coalesce(2)
+    staticDocs.write.mode("overwrite").parquet(s"$dir/docs_stream")
+    val staged = spark.read.parquet(s"$dir/docs_stream")
+    val model = graft.operators.PipelineOps.fitQualityClassifier(
+      spark, staged, $"text".contains("spark"))
+    assert(model.heldOutAccuracy >= 0.9, s"fixture seed unlearnable: $model")
+    val stream = spark.readStream.schema(staged.schema).parquet(s"$dir/docs_stream")
+    val q = StreamingOps.qualityScoreStream(spark, stream, model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qc_out").start()
+    try {
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"prob", $"kept")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      val streamed = rows(spark.table("qc_out"))
+      val batch = rows(graft.operators.PipelineOps.qualityScore(spark, staged, model))
+      assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+      assert(batch.exists(_._3) && batch.exists(!_._3),
+        "fixture should produce both kept and dropped docs")
+    } finally q.stop()
+  }
+
   test("streaming model scoring via foreachBatch transform") {
     import spark.implicits._
     val cat = new graft.ml.Catalog(spark,
