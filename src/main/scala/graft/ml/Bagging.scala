@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.{PredictionModel, Predictor}
 import org.apache.spark.ml.classification.{DecisionTreeClassifier, ProbabilisticClassificationModel, ProbabilisticClassifier}
 import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
-import org.apache.spark.ml.param.{BooleanParam, DoubleArrayParam, DoubleParam, IntArrayParam, IntParam, LongParam, ParamMap}
+import org.apache.spark.ml.param.{BooleanParam, DoubleArrayParam, DoubleParam, IntArrayParam, IntParam, LongParam, Param, ParamMap}
 import org.apache.spark.ml.regression.DecisionTreeRegressor
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
@@ -63,12 +63,16 @@ private[ml] trait BaggingParams extends org.apache.spark.ml.param.Params {
     "features drawn with replacement")
   final val maxDepth = new IntParam(this, "maxDepth", "base-tree depth")
   final val seed = new LongParam(this, "seed", "sampling + base-tree seed")
+  final val bootstrapMode = new Param[String](this, "bootstrapMode",
+    "poisson (distributed default) | exact (sklearn exact-n resample, capped)",
+    (v: String) => v == "poisson" || v == "exact")
   // maxDepth defaults to Spark's tree-depth ceiling (30): sklearn's
   // Bagging* base estimator is an UNPRUNED full-depth DecisionTree, and
   // a depth-5 default would quietly underfit relative to the reference
   // (ADVICE r13); max_depth stays an explicit knob for bounded trees
   setDefault(numEstimators -> 10, maxSamples -> 1.0, maxFeatures -> 1.0,
-    bootstrap -> true, bootstrapFeatures -> false, maxDepth -> 30, seed -> 42L)
+    bootstrap -> true, bootstrapFeatures -> false, maxDepth -> 30, seed -> 42L,
+    bootstrapMode -> "poisson")
 }
 
 private[ml] object BaggingCore {
@@ -148,6 +152,41 @@ private[ml] object BaggingCore {
     val s = df.sample(withReplacement, frac, seed)
     if (s.head(1).isEmpty) df else s
   }
+
+  /** Row cap for the EXACT bootstrap opt-in: the multiplicity vector is
+    * n ints of driver/broadcast state (4 MB at the cap) — metadata
+    * scale, the same capped-exact discipline as the kernel opt-ins. */
+  val EXACT_BOOTSTRAP_CAP = 1000000L
+
+  /** sklearn's exact resample (`bootstrap_mode=exact` opt-in): draw
+    * EXACTLY k indices with replacement from a seeded generator, then
+    * realize the sample distributed as per-row multiplicities joined on
+    * the stable row order of the checkpointed parent — every estimator
+    * trains on exactly k rows, closing the Poisson-vs-exact-n fidelity
+    * flag where the cap allows. The default stays the Poisson bootstrap
+    * ("law of large numbers for resampled data streams"): at corpus
+    * scale a dense per-index count vector is the wrong shape, and
+    * Poisson is the published data-parallel equivalent. */
+  def sampleRowsExact(df: DataFrame, k: Long, seed: Long): DataFrame = {
+    val n = df.count()
+    require(n > 0, "bagging needs at least one training row")
+    require(n <= EXACT_BOOTSTRAP_CAP,
+      s"bootstrap_mode=exact draws a per-index multiplicity vector over $n " +
+        s"rows (> $EXACT_BOOTSTRAP_CAP); the Poisson default is the " +
+        "distributed route at this scale")
+    val counts = new Array[Int](n.toInt)
+    val rng = new scala.util.Random(seed)
+    var i = 0L
+    while (i < k) { counts(rng.nextInt(n.toInt)) += 1; i += 1 }
+    val bc = df.sparkSession.sparkContext.broadcast(counts)
+    // zipWithIndex is narrow and stable on the checkpointed parent; the
+    // flatMap replays identically on every action (no seeded-sample
+    // re-draw between the fit and the leaf-distribution pass)
+    val rdd = df.rdd.zipWithIndex.flatMap { case (row, idx) =>
+      Iterator.fill(bc.value(idx.toInt))(row)
+    }
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
 }
 
 /** Flat forest + per-leaf distributions (model side). */
@@ -209,6 +248,7 @@ class BaggingClassifier(override val uid: String)
   def setBootstrapFeatures(v: Boolean): this.type = set(bootstrapFeatures, v)
   def setMaxDepth(v: Int): this.type = set(maxDepth, v)
   def setSeed(v: Long): this.type = set(seed, v)
+  def setBootstrapMode(v: String): this.type = set(bootstrapMode, v)
 
   override protected def train(ds: Dataset[_]): BaggingClassificationModel = {
     BaggingCore.validate($(numEstimators), $(maxSamples), $(maxFeatures))
@@ -226,8 +266,13 @@ class BaggingClassifier(override val uid: String)
       val rng = new scala.util.Random($(seed) + m)
       val featIdx = BaggingCore.drawFeatures(d, $(maxFeatures),
         $(bootstrapFeatures), rng)
-      val sampled = BaggingCore.sampleRows(df, $(bootstrap),
-        BaggingCore.resolveFraction($(maxSamples), nRows), $(seed) + m)
+      val sampled =
+        if ($(bootstrap) && $(bootstrapMode) == "exact")
+          BaggingCore.sampleRowsExact(df,
+            BaggingCore.resolveCount($(maxSamples), nRows.toInt).toLong,
+            $(seed) + m)
+        else BaggingCore.sampleRows(df, $(bootstrap),
+          BaggingCore.resolveFraction($(maxSamples), nRows), $(seed) + m)
       val identity = BaggingCore.isIdentity(featIdx, d)
       // identity subsets (the default max_features=1.0) train on the
       // raw column — no per-row copy, sparse vectors stay sparse
@@ -324,6 +369,7 @@ class BaggingRegressor(override val uid: String)
   def setBootstrapFeatures(v: Boolean): this.type = set(bootstrapFeatures, v)
   def setMaxDepth(v: Int): this.type = set(maxDepth, v)
   def setSeed(v: Long): this.type = set(seed, v)
+  def setBootstrapMode(v: String): this.type = set(bootstrapMode, v)
 
   override protected def train(ds: Dataset[_]): BaggingRegressionModel = {
     BaggingCore.validate($(numEstimators), $(maxSamples), $(maxFeatures))
@@ -339,8 +385,13 @@ class BaggingRegressor(override val uid: String)
       val rng = new scala.util.Random($(seed) + m)
       val featIdx = BaggingCore.drawFeatures(d, $(maxFeatures),
         $(bootstrapFeatures), rng)
-      val sampled = BaggingCore.sampleRows(df, $(bootstrap),
-        BaggingCore.resolveFraction($(maxSamples), nRows), $(seed) + m)
+      val sampled =
+        if ($(bootstrap) && $(bootstrapMode) == "exact")
+          BaggingCore.sampleRowsExact(df,
+            BaggingCore.resolveCount($(maxSamples), nRows.toInt).toLong,
+            $(seed) + m)
+        else BaggingCore.sampleRows(df, $(bootstrap),
+          BaggingCore.resolveFraction($(maxSamples), nRows), $(seed) + m)
       val identity = BaggingCore.isIdentity(featIdx, d)
       val (trainFrame, featCol) =
         if (identity) (sampled, "f")

@@ -341,6 +341,7 @@ object Train {
         .setMaxFeatures(hp(h, "max_features", 1.0))
         .setBootstrap(hpb(h, "bootstrap", true))
         .setBootstrapFeatures(hpb(h, "bootstrap_features", false))
+        .setBootstrapMode(h.getOrElse("bootstrap_mode", "poisson"))
         // 30 = Spark's depth ceiling ≈ sklearn's unpruned default tree
         .setMaxDepth(hpi(h, "max_depth", 30)).setSeed(seed)
     // ---------------- classification
@@ -500,6 +501,7 @@ object Train {
         .setMaxFeatures(hp(h, "max_features", 1.0))
         .setBootstrap(hpb(h, "bootstrap", true))
         .setBootstrapFeatures(hpb(h, "bootstrap_features", false))
+        .setBootstrapMode(h.getOrElse("bootstrap_mode", "poisson"))
         // 30 = Spark's depth ceiling ≈ sklearn's unpruned default tree
         .setMaxDepth(hpi(h, "max_depth", 30)).setSeed(seed)
     // ---------------- clustering
@@ -619,7 +621,10 @@ object Train {
     case "bayesian_ridge" => Map("compat" -> "ridge_point_estimate")
     // bagging is now the sklearn scheme itself (Bagging.scala); the
     // one stated substitution is the Poisson bootstrap in place of an
-    // exact-n resample (Chamandy et al. 2012 — the data-parallel form)
+    // exact-n resample (Chamandy et al. 2012 — the data-parallel form).
+    // bootstrap_mode=exact (capped opt-in) removes even that: every
+    // estimator then trains on exactly max_samples rows, flag-free
+    case "bagging" if h.get("bootstrap_mode").contains("exact") => Map.empty
     case "bagging" => Map("compat" -> "poisson_bootstrap")
     case "perceptron" => Map("compat" -> "logistic")
     case "mini_batch_kmeans" => Map("compat" -> "kmeans")

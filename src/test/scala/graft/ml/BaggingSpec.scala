@@ -127,6 +127,44 @@ class BaggingSpec extends AnyFunSuite {
     assert(bc.getOrDefault(bc.maxSamples) == 0.8)
   }
 
+  test("bootstrap_mode=exact: exactly-n resample, deterministic, capped, flag-free ledger") {
+    val df = clsFixture.localCheckpoint()
+    // exactly k rows drawn, every time
+    val s1 = BaggingCore.sampleRowsExact(df, 150L, seed = 7)
+    assert(s1.count() == 150L)
+    // deterministic: the same seed replays the identical multiset
+    val key = org.apache.spark.sql.functions.expr(
+      "concat(cast(features as string), ':', cast(label as string))")
+    val m1 = s1.select(key.as("k")).groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m2 = BaggingCore.sampleRowsExact(df, 150L, seed = 7)
+      .select(key.as("k")).groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 == m2)
+    // a different seed draws a different multiset
+    val m3 = BaggingCore.sampleRowsExact(df, 150L, seed = 8)
+      .select(key.as("k")).groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 != m3)
+    // end to end: the exact mode trains and separates like the default
+    val m = new BaggingClassifier().setNumEstimators(3)
+      .setBootstrapMode("exact").setSeed(5).fit(df)
+    assert(m.transform(df).filter($"prediction" =!= $"label").count() == 0)
+    // the ledger: exact mode substitutes NOTHING — no compat flag;
+    // the poisson default keeps its stated substitution
+    assert(Train.compatNote("bagging",
+      Map("bootstrap_mode" -> "exact")).isEmpty)
+    assert(Train.compatNote("bagging", Map.empty)
+      .get("compat").contains("poisson_bootstrap"))
+    // past the cap the exact route refuses, naming the poisson default
+    val e = intercept[IllegalArgumentException] {
+      BaggingCore.sampleRowsExact(
+        spark.range(BaggingCore.EXACT_BOOTSTRAP_CAP + 1)
+          .toDF("x"), 10L, seed = 1)
+    }
+    assert(e.getMessage.contains("Poisson default"), e.getMessage)
+  }
+
   test("integer knob form: max_samples above 1 is an absolute count, like sklearn") {
     // 100 of 200 rows per estimator ≙ fraction 0.5; non-integer > 1 refuses
     assert(BaggingCore.resolveFraction(100.0, 200L) == 0.5)
