@@ -29,6 +29,7 @@ object SparkEntry {
       operators.LLMQueries.queries ++
       operators.TextMetricsQueries.queries ++
       operators.AsOfJoin.queries ++
+      operators.Bpe.queries ++
       operators.ScaleUtils.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.LLMQueries.oracles ++
       operators.TextMetricsQueries.oracles ++
       operators.AsOfJoin.oracles ++
+      operators.Bpe.oracles ++
       operators.ScaleUtils.oracles
 }
