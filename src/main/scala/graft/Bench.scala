@@ -176,104 +176,47 @@ object Bench {
       }
     }
     if (only.isEmpty) {
-      // Adjudicate EVERY flag (slower AND faster) before the artifact
-      // ships: re-run each flagged query alone in a fresh JVM
-      // (tools/adjudicate_bench.sh — 5 iterations, same SF) and record
-      // the verdict inside bench_regressions.json itself, so no run ever
-      // leaves an unadjudicated flag behind.
+      // Flags are written with verdict "pending" and adjudicated AFTER
+      // this JVM exits (VERDICT r14 item 1). The old flow spawned the
+      // isolated reruns in-process, while the full-suite JVM (32 threads,
+      // tens of GB of heap) was still resident — bench_adjudication_r14
+      // finding_3 measured that configuration inflating isolated readings
+      // up to 5× (dd_components 24.05 s in-run vs 4.73 s idle), which is
+      // how r13 shipped 12 noise flags labeled "real" and r14 one more.
       //
-      // Verdicts compare ISOLATED-vs-ISOLATED (VERDICT r10 item 4): the
-      // fresh-JVM median runs 3–5× the in-suite number, so comparing it
-      // against the in-suite prev biased every verdict toward `real`.
-      // bench_isolated_baseline.json accumulates one isolated median per
-      // ever-flagged query; a flag with no stored isolated baseline
-      // records `no_baseline` (first observation — the comparison point
-      // for the NEXT time it flags) rather than a biased verdict.
-      //   noise       — isolated median within 1.25× of the isolated
-      //                 baseline (slower flags) / above 0.75× (faster)
-      //   real        — outside that band, in the flagged direction
-      //   no_baseline — first isolated observation, recorded for later
-      //   failed      — the rerun produced no JSON
+      // Fixed flow: write every flag as "pending", then spawn
+      // tools/post_adjudicate.py DETACHED with --wait-pid <this JVM>.
+      // The script blocks until this process is gone, re-runs each
+      // pending query alone in a fresh JVM on the now quiet machine, and
+      // patches the verdicts (noise/real/no_baseline/failed, idle-vs-idle
+      // vs bench_isolated_baseline.json — bands unchanged) plus the
+      // baseline merge into the artifacts. Re-invoking the script
+      // standalone (no --wait-pid) adjudicates any leftover pendings.
       val flagged = regressions ++ speedups
-      val isoBasePath = java.nio.file.Paths.get("bench_isolated_baseline.json")
-      val isoBase: Map[String, Double] =
-        try {
-          import org.json4s._
-          org.json4s.jackson.JsonMethods.parse(
-            java.nio.file.Files.readString(isoBasePath)) match {
-            case JObject(fields) => fields.collect {
-              case (k, JDouble(v)) => k -> v
-              case (k, JInt(v))    => k -> v.toDouble
-            }.toMap
-            case _ => Map.empty
-          }
-        } catch { case _: Throwable => Map.empty }
-      val verdicts: Map[String, (Double, String)] =
-        if (flagged.isEmpty || sys.env.contains("SPARK_GRAFT_NO_ADJUDICATE"))
-          Map.empty
-        else {
-          val names = flagged.map(_._1)
-          System.err.println(
-            s"ADJUDICATING ${names.size} flag(s) via isolated rerun...")
-          val out = try {
-            import scala.sys.process._
-            Process(Seq("bash", "tools/adjudicate_bench.sh") ++ names,
-              None, "ADJ_SF_DIR" -> sfDir).!!
-          } catch { case _: Throwable => "" }
-          val kinds = flagged.map(f => f._1 -> f._4).toMap
-          out.linesIterator.collect {
-            case l if l.startsWith("ISOLATED ") =>
-              l.split("\\s+") match {
-                case Array(_, q, "FAILED") => q -> (-1.0, "failed")
-                case Array(_, q, sec) =>
-                  val iso = sec.toDouble
-                  val v = isoBase.get(q) match {
-                    case None => "no_baseline"
-                    case Some(base) => kinds.getOrElse(q, "slower") match {
-                      case "faster" => if (iso < base * 0.75) "real" else "noise"
-                      case _        => if (iso > base * 1.25) "real" else "noise"
-                    }
-                  }
-                  q -> (iso, v)
-                case _ => "" -> (-1.0, "failed")
-              }
-          }.filter(_._1.nonEmpty).toMap
-        }
-      verdicts.foreach { case (q, (iso, v)) =>
-        System.err.println(f"  ADJUDICATED $q%-24s isolated=$iso%.3f s -> $v")
-      }
       val regJson = flagged.map { case (name, o, n, kind) =>
-        val (iso, v) = verdicts.getOrElse(name, (-1.0, "unadjudicated"))
         "\"" + name + "\":{\"prev\":" + o + ",\"now\":" + n +
           ",\"kind\":\"" + kind + "\"" +
-          ",\"isolated\":" + iso + ",\"verdict\":\"" + v + "\"}"
+          ",\"isolated\":-1.0,\"verdict\":\"pending\"}"
       }.mkString("{", ",", "}")
-      // merge this run's isolated medians into the baseline file so the
-      // next flag on the same query has an apples-to-apples comparison —
-      // EXCEPT verdict=real: a confirmed regression must keep comparing
-      // against the pre-regression baseline until it is fixed, or each
-      // incremental slowdown would ratchet the baseline and adjudicate
-      // the next one as noise
-      val kindOf = flagged.map(f => f._1 -> f._4).toMap
-      val mergedBase = isoBase ++ verdicts.collect {
-        // a confirmed-real SLOWDOWN keeps the pre-regression baseline;
-        // a confirmed-real SPEEDUP is the new reality and becomes the
-        // reference (else the stale slow baseline would adjudicate any
-        // later regression back to the old speed as noise)
-        case (q, (iso, v)) if iso > 0 && v != "failed" &&
-            !(v == "real" && kindOf.getOrElse(q, "slower") == "slower") => q -> iso
-      }
       // the driver captures stdout with a bounded tail — the r6 capture
       // lost the trailing dd_* timings — so the full vector also lands as
       // a file artifact every run, keeping rounds comparable query by query
       try {
-        if (mergedBase.nonEmpty)
-          java.nio.file.Files.writeString(isoBasePath,
-            mergedBase.toSeq.sortBy(_._1)
-              .map { case (k, v) => "\"" + k + "\":" + v }
-              .mkString("{", ",", "}") + "\n")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_regressions.json"), regJson + "\n")
+        if (flagged.nonEmpty && !sys.env.contains("SPARK_GRAFT_NO_ADJUDICATE")) {
+          System.err.println(
+            s"${flagged.size} flag(s) written as pending; spawning detached " +
+              "post-exit adjudicator (tools/post_adjudicate.py)")
+          val pid = ProcessHandle.current().pid()
+          val pb = new ProcessBuilder(
+            "setsid", "python3", "tools/post_adjudicate.py",
+            "--wait-pid", pid.toString, "--sf-dir", sfDir)
+          pb.redirectOutput(java.lang.ProcessBuilder.Redirect.appendTo(
+            new java.io.File("bench_adjudication.log")))
+          pb.redirectErrorStream(true)
+          pb.start() // deliberately NOT waited on — it outlives this JVM
+        }
         // the persisted comparison vector carries FORWARD the last good
         // timing for this run's failed queries (stdout keeps the nulls):
         // overwriting them with null would erase the pre-breakage
