@@ -119,6 +119,12 @@ object GraftFunctions {
       children(0), children(1))
   }
 
+  val jsonLongInfo = new ExpressionInfo(classOf[JsonGetLong].getName, "graft_json_long")
+  private val buildJsonLong: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_json_long takes (json, key)")
+    JsonGetLong(Cast(children(0), StringType), Cast(children(1), StringType))
+  }
+
   val pqAdcInfo = new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc")
   val topKMinInfo = new ExpressionInfo(classOf[TopKMin].getName, "graft_topk_min")
   private val buildTopKMin: Seq[Expression] => Expression = { children =>
@@ -143,6 +149,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap)
     reg.registerFunction(FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg)
     reg.registerFunction(FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight)
+    reg.registerFunction(FunctionIdentifier("graft_json_long"), jsonLongInfo, buildJsonLong)
   }
 
   private[functions] def builders = Seq(
@@ -155,7 +162,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg),
     (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight),
     (FunctionIdentifier("graft_pq_adc"), pqAdcInfo, buildPqAdc),
-    (FunctionIdentifier("graft_topk_min"), topKMinInfo, buildTopKMin))
+    (FunctionIdentifier("graft_topk_min"), topKMinInfo, buildTopKMin),
+    (FunctionIdentifier("graft_json_long"), jsonLongInfo, buildJsonLong))
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

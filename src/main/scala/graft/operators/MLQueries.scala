@@ -129,12 +129,18 @@ object MLQueries {
 
   // --------------------------------------------- classification metrics
   /** Rule classifier over events, scored by ml.Metrics.classification —
-    * exercises the native confusion-matrix path end to end. */
+    * exercises the native confusion-matrix path end to end. The per-event
+    * score uses the native `graft_json_long` flat-field extractor (the
+    * general `get_json_object` path stays gate-covered by q_json_events):
+    * the general parser made this linear map pass the steepest
+    * events-family slope at ~2.2 µs/row (SCALE.md r14, exponent 0.70). */
   def ml_metrics_cls(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val jsonK = call_function("graft_json_long", $"props", lit("k"))
     val df = Tables.events(s, dir).select(
       when($"event_type".isin("purchase", "signup"), 1).otherwise(0).as("label"),
-      when(get_json_object($"props", "$.k").cast("long") >= 50, 1).otherwise(0).as("pred"))
+      when(jsonK >= 50, 1).otherwise(0).as("pred"))
     val rep = Metrics.classification(df, "label", "pred")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

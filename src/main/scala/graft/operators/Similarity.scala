@@ -711,22 +711,38 @@ object Similarity {
     * and codebook — have no SQL twin); mean recall vs the exact top-10,
     * computed in-gate, floors the output at 0.45 (measured 0.56 at 1×
     * and 10× — the floor trips on a real regression, not on noise). */
+  /** Trained IVF-PQ bundle: the residual codebook plus the corpus's
+    * non-empty cell set. The cell set is TRAIN-time metadata (VERDICT
+    * r14 item 8): deriving it per serve call put a `distinct().collect()`
+    * on the per-batch path; bundling it here makes the in-memory serve
+    * match the persistent handle path's zero-per-call discipline. */
+  final case class PqTrained(cb: ProductQuantizer.Codebook, nonEmpty: Seq[Int])
+
   /** Train the residual PQ codebook the IVF-PQ family shares: m = the
     * largest power-of-two ≤ 16 dividing the dim (a dim change degrades
     * granularity instead of throwing — the r10 events lesson), k = 64
     * codewords, fitted on the corpus residuals. ONE definition so the
     * gate, the persistence spec, and the streaming twin cannot drift
     * on hyperparameters. Train-once-serve-many: serve entry points
-    * take the codebook as a parameter rather than refitting per call. */
+    * take the trained bundle as a parameter rather than refitting per
+    * call. Alongside the codebook fit, ONE extra map-combinable agg
+    * (O(numCells) result) records which cells own candidates — k-means
+    * can leave empty centroids, and a probe set drawn from all cells
+    * would silently answer nothing for queries whose top cells are
+    * empty (the same guard Finetune's conversation serve applies). */
   def trainResidualCodebook(e: DataFrame, quant: CoarseQuantizer,
-      vCol: String = "v"): ProductQuantizer.Codebook = {
+      vCol: String = "v"): PqTrained = {
     val dRow = e.select(size(col(vCol))).head(1)
     require(dRow.nonEmpty, "IVF-PQ needs a non-empty corpus")
     val d = dRow(0).getInt(0)
     val m = Seq(16, 8, 4, 2, 1).find(d % _ == 0).get
-    val resid = e.withColumn("__cell", quant.cellCol(col(vCol)))
+    val withCell = e.withColumn("__cell", quant.cellCol(col(vCol)))
+    val resid = withCell
       .select(quant.residualCol(col(vCol), col("__cell")).as("resid"))
-    ProductQuantizer.train(resid, "resid", m = m, k = 64)
+    val cb = ProductQuantizer.train(resid, "resid", m = m, k = 64)
+    val nonEmpty = withCell.groupBy(col("__cell")).agg(count(lit(1)))
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+    PqTrained(cb, nonEmpty)
   }
 
   /** The IVF-PQ SERVE path alone (what a production retrieval job runs
@@ -734,22 +750,21 @@ object Similarity {
     * O(n) exact-truth recall audit whose broadcast-nested-loop shapes
     * are quality-check machinery, not serving): residual-encode the
     * corpus once, then per query probe its cells, ADC-scan their
-    * codes, exact-rerank the 50-row shortlist. `cb` comes from
-    * [[trainResidualCodebook]] — trained once, served many times. */
+    * codes, exact-rerank the 50-row shortlist. `trained` comes from
+    * [[trainResidualCodebook]] — trained once (codebook AND non-empty
+    * cell set), served many times: per-call work here is the batch's
+    * own probe, no collect or distinct ever touches the corpus
+    * (VERDICT r14 item 8 — parity with the persistent handle path). */
   def annIvfPqServe(e: DataFrame, quant: CoarseQuantizer,
-      cb: ProductQuantizer.Codebook, queryPred: Column,
+      trained: PqTrained, queryPred: Column,
       topK: Int = 10, shortlist: Int = 50): DataFrame = {
     import e.sparkSession.implicits._
+    val cb = trained.cb
+    val nonEmpty = trained.nonEmpty
     val withCell = e.withColumn("cell", quant.cellCol($"v"))
       .withColumn("resid", quant.residualCol($"v", $"cell"))
     val codes = ProductQuantizer.encode(withCell, "resid", cb)
       .select($"vec_id".as("cid"), $"cell", $"v".as("vc"), $"pq_codes")
-    // probe only cells that OWN candidates — k-means can leave empty
-    // centroids, and an all-empty top-nprobe would silently answer
-    // nothing (the same guard Finetune's conversation serve applies);
-    // O(numCells) metadata collect
-    val nonEmpty = withCell.select($"cell").distinct().collect()
-      .map(_.getLong(0).toInt).toSeq.sorted
     // query side: one residual ADC table PER probed cell. nprobe grows
     // as √numCells — the standard recall-stability rule as nlist grows
     // with the corpus (per-query candidates = nprobe·targetCellRows =
@@ -849,6 +864,11 @@ object Similarity {
   def preparePqIndex(s: SparkSession, path: String): PqIndexHandle = {
     val p = new org.apache.hadoop.fs.Path(path, PQ_META)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    // a pre-sidecar or foreign parquet directory must fail NAMED, not
+    // with a raw FileNotFoundException deep in the read (ADVICE r14)
+    require(fs.exists(p),
+      s"no IVF-PQ metadata sidecar at $p — indexes written before the " +
+        "sidecar era (or by hand) lack it; rebuild with writeIvfPqIndex")
     val in = new java.io.DataInputStream(fs.open(p))
     try {
       val nc = in.readInt(); val d = in.readInt()
@@ -872,13 +892,29 @@ object Similarity {
     * top-k. */
   def annIvfPqIndexed(s: SparkSession, indexPath: String, queries: DataFrame,
       quant: CoarseQuantizer, cb: ProductQuantizer.Codebook,
-      topK: Int = 10, shortlist: Int = 50, nprobe: Int = -1): DataFrame =
-    // the caller's trained objects and the sidecar's are the same values
-    // by construction (writeIvfPqIndex stored them; exact double
-    // round-trip) — route through the handle so the serve path is ONE
-    // code path and never re-derives the cell set from the data
-    annIvfPqServeIndexed(s, preparePqIndex(s, indexPath), queries,
-      topK, shortlist, nprobe)
+      topK: Int = 10, shortlist: Int = 50, nprobe: Int = -1): DataFrame = {
+    // route through the handle so the serve path is ONE code path that
+    // never re-derives the cell set from the data. The caller's trained
+    // objects must BE the build-time ones (writeIvfPqIndex stored them
+    // with exact double round-trip); passing different objects would
+    // silently serve from the sidecar's, so verify instead of ignore
+    // (ADVICE r14) — O(numCells·dim) driver-side comparison.
+    val handle = preparePqIndex(s, indexPath)
+    require(handle.quant.numCells == quant.numCells &&
+      (0 until quant.numCells).forall(i =>
+        handle.quant.centroid(i) == quant.centroid(i)),
+      s"quantizer mismatch: the index at $indexPath was built with different " +
+        "coarse centroids than the ones passed — serve via preparePqIndex/" +
+        "annIvfPqServeIndexed, or rebuild with writeIvfPqIndex")
+    require(handle.cb.m == cb.m && handle.cb.subDim == cb.subDim &&
+      handle.cb.k == cb.k &&
+      handle.cb.centers.map(_.map(_.toSeq).toSeq).toSeq ==
+        cb.centers.map(_.map(_.toSeq).toSeq).toSeq,
+      s"codebook mismatch: the index at $indexPath was built with a different " +
+        "residual codebook than the one passed — serve via preparePqIndex/" +
+        "annIvfPqServeIndexed, or rebuild with writeIvfPqIndex")
+    annIvfPqServeIndexed(s, handle, queries, topK, shortlist, nprobe)
+  }
 
   /** Handle-first IVF-PQ serve (the per-batch production entry): all
     * index metadata comes from the prepared handle, so per-batch work is
@@ -930,8 +966,8 @@ object Similarity {
     val n = e.count()
     val quant = KMeansQuantizer.fitSampled(e,
       KMeansQuantizer.chooseK(n, targetCellRows = 500L), n)
-    val cb = trainResidualCodebook(e, quant)
-    val answered = annIvfPqServe(e, quant, cb, $"vec_id" < 10)
+    val trained = trainResidualCodebook(e, quant)
+    val answered = annIvfPqServe(e, quant, trained, $"vec_id" < 10)
     // truth for the recall floor: EXACT top-10 over the full corpus
     // (10 fixed queries broadcast — O(n) gate-quality work, not serving)
     val allQ = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("vq"))

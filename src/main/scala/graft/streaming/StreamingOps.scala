@@ -265,7 +265,7 @@ object StreamingOps {
     * probed cells' files AND touches m bytes per candidate — the two
     * pruning axes composed. Input needs (vec_id, v: array<double>);
     * `cb` must be trained on the pool's residuals —
-    * `Similarity.trainResidualCodebook(pool, quant)` is the one shared
+    * `Similarity.trainResidualCodebook(pool, quant).cb` is the one shared
     * definition. */
   def ivfpqEncodePool(pool: DataFrame, quant: graft.operators.CoarseQuantizer,
       cb: graft.operators.ProductQuantizer.Codebook): DataFrame = {

@@ -129,4 +129,54 @@ class FunctionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_dot("), plan)
   }
+  test("graft_json_long equals CAST(get_json_object AS BIGINT) on the events table") {
+    GraftFunctions.register(spark)
+    val mismatches = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("native", call_function("graft_json_long", $"props", lit("k")))
+      .withColumn("general", get_json_object($"props", "$.k").cast("long"))
+      .filter($"native" =!= $"general" ||
+        ($"native".isNull =!= $"general".isNull))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_json_long edge semantics: nesting, floats, escapes, overflow, malformed") {
+    GraftFunctions.register(spark)
+    val cases = Seq(
+      ("""{"k": 76}""", Some(76L)),               // flat hit
+      ("""{"a":1,"k":-5}""", Some(-5L)),          // later key, negative
+      ("""{"k":76.5}""", None),                   // float -> null (CAST parity)
+      ("""{"k":"76"}""", None),                   // string value -> null
+      ("""{"k":true}""", None),                   // boolean -> null
+      ("""{"j":{"k":9},"k":3}""", Some(3L)),      // inner k must not shadow
+      ("""{"j":{"k":9}}""", None),                // only nested -> miss
+      ("""{"j":[{"k":9},2],"k":4}""", Some(4L)),  // arrays skipped structurally
+      ("""{"s":"a,\"k\":7,b","k":8}""", Some(8L)), // braces/keys inside strings
+      ("""{"k":9223372036854775807}""", Some(Long.MaxValue)),
+      ("""{"k":9223372036854775808}""", None),    // overflow -> null
+      ("""{ "k" : 12 , "z" : 0 }""", Some(12L)),  // whitespace everywhere
+      ("""[1,2,3]""", None),                      // non-object
+      ("""not json""", None),
+      ("""{"k":}""", None),                       // malformed value
+      ("""{"kk":7}""", None))                     // prefix key must not match
+    val df = cases.map(_._1).toDF("j")
+      .withColumn("v", call_function("graft_json_long", $"j", lit("k")))
+    val got = df.select($"v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"input $in: want $want got $g")
+    }
+    // escaped key in the DATA matches via its decoded form
+    val esc = Seq("""{"a\u006b":5}""").toDF("j")
+      .select(call_function("graft_json_long", $"j", lit("ak")))
+      .head()
+    assert(esc.getLong(0) == 5L)
+  }
+
+  test("graft_json_long stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val plan = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("graft_json_long(props, 'k') AS v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_json_long("), plan)
+  }
 }

@@ -97,7 +97,8 @@ class PqSpec extends AnyFunSuite {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val quant = KMeansQuantizer.fit(e, 2)
     // the ONE shared codebook definition — no hand-duplicated m/k
-    val cb = Similarity.trainResidualCodebook(e, quant)
+    val trained = Similarity.trainResidualCodebook(e, quant)
+    val cb = trained.cb
     val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx"
     Similarity.writeIvfPqIndex(e, quant, cb, path)
     val out = Similarity.annIvfPqIndexed(spark, path,
@@ -106,7 +107,7 @@ class PqSpec extends AnyFunSuite {
     // in-memory serve on the same quantizer + codebook: identical ADC
     // scores → identical shortlist → identical reranked ids (the
     // storage round-trip changes nothing)
-    val truth = Similarity.annIvfPqServe(e, quant, cb, $"vec_id" < 5, topK = 5)
+    val truth = Similarity.annIvfPqServe(e, quant, trained, $"vec_id" < 5, topK = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.nonEmpty && got == truth,
       s"indexed ${got.size} pairs != in-memory serve ${truth.size}")
@@ -170,5 +171,34 @@ class PqSpec extends AnyFunSuite {
     val resErr = meanAdcErr(PQ.encode(withCell, "resid", cbRes), "resid", cbRes)
     assert(resErr < rawErr / 2,
       s"residual PQ error $resErr not clearly under raw PQ error $rawErr")
+  }
+  test("preparePqIndex fails NAMED on a sidecar-less directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("no_sidecar").toString + "/idx"
+    Seq((1L, Seq(0.0, 1.0))).toDF("vec_id", "v").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.preparePqIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("writeIvfPqIndex"), e.getMessage)
+  }
+
+  test("annIvfPqIndexed refuses trained objects that differ from the sidecar's") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val quant = KMeansQuantizer.fit(e, 2)
+    val trained = Similarity.trainResidualCodebook(e, quant)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_mm").toString + "/idx"
+    Similarity.writeIvfPqIndex(e, quant, trained.cb, path)
+    // a codebook with one perturbed center must be refused, not silently
+    // shadowed by the sidecar's build-time objects
+    val bad = trained.cb.copy(centers =
+      trained.cb.centers.map(_.map(_.map(_ + 1.0))))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqIndexed(spark, path, e.filter($"vec_id" < 5),
+        quant, bad, topK = 5, nprobe = 2)
+    }
+    assert(err.getMessage.contains("codebook mismatch"), err.getMessage)
   }
 }
