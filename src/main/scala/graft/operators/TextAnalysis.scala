@@ -245,7 +245,126 @@ object TextAnalysis {
       |  CAST(exp(ln(tot.n) - d.sl / d.n_tokens) AS REAL) AS perplexity
       |FROM d, tot ORDER BY doc_id""".stripMargin
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", App. A1.1 —
+    * the MassiveText quality filter, the rule set real curation
+    * pipelines apply FIRST, before any learned classifier):
+    *
+    *   1. 50 ≤ word count ≤ 100 000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio ('#' chars + non-overlapping "..."
+    *      occurrences, over words) ≤ 0.1
+    *   4. ≤ 90% of lines start with a bullet ('-', '*', '•' after
+    *      optional indent)
+    *   5. ≤ 30% of lines end with an ellipsis ("..." or '…')
+    *   6. ≥ 80% of words contain at least one alphabetic character
+    *   7. at least 2 of the 8 Gopher stop words {the, be, to, of,
+    *      and, that, have, with} appear (token-exact on the repo's
+    *      shared whitespace tokenization)
+    *
+    * Emits the measured stats, one verdict column per rule, and the
+    * conjunction as `keep` — per-doc map-stage column expressions
+    * (HOFs over the token/line arrays, no UDF, no shuffle except the
+    * oracle ORDER BY), so the filter costs one scan at any corpus
+    * size. Empty docs guard every ratio's 0/0 with an explicit 0.0
+    * (they fail rule 1 regardless). Takes the documents frame as a
+    * parameter so the boundary-fixture spec feeds it directly. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = filter(toks(col("text")), x => length(x) > lit(0))
+    val nW = size(t).cast("long")
+    val nWd = nW.cast("double")
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val meanLen = when(nW > 0, sumLen.cast("double") / nWd).otherwise(lit(0.0))
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nEllipsis = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val symRatio = when(nW > 0, (nHash + nEllipsis).cast("double") / nWd)
+      .otherwise(lit(0.0))
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("double") // ≥ 1 by split semantics
+    val nBullet = size(filter(lines, l => l.rlike("^[ \\t]*[-*•]"))).cast("double")
+    val nEllLine = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("double")
+    val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("double")
+    val alphaFrac = when(nW > 0, nAlpha / nWd).otherwise(lit(0.0))
+    val stopHits = size(array_intersect(array_distinct(t),
+      array(gopherStops.map(lit): _*))).cast("long")
+    val r1 = nW >= 50L && nW <= 100000L
+    val r2 = meanLen >= 3.0 && meanLen <= 10.0
+    val r3 = symRatio <= 0.1
+    val r4 = (nBullet / nLines) <= 0.9
+    val r5 = (nEllLine / nLines) <= 0.3
+    val r6 = alphaFrac >= 0.8
+    val r7 = stopHits >= 2L
+    docs.select(col("doc_id"),
+      nW.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_word_ratio"),
+      (nBullet / nLines).as("bullet_line_frac"),
+      (nEllLine / nLines).as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("n_stop_hits"),
+      r1.as("r_word_count"), r2.as("r_mean_word_len"),
+      r3.as("r_symbol_ratio"), r4.as("r_bullet_lines"),
+      r5.as("r_ellipsis_lines"), r6.as("r_alpha_words"),
+      r7.as("r_stop_words"),
+      (r1 && r2 && r3 && r4 && r5 && r6 && r7).as("keep"))
+  }
+
+  private[operators] val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def ta_gopher_rules(s: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val taGopherSql: String = {
+    val t = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+    val stops = gopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len($t) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform($t, x -> length(x))), 0) AS BIGINT) AS sum_len,
+       |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) AS n_hash,
+       |    CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS BIGINT) AS n_ell,
+       |    CAST(len(regexp_split_to_array(text, '\\n')) AS DOUBLE) AS n_lines,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\n'),
+       |      l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS DOUBLE) AS n_bullet,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\n'),
+       |      l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE) AS n_ell_line,
+       |    CAST(len(list_filter($t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
+       |    CAST(len(list_intersect(list_distinct($t), [$stops])) AS BIGINT) AS n_stop_hits
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS symbol_word_ratio,
+       |    n_bullet / n_lines AS bullet_line_frac,
+       |    n_ell_line / n_lines AS ellipsis_line_frac,
+       |    CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS alpha_word_frac,
+       |    n_stop_hits
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+       |  (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+       |  (bullet_line_frac <= 0.9) AS r_bullet_lines,
+       |  (ellipsis_line_frac <= 0.3) AS r_ellipsis_lines,
+       |  (alpha_word_frac >= 0.8) AS r_alpha_words,
+       |  (n_stop_hits >= 2) AS r_stop_words,
+       |  ((n_words >= 50 AND n_words <= 100000)
+       |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       |    AND (symbol_word_ratio <= 0.1)
+       |    AND (bullet_line_frac <= 0.9)
+       |    AND (ellipsis_line_frac <= 0.3)
+       |    AND (alpha_word_frac >= 0.8)
+       |    AND (n_stop_hits >= 2)) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_gopher_rules"    -> ta_gopher_rules _,
     "ta_token_stats"     -> ta_token_stats _,
     "ta_quality"         -> ta_quality _,
     "ta_lang_id"         -> ta_lang_id _,
@@ -255,6 +374,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_gopher_rules"    -> taGopherSql,
     "ta_token_stats"     -> taTokenSql,
     "ta_quality"         -> taQualitySql,
     "ta_lang_id"         -> taLangSql,
