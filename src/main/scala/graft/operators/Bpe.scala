@@ -45,6 +45,19 @@ object Bpe {
           i => col("w").substr(i, lit(1))),
         array(lit(EOW))).as("sym"), col("freq"))
 
+  /** Adjacent-pair frequency table of a (sym, freq) word frame — the
+    * shared statistic under every merge-round argmax and the one-shot
+    * initial ranking. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode_outer(when(size(col("sym")) >= 2,
+        transform(sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("l"),
+            element_at(col("sym"), i + 1).as("r"))))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
   /** Train `numMerges` merges; stops early when no adjacent pair is
     * left (every word fully merged). */
   def train(s: SparkSession, docs: DataFrame, numMerges: Int,
@@ -54,14 +67,7 @@ object Bpe {
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
-      val top = words
-        .select(col("freq"), explode_outer(when(size(col("sym")) >= 2,
-          transform(sequence(lit(1), size(col("sym")) - 1),
-            i => struct(element_at(col("sym"), i).as("l"),
-              element_at(col("sym"), i + 1).as("r"))))).as("p"))
-        .filter(col("p").isNotNull)
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
+      val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .head(1)
       if (top.isEmpty) exhausted = true
@@ -73,12 +79,18 @@ object Bpe {
         // paper's non-overlapping replacement (a fresh merge result
         // never re-pairs with the element it just consumed)
         val lc = lit(l); val rc = lit(r); val joined = lit(l + r)
-        words = words.withColumn("sym",
+        // unpersist the PREVIOUS round's checkpoint once the new one is
+        // materialized (ADVICE r14): without it O(numMerges) copies of
+        // the vocabulary table pin executor storage — harmless at the
+        // gate's 20 merges, a leak at production vocab sizes
+        val next = words.withColumn("sym",
             aggregate(col("sym"), array().cast("array<string>"), (acc, x) =>
               when(size(acc) > 0 && element_at(acc, -1) === lc && x === rc,
                 concat(slice(acc, lit(1), size(acc) - 1), array(joined)))
               .otherwise(concat(acc, array(x)))))
           .localCheckpoint()
+        words.unpersist()
+        words = next
         rank += 1
       }
     }
@@ -91,10 +103,28 @@ object Bpe {
     * shuffles; the merge loop is driver-closure Scala because 10³
     * chained HOF folds would not codegen, and the per-word loop is
     * the published encoder shape anyway. */
+  /** A word's symbol array: one CODE POINT per symbol + the EOW marker.
+    * Training-side segmentation (`wordTable`'s substr) is code-point
+    * based, so the encoder must split the same way — a UTF-16 unit
+    * split (ADVICE r14) produced lone-surrogate symbols on non-BMP
+    * text (emoji, supplementary CJK) that could never match a trained
+    * merge. */
+  private def codePointSyms(w: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      buf += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    buf += EOW
+    buf.toArray
+  }
+
   def encodeCol(merges: Seq[Merge]): Column => Column = {
     val pairs = merges.map(m => (m.left, m.right)).toArray
     val enc = udf { (w: String) =>
-      var sym = (w.map(_.toString) :+ EOW).toArray
+      var sym = codePointSyms(w)
       pairs.foreach { case (l, r) =>
         if (sym.length >= 2) {
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -124,9 +154,96 @@ object Bpe {
       .orderBy($"rank")
   }
 
+  /** One-shot merge list for the hash-exact ENCODE gate: the top-`n`
+    * adjacent pairs of the INITIAL character table (rank = count desc,
+    * then (l, r) lexicographic), EXCLUDING self-pairs l == r. The
+    * exclusion is what buys the gate a SQL twin: greedy left-to-right
+    * matches of a pair can only overlap when l == r (a match at i−1
+    * forces sym(i) = r, a match at i forces sym(i) = l), so with
+    * self-pairs out every match is positionally independent and
+    * DuckDB can replay one merge round as a pure per-position list
+    * transform — no lookaround regex (RE2 has none), no per-symbol
+    * recursion. True ITERATIVE training (recount between merges)
+    * stays ta_bpe_train's surface; this list exercises [[encodeCol]] —
+    * the production encoder — under a hash-exact oracle. */
+  def initialPairMerges(docs: DataFrame, n: Int,
+      textCol: String = "text"): Seq[Merge] =
+    pairCounts(wordTable(docs, textCol))
+      .filter(col("l") =!= col("r"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .head(n)
+      .zipWithIndex.map { case (row, i) =>
+        Merge(i, row.getString(0), row.getString(1), row.getLong(2))
+      }.toSeq
+
+  /** Hash-exact encode gate (VERDICT r14 item 4): encode every distinct
+    * corpus word with [[encodeCol]] under the 20-merge
+    * [[initialPairMerges]] list; the DuckDB twin derives the identical
+    * merge table in SQL and replays greedy application as a recursive
+    * CTE over merge ranks (one list transform per rank). Output is
+    * vocabulary-sized. */
+  def ta_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val enc = encodeCol(initialPairMerges(docs, 20))
+    docs
+      .select(explode_outer(filter(split(trim(lower($"text")), "\\s+"),
+        t => length(t) > 0)).as("w"))
+      .filter($"w".isNotNull).distinct()
+      .withColumn("sym", enc($"w"))
+      .select($"w".as("word"), size($"sym").cast("long").as("n_sym"),
+        array_join($"sym", " ").as("encoded"))
+      .orderBy($"word")
+  }
+
+  val taBpeEncodeSql: String =
+    """WITH RECURSIVE
+      |tk AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> len(x) > 0)) AS w
+      |    FROM documents) GROUP BY w),
+      |chars AS (
+      |  SELECT w, freq,
+      |    list_concat(
+      |      list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)),
+      |      ['</w>']) AS sym
+      |  FROM tk),
+      |pc AS (
+      |  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq,
+      |          unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS p
+      |        FROM chars WHERE len(sym) >= 2)
+      |  GROUP BY 1, 2),
+      |merges AS (
+      |  SELECT l, r, CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS INTEGER) - 1 AS rank
+      |  FROM pc WHERE l <> r ORDER BY cnt DESC, l, r LIMIT 20),
+      |nm AS (SELECT count(*) AS n FROM merges),
+      |enc AS (
+      |  SELECT w, sym, 0 AS r FROM chars
+      |  UNION ALL
+      |  SELECT e.w,
+      |    list_filter(list_transform(
+      |      list_zip(e.sym,
+      |        list_concat(e.sym[2:len(e.sym)], [NULL]),
+      |        list_concat([NULL], e.sym[1:len(e.sym)-1])),
+      |      s -> CASE WHEN s[1] = m.l AND s[2] = m.r THEN m.l || m.r
+      |                WHEN s[3] = m.l AND s[1] = m.r THEN NULL
+      |                ELSE s[1] END),
+      |      x -> x IS NOT NULL) AS sym,
+      |    e.r + 1 AS r
+      |  FROM enc e JOIN merges m ON m.rank = e.r)
+      |SELECT w AS word, CAST(len(sym) AS BIGINT) AS n_sym,
+      |  array_to_string(sym, ' ') AS encoded
+      |FROM enc WHERE r = (SELECT n FROM nm) ORDER BY word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ta_bpe_train" -> ta_bpe_train _
+    "ta_bpe_train"  -> ta_bpe_train _,
+    "ta_bpe_encode" -> ta_bpe_encode _
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "ta_bpe_encode" -> taBpeEncodeSql
+  )
 }

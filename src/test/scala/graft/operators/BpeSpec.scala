@@ -60,4 +60,46 @@ class BpeSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(4) >= 1L), "every merge has support")
     assert(rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
   }
+  test("encoder splits by code points: non-BMP chars are whole symbols") {
+    import spark.implicits._
+    val enc = Bpe.encodeCol(Seq.empty)
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16; a
+    // UTF-16-unit split (the ADVICE r14 bug) would emit two lone
+    // surrogates here instead of one symbol
+    val syms = Seq("a\ud834\udd1eb").toDF("w")
+      .select(enc($"w").as("t")).head().getSeq[String](0)
+    assert(syms == Seq("a", "\ud834\udd1e", "b", Bpe.EOW), syms.mkString("|"))
+    // and a trained merge ON a non-BMP symbol matches at encode time:
+    // merge 1 = (x, </w>) (tie at freq 2, "x" < U+1D11E lexicographic),
+    // merge 2 then pairs the clef with the merged suffix
+    val m = Bpe.train(spark, Seq("\ud834\udd1ex \ud834\udd1ex").toDF("text"), numMerges = 2)
+    assert(m(1).left == "\ud834\udd1e" && m(1).right == "x" + Bpe.EOW, m.mkString(","))
+    val enc2 = Bpe.encodeCol(m)
+    val syms2 = Seq("\ud834\udd1ex").toDF("w")
+      .select(enc2($"w").as("t")).head().getSeq[String](0)
+    assert(syms2 == Seq("\ud834\udd1ex" + Bpe.EOW), syms2.mkString("|"))
+  }
+
+  test("initialPairMerges: count-desc rank, lexicographic ties, self-pairs excluded") {
+    import spark.implicits._
+    // "aab aab ccd": pairs a-a x2 (self, excluded), a-b x2, b-</w> x2,
+    // c-c x1 (self, excluded), c-d x1, d-</w> x1
+    val m = Bpe.initialPairMerges(Seq("aab aab ccd").toDF("text"), 10)
+    assert(m.forall(x => x.left != x.right), m.mkString(","))
+    assert(m.map(x => (x.left, x.right)) ==
+      Seq(("a", "b"), ("b", Bpe.EOW), ("c", "d"), ("d", Bpe.EOW)))
+    assert(m.map(_.freq) == Seq(2L, 2L, 1L, 1L))
+    assert(m.map(_.rank) == Seq(0, 1, 2, 3))
+  }
+
+  test("ta_bpe_encode gate: vocabulary-sized, deterministic, round-trips chars") {
+    val out = Bpe.ta_bpe_encode(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // every encoded string reassembles to word + EOW when merges concat
+    out.foreach { r =>
+      val word = r.getString(0)
+      val enc = r.getString(2).split(" ").mkString
+      assert(enc == word + Bpe.EOW, s"$word -> $enc")
+    }
+  }
 }
