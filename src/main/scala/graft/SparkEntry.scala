@@ -30,6 +30,7 @@ object SparkEntry {
       operators.TextMetricsQueries.queries ++
       operators.AsOfJoin.queries ++
       operators.Bpe.queries ++
+      operators.Unigram.queries ++
       operators.ScaleUtils.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.TextMetricsQueries.oracles ++
       operators.AsOfJoin.oracles ++
       operators.Bpe.oracles ++
+      operators.Unigram.oracles ++
       operators.ScaleUtils.oracles
 }

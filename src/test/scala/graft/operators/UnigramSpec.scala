@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.ml.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM tokenizer (Kudo 2018): hand-computed forward–backward
+  * E-step goldens, Viterbi encoder semantics, end-to-end training on a
+  * compressible fixture, and the gate's quality floor. */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("E-step golden: expected counts over the 'ab' lattice by hand") {
+    // vocab {a, b, ab} at uniform p = 1/3 each. Segmentations of "ab":
+    // [ab] mass 1/3; [a][b] mass 1/9. Z = 4/9.
+    // E[ab] = (1/3)/(4/9) = 0.75; E[a] = E[b] = (1/9)/(4/9) = 0.25.
+    val lp = math.log(1.0 / 3.0)
+    val vocab = Map("a" -> lp, "b" -> lp, "ab" -> lp)
+    val got = Unigram.expectedCounts("ab", vocab, 6).toMap
+    assert(math.abs(got("ab") - 0.75) < 1e-12, got.toString)
+    assert(math.abs(got("a") - 0.25) < 1e-12, got.toString)
+    assert(math.abs(got("b") - 0.25) < 1e-12, got.toString)
+    // the expected counts of a word always sum to (expected #pieces):
+    // here 0.75·1 + 0.25·2 = 1.25
+    assert(math.abs(got.values.sum - 1.25) < 1e-12)
+  }
+
+  test("E-step golden: three-way lattice 'abc'") {
+    // vocab {a,b,c,ab,bc} uniform 1/5. Segmentations of "abc":
+    // [ab][c] 1/25, [a][bc] 1/25, [a][b][c] 1/125. Z = 11/125.
+    // E[ab] = 5/11, E[bc] = 5/11, E[a] = (5+1)/11, E[c] = 6/11, E[b] = 1/11.
+    val lp = math.log(1.0 / 5.0)
+    val vocab = Seq("a", "b", "c", "ab", "bc").map(_ -> lp).toMap
+    val got = Unigram.expectedCounts("abc", vocab, 6).toMap
+    assert(math.abs(got("ab") - 5.0 / 11) < 1e-12, got.toString)
+    assert(math.abs(got("bc") - 5.0 / 11) < 1e-12, got.toString)
+    assert(math.abs(got("a") - 6.0 / 11) < 1e-12, got.toString)
+    assert(math.abs(got("c") - 6.0 / 11) < 1e-12, got.toString)
+    assert(math.abs(got("b") - 1.0 / 11) < 1e-12, got.toString)
+  }
+
+  test("Viterbi encoder: max-likelihood segmentation, deterministic ties") {
+    val v1 = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -1.5)
+    assert(Unigram.viterbi("ab", v1, 6) == Seq("ab"))
+    // exact tie ([a][b] = -2 = [ab]): shortest-first strict-improvement
+    // keeps the char path — pinned so retrains can't flap
+    val v2 = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    assert(Unigram.viterbi("ab", v2, 6) == Seq("a", "b"))
+    // unknown characters fall back to the whole word, never crash
+    assert(Unigram.viterbi("xq", Map("a" -> -1.0), 6) == Seq("xq"))
+  }
+
+  test("train on a compressible fixture: learns the repeated piece, deterministic") {
+    val docs = Seq("abab abab ab cd").toDF("text")
+    val p1 = Unigram.train(spark, docs, vocabSize = 8)
+    val p2 = Unigram.train(spark, docs, vocabSize = 8)
+    assert(p1 == p2, "retrain must be bit-identical")
+    val tokens = p1.map(_.token).toSet
+    assert(Seq("a", "b", "c", "d").forall(tokens), s"chars kept: $tokens")
+    assert(tokens.contains("ab") || tokens.contains("abab"),
+      s"the repeated subword must survive pruning: $tokens")
+    assert(p1.forall(_.logp < 0.0))
+    // probabilities normalize
+    assert(math.abs(p1.map(p => math.exp(p.logp)).sum - 1.0) < 1e-9)
+    // the encoder compresses the trained corpus word
+    val enc = Unigram.encodeCol(p1)
+    val syms = Seq("abab").toDF("w").select(enc($"w")).head().getSeq[String](0)
+    assert(syms.length < 4, syms.mkString("|"))
+    assert(syms.mkString == "abab")
+  }
+
+  test("gate: ranked pieces, floor satisfied on real testdata, replay-stable") {
+    val out = Unigram.ta_unigram_train(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty, "quality floor emptied the gate on real data")
+    assert(out.map(_.getLong(0)).toSeq == (0L until out.length.toLong),
+      "ranks 0..n-1 in order")
+    // logp descending by rank construction
+    val lps = out.map(_.getDouble(2)).toSeq
+    assert(lps == lps.sorted.reverse)
+    val again = Unigram.ta_unigram_train(spark, "/root/testdata/sf0.001").collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+}
