@@ -600,23 +600,17 @@ private[ml] object HistGBCore {
     * Ordered targets SMALL data (prediction shift vanishes as n grows;
     * CatBoost's own default on large datasets is Plain), so `Train`
     * keeps `compat=plain_boosting` unless `boosting_type=Ordered` is
-    * asked for. POLICY — k=1 objectives only (squared / binary
-    * logistic): extending the scheme to multiclass softmax would
-    * multiply the per-row state to `foldCount`·k doubles and add k
-    * leaf-value passes per round, for a regime (small n, where
-    * prediction shift matters) in which k one-vs-rest binary ordered
-    * ensembles already cover the need; CatBoost's own large-data
-    * default is Plain, so the distributed multiclass path trains the
-    * plain scheme. `Train`'s catboost dispatch enforces this: a k>2
-    * classification project with `boosting_type=Ordered` falls back
-    * to plain and the ledger records `compat=plain_boosting` —
-    * callers of this method directly get the require below. */
+    * asked for. Multiclass softmax (VERDICT r14 item 6) runs the same
+    * scheme with k ensembles: per-row state is `(foldCount+1)·k`
+    * doubles laid out prefix-major (`m(j·k + c)`), each round grows k
+    * trees from THIS round's margins (the plain path's round
+    * semantics) with each class's structure driven by its own ordered
+    * softmax gradients, and one zipPartitions pass advances all
+    * prefixes × classes — the per-round price is k structure passes +
+    * k leaf-value passes + one margin pass, the same k-multiple the
+    * plain scheme pays. */
   def fitOrdered(ds: Dataset[_], featuresCol: String, labelCol: String,
       numClasses: Int, obj: Objective, cfg: Cfg): Ensemble = {
-    require(obj.k(numClasses) == 1,
-      "ordered boosting supports single-ensemble objectives (regression / " +
-        "binary); multiclass softmax trains the plain scheme — drop " +
-        "boosting_type=Ordered for k > 2")
     require(cfg.foldCount >= 2, s"fold_count must be >= 2, got ${cfg.foldCount}")
     // the per-row fold id is stored in a Byte (read back & 0xff) —
     // more than 255 folds would silently alias blocks mod 256
@@ -677,124 +671,159 @@ private[ml] object HistGBCore {
     binned.count()
     raw.unpersist(blocking = false)
 
+    val K = obj.k(numClasses)
     val init: Array[Double] = obj match {
       case Squared => Array(binned.map(_._2).sum() / n)
       case Logistic =>
         val pos = binned.map(_._2).sum()
         Array(math.log(math.max(pos, 1e-12) / math.max(n - pos, 1e-12)))
-      case _ => throw new IllegalStateException("unreachable: k == 1 checked above")
+      case Softmax =>
+        val counts = binned.map(t => (t._2.toInt, 1L)).reduceByKey(_ + _).collectAsMap()
+        Array.tabulate(K)(c =>
+          math.log(math.max(counts.getOrElse(c, 0L).toDouble, 1e-12) / n))
     }
-    val init0 = init(0)
 
-    // margins(i)(j), j < F: prediction of the SUPPORTING model trained
-    // on blocks 0..j (drives the ordered gradients); margins(i)(F):
-    // the APPLIED model — structure comes from the ordered gradients,
-    // its leaf values from plain gradients at this margin (CatBoost's
-    // own split of roles: ordered fixes the STRUCTURE bias; the final
-    // Newton step runs on all data at the aggregate model)
+    // margins(i)(j·K + c), j < F: class-c margin of the SUPPORTING model
+    // trained on blocks 0..j (drives the ordered gradients);
+    // margins(i)(F·K + c): the APPLIED model — structure comes from the
+    // ordered gradients, its leaf values from plain gradients at this
+    // margin (CatBoost's own split of roles: ordered fixes the
+    // STRUCTURE bias; the final Newton step runs on all data at the
+    // aggregate model)
     var margins: RDD[Array[Double]] =
-      binned.map(_ => Array.fill(F + 1)(init0)).persist(StorageLevel.MEMORY_AND_DISK)
+      binned.map(_ => Array.tabulate((F + 1) * K)(i => init(i % K)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     margins.count()
 
-    // ordered gradient of a row: evaluated at its PREFIX model's margin
-    @inline def orderedGH(m: Array[Double], fold: Int, y: Double): (Double, Double) =
-      obj.grad(Array(if (fold == 0) init0 else m(fold - 1)), y, 0)
+    // class-c ordered gradient of a row: evaluated at its PREFIX
+    // model's K-vector margin (scratch avoids a per-row allocation)
+    @inline def gradPrefix(m: Array[Double], fold: Int, y: Double, c: Int,
+        scratch: Array[Double]): (Double, Double) =
+      if (fold == 0) obj.grad(init, y, c)
+      else {
+        val off = (fold - 1) * K
+        var i = 0
+        while (i < K) { scratch(i) = m(off + i); i += 1 }
+        obj.grad(scratch, y, c)
+      }
+    @inline def gradApplied(m: Array[Double], y: Double, c: Int,
+        scratch: Array[Double]): (Double, Double) = {
+      val off = F * K
+      var i = 0
+      while (i < K) { scratch(i) = m(off + i); i += 1 }
+      obj.grad(scratch, y, c)
+    }
 
     val allTrees = new ArrayBuffer[Array[Double]]
     var r = 0
     while (r < cfg.rounds) {
-      // ---- structure from ordered gradients, oblivious growth
-      val t = growObliviousWith(cfg, binsPerFeat, maxB) { (tb, slotArr, nSlots) =>
-        val bTree = sc.broadcast((tb.feat.toArray, tb.thr.toArray,
-          tb.left.toArray, tb.right.toArray, slotArr))
-        val bufSize = nSlots * p * maxB * 2
-        val hist = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
-          val (tf, tt, tl, tr, slots) = bTree.value
-          val acc = new Array[Double](bufSize)
+      // one tree per class, all grown from THIS round's margins (the
+      // plain path's round semantics — k=1 reduces to the old loop)
+      val classTrees = Array.tabulate(K) { c =>
+        // ---- structure from class-c ordered gradients, oblivious growth
+        val t = growObliviousWith(cfg, binsPerFeat, maxB) { (tb, slotArr, nSlots) =>
+          val bTree = sc.broadcast((tb.feat.toArray, tb.thr.toArray,
+            tb.left.toArray, tb.right.toArray, slotArr))
+          val bufSize = nSlots * p * maxB * 2
+          val hist = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
+            val (tf, tt, tl, tr, slots) = bTree.value
+            val acc = new Array[Double](bufSize)
+            val scratch = new Array[Double](K)
+            it.zip(mit).foreach { case ((bins, y, fold), m) =>
+              var i = 0
+              while (tf(i) >= 0)
+                i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
+              val s = slots(i)
+              if (s >= 0) {
+                val (g, h) = gradPrefix(m, fold & 0xff, y, c, scratch)
+                var f = 0
+                while (f < p) {
+                  val base = ((s * p + f) * maxB + (bins(f) & 0xff)) * 2
+                  acc(base) += g; acc(base + 1) += h
+                  f += 1
+                }
+              }
+            }
+            Iterator.single(acc)
+          }.treeReduce({ (a, b) =>
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+          bTree.destroy()
+          hist
+        }
+
+        // ---- per-(leaf, block) ordered (G, H) + per-leaf PLAIN (G, H)
+        // at the applied model's margin, all in one pass
+        val leafIds = t.feat.indices.filter(t.feat(_) < 0).toArray
+        val leafSlot = Array.fill(t.feat.length)(-1)
+        leafIds.zipWithIndex.foreach { case (nid, s) => leafSlot(nid) = s }
+        val nL = leafIds.length
+        val bT = sc.broadcast((t.feat.toArray, t.thr.toArray, t.left.toArray,
+          t.right.toArray, leafSlot))
+        val gh = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
+          val (tf, tt, tl, tr, slots) = bT.value
+          val acc = new Array[Double](nL * (F + 1) * 2)
+          val scratch = new Array[Double](K)
           it.zip(mit).foreach { case ((bins, y, fold), m) =>
             var i = 0
             while (tf(i) >= 0)
               i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
-            val s = slots(i)
-            if (s >= 0) {
-              val (g, h) = orderedGH(m, fold & 0xff, y)
-              var f = 0
-              while (f < p) {
-                val base = ((s * p + f) * maxB + (bins(f) & 0xff)) * 2
-                acc(base) += g; acc(base + 1) += h
-                f += 1
-              }
-            }
+            val (g, h) = gradPrefix(m, fold & 0xff, y, c, scratch)
+            val base = (slots(i) * (F + 1) + (fold & 0xff)) * 2
+            acc(base) += g; acc(base + 1) += h
+            val (gp, hp) = gradApplied(m, y, c, scratch)
+            val baseP = (slots(i) * (F + 1) + F) * 2
+            acc(baseP) += gp; acc(baseP + 1) += hp
           }
           Iterator.single(acc)
         }.treeReduce({ (a, b) =>
           var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
         }, depth = 2)
-        bTree.destroy()
-        hist
-      }
+        bT.destroy()
 
-      // ---- per-(leaf, block) ordered (G, H) + per-leaf PLAIN (G, H)
-      // at the applied model's margin, all in one pass
-      val leafIds = t.feat.indices.filter(t.feat(_) < 0).toArray
-      val leafSlot = Array.fill(t.feat.length)(-1)
-      leafIds.zipWithIndex.foreach { case (nid, s) => leafSlot(nid) = s }
-      val nL = leafIds.length
-      val bT = sc.broadcast((t.feat.toArray, t.thr.toArray, t.left.toArray,
-        t.right.toArray, leafSlot))
-      val gh = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
-        val (tf, tt, tl, tr, slots) = bT.value
-        val acc = new Array[Double](nL * (F + 1) * 2)
-        it.zip(mit).foreach { case ((bins, y, fold), m) =>
-          var i = 0
-          while (tf(i) >= 0)
-            i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
-          val (g, h) = orderedGH(m, fold & 0xff, y)
-          val base = (slots(i) * (F + 1) + (fold & 0xff)) * 2
-          acc(base) += g; acc(base + 1) += h
-          val (gp, hp) = obj.grad(Array(m(F)), y, 0)
-          val baseP = (slots(i) * (F + 1) + F) * 2
-          acc(baseP) += gp; acc(baseP + 1) += hp
-        }
-        Iterator.single(acc)
-      }.treeReduce({ (a, b) =>
-        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
-      }, depth = 2)
-
-      // ---- prefix sums over blocks → per-prefix supporting-model
-      // Newton leaves; slot F = the applied model's plain Newton leaves
-      val leafVals = Array.ofDim[Double](F + 1, nL)
-      var s = 0
-      while (s < nL) {
-        var gPre = 0.0; var hPre = 0.0
-        var j = 0
-        while (j < F) {
-          gPre += gh((s * (F + 1) + j) * 2); hPre += gh((s * (F + 1) + j) * 2 + 1)
-          leafVals(j)(s) = -cfg.eta * gPre / (hPre + cfg.lambda)
-          j += 1
-        }
-        leafVals(F)(s) = -cfg.eta * gh((s * (F + 1) + F) * 2) /
-          (gh((s * (F + 1) + F) * 2 + 1) + cfg.lambda)
-        s += 1
-      }
-
-      // ---- advance every prefix model's margin
-      val bVals = sc.broadcast(leafVals)
-      val next = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
-        val (tf, tt, tl, tr, slots) = bT.value
-        val vals = bVals.value
-        it.zip(mit).map { case ((bins, _, _), m) =>
-          var i = 0
-          while (tf(i) >= 0)
-            i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
-          val sl = slots(i)
-          val nm = m.clone()
+        // ---- prefix sums over blocks → per-prefix supporting-model
+        // Newton leaves; slot F = the applied model's plain Newton leaves
+        val leafVals = Array.ofDim[Double](F + 1, nL)
+        var s = 0
+        while (s < nL) {
+          var gPre = 0.0; var hPre = 0.0
           var j = 0
-          while (j < vals.length) { nm(j) += vals(j)(sl); j += 1 }
+          while (j < F) {
+            gPre += gh((s * (F + 1) + j) * 2); hPre += gh((s * (F + 1) + j) * 2 + 1)
+            leafVals(j)(s) = -cfg.eta * gPre / (hPre + cfg.lambda)
+            j += 1
+          }
+          leafVals(F)(s) = -cfg.eta * gh((s * (F + 1) + F) * 2) /
+            (gh((s * (F + 1) + F) * 2 + 1) + cfg.lambda)
+          s += 1
+        }
+        (t, leafSlot, leafVals)
+      }
+
+      // ---- advance every (prefix, class) margin in ONE pass
+      val bRound = sc.broadcast(classTrees.map { case (t, leafSlot, leafVals) =>
+        (t.feat.toArray, t.thr.toArray, t.left.toArray, t.right.toArray,
+          leafSlot, leafVals)
+      })
+      val next = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
+        val trees = bRound.value
+        it.zip(mit).map { case ((bins, _, _), m) =>
+          val nm = m.clone()
+          var c = 0
+          while (c < trees.length) {
+            val (tf, tt, tl, tr, slots, vals) = trees(c)
+            var i = 0
+            while (tf(i) >= 0)
+              i = if ((bins(tf(i)) & 0xff) <= tt(i)) tl(i) else tr(i)
+            val sl = slots(i)
+            var j = 0
+            while (j < vals.length) { nm(j * trees.length + c) += vals(j)(sl); j += 1 }
+            c += 1
+          }
           nm
         }
       }.persist(StorageLevel.MEMORY_AND_DISK)
-      // NOTE: bT/bVals stay alive — `next`'s lineage references them and
+      // NOTE: bRound stays alive — `next`'s lineage references it and
       // a MEMORY_AND_DISK eviction may recompute (same discipline as the
       // plain loop's round-tree broadcast)
       if ((r + 1) % cfg.checkpointEvery == 0) next.localCheckpoint()
@@ -802,8 +831,9 @@ private[ml] object HistGBCore {
       margins.unpersist(blocking = false)
       margins = next
 
-      // ---- the returned tree carries the FULL-prefix leaf values
-      val flatTree = {
+      // ---- the returned trees carry the FULL-prefix leaf values,
+      // appended class-major within the round (the plain layout)
+      classTrees.foreach { case (t, leafSlot, leafVals) =>
         val out = new Array[Double](t.feat.length * STRIDE)
         var i = 0
         while (i < t.feat.length) {
@@ -816,9 +846,8 @@ private[ml] object HistGBCore {
           }
           i += 1
         }
-        out
+        allTrees += out
       }
-      allTrees += flatTree
       r += 1
     }
     margins.unpersist(blocking = false)
@@ -843,7 +872,7 @@ private[ml] object HistGBCore {
       }
     }
     offsets += flat.length
-    Ensemble(init, flat.toArray, offsets.toArray, 1)
+    Ensemble(init, flat.toArray, offsets.toArray, K)
   }
 }
 

