@@ -975,9 +975,19 @@ object Finetune {
     // content is identical by construction (same pool fingerprint).
     val finalPath = new org.apache.hadoop.fs.Path(finalDir)
     val staging = new org.apache.hadoop.fs.Path(idxDir)
-    val won = !fs.exists(finalPath) && fs.rename(staging, finalPath)
+    val renamed = !fs.exists(finalPath) && fs.rename(staging, finalPath)
+    // In the exists→rename window an HDFS-style rename can "succeed" by
+    // NESTING the staging dir inside a concurrently-published
+    // destination (ADVICE r14): nesting detected means the rename did
+    // NOT publish — the directory serves the concurrent winner's index,
+    // so the publish is LOST regardless of rename's return value and
+    // the served metadata must be read back from the store rather than
+    // assumed equal to the local build (same-pool determinism is the
+    // expectation, not a checked invariant).
     val nestedDebris = new org.apache.hadoop.fs.Path(finalPath, staging.getName)
-    if (fs.exists(nestedDebris)) fs.delete(nestedDebris, true)
+    val nested = fs.exists(nestedDebris)
+    if (nested) fs.delete(nestedDebris, true)
+    val won = renamed && !nested
     if (!won && fs.exists(staging)) fs.delete(staging, true)
     require(fs.exists(new org.apache.hadoop.fs.Path(finalPath, CONV_INDEX_DONE)),
       s"conversation index publish race lost to an UNFINISHED build at " +

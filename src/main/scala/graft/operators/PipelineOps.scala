@@ -414,11 +414,14 @@ object PipelineOps {
     *
     * 100 TB shape: featurize is a map stage (HashingTF over tokens —
     * Spark's native hashed bag-of-words, numFeatures fixed); the fit
-    * sees only the seed + an equal-size hash-sampled complement (LBFGS
-    * over a bounded frame); scoring is model.transform — one map pass,
-    * no shuffle. Rows-only gate (a trained LBFGS classifier has no SQL
-    * twin): floored on held-out accuracy ≥ 0.9 against the seed
-    * predicate, so a broken featurizer/fit empties the gate. */
+    * sees only the seed + a hash-sampled complement downsampled to the
+    * seed's size (LBFGS over a bounded, CLASS-BALANCED frame — chance
+    * held-out accuracy is ~0.5, so the floor below measures actual
+    * recognition, not the majority class); scoring is model.transform —
+    * one map pass, no shuffle. Rows-only gate (a trained LBFGS
+    * classifier has no SQL twin): floored on balanced held-out accuracy
+    * ≥ 0.9 against the seed predicate, so a broken featurizer/fit
+    * empties the gate. */
   /** Fitted quality filter: the logistic head plus its featurizer
     * width and the held-out accuracy the fit measured — model-sized
     * state only (a coefficient vector of `numFeatures` doubles), the
@@ -431,11 +434,24 @@ object PipelineOps {
       seedPred: org.apache.spark.sql.Column,
       numFeatures: Int = DSIR_BUCKETS): QualityModel = {
     import s.implicits._
+    val labeled = docs.select($"doc_id", seedPred.cast("double").as("label"),
+      filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0).as("toks"))
+    // balance the fit: the seed plus a hash-sampled complement of
+    // roughly equal size (ADVICE r14 — training on ALL docs let a rare
+    // seed clear the 0.9 held-out floor with the trivial majority
+    // classifier; on the balanced frame chance accuracy is ~0.5, so
+    // the floor measures actual recognition). The complement sample is
+    // keyed-hash deterministic, never RNG state.
+    val nSeed = labeled.filter($"label" === 1.0).count()
+    val nComp = labeled.filter($"label" === 0.0).count()
+    val keepFrac = if (nComp == 0) 1.0 else math.min(1.0, nSeed.toDouble / nComp)
+    val balanced = labeled.filter($"label" === 1.0 ||
+      (Dedup.h60(s, concat(lit("qcs|"), $"doc_id".cast("string"))) % 1000000L)
+        .cast("double") < keepFrac * 1000000.0)
     val feat = new org.apache.spark.ml.feature.HashingTF()
       .setInputCol("toks").setOutputCol("features")
       .setNumFeatures(numFeatures)
-      .transform(docs.select($"doc_id", seedPred.cast("double").as("label"),
-        filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0).as("toks")))
+      .transform(balanced)
     // deterministic 80/20 split by keyed id hash — replays identically
     val withFold = feat.withColumn("fold",
       Dedup.h60(s, concat(lit("qc|"), $"doc_id".cast("string"))) % 10)
