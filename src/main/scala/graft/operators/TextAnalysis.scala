@@ -315,6 +315,94 @@ object TextAnalysis {
   private[operators] val gopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+    * the published heuristics that built C4, applied before Gopher-era
+    * filters in real pipelines):
+    *
+    *   line level — retain a line only if it (a) ends in a terminal
+    *   punctuation mark ('.', '!', '?', '"' after right-trim — the C4
+    *   reference implementation's end-mark set), (b) has ≥ 5 words,
+    *   and (c) does not contain the word "javascript" (case-folded);
+    *
+    *   page level — discard the page when the RETAINED text has fewer
+    *   than 3 sentences (terminal-mark count as the deterministic
+    *   sentence proxy), or the original page contains "lorem ipsum"
+    *   (case-folded), a curly bracket, or any blocklist token
+    *   (token-exact on the shared whitespace tokenization; the
+    *   published filter uses the "Dirty/Naughty" list — the list is a
+    *   parameter, the gate pins a small spam-marker default).
+    *
+    * (C4's remaining rule — three-sentence span dedup — is the
+    * separate [[Dedup.dd_span_dedup]] operator.) Pure per-doc HOF
+    * column expressions: one map stage over the scan at any corpus
+    * size, no shuffle beyond the oracle ORDER BY. Emits the retained
+    * text + per-rule verdict columns + the keep conjunction;
+    * hash-exact vs the DuckDB twin. */
+  def c4Rules(docs: DataFrame,
+      blocklist: Seq[String] = Seq("viagra", "casino", "xxx")): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l => {
+      val r = rtrim(l)
+      (r.endsWith(".") || r.endsWith("!") || r.endsWith("?") ||
+        r.endsWith("\"")) &&
+        size(filter(split(l, "\\s+"), t => length(t) > 0)) >= 5 &&
+        !lower(l).contains("javascript")
+    })
+    val keptText = array_join(kept, "\n")
+    val nSent = (length(keptText) -
+      length(regexp_replace(keptText, "[.!?]", ""))).cast("long")
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val hasBrace = col("text").contains("{") || col("text").contains("}")
+    val hasBlock = size(array_intersect(array_distinct(toks),
+      array(blocklist.map(lit): _*))) > 0
+    val keep = nSent >= 3L && !hasLorem && !hasBrace && !hasBlock
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"),
+      keptText.as("kept_text"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"), hasBrace.as("has_brace"),
+      hasBlock.as("has_blockword"),
+      keep.as("keep"))
+  }
+
+  def ta_c4_rules(s: SparkSession, dir: String): DataFrame =
+    c4Rules(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val taC4Sql: String = {
+    val block = Seq("viagra", "casino", "xxx").map(w => s"'$w'").mkString(", ")
+    val keepLine = """l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+      OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+      AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> len(x) > 0)) >= 5
+      AND NOT contains(lower(l), 'javascript')""".replaceAll("\n\\s*", " ")
+    s"""WITH m AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(text, '\\n') AS ls,
+       |    list_filter(regexp_split_to_array(text, '\\n'), $keepLine) AS kept
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       |    coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+       |    CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+       |      - length(regexp_replace(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
+       |    len(list_intersect(list_distinct(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)),
+       |      [$block])) > 0 AS has_blockword
+       |  FROM m)
+       |SELECT doc_id, n_lines, n_lines_kept, kept_text, n_sentences,
+       |  has_lorem, has_brace, has_blockword,
+       |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+       |    AND NOT has_blockword) AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   def ta_gopher_rules(s: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
@@ -365,6 +453,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_gopher_rules"    -> ta_gopher_rules _,
+    "ta_c4_rules"        -> ta_c4_rules _,
     "ta_token_stats"     -> ta_token_stats _,
     "ta_quality"         -> ta_quality _,
     "ta_lang_id"         -> ta_lang_id _,
@@ -375,6 +464,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "ta_gopher_rules"    -> taGopherSql,
+    "ta_c4_rules"        -> taC4Sql,
     "ta_token_stats"     -> taTokenSql,
     "ta_quality"         -> taQualitySql,
     "ta_lang_id"         -> taLangSql,
