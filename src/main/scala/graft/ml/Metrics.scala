@@ -166,8 +166,11 @@ object Metrics {
     val cum = graft.operators.Distributed
       .groupedPrefixSum(counts, Seq.empty, Seq(col("s")), "cnt", "cum")
     val midrank = col("cum") - col("cnt") + (col("cnt") + lit(1)) / lit(2.0)
+    // midrank·np terms are exact x.5 multiples of integers — DECIMAL
+    // accumulation makes the sum independent of partition merge order
+    // (bit-identical retrains AND the hash-exact oracle twin)
     val row = cum.agg(
-      sum(midrank * col("np")).as("sumPos"),
+      sum((midrank * col("np")).cast(dec6)).cast("double").as("sumPos"),
       sum(col("np")).as("nPos"),
       sum(col("cnt")).as("nAll")).head()
     val (sumPos, nPos, nAll) = (row.getDouble(0), row.getLong(1), row.getLong(2))

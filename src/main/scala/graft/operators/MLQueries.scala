@@ -172,6 +172,67 @@ object MLQueries {
       |    / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn))) AS f1_micro
       |FROM cm""".stripMargin
 
+  // ------------------------------------------- rank metrics (AUC / LL)
+  /** Tie-aware ROC-AUC (ml.Metrics.rocAuc's midrank/Mann-Whitney form)
+    * + clamped log-loss over the events rule-scorer — the rank-sweep
+    * path under a hash-exact oracle. Both sides accumulate through
+    * DECIMAL: the midrank·np terms are exact x.5 multiples (AUC emits
+    * as DOUBLE, bit-exact), while the ln() terms quantize at 1e-12 and
+    * the mean emits as REAL so a last-ulp libm divergence between
+    * engines cannot flip the hash. */
+  def ml_metrics_auc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val k = call_function("graft_json_long", $"props", lit("k"))
+    val df = Tables.events(s, dir).select(
+      when($"event_type".isin("purchase", "signup"), 1).otherwise(0).as("label"),
+      k.cast("double").as("s")).filter($"s".isNotNull)
+    val auc = Metrics.rocAuc(df, "label", "s")
+    val eps = 1e-15
+    val p = least(greatest($"s" / lit(100.0), lit(eps)), lit(1.0 - eps))
+    val y = $"label".cast("double")
+    val llRow = df.agg(
+      sum((y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double").as("sl"),
+      count(lit(1)).as("n")).head()
+    val n = llRow.getLong(1)
+    val ll = (-llRow.getDouble(0) / n).toFloat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("roc_auc", DoubleType),
+      StructField("log_loss", FloatType), StructField("n", LongType)))
+    s.createDataFrame(java.util.Arrays.asList(Row(auc, ll, n)), schema)
+  }
+
+  val mlMetricsAucSql: String =
+    """WITH lp AS (
+      |  SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS label,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS s
+      |  FROM events
+      |  WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL),
+      |c AS (SELECT s, CAST(sum(label) AS BIGINT) AS np, count(*) AS cnt
+      |      FROM lp GROUP BY s),
+      |w AS (SELECT s, np, cnt,
+      |        CAST(sum(cnt) OVER (ORDER BY s
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM c),
+      |m AS (SELECT
+      |        CAST(sum(CAST((cum - cnt + (cnt + 1) / 2.0) * np AS DECIMAL(28,6))) AS DOUBLE) AS sumpos,
+      |        CAST(sum(np) AS BIGINT) AS npos,
+      |        CAST(sum(cnt) AS BIGINT) AS nall
+      |      FROM w),
+      |l AS (SELECT
+      |        CAST(sum(CAST(label * ln(least(greatest(s / 100.0, 1e-15), 1.0 - 1e-15))
+      |          + (1 - label) * ln(1.0 - least(greatest(s / 100.0, 1e-15), 1.0 - 1e-15))
+      |          AS DECIMAL(28,12))) AS DOUBLE) AS sl,
+      |        count(*) AS n
+      |      FROM lp)
+      |SELECT (m.sumpos - m.npos * (m.npos + 1) / 2.0)
+      |    / (m.npos * (m.nall - m.npos)) AS roc_auc,
+      |  CAST(-l.sl / l.n AS REAL) AS log_loss, CAST(l.n AS BIGINT) AS n
+      |FROM m, l""".stripMargin
+
   // ------------------------------------------------- regression metrics
   /** Deterministic rule predictor ŷ = 2·l_quantity + 100 scored by the
     * fixed-point regression aggregates (ml.Metrics.regressionAggs). */
@@ -502,6 +563,7 @@ object MLQueries {
     "ml_target_encode"  -> ml_target_encode _,
     "ml_split_last"     -> ml_split_last _,
     "ml_metrics_cls"    -> ml_metrics_cls _,
+    "ml_metrics_auc"    -> ml_metrics_auc _,
     "ml_metrics_reg"    -> ml_metrics_reg _,
     "ml_ols_regr"       -> ml_ols_regr _,
     "ml_ols_predict"    -> ml_ols_predict _,
@@ -523,6 +585,7 @@ object MLQueries {
     "ml_target_encode"  -> mlTargetEncodeSql,
     "ml_split_last"     -> mlSplitLastSql,
     "ml_metrics_cls"    -> mlMetricsClsSql,
+    "ml_metrics_auc"    -> mlMetricsAucSql,
     "ml_metrics_reg"    -> mlMetricsRegSql,
     "ml_ols_regr"       -> mlOlsSql,
     "ml_ols_predict"    -> mlOlsPredictSql,
