@@ -366,6 +366,19 @@ object StreamingOps {
       model: graft.operators.PipelineOps.QualityModel): DataFrame =
     graft.operators.PipelineOps.qualityScore(spark, docs, model)
 
+  /** Streaming twins of the r15 rule filters (ta_gopher_rules /
+    * ta_c4_rules): both are pure per-doc HOF column expressions — no
+    * aggregate, no window, no state — so the SAME operator body runs
+    * unchanged on a readStream frame; micro-batch verdicts are
+    * bit-identical to the batch gate on the same rows (StreamingSpec
+    * parity). This is the shape that matters at 100 TB ingest: filter
+    * AT ingest time, append-mode, zero state store. */
+  def gopherRulesStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(docs)
+
+  def c4RulesStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.c4Rules(docs)
+
   /** Streaming twin of ds_heavy_hitters: running corpus vocabulary
     * profile over a live document feed — per-term total frequency and
     * document frequency as an incrementally-maintained aggregate

@@ -509,6 +509,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(disagree == 0, s"$disagree docs diverge from the batch packing")
     } finally q.stop()
   }
+  test("gopher + c4 rule filters run unchanged on a stream with batch parity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rules_stream").toString
+    val staticDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(150).coalesce(2)
+    staticDocs.write.mode("overwrite").parquet(s"$dir/docs")
+    val staged = spark.read.parquet(s"$dir/docs")
+    val stream = spark.readStream.schema(staged.schema).parquet(s"$dir/docs")
+    val qg = graft.streaming.StreamingOps.gopherRulesStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_out").start()
+    val qc = graft.streaming.StreamingOps.c4RulesStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("c4_out").start()
+    try {
+      qg.processAllAvailable(); qc.processAllAvailable()
+      def keyOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val gStream = keyOf(spark.table("gopher_out"))
+      val gBatch = keyOf(graft.operators.TextAnalysis.gopherRules(staged))
+      assert(gStream == gBatch, s"gopher stream=${gStream.size} batch=${gBatch.size}")
+      val cStream = keyOf(spark.table("c4_out"))
+      val cBatch = keyOf(graft.operators.TextAnalysis.c4Rules(staged))
+      assert(cStream == cBatch, s"c4 stream=${cStream.size} batch=${cBatch.size}")
+    } finally { qg.stop(); qc.stop() }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
