@@ -239,6 +239,39 @@ object Relational {
 
   /** Sessionization: 30-minute-gap sessions per user via lag + running sum
     * (the classic shuffle-once pattern: one window partition per user). */
+  /** Weekly cohort retention — the classic product-analytics matrix:
+    * each user's cohort is the Monday-truncated week of their FIRST
+    * event (a window min over the one user_id shuffle), every event
+    * lands in a (cohort_week, week_index) bucket, and the cell value
+    * is distinct active users. Week arithmetic stays integral (both
+    * engines truncate weeks to Monday, so the day diff is an exact
+    * multiple of 7). */
+  def q_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    Tables.events(s, dir)
+      .withColumn("cohort_week", date_trunc("week", min($"ts").over(byUser)))
+      .withColumn("week", date_trunc("week", $"ts"))
+      .withColumn("week_index",
+        (datediff($"week", $"cohort_week") / 7).cast("long"))
+      .groupBy($"cohort_week", $"week_index")
+      .agg(countDistinct($"user_id").as("n_active_users"))
+      .orderBy($"cohort_week", $"week_index")
+  }
+
+  val qCohortSql: String =
+    """WITH c AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT e.user_id, c.cohort_week, date_trunc('week', e.ts) AS week
+      |  FROM events e JOIN c ON e.user_id = c.user_id)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_index,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+      |FROM a GROUP BY cohort_week, week_index
+      |ORDER BY cohort_week, week_index""".stripMargin
+
   def q_sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -472,6 +505,7 @@ object Relational {
     "q_json_events"         -> q_json_events _,
     "q_events_hourly"       -> q_events_hourly _,
     "q_sessionize"          -> q_sessionize _,
+    "q_cohort_retention"    -> q_cohort_retention _,
     "q_events_funnel"       -> q_events_funnel _,
     "q_events_rolling"      -> q_events_rolling _,
     "q_priority_by_status"  -> q_priority_by_status _,
@@ -494,6 +528,7 @@ object Relational {
     "q_json_events"         -> qJsonSql,
     "q_events_hourly"       -> qHourlySql,
     "q_sessionize"          -> qSessionSql,
+    "q_cohort_retention"    -> qCohortSql,
     "q_events_funnel"       -> qFunnelSql,
     "q_events_rolling"      -> qRollingSql,
     "q_priority_by_status"  -> qPrioritySql,

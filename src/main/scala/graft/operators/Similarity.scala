@@ -385,6 +385,67 @@ object Similarity {
     if (recall >= 0.6) out.orderBy($"vec_id") else out.limit(0)
   }
 
+  /** Semantic decontamination — the embedding-space analogue of the
+    * shingle pass (dd_contamination): flag every corpus vector whose
+    * cosine to ANY benchmark vector sharing a quantizer cell clears
+    * `tau`. The pass modern pipelines run against eval benchmarks
+    * before training (same within-cell restriction as SemDeDup keeps
+    * the pair space bounded; a trained chooseK quantizer is the scale
+    * path, the LCG grid the oracle twin). Benchmark side is
+    * benchmark-sized → BROADCAST; the corpus never shuffles — per-cell
+    * candidate work is benchmark-bounded, one map-side join + one
+    * map-combinable agg at any corpus size. */
+  def semanticContamination(s: SparkSession, corpus: DataFrame,
+      benchmark: DataFrame, quant: CoarseQuantizer, tau: Double): DataFrame = {
+    import s.implicits._
+    val c = corpus.withColumn("cell", quant.cellCol($"v"))
+      .select($"cell", $"vec_id", $"v", $"nrm")
+    val b = benchmark.withColumn("cell", quant.cellCol($"v"))
+      .select($"cell", $"vec_id".as("bid"), $"v".as("vb"), $"nrm".as("nb"))
+    val hits = c.join(broadcast(b), Seq("cell"))
+      .withColumn("cos", dot($"v", $"vb") / ($"nrm" * $"nb"))
+      .filter($"cos" >= tau)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_hits"), max($"cos").as("max_cos"))
+    corpus.select($"vec_id").join(hits, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+        $"max_cos", $"n_hits".isNotNull.as("contaminated"))
+  }
+
+  /** Gate: benchmark = vectors 0..19, corpus = the rest, LCG cells. */
+  def dd_semantic_contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    semanticContamination(s, e.filter($"vec_id" >= 20),
+      e.filter($"vec_id" < 20), LcgQuantizer, 0.45).orderBy($"vec_id")
+  }
+
+  val ddSemanticContaminationSql: String = {
+    def d(k: Int) = lcgSqDistSql(k)
+    s"""WITH $embSqlCte,
+       |cells AS (
+       |  SELECT n.vec_id, v, nrm,
+       |    CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+       |         WHEN d1 <= d2 AND d1 <= d3 THEN 1
+       |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cell
+       |  FROM (SELECT vec_id, v, nrm, ${d(0)} AS d0, ${d(1)} AS d1,
+       |          ${d(2)} AS d2, ${d(3)} AS d3 FROM n) n),
+       |hits AS (
+       |  SELECT c.vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |    max(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * b.v[i]))
+       |      / (c.nrm * b.nrm)) AS max_cos
+       |  FROM (SELECT * FROM cells WHERE vec_id >= 20) c
+       |  JOIN (SELECT * FROM cells WHERE vec_id < 20) b ON c.cell = b.cell
+       |  WHERE list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * b.v[i]))
+       |      / (c.nrm * b.nrm) >= 0.45
+       |  GROUP BY c.vec_id),
+       |corp AS (SELECT vec_id FROM n WHERE vec_id >= 20)
+       |SELECT corp.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.max_cos,
+       |  h.n_hits IS NOT NULL AS contaminated
+       |FROM corp LEFT JOIN hits h ON h.vec_id = corp.vec_id
+       |ORDER BY corp.vec_id""".stripMargin
+  }
+
   val ddSemanticDedupSql: String = {
     def d(k: Int) = lcgSqDistSql(k)
     s"""WITH RECURSIVE $embSqlCte,
@@ -1066,7 +1127,8 @@ object Similarity {
     "sim_ann_pq"         -> sim_ann_pq _,
     "sim_ann_ivfpq"      -> sim_ann_ivfpq _,
     "dd_semantic_dedup"  -> dd_semantic_dedup _,
-    "dd_semantic_dedup_trained" -> dd_semantic_dedup_trained _
+    "dd_semantic_dedup_trained" -> dd_semantic_dedup_trained _,
+    "dd_semantic_contamination" -> dd_semantic_contamination _
   )
 
   val oracles: Map[String, String] = Map(
@@ -1077,6 +1139,7 @@ object Similarity {
     "sim_ann_ivf_probe2" -> simIvfProbe2Sql,
     "sim_ann_ivf_indexed" -> simIvfSql,
     "sim_knn_graph"      -> simKnnGraphSql,
-    "dd_semantic_dedup"  -> ddSemanticDedupSql
+    "dd_semantic_dedup"  -> ddSemanticDedupSql,
+    "dd_semantic_contamination" -> ddSemanticContaminationSql
   )
 }
