@@ -233,6 +233,42 @@ object MLQueries {
       |  CAST(-l.sl / l.n AS REAL) AS log_loss, CAST(l.n AS BIGINT) AS n
       |FROM m, l""".stripMargin
 
+  // ------------------------------------------------ calibration curve
+  /** Reliability diagram buckets (the sklearn calibration_curve shape,
+    * uniform strategy): predicted probability binned into 10 fixed-width
+    * buckets, per-bucket support, mean predicted probability, and
+    * observed positive fraction. ONE map-combinable groupBy to ≤10
+    * rows — the aggregation form a 100 TB scoring validation pass
+    * needs (no sort, no window; contrast ml_metrics_auc's rank
+    * collapse). Exact arithmetic: p = k/100 is a 2-decimal exact
+    * value, summed through DECIMAL; count ratios are integer/integer. */
+  def ml_calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val k = call_function("graft_json_long", $"props", lit("k"))
+    val df = Tables.events(s, dir).select(
+      when($"event_type".isin("purchase", "signup"), 1L).otherwise(0L).as("label"),
+      (k.cast("double") / lit(100.0)).as("p")).filter($"p".isNotNull)
+    df.withColumn("bin", least(floor($"p" * 10).cast("long"), lit(9L)))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        (sum($"p".cast(dec4)).cast("double") / count(lit(1))).as("mean_pred"),
+        (sum($"label").cast("double") / count(lit(1))).as("frac_pos"))
+      .orderBy($"bin")
+  }
+
+  val mlCalibrationSql: String =
+    """WITH lp AS (
+      |  SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS label,
+      |    CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0 AS p
+      |  FROM events
+      |  WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL)
+      |SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS mean_pred,
+      |  CAST(sum(label) AS DOUBLE) / count(*) AS frac_pos
+      |FROM lp GROUP BY 1 ORDER BY bin""".stripMargin
+
   // ------------------------------------------------- regression metrics
   /** Deterministic rule predictor ŷ = 2·l_quantity + 100 scored by the
     * fixed-point regression aggregates (ml.Metrics.regressionAggs). */
@@ -564,6 +600,7 @@ object MLQueries {
     "ml_split_last"     -> ml_split_last _,
     "ml_metrics_cls"    -> ml_metrics_cls _,
     "ml_metrics_auc"    -> ml_metrics_auc _,
+    "ml_calibration"    -> ml_calibration _,
     "ml_metrics_reg"    -> ml_metrics_reg _,
     "ml_ols_regr"       -> ml_ols_regr _,
     "ml_ols_predict"    -> ml_ols_predict _,
@@ -586,6 +623,7 @@ object MLQueries {
     "ml_split_last"     -> mlSplitLastSql,
     "ml_metrics_cls"    -> mlMetricsClsSql,
     "ml_metrics_auc"    -> mlMetricsAucSql,
+    "ml_calibration"    -> mlCalibrationSql,
     "ml_metrics_reg"    -> mlMetricsRegSql,
     "ml_ols_regr"       -> mlOlsSql,
     "ml_ols_predict"    -> mlOlsPredictSql,

@@ -379,6 +379,30 @@ object StreamingOps {
   def c4RulesStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.c4Rules(docs)
 
+  /** Streaming ingest decontamination — the streaming twin of
+    * `dd_semantic_contamination`'s kill decision: each arriving vector
+    * joins the STATIC benchmark on the quantizer cell and is emitted
+    * iff some benchmark vector clears `tau` cosine. A stream-static
+    * LEFT SEMI join: stateless (no watermark, no state store — the
+    * static side is benchmark-sized and effectively broadcast), so
+    * each micro-batch costs its own rows × the in-cell benchmark
+    * candidates, append-mode at any ingest rate. Emits the
+    * CONTAMINATED rows (the kill list); the batch operator's per-row
+    * hit counts/max-cos need an aggregate and stay batch-side. Input
+    * needs (vec_id, v: array<double>, nrm). */
+  def semanticContaminationStream(corpusStream: DataFrame,
+      benchmark: DataFrame, quant: graft.operators.CoarseQuantizer,
+      tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpusStream.sparkSession)
+    val b = benchmark.withColumn("cell", quant.cellCol(col("v")))
+      .select(col("cell"), col("v").as("vb"), col("nrm").as("nb"))
+    val c = corpusStream.withColumn("cell", quant.cellCol(col("v")))
+    c.join(b,
+      c("cell") === b("cell") &&
+        call_function("graft_dot", c("v"), col("vb")) / (c("nrm") * col("nb")) >= tau,
+      "left_semi")
+  }
+
   /** Streaming twin of ds_heavy_hitters: running corpus vocabulary
     * profile over a live document feed — per-term total frequency and
     * document frequency as an incrementally-maintained aggregate

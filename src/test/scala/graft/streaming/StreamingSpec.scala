@@ -509,6 +509,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(disagree == 0, s"$disagree docs diverge from the batch packing")
     } finally q.stop()
   }
+  test("streaming semantic decontamination: stream-static semi join matches the batch kill set") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scontam").toString
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    val bench = e.filter($"vec_id" < 20).localCheckpoint()
+    // corpus = the rest PLUS exact copies of 5 benchmark vectors under
+    // shifted ids — guaranteed cos = 1.0 contamination at any sf
+    val corpus = e.filter($"vec_id" >= 20)
+      .unionAll(bench.filter($"vec_id" < 5)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"v", $"nrm"))
+    corpus.coalesce(2).write.mode("overwrite").parquet(s"$dir/corpus")
+    val staged = spark.read.parquet(s"$dir/corpus")
+    val stream = spark.readStream.schema(staged.schema).parquet(s"$dir/corpus")
+    val q = StreamingOps.semanticContaminationStream(
+        stream, bench, graft.operators.LcgQuantizer, 0.45)
+      .select($"vec_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scontam_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("scontam_out")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.Similarity
+        .semanticContamination(spark, staged, bench,
+          graft.operators.LcgQuantizer, 0.45)
+        .filter($"contaminated").collect().map(_.getLong(0)).toSet
+      assert(batch.nonEmpty, "fixture should contain contaminated vectors")
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("gopher + c4 rule filters run unchanged on a stream with batch parity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rules_stream").toString
