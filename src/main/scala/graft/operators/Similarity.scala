@@ -563,7 +563,8 @@ object Similarity {
     * convention as `nearDupBruteForce`. The per-node top-k is a keyed
     * window (partitionBy src), partition-parallel. */
   def knnGraph(e: DataFrame, quant: CoarseQuantizer, topK: Int = 3,
-      maxCellRows: Long = KNN_MAX_CELL_ROWS): DataFrame = {
+      maxCellRows: Long = KNN_MAX_CELL_ROWS, nprobe: Int = 1,
+      probeRatio: Double = 0.0): DataFrame = {
     // A TRAINED quantizer's assignment is the expensive map at scale
     // (O(k·d) flops per row with corpus-proportional k), so it runs
     // EXACTLY ONCE: localCheckpoint materializes the assigned frame
@@ -592,7 +593,21 @@ object Similarity {
     // the three consumers re-execute the plan, so a nondeterministic
     // source (sampling, monotonically_increasing_id) could show them
     // different rows; checkpointing pins one snapshot when in doubt.
-    val assigned = e.withColumn("cell", quant.cellCol(col("v")))
+    // nprobe > 1 (or an adaptive boundary band via probeRatio ∈ (0,1))
+    // assigns each node to its nprobe nearest cells: a candidate pair
+    // forms when the cell SETS intersect, recovering true-NN edges that
+    // a hard assignment cuts at cell boundaries — the failure mode the
+    // SemDeDup recall floor measured at 0.38 under single-cell
+    // assignment. probeRatio takes precedence: the second cell is
+    // probed only for vectors whose owner distance is within ratio of
+    // the runner-up, so interior vectors keep single-cell fan-out.
+    val assigned =
+      if (probeRatio > 0.0)
+        e.withColumn("cell", explode(quant.probeAdaptiveCol(col("v"), probeRatio)))
+      else if (nprobe > 1)
+        e.withColumn("cell", explode(quant.probeCol(col("v"), nprobe)))
+      else e.withColumn("cell", quant.cellCol(col("v")))
+    val multiProbe = probeRatio > 0.0 || nprobe > 1
     val cells =
       if (quant.cheapAssignment) assigned else assigned.localCheckpoint()
     // coalesce: an empty corpus aggregates to one null row — the guard
@@ -610,11 +625,36 @@ object Similarity {
       col("nrm").as("nb"), col("cell"))
     val scored = a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select(col("src"), col("dst"), col("cos"), col("rn").cast("long").as("rank"))
+      .select(col("src"), col("dst"), col("cos"))
+    if (multiProbe) {
+      // Multi-probe can surface one pair from up to `probes` shared
+      // cells, as `probes` bit-identical (cos, dst) candidate rows (cos
+      // is deterministic per pair — identical float inputs). Rather
+      // than a dropDuplicates exchange over EVERY scored pair, keep the
+      // top topK·probes candidates WITH multiplicity in the bounded
+      // map-combinable graft_topk_min (one shuffle of ≤ topK·probes
+      // entries per src, partial-aggregated map-side), then dedupe
+      // inside the tiny sorted array: duplicates are adjacent identical
+      // entries, and a multiset prefix of length topK·probes must
+      // contain ≥ topK distinct pairs (each appears ≤ probes times), so
+      // array_distinct + slice yields exactly the top topK distinct
+      // pairs. (-cos, dst) ordering is the window twin's (cos desc,
+      // dst asc); -(-cos) round-trips bit-exact.
+      val probes = if (probeRatio > 0.0) 2 else nprobe
+      scored.groupBy(col("src"))
+        .agg(call_function("graft_topk_min", -col("cos"), col("dst"),
+          lit(topK * probes)).as("topm"))
+        .select(col("src"),
+          posexplode(slice(array_distinct(col("topm")), 1, topK)).as(Seq("pos", "t")))
+        .select(col("src"), col("t.id").as("dst"),
+          (-col("t.score")).as("cos"), (col("pos") + 1).cast("long").as("rank"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topK)
+        .select(col("src"), col("dst"), col("cos"), col("rn").cast("long").as("rank"))
+    }
   }
 
   // ------------------------------------------------ persistent IVF index
@@ -724,14 +764,90 @@ object Similarity {
     * k-means is not ANSI-SQL-expressible, so this entry has no DuckDB
     * oracle — the driver records the weaker rows-only check; the
     * hash-exact twin is `sim_knn_graph` (LCG cells), and QuantizerSpec
-    * proves the cell-population contract. */
+    * proves the cell-population contract. Since r16 the gate carries an
+    * INLINE edge-recall floor vs the exact graph (see
+    * [[sim_knn_graph_trained]]) — the rows-only check can no longer
+    * pass on a structurally-valid but boundary-blind graph. */
+  /** Exact top-`topK` cosine edges for a bounded query subset — the
+    * truth side of the kNN-graph recall floor. Queries are a
+    * deterministic vec_id stride subsample sized so query·corpus pair
+    * work stays ≤ `cap` (the SemDeDup floor's subsampling discipline,
+    * `dd_semantic_dedup_trained`): recall over a uniform query
+    * subsample, corpus-scale-safe. The query side is subsample-sized →
+    * BROADCAST; the corpus never shuffles. */
+  private def exactKnnEdges(e: DataFrame, topK: Int,
+      cap: Long = 20000000L, maxQueries: Long = 1000L): DataFrame = {
+    import e.sparkSession.implicits._
+    val n = e.count()
+    // stride bounds BOTH the pair work (≤ cap) and the query count
+    // (≤ maxQueries — a 1000-query / 3000-edge sample estimates recall
+    // to ±~2% at the floor's decision points, and holds the floor's
+    // cost constant as the corpus grows)
+    val stride = math.max(math.ceil(n.toDouble * n / cap),
+      math.ceil(n.toDouble / maxQueries)).toLong.max(1L)
+    val q = e.filter($"vec_id" % stride === 0)
+      .select($"vec_id".as("qid"), $"v".as("vq"), $"nrm".as("nq"))
+    // top-k per query via the bounded map-combinable graft_topk_min
+    // aggregate (negated score = top-k LARGEST cosine, id tiebreak
+    // ascending — the identical (cos desc, dst asc) ranking knnGraph's
+    // window uses), so the brute-force sweep partial-aggregates
+    // map-side instead of sort-shuffling every scored pair
+    e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .withColumn("negcos", -dot($"v", $"vq") / ($"nrm" * $"nq"))
+      .groupBy($"qid")
+      .agg(call_function("graft_topk_min", $"negcos", $"vec_id",
+        lit(topK)).as("top"))
+      .select($"qid".as("src"), explode($"top").as("t"))
+      .select($"src", $"t.id".as("dst"))
+  }
+
+  /** Edge recall of `graph` (src, dst rows) against the exact top-k
+    * truth for the strided query subset: |truth ∩ graph| / |truth|.
+    * The truth is checkpointed (it is query-sample-sized) so the
+    * brute-force sweep runs once, not once per consumer. */
+  def knnEdgeRecall(e: DataFrame, graph: DataFrame, topK: Int = 3): Double = {
+    val truth = exactKnnEdges(e, topK).localCheckpoint()
+    val total = truth.count()
+    if (total == 0L) 1.0
+    else truth.join(graph.select(col("src"), col("dst")),
+      Seq("src", "dst")).count().toDouble / total
+  }
+
   def sim_knn_graph_trained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
     val n = e.count()
-    val k = KMeansQuantizer.chooseK(n, targetCellRows = 500L)
-    knnGraph(e, KMeansQuantizer.fitSampled(e, k, n), topK = 3)
-      .orderBy($"src", $"rank")
+    // targetCellRows halves to 250 (from r14's 500) so the 3-probe's
+    // effective per-cell candidate population stays bounded; per-vector
+    // candidate work is 3·~750 — a corpus-size-independent constant
+    // (4.5× the r14 single-probe constant, the honest price of the
+    // recall fix below), and total pair work stays linear in the corpus.
+    val k = KMeansQuantizer.chooseK(n, targetCellRows = 250L)
+    val quant = KMeansQuantizer.fitSampled(e, k, n)
+    // nprobe=3 multi-probe (VERDICT r15 item 1): single-cell hard
+    // assignment measurably loses true-NN edges that cross a cell
+    // boundary — 3-NN edge recall vs the EXACT graph measured 0.34 at
+    // sf0.1 / 0.99 at sf0.01 with nprobe=1 (graft.tools.KnnRecall;
+    // exact NNs in this 64-dim corpus are barely closer than random
+    // points, so nearly every edge is boundary-adjacent — the worst
+    // case for hard assignment). Probing each node's 3 nearest cells
+    // co-buckets an edge when the probe SETS intersect: recall 0.96 at
+    // sf0.1 (2-probe plateaus at 0.76; the probeRatio adaptive band
+    // matches 2-probe here because high-dim margins make every vector
+    // boundary-band — it pays off on clustered corpora, see
+    // dd_semantic_dedup_trained).
+    val out = knnGraph(e, quant, topK = 3, nprobe = 3)
+      .localCheckpoint()
+    // Inline quality floor (the SemDeDup floor's sibling): 3-NN edge
+    // recall against the EXACT graph on a strided query subsample.
+    // Healthy measures 0.96 (sf0.1) / 1.0 (sf0.01); the nprobe=1
+    // boundary-miss regression mode measures 0.34/0.99, so 0.6
+    // separates healthy from broken (k-means, probe, join, ranking)
+    // with margin on both sides at the scale where boundaries bite. A
+    // broken graph EMPTIES the gate instead of shipping
+    // silently-missing edges.
+    val recall = knnEdgeRecall(e, out, topK = 3)
+    if (recall >= 0.6) out.orderBy($"src", $"rank") else out.limit(0)
   }
 
   val simKnnGraphSql: String = {
