@@ -53,9 +53,24 @@ object KnnRecall {
       val tRec = (System.nanoTime() - t1) / 1e9
       println(f"$label%-16s recall=$recall%.4f edges=$edges graph_sec=$tGraph%.2f recall_sec=$tRec%.2f")
     }
-    run("nprobe=3", 3, 0.0)
-    run("nprobe=3b", 3, 0.0)
-    ratios.foreach(r => run(f"ratio=$r%.2f", 1, r))
+    def runSem(label: String, nprobe: Int, ratio: Double): Unit = {
+      val t0 = System.nanoTime()
+      val (out, recall) =
+        Similarity.trainedSemanticDedupWithRecall(s, dir, nprobe, ratio)
+      val rows = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"sem:$label%-14s recall=$recall%.4f rows=$rows sec=$sec%.2f")
+    }
+    if (sys.env.contains("GRAFT_SEM")) {
+      runSem("warmup", 1, 0.5)
+      runSem("nprobe=1", 1, 0.0)
+      runSem("nprobe=2", 2, 0.0)
+      ratios.foreach(r => runSem(f"ratio=$r%.2f", 1, r))
+    } else {
+      run("nprobe=3", 3, 0.0)
+      run("nprobe=3b", 3, 0.0)
+      ratios.foreach(r => run(f"ratio=$r%.2f", 1, r))
+    }
     s.stop()
   }
 }
