@@ -228,6 +228,25 @@ object Bench {
           .mkString("{", ",", "}")
         java.nio.file.Files.writeString(prevPath, vectorJson(persistedQs) + "\n")
       } catch { case _: Throwable => () }
+      // The driver snapshots only the LAST ~2000 chars of this run's
+      // output into BENCH_r{N}.json and tries to parse a JSON line out
+      // of it — the full 112-gate vector line is ~4 KB, so its head is
+      // always cut off and the round artifact shipped with
+      // `parsed: null` through r15 (VERDICT r15 "what's wrong" 3). The
+      // LAST stdout line is therefore a compact digest that fits the
+      // tail window whole: totals, error names, the max gate, budget
+      // breaches, and a pointer to bench_results.json for the full
+      // per-gate vector (written above every full run). Full runs only —
+      // partial SPARK_GRAFT_BENCH_ONLY consumers (adjudicate_bench.sh)
+      // parse `tail -1` as the vector line.
+      val maxGate = results.maxByOption(_._2)
+      val digest =
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,""" +
+          s""""gates":${results.size},"errors":${errors.map(e => jstr(e._1)).mkString("[", ",", "]")},""" +
+          maxGate.map { case (n, v) => s""""max_gate":${jstr(n)},"max_sec":$v,""" }.getOrElse("") +
+          s""""over_budget":${results.filter(_._2 > budgetSec).map(r => jstr(r._1)).mkString("[", ",", "]")},""" +
+          s""""flags":${(regressions ++ speedups).size},"vector":"bench_results.json"}"""
+      println(digest)
     }
     spark.stop()
     // nonzero rc: a vector containing failures must never ship as a clean

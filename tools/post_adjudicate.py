@@ -20,6 +20,14 @@ Verdict bands (unchanged, idle-vs-idle per the two-vector discipline):
   noise       — isolated median within 1.25x of the stored isolated
                 baseline (slower flags) / above 0.75x (faster flags)
   real        — outside the band, in the flagged direction
+  real_intentional — outside the band, but the gate is declared in
+                tools/intentional_regressions.json (a deliberate
+                quality-for-time trade, e.g. a recall floor); the
+                verdict carries the declared commit + reason so the
+                artifact is self-contained, and the new isolated
+                median DOES become the baseline — an intentional new
+                cost is the comparison point for the next round, while
+                an unexplained regression never ratchets it
   no_baseline — first isolated observation; recorded as the comparison
                 point for the next flag on this query
   failed      — the rerun produced no JSON
@@ -38,6 +46,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REG = os.path.join(REPO, "bench_regressions.json")
 BASE = os.path.join(REPO, "bench_isolated_baseline.json")
+INTENTIONAL = os.path.join(REPO, "tools", "intentional_regressions.json")
 
 
 def wait_for_pid(pid: int, timeout_sec: int = 1800) -> None:
@@ -84,6 +93,11 @@ def main() -> int:
             iso_base = json.load(f)
     except (OSError, ValueError):
         iso_base = {}
+    try:
+        with open(INTENTIONAL) as f:
+            intentional = json.load(f)
+    except (OSError, ValueError):
+        intentional = {}
 
     print(f"adjudicating {len(pending)} pending flag(s) on the quiet box: "
           f"{' '.join(pending)}")
@@ -111,8 +125,17 @@ def main() -> int:
             verdict = "real" if iso < iso_base[q] * 0.75 else "noise"
         else:
             verdict = "real" if iso > iso_base[q] * 1.25 else "noise"
+        if verdict == "real" and kind != "faster" and q in intentional:
+            # declared quality-for-time trade: self-contained verdict
+            # (commit + reason travel in the artifact), and the new cost
+            # becomes the baseline for the next round
+            verdict = "real_intentional"
+            reg[q]["commit"] = intentional[q].get("commit", "")
+            reg[q]["reason"] = intentional[q].get("reason", "")
         reg[q]["isolated"], reg[q]["verdict"] = iso, verdict
-        # merge rule: confirmed-real SLOWDOWNS keep the old baseline
+        # merge rule: confirmed-real UNEXPLAINED slowdowns keep the old
+        # baseline (else incremental slowdowns would ratchet it);
+        # intentional ones merge — they ARE the new comparison point
         if not (verdict == "real" and kind != "faster"):
             merged[q] = iso
         print(f"  ADJUDICATED {q:<28s} isolated={iso:.3f}s "
