@@ -130,6 +130,77 @@ object Unigram {
     out.reverse.toSeq
   }
 
+  /** Substring occurrence mass: (piece, Σ substring-count × word-freq)
+    * for every ≤ `maxPieceLen` substring of corpus words — one HOF
+    * expansion on the word table, map-combinable sum, vocabulary-sized
+    * output. Shared by [[train]]'s seed and the hash-exact ENCODE
+    * gate's closed-form vocabulary. */
+  private def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame = {
+    val subUdf = udf { (w: String, freq: Long) =>
+      val c = cps(w)
+      (for (i <- c.indices; len <- 1 to math.min(maxPieceLen, c.length - i))
+        yield (c.slice(i, i + len).mkString, freq)).toSeq
+    }
+    words.select(explode(subUdf(col("w"), col("freq"))).as("p"))
+      .groupBy(col("p._1").as("t")).agg(sum(col("p._2")).as("c"))
+  }
+
+  /** Closed-form SEED vocabulary quantized to micro-nats — the
+    * hash-exact ENCODE gate's vocabulary (the unigram analogue of
+    * [[Bpe.initialPairMerges]]): every single character plus the top
+    * (seedSize − |chars|) multi-char substrings by occurrence mass
+    * (ties → lexicographic), logp = ln(mass / seedMass) quantized by
+    * FLOOR to integer micro-nats. The quantization is what buys the
+    * gate a DuckDB twin: Viterbi comparisons run on exact BIGINT
+    * arithmetic in both engines, so a segmentation tie is an EXACT tie
+    * broken by one shared rule — while raw double log-probs differ by
+    * a libm ulp between engines and can flip the argmax on
+    * mathematically-tied paths (mass products equal ⇒ log sums tie).
+    * Training proper ([[train]]) stays the rows-only surface; this
+    * list exercises the Viterbi ENCODER — the production-hot path —
+    * under a hash-exact oracle. */
+  def seedPiecesQ(docs: DataFrame, seedSize: Int,
+      maxPieceLen: Int = 6, textCol: String = "text"): Map[String, Long] = {
+    val sub = seedCounts(wordFreqs(docs, textCol), maxPieceLen)
+    val chars = sub.filter(length(col("t")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multis = sub.filter(length(col("t")) > 1)
+      .orderBy(col("c").desc, col("t"))
+      .head(math.max(0, seedSize - chars.length))
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seedMass = (chars ++ multis).map(_._2).sum.toDouble
+    (chars ++ multis).map { case (t, c) =>
+      t -> math.floor(math.log(c.toDouble / seedMass) * 1e6).toLong
+    }.toMap
+  }
+
+  /** Viterbi on integer micro-nat scores — bit-identical across engines
+    * (exact BIGINT sums; ties broken shortest-last-piece-first via
+    * strict-improvement updates with len ascending, the rule the DuckDB
+    * twin replays as ORDER BY score DESC, len ASC). */
+  private[operators] def viterbiQ(word: String, vocab: Map[String, Long],
+      maxPieceLen: Int): Seq[String] = {
+    val c = cps(word)
+    val n = c.length
+    if (n == 0) return Seq.empty
+    val NEG = Long.MinValue
+    val best = Array.fill(n + 1)(NEG); best(0) = 0L
+    val back = Array.fill(n + 1)(-1)
+    for (j <- 1 to n; len <- 1 to math.min(maxPieceLen, j)) {
+      val i = j - len
+      if (best(i) != NEG) {
+        vocab.get(c.slice(i, j).mkString).foreach { lq =>
+          if (best(i) + lq > best(j)) { best(j) = best(i) + lq; back(j) = i }
+        }
+      }
+    }
+    if (best(n) == NEG) return Seq(word) // unreachable: chars always seeded
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = n
+    while (j > 0) { val i = back(j); out += c.slice(i, j).mkString; j = i }
+    out.reverse.toSeq
+  }
+
   /** One distributed E-step + driver M-step: expected counts of every
     * vocabulary piece over the word table, renormalized to log-probs. */
   private def emStep(words: DataFrame, vocab: Map[String, Double],
@@ -186,13 +257,7 @@ object Unigram {
     // ---- seed: all ≤ maxPieceLen substrings, weighted by occurrence
     // mass (substring count × word freq) — one HOF expansion on the
     // word table, map-combinable sum, vocabulary-sized collect
-    val subUdf = udf { (w: String, freq: Long) =>
-      val c = cps(w)
-      (for (i <- c.indices; len <- 1 to math.min(maxPieceLen, c.length - i))
-        yield (c.slice(i, i + len).mkString, freq)).toSeq
-    }
-    val subCounts = words.select(explode(subUdf(col("w"), col("freq"))).as("p"))
-      .groupBy(col("p._1").as("t")).agg(sum(col("p._2")).as("c"))
+    val subCounts = seedCounts(words, maxPieceLen)
     val chars = subCounts.filter(length(col("t")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val multis = subCounts.filter(length(col("t")) > 1)
@@ -278,9 +343,103 @@ object Unigram {
     if (ratio <= 0.9) out.orderBy($"rank") else out.limit(0)
   }
 
+  /** Hash-exact ENCODE gate (VERDICT r15 item 3, the unigram twin of
+    * ta_bpe_encode): Viterbi-encode every distinct corpus word under
+    * the 120-piece closed-form [[seedPiecesQ]] vocabulary on integer
+    * micro-nat scores; the DuckDB twin derives the identical vocabulary
+    * in SQL and replays Viterbi as a recursive CTE over word positions
+    * (best(j) over the ≤6 arcs ending at j, sorted (score desc, len
+    * asc) — the exact strict-improvement rule of [[viterbiQ]]). The
+    * encoder is a broadcast-closure pure map — the corpus never
+    * shuffles; output is vocabulary-of-words-sized. */
+  def ta_unigram_encode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocabQ = seedPiecesQ(docs, seedSize = 120)
+    val vb = s.sparkContext.broadcast(vocabQ)
+    val enc = udf { (w: String) => viterbiQ(w, vb.value, 6) }
+    docs
+      .select(explode_outer(filter(split(trim(lower($"text")), "\\s+"),
+        t => length(t) > 0)).as("w"))
+      .filter($"w".isNotNull).distinct()
+      .withColumn("sym", enc($"w"))
+      .select($"w".as("word"), size($"sym").cast("long").as("n_sym"),
+        array_join($"sym", " ").as("encoded"))
+      .orderBy($"word")
+  }
+
+  val taUnigramEncodeSql: String =
+    """WITH RECURSIVE
+      |tk AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> len(x) > 0)) AS w
+      |    FROM documents) GROUP BY w),
+      |sub AS (
+      |  SELECT substring(w, i, l) AS t, CAST(sum(freq) AS BIGINT) AS c
+      |  FROM tk,
+      |    unnest(range(1, length(w) + 1)) AS u1(i),
+      |    unnest(range(1, 7)) AS u2(l)
+      |  WHERE i + l - 1 <= length(w)
+      |  GROUP BY 1),
+      |ch AS (SELECT t, c FROM sub WHERE length(t) = 1),
+      |mu AS (
+      |  SELECT t, c FROM sub WHERE length(t) > 1
+      |  ORDER BY c DESC, t
+      |  LIMIT greatest(0, 120 - (SELECT count(*) FROM ch))),
+      |seed AS (SELECT t, c FROM ch UNION ALL SELECT t, c FROM mu),
+      |vocab AS (
+      |  SELECT t,
+      |    CAST(floor(ln(CAST(c AS DOUBLE) /
+      |      (SELECT CAST(sum(c) AS DOUBLE) FROM seed)) * 1000000) AS BIGINT)
+      |      AS logq
+      |  FROM seed),
+      |wd AS (SELECT DISTINCT w FROM tk),
+      |arcs AS (
+      |  SELECT wd.w, u1.i + u2.l - 1 AS j, u2.l AS len, v.logq, v.t AS piece
+      |  FROM wd,
+      |    unnest(range(1, length(wd.w) + 1)) AS u1(i),
+      |    unnest(range(1, 7)) AS u2(l)
+      |  JOIN vocab v ON v.t = substring(wd.w, u1.i, u2.l)
+      |  WHERE u1.i + u2.l - 1 <= length(wd.w)),
+      |arcl AS (
+      |  SELECT w, list(struct_pack(j := j, len := len, logq := logq,
+      |    piece := piece)) AS al
+      |  FROM arcs GROUP BY w),
+      |vit AS (
+      |  SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS bests,
+      |    [CAST('' AS VARCHAR)] AS paths, al
+      |  FROM arcl
+      |  UNION ALL
+      |  SELECT w, j + 1,
+      |    list_append(bests, cand[1].score),
+      |    list_append(paths, cand[1].path), al
+      |  FROM (
+      |    SELECT w, j, bests, paths, al,
+      |      list_sort(list_transform(
+      |        list_filter(al, a -> a.j = j + 1),
+      |        a -> struct_pack(
+      |          negscore := -(bests[j + 2 - a.len] + a.logq),
+      |          len := a.len,
+      |          score := bests[j + 2 - a.len] + a.logq,
+      |          path := CASE WHEN a.len = j + 1 THEN a.piece
+      |                       ELSE paths[j + 2 - a.len] || ' ' || a.piece
+      |                  END))) AS cand
+      |    FROM vit WHERE j < length(w))),
+      |res AS (SELECT w, paths[length(w) + 1] AS encoded
+      |        FROM vit WHERE j = length(w))
+      |SELECT w AS word,
+      |  CAST(len(string_split(encoded, ' ')) AS BIGINT) AS n_sym,
+      |  encoded
+      |FROM res ORDER BY word""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ta_unigram_train" -> ta_unigram_train _
+    "ta_unigram_train"  -> ta_unigram_train _,
+    "ta_unigram_encode" -> ta_unigram_encode _
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "ta_unigram_encode" -> taUnigramEncodeSql
+  )
 }

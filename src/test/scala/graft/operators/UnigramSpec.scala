@@ -80,4 +80,42 @@ class UnigramSpec extends AnyFunSuite {
     val again = Unigram.ta_unigram_train(spark, "/root/testdata/sf0.001").collect()
     assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
+
+  test("quantized Viterbi: exact-integer DP picks the max-prob path, shortest-last tie-break") {
+    // vocab (micro-nats): ab=-100, a=-300, b=-300, c=-500, abc absent
+    val v = Map("ab" -> -100L, "a" -> -300L, "b" -> -300L, "c" -> -500L)
+    // "ab": piece path -100 beats a+b -600
+    assert(UnigramTestAccess.viterbiQ("ab", v, 6) == Seq("ab"))
+    // "abc": ab+c = -600 beats a+b+c = -1100
+    assert(UnigramTestAccess.viterbiQ("abc", v, 6) == Seq("ab", "c"))
+    // exact tie: x with two equal-score splits — shortest LAST piece wins
+    val tie = Map("aa" -> -200L, "a" -> -100L)
+    // "aaa": a+aa = -300, aa+a = -300, a+a+a = -300 — strict-improvement
+    // with len ascending keeps the smallest last piece at each j
+    assert(UnigramTestAccess.viterbiQ("aaa", tie, 6) == Seq("a", "a", "a"))
+    // unknown character falls back to the whole word
+    assert(UnigramTestAccess.viterbiQ("zq", Map("a" -> -1L), 6) == Seq("zq"))
+  }
+
+  test("encode gate: distinct corpus words, deterministic, vocabulary round-trip") {
+    val out = Unigram.ta_unigram_encode(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // one row per distinct word, word-sorted
+    val words = out.map(_.getString(0)).toSeq
+    assert(words == words.sorted && words.distinct.size == words.size)
+    // n_sym matches the piece count and concatenation restores the word
+    out.foreach { r =>
+      val pieces = r.getString(2).split(" ").toSeq
+      assert(pieces.length.toLong == r.getLong(1))
+      assert(pieces.mkString == r.getString(0))
+    }
+    val again = Unigram.ta_unigram_encode(spark, "/root/testdata/sf0.001").collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+}
+
+/** Package-private bridge: viterbiQ is private[operators]. */
+private[operators] object UnigramTestAccess {
+  def viterbiQ(w: String, v: Map[String, Long], m: Int): Seq[String] =
+    Unigram.viterbiQ(w, v, m)
 }
