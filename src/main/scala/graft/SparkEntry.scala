@@ -31,6 +31,8 @@ object SparkEntry {
       operators.AsOfJoin.queries ++
       operators.Bpe.queries ++
       operators.Unigram.queries ++
+      operators.WordPiece.queries ++
+      operators.Curation.queries ++
       operators.ScaleUtils.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
@@ -51,5 +53,7 @@ object SparkEntry {
       operators.AsOfJoin.oracles ++
       operators.Bpe.oracles ++
       operators.Unigram.oracles ++
+      operators.WordPiece.oracles ++
+      operators.Curation.oracles ++
       operators.ScaleUtils.oracles
 }

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed WordPiece tokenizer training (Schuster & Nakajima,
+  * "Japanese and Korean Voice Search", ICASSP 2012; the BERT tokenizer
+  * — Devlin et al. 2019 §A.2): iteratively merge the adjacent symbol
+  * pair with the highest LIKELIHOOD GAIN under a unigram LM,
+  *
+  *   score(l, r) = freq(l·r) / (freq(l) · freq(r))
+  *
+  * — BPE's argmax with the pair count divided by its parts' counts, so
+  * a merge is chosen for how much it improves corpus likelihood, not
+  * raw frequency. Non-initial symbols carry the `##` continuation
+  * prefix (WordPiece's word-boundary convention, vs BPE's `</w>`
+  * suffix marker).
+  *
+  * 100 TB shape — identical to [[Bpe]] and [[Unigram]], the third
+  * consumer of the proven (word, freq) formulation: the corpus is
+  * scanned ONCE into the map-combinable, vocabulary-sized word table;
+  * each merge round runs two vocabulary-sized aggregates (adjacent-pair
+  * counts + symbol unigram counts, joined broadcast), collects ONE
+  * argmax row, and applies the merge as a stateless map. Nothing after
+  * the first pass touches corpus-sized data; rounds cost vocabulary.
+  *
+  * Determinism: ties at the argmax break (score desc, l, r)
+  * lexicographically; score is one IEEE division of exact integer
+  * counts — bit-stable across re-runs.
+  */
+object WordPiece {
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, freq: Long, score: Double)
+
+  /** Continuation prefix: a symbol that does not start its word. */
+  val CONT = "##"
+
+  private def strip(t: String): String =
+    if (t.startsWith(CONT)) t.substring(CONT.length) else t
+
+  /** One corpus pass → (sym: array<string>, freq): each distinct word
+    * as its character symbols, continuation-prefixed past position 1.
+    * `explode_outer` + attribute null-filter (the measured
+    * InferFiltersFromGenerate trap — see [[Bpe]]'s scaladoc). */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode_outer(filter(split(trim(lower(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("w"))), i =>
+        when(i === 1, col("w").substr(i, lit(1)))
+          .otherwise(concat(lit(CONT), col("w").substr(i, lit(1)))))
+        .as("sym"), col("freq"))
+
+  /** Adjacent-pair frequencies of the (sym, freq) frame — the same
+    * vocabulary-sized aggregate shape as the BPE round statistic. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode_outer(when(size(col("sym")) >= 2,
+        transform(sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("l"),
+            element_at(col("sym"), i + 1).as("r"))))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Symbol unigram frequencies — the score's denominator terms. */
+  private def symCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode_outer(col("sym")).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("t")).agg(sum(col("freq")).as("c"))
+
+  /** Train `numMerges` likelihood-gain merges; stops early when no
+    * adjacent pair remains. */
+  def train(s: SparkSession, docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): Seq[Merge] = {
+    var words = wordTable(docs, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val sc = symCounts(words)
+      val top = pairCounts(words)
+        .join(broadcast(sc.select(col("t").as("l"), col("c").as("cl"))), Seq("l"))
+        .join(broadcast(sc.select(col("t").as("r"), col("c").as("cr"))), Seq("r"))
+        .select(col("l"), col("r"), col("cnt"),
+          (col("cnt").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double"))).as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        val (cnt, score) = (top(0).getLong(2), top(0).getDouble(3))
+        val m = l + strip(r)
+        merges += Merge(rank, l, r, m, cnt, score)
+        val lc = lit(l); val rc = lit(r); val joined = lit(m)
+        // left-to-right non-overlapping replacement, previous round's
+        // checkpoint unpersisted once the new one is live (the Bpe
+        // round discipline)
+        val next = words.withColumn("sym",
+            aggregate(col("sym"), array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lc && x === rc,
+                concat(slice(acc, lit(1), size(acc) - 1), array(joined)))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** The production WordPiece ENCODER (BERT's): greedy longest-prefix
+    * match against the trained vocabulary, continuation pieces tried
+    * with the `##` prefix, whole word → `[UNK]` when any position has
+    * no match. A broadcast-closure pure map — encode never shuffles. */
+  def encodeCol(vocab: Seq[String], unk: String = "[UNK]"): Column => Column = {
+    val vset = vocab.toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(strip(_).length).max
+    val enc = udf { (w: String) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      var dead = false
+      while (i < w.length && !dead) {
+        var len = math.min(maxLen, w.length - i)
+        var hit: String = null
+        while (len >= 1 && hit == null) {
+          val cand = (if (i == 0) "" else CONT) + w.substring(i, i + len)
+          if (vset.contains(cand)) hit = cand
+          len -= 1
+        }
+        if (hit == null) dead = true
+        else { out += hit; i += strip(hit).length }
+      }
+      if (dead) Seq(unk) else out.toSeq
+    }
+    (c: Column) => enc(lower(c))
+  }
+
+  /** Vocabulary induced by a merge list over a corpus: every character
+    * symbol of the word table plus each merge's product — what
+    * [[encodeCol]] matches against. */
+  def vocabulary(s: SparkSession, docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): Seq[String] = {
+    val chars = symCounts(wordTable(docs, textCol))
+      .select(col("t")).collect().map(_.getString(0))
+    (chars ++ merges.map(_.merged)).distinct.sorted
+  }
+
+  /** Gate: 20 likelihood-gain merges on the documents corpus.
+    * Rows-only (the iterative global argmax has no ANSI-SQL twin, the
+    * ta_bpe_train precedent); deterministic by construction —
+    * lexicographic tie-break, exact-integer score inputs — with
+    * WordPieceSpec pinning hand-computed fixture goldens and the
+    * longest-match encoder round-trip. */
+  def ta_wordpiece_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    train(s, Tables.documents(s, dir), numMerges = 20)
+      .toDF().select($"rank".cast("long").as("rank"), $"left", $"right",
+        $"merged", $"freq", $"score")
+      .orderBy($"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_wordpiece_train" -> ta_wordpiece_train _
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}
