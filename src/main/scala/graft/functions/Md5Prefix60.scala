@@ -125,6 +125,14 @@ object GraftFunctions {
     JsonGetLong(Cast(children(0), StringType), Cast(children(1), StringType))
   }
 
+  val spaceSavingInfo =
+    new ExpressionInfo(classOf[SpaceSaving].getName, "graft_space_saving")
+  private val buildSpaceSaving: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "graft_space_saving takes (term, k)")
+    SpaceSaving(Cast(children(0), StringType), children(1))
+      .toAggregateExpression()
+  }
+
   val pqAdcInfo = new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc")
   val topKMinInfo = new ExpressionInfo(classOf[TopKMin].getName, "graft_topk_min")
   private val buildTopKMin: Seq[Expression] => Expression = { children =>
@@ -150,6 +158,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg)
     reg.registerFunction(FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight)
     reg.registerFunction(FunctionIdentifier("graft_json_long"), jsonLongInfo, buildJsonLong)
+    reg.registerFunction(FunctionIdentifier("graft_space_saving"), spaceSavingInfo, buildSpaceSaving)
   }
 
   private[functions] def builders = Seq(
@@ -163,7 +172,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight),
     (FunctionIdentifier("graft_pq_adc"), pqAdcInfo, buildPqAdc),
     (FunctionIdentifier("graft_topk_min"), topKMinInfo, buildTopKMin),
-    (FunctionIdentifier("graft_json_long"), jsonLongInfo, buildJsonLong))
+    (FunctionIdentifier("graft_json_long"), jsonLongInfo, buildJsonLong),
+    (FunctionIdentifier("graft_space_saving"), spaceSavingInfo, buildSpaceSaving))
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

@@ -152,6 +152,54 @@ object CorpusQuality {
        |FROM td GROUP BY term
        |ORDER BY tf DESC, term LIMIT 20""".stripMargin
 
+  /** SKETCH-backed heavy hitters (VERDICT r15 item 5): the corpus
+    * term stream folded into ONE `graft_space_saving` bounded aggregate
+    * (k counters of state at every moment, map-combined then merged by
+    * the mergeable-summaries rule — [[graft.functions.SpaceSaving]]).
+    * Output: (rank, term, count_lower, count_upper) for the k tracked
+    * terms, upper desc. ERROR CONTRACT: count_lower ≤ true tf ≤
+    * count_upper per emitted term, and every term with true tf > n/k
+    * is present. This is the open-vocabulary scale path the exact
+    * [[ds_heavy_hitters]] aggregate (state = whole vocabulary) trades
+    * against: at 100 TB the exact agg's shuffle is vocabulary-sized —
+    * fine for word laws, unbounded for adversarial/ID-like terms —
+    * while the sketch is O(k) per partition by construction. */
+  def heavyHittersSketch(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(toksNE(col(textCol))).as("term"))
+      .agg(call_function("graft_space_saving", col("term"), lit(k)).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("h.term").as("term"),
+        col("h.count_lower").as("count_lower"),
+        col("h.count_upper").as("count_upper"))
+
+  /** Gate: k = 32 counters over the documents term stream. Rows-only
+    * BY NATURE (a sketch's bounds depend on partial-merge order — the
+    * interval is the contract, not the point values), with the error
+    * contract enforced INLINE against the exact twin: any bound
+    * violation or missing guaranteed-frequent term empties the gate.
+    * The exact twin is gate-scale verification work; at production
+    * scale the sketch replaces it, that being the point. */
+  def ds_heavy_hitters_sketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val k = 32
+    val sketch = heavyHittersSketch(docs, k).localCheckpoint()
+    val exact = docs.select(explode(toksNE($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = exact.agg(coalesce(sum($"c"), lit(0L))).head().getLong(0)
+    val violations = sketch.join(exact, Seq("term"), "left")
+      .filter($"c".isNull || $"c" < $"count_lower" || $"c" > $"count_upper")
+      .count()
+    val missing = exact.filter($"c" > n.toDouble / k)
+      .join(sketch.select($"term"), Seq("term"), "left_anti").count()
+    if (violations == 0L && missing == 0L) sketch.orderBy($"rank")
+    else sketch.limit(0)
+  }
+
   // ----------------------------------------------------- TF-IDF keywords
   /** Top-3 keywords per document by TF-IDF (linear idf = N/df — see the
     * object scaladoc for why not ln). df(term) is a term-keyed
@@ -228,6 +276,7 @@ object CorpusQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_repetition"     -> ta_repetition _,
     "ds_heavy_hitters"  -> ds_heavy_hitters _,
+    "ds_heavy_hitters_sketch" -> ds_heavy_hitters_sketch _,
     "ds_tfidf_keywords" -> ds_tfidf_keywords _,
     "ds_quality_prune"  -> ds_quality_prune _
   )

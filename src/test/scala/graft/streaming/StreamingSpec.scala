@@ -482,6 +482,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming space-saving sketch honors the error contract across micro-batches") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hhsk").toString
+    // two files + maxFilesPerTrigger=1 → the sketch buffer must merge
+    // soundly across micro-batch boundaries through the state store
+    docs.filter($"doc_id" < 250).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    docs.filter($"doc_id" >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val k = 32
+    val q = StreamingOps.heavyHittersSketchStream(stream, k).writeStream
+      .outputMode("complete").format("memory").queryName("hhsk_out").start()
+    try {
+      q.processAllAvailable()
+      val exact = docs
+        .select(explode(split(trim(lower($"text")), "\\s+")).as("term"))
+        .filter(length($"term") > 0)
+        .groupBy($"term").agg(count(lit(1)).as("c"))
+        .cache()
+      val n = exact.agg(sum($"c")).head().getLong(0)
+      val sk = spark.table("hhsk_out").cache()
+      assert(sk.count() <= k)
+      val viol = sk.join(exact, Seq("term"), "left")
+        .filter($"c".isNull || $"c" < $"count_lower" || $"c" > $"count_upper")
+        .count()
+      assert(viol == 0, s"$viol terms outside the sketch bounds")
+      val missing = exact.filter($"c" > n.toDouble / k)
+        .join(sk.select($"term"), Seq("term"), "left_anti").count()
+      assert(missing == 0, s"$missing guaranteed-frequent terms missing")
+    } finally q.stop()
+  }
+
   test("streaming sequence packing matches the batch prefix sum across micro-batches") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
