@@ -1,0 +1,290 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation as ONE auditable operator (VERDICT r15
+  * item 7): the published pretraining-data stack composed in pipeline
+  * order over the corpus slice (doc_id ≥ 20; docs < 20 are the held-out
+  * benchmark slice, the dd_contamination convention) —
+  *
+  *   1. C4 cleaning rules        (Raffel et al. 2020 §2.2)
+  *   2. Gopher quality rules     (Rae et al. 2021 A1.1)
+  *   3. percentile quality prune (threshold over the SURVIVING pool)
+  *   4. MinHash-LSH dedup        (keep each cluster's min doc_id)
+  *   5. semantic dedup           (SemDeDup, LCG oracle cells)
+  *   6. benchmark decontamination (shared-shingle hits vs docs < 20)
+  *   7. domain-mix sampling      (deterministic hash-rate rule)
+  *   8. sequence packing         (token-budget prefix sum)
+  *
+  * Output: the KEEP-LEDGER — one row per corpus doc with the FIRST
+  * stage that dropped it (`stage_dropped` ∈ c4 | gopher | quality |
+  * minhash_dup | semantic_dup | contaminated | mix_out | kept) and, for
+  * kept docs, the training pack id. The drop sets are disjoint by
+  * construction: each stage examines only the previous stage's
+  * survivors.
+  *
+  * Every stage is the ALREADY-VERIFIED operator, restricted to the
+  * surviving pool. The pair stages (MinHash, semantic, contamination)
+  * and per-doc rules decide pairwise/per-doc, so pool restriction is an
+  * endpoint filter on the same pair sets the standalone gates emit;
+  * only the quality threshold is genuinely pool-dependent (a real
+  * pipeline thresholds the current pool, and so does this).
+  *
+  * 100 TB shape: the composition adds NOTHING to the stages' own scale
+  * stories — per-doc rule stages stay pure maps, pool membership rides
+  * equi-joins on doc_id (broadcastable drop sets; corpus-sized
+  * left-antis are co-partitioned hash joins), and the one ordered pass
+  * is the packing prefix sum the standalone gate already proved. No
+  * stage re-reads text another stage already reduced.
+  *
+  * Hash-exact: every stage is ANSI-SQL-expressible (the trained
+  * quality classifier and trained quantizers stay in their own
+  * rows-only gates), so the DuckDB twin replays the WHOLE LEDGER —
+  * the cross-stage composition itself is oracle-checked, not just the
+  * pieces. */
+object Curation {
+  def ds_curation_e2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val all = Tables.documents(s, dir)
+
+    // stages 1+2: per-doc rule verdicts (pure map stages over the scan).
+    // The c4 stage applies the PAGE-level clauses (lorem ipsum, curly
+    // braces, blocklist): the driver's synthetic corpus is single-line
+    // unpunctuated text, so the line-retention + sentence-count clause
+    // would drop EVERY doc at stage 1 and the gate would verify nothing
+    // downstream. The full rule set (line + page) stays the standalone
+    // hash-exact ta_c4_rules surface; production callers compose
+    // c4Rules(...)("keep") here instead.
+    val c4 = TextAnalysis.c4Rules(all).select($"doc_id",
+      (!$"has_lorem" && !$"has_brace" && !$"has_blockword").as("c4_keep"))
+    // Gopher likewise composes rules 1-6; the stop-word rule (7) is a
+    // natural-language prior the driver's synthetic 40-word SQL-jargon
+    // vocabulary cannot satisfy (0/480 docs carry >= 2 of the 8 Gopher
+    // stop words — stage 2 would drop everything). Rules 1-6 stay live
+    // and discriminating (the word-count rule alone drops ~45% here);
+    // the full conjunction stays the standalone ta_gopher_rules surface.
+    val go = TextAnalysis.gopherRules(all).select($"doc_id",
+      ($"r_word_count" && $"r_mean_word_len" && $"r_symbol_ratio" &&
+        $"r_bullet_lines" && $"r_ellipsis_lines" && $"r_alpha_words")
+        .as("go_keep"))
+    val base = all.filter($"doc_id" >= 20)
+      .select($"doc_id", $"source", $"text")
+      .join(c4, "doc_id").join(go, "doc_id")
+      .localCheckpoint() // consumed by every later stage + the ledger
+
+    val pool2 = base.filter($"c4_keep" && $"go_keep")
+
+    // stage 3: quality prune at the pool's 25th percentile (the
+    // ds_quality_prune machinery, threshold over SURVIVORS)
+    val scored = pool2.select($"doc_id", $"source", $"text",
+      TextAnalysis.qualityScore($"text").as("q"))
+    val p25 = graft.ml.Stats.exactPercentiles(scored, "q", Seq(0.25)).head
+    val pool3 = scored.filter($"q" >= p25).localCheckpoint()
+
+    // stage 4: MinHash-LSH duplicate clusters among the pool — pair
+    // decisions are pairwise, so endpoint-filtering the standalone
+    // gate's pair set IS the pool-restricted dedup; keep = cluster min
+    val ids3 = pool3.select($"doc_id")
+    val mhPairs = Dedup.dd_minhash_lsh(s, dir).select($"da", $"db")
+      .join(ids3.select($"doc_id".as("da")), "da")
+      .join(ids3.select($"doc_id".as("db")), "db")
+    val mhDrop = Components.connectedComponents(mhPairs, "da", "db")
+      .filter($"id" =!= $"comp").select($"id".as("doc_id"))
+      .localCheckpoint()
+    val pool4 = pool3.join(mhDrop, Seq("doc_id"), "left_anti")
+
+    // stage 5: semantic duplicate clusters (vec_id ↔ doc_id)
+    val ids4 = pool4.select($"doc_id")
+    val semPairs = Similarity.semanticPairsLcg(s, dir, 0.45)
+      .join(ids4.select($"doc_id".as("da")), "da")
+      .join(ids4.select($"doc_id".as("db")), "db")
+    val semDrop = Components.connectedComponents(semPairs, "da", "db")
+      .filter($"id" =!= $"comp").select($"id".as("doc_id"))
+      .localCheckpoint()
+    val pool5 = pool4.join(semDrop, Seq("doc_id"), "left_anti")
+
+    // stage 6: benchmark decontamination (≥ CONTAM_MIN_SHINGLES shared
+    // distinct shingles with any benchmark doc)
+    val contam = PipelineOps.dd_contamination(s, dir)
+      .select($"doc_id").distinct()
+    val contamDrop = pool5.join(contam, "doc_id").select($"doc_id")
+      .localCheckpoint()
+    val pool6 = pool5.join(contamDrop, Seq("doc_id"), "left_anti")
+
+    // stage 7: deterministic hash-rate domain mixing
+    val mixKept = PipelineOps.mixSample(s, pool6).select($"doc_id")
+    val mixDrop = pool6.join(mixKept, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+    val pool7 = pool6.join(mixKept, "doc_id")
+
+    // stage 8: pack the survivors (token-budget prefix sum, doc order)
+    val withTokens = pool7.select($"doc_id",
+      size(filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_tokens"))
+    val packed = Distributed.groupedPrefixSum(withTokens, Seq.empty,
+        Seq($"doc_id"), "n_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) div ${PipelineOps.PACK_BUDGET}"))
+      .select($"doc_id", $"pack_id")
+
+    val nullPack = lit(null).cast("long").as("pack_id")
+    base.filter(!$"c4_keep")
+      .select($"doc_id", lit("c4").as("stage_dropped"), nullPack)
+      .unionByName(base.filter($"c4_keep" && !$"go_keep")
+        .select($"doc_id", lit("gopher").as("stage_dropped"), nullPack))
+      .unionByName(scored.filter($"q" < p25)
+        .select($"doc_id", lit("quality").as("stage_dropped"), nullPack))
+      .unionByName(mhDrop
+        .select($"doc_id", lit("minhash_dup").as("stage_dropped"), nullPack))
+      .unionByName(semDrop
+        .select($"doc_id", lit("semantic_dup").as("stage_dropped"), nullPack))
+      .unionByName(contamDrop
+        .select($"doc_id", lit("contaminated").as("stage_dropped"), nullPack))
+      .unionByName(mixDrop
+        .select($"doc_id", lit("mix_out").as("stage_dropped"), nullPack))
+      .unionByName(packed
+        .select($"doc_id", lit("kept").as("stage_dropped"), $"pack_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** The whole ledger replayed in DuckDB: the stage CTEs are the
+    * standalone gates' own oracle definitions (c4SqlCte, gopherSqlCte,
+    * the shingle/minhash CTEs, semanticPairsSqlCte, the h60 mix rule),
+    * composed with pool-membership filters and two recursive
+    * reachability closures for the dedup clusters. */
+  /** DuckDB plans a long non-MATERIALIZED CTE chain by INLINING every
+    * reference — with pool5 referencing pool4 twice, pool4 → pool3
+    * twice, and so on, the un-materialized replay is exponential in
+    * stage depth (measured: the plain spelling did not finish at
+    * sf0.01; materialized it runs in seconds). Semantics unchanged —
+    * MATERIALIZED is a planner hint. Applied to every
+    * multiply-referenced CTE, including the shared stage CTEs embedded
+    * from the standalone oracles. */
+  private def materialize(sql: String, names: Seq[String]): String =
+    names.foldLeft(sql) { (acc, n) =>
+      // word-boundary anchored: "e AS (" must not rewrite "base AS ("
+      s"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(n)} AS \\(".r
+        .replaceAllIn(acc, s"$n AS MATERIALIZED (")
+    }
+
+  lazy val dsCurationSql: String = {
+    val mixPm =
+      "(1 + coalesce(TRY_CAST(substr(source, 4, 18) AS BIGINT) % 10, 0)) * 100"
+    val mixH = Dedup.h60Sql.format("'mix|' || CAST(doc_id AS VARCHAR)")
+    val raw = s"""WITH RECURSIVE ${TextAnalysis.c4SqlCte},
+       |${TextAnalysis.gopherSqlCte},
+       |base AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    (NOT c.has_lorem AND NOT c.has_brace AND NOT c.has_blockword) AS c4_keep,
+       |    (g.r_word_count AND g.r_mean_word_len AND g.r_symbol_ratio
+       |      AND g.r_bullet_lines AND g.r_ellipsis_lines AND g.r_alpha_words) AS go_keep
+       |  FROM documents d
+       |  JOIN c4r c ON c.doc_id = d.doc_id
+       |  JOIN gr g ON g.doc_id = d.doc_id
+       |  WHERE d.doc_id >= 20),
+       |pool2 AS (SELECT * FROM base WHERE c4_keep AND go_keep),
+       |scored AS (
+       |  SELECT doc_id, source, text, ${TextAnalysis.qualityScoreSql} AS q
+       |  FROM pool2),
+       |th AS (SELECT quantile_cont(q, 0.25) AS p25 FROM scored),
+       |pool3 AS (SELECT s.* FROM scored s, th WHERE s.q >= th.p25),
+       |${Dedup.shinglesSqlCte},
+       |${Dedup.minhashSqlCte},
+       |bands AS (
+       |  SELECT doc_id, j // ${Dedup.BAND_ROWS} AS band,
+       |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
+       |  FROM mh GROUP BY doc_id, j // ${Dedup.BAND_ROWS}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM pool3)
+       |    AND b.doc_id IN (SELECT doc_id FROM pool3)),
+       |mhp AS (
+       |  SELECT da, db
+       |  FROM cand JOIN mh x ON x.doc_id = da JOIN mh y ON y.doc_id = db AND y.j = x.j
+       |  GROUP BY da, db
+       |  HAVING CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / ${Dedup.NUM_HASHES}.0 >= 0.7),
+       |und1 AS (SELECT da AS v, db AS u FROM mhp
+       |         UNION ALL SELECT db AS v, da AS u FROM mhp),
+       |reach1 AS (
+       |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM und1) n1
+       |  UNION
+       |  SELECT r.v, e1.u FROM reach1 r JOIN und1 e1 ON e1.v = r.u),
+       |mhdrop AS (
+       |  SELECT v AS doc_id FROM reach1 GROUP BY v HAVING min(u) <> v),
+       |pool4 AS (SELECT * FROM pool3
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM mhdrop)),
+       |${Similarity.semanticPairsSqlCte},
+       |smp AS (
+       |  SELECT da, db FROM sempairs
+       |  WHERE da IN (SELECT doc_id FROM pool4)
+       |    AND db IN (SELECT doc_id FROM pool4)),
+       |und2 AS (SELECT da AS v, db AS u FROM smp
+       |         UNION ALL SELECT db AS v, da AS u FROM smp),
+       |reach2 AS (
+       |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM und2) n2
+       |  UNION
+       |  SELECT r.v, e2.u FROM reach2 r JOIN und2 e2 ON e2.v = r.u),
+       |semdrop AS (
+       |  SELECT v AS doc_id FROM reach2 GROUP BY v HAVING min(u) <> v),
+       |pool5 AS (SELECT * FROM pool4
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
+       |contamdrop AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM sh c JOIN sh b ON c.hs = b.hs AND c.doc_id >= 20 AND b.doc_id < 20
+       |  WHERE c.doc_id IN (SELECT doc_id FROM pool5)
+       |  GROUP BY c.doc_id, b.doc_id
+       |  HAVING count(*) >= ${PipelineOps.CONTAM_MIN_SHINGLES}),
+       |pool6 AS (SELECT * FROM pool5
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM contamdrop)),
+       |mixkept AS (SELECT doc_id FROM pool6 WHERE $mixH % 1000 < $mixPm),
+       |pool7 AS (SELECT * FROM pool6
+       |          WHERE doc_id IN (SELECT doc_id FROM mixkept)),
+       |packed AS (
+       |  SELECT doc_id,
+       |    (CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |     - n_tokens) // ${PipelineOps.PACK_BUDGET} AS pack_id
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |        x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |    FROM pool7) t)
+       |SELECT doc_id, stage_dropped, pack_id FROM (
+       |  SELECT doc_id, 'c4' AS stage_dropped, CAST(NULL AS BIGINT) AS pack_id
+       |  FROM base WHERE NOT c4_keep
+       |  UNION ALL
+       |  SELECT doc_id, 'gopher', NULL FROM base WHERE c4_keep AND NOT go_keep
+       |  UNION ALL
+       |  SELECT s.doc_id, 'quality', NULL FROM scored s, th WHERE s.q < th.p25
+       |  UNION ALL
+       |  SELECT doc_id, 'minhash_dup', NULL FROM mhdrop
+       |  UNION ALL
+       |  SELECT doc_id, 'semantic_dup', NULL FROM semdrop
+       |  UNION ALL
+       |  SELECT doc_id, 'contaminated', NULL FROM contamdrop
+       |  UNION ALL
+       |  SELECT doc_id, 'mix_out', NULL FROM pool6
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM mixkept)
+       |  UNION ALL
+       |  SELECT doc_id, 'kept', pack_id FROM packed) l
+       |ORDER BY doc_id""".stripMargin
+    materialize(raw, Seq("c4m", "c4r", "gm", "gr0", "gr", "base", "pool2",
+      "scored", "th", "pool3", "tok", "sh", "mh", "bands", "cand", "mhp",
+      "und1", "mhdrop", "pool4", "e", "n", "scells", "sempairs", "smp",
+      "und2", "semdrop", "pool5", "contamdrop", "pool6", "mixkept",
+      "pool7", "packed"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_curation_e2e" -> ds_curation_e2e _
+  )
+
+  lazy val oracles: Map[String, String] = Map(
+    "ds_curation_e2e" -> dsCurationSql
+  )
+}

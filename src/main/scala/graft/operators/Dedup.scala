@@ -28,9 +28,9 @@ import org.apache.spark.sql.functions._
   * from j arithmetically — both engines compute identical 64-bit ints.
   */
 object Dedup {
-  private val P = 2147483647L // 2^31 - 1
-  private val NUM_HASHES = 32
-  private val BAND_ROWS = 4 // → 8 bands
+  private[operators] val P = 2147483647L // 2^31 - 1
+  private[operators] val NUM_HASHES = 32
+  private[operators] val BAND_ROWS = 4 // → 8 bands
 
   /** Normalized tokens. */
   private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
@@ -178,7 +178,7 @@ object Dedup {
       .select($"doc_id", $"pos".cast("int").as("j"), $"col".as("mh"))
   }
 
-  private val minhashSqlCte =
+  private[operators] val minhashSqlCte =
     s"""mh AS (
        |  SELECT doc_id, j,
        |    min((((j + 1) * 2654435761 % ${P}) * hm + ((j + 1) * 40503 + 17) % ${P}) % ${P}) AS mh

@@ -318,6 +318,13 @@ object Similarity {
     if (multiProbe) raw.distinct() else raw
   }
 
+  /** The LCG-grid ≥tau cosine pair set keyed by embedding id — the
+    * SQL-replayable semantic-duplicate edges the curation pipeline's
+    * semantic stage consumes (vec_id ↔ doc_id in the driver's data
+    * model). Same arithmetic as [[dd_semantic_dedup]]'s pair stage. */
+  def semanticPairsLcg(s: SparkSession, dir: String, tau: Double): DataFrame =
+    withinCellPairs(emb(s, dir), LcgQuantizer, tau, 20000000L)
+
   def semanticDedup(s: SparkSession, e: DataFrame, quant: CoarseQuantizer,
       tau: Double, maxFanout: Long = 20000000L, nprobe: Int = 1,
       probeRatio: Double = 0.0): DataFrame = {
@@ -489,23 +496,32 @@ object Similarity {
        |ORDER BY corp.vec_id""".stripMargin
   }
 
-  val ddSemanticDedupSql: String = {
+  /** CTE chain (e, n, scells, sempairs) defining the LCG-cell >= 0.45
+    * cosine pair set in SQL — ONE definition shared by
+    * [[ddSemanticDedupSql]] and the curation-pipeline oracle
+    * ([[Curation.dsCurationSql]]), names prefixed so they compose with
+    * the minhash CTEs without collision. */
+  val semanticPairsSqlCte: String = {
     def d(k: Int) = lcgSqDistSql(k)
-    s"""WITH RECURSIVE $embSqlCte,
-       |cells AS (
+    s"""$embSqlCte,
+       |scells AS (
        |  SELECT n.vec_id, v, nrm,
        |    CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
        |         WHEN d1 <= d2 AND d1 <= d3 THEN 1
        |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cell
        |  FROM (SELECT vec_id, v, nrm, ${d(0)} AS d0, ${d(1)} AS d1,
        |          ${d(2)} AS d2, ${d(3)} AS d3 FROM n) n),
-       |spairs AS (
+       |sempairs AS (
        |  SELECT a.vec_id AS da, b.vec_id AS db
-       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  FROM scells a JOIN scells b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-       |      / (a.nrm * b.nrm) >= 0.45),
-       |und AS (SELECT da AS v, db AS u FROM spairs
-       |        UNION ALL SELECT db AS v, da AS u FROM spairs),
+       |      / (a.nrm * b.nrm) >= 0.45)""".stripMargin
+  }
+
+  val ddSemanticDedupSql: String = {
+    s"""WITH RECURSIVE $semanticPairsSqlCte,
+       |und AS (SELECT da AS v, db AS u FROM sempairs
+       |        UNION ALL SELECT db AS v, da AS u FROM sempairs),
        |reach AS (
        |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM und) nn
        |  UNION

@@ -372,18 +372,26 @@ object TextAnalysis {
   def ta_c4_rules(s: SparkSession, dir: String): DataFrame =
     c4Rules(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
-  val taC4Sql: String = {
+  /** CTE chain (c4m, c4r) — c4r carries every C4 stat plus the `keep`
+    * verdict; ONE SQL definition shared by [[taC4Sql]] and the
+    * curation-pipeline oracle ([[Curation.dsCurationSql]]). */
+  val c4SqlCte: String = {
     val block = Seq("viagra", "casino", "xxx").map(w => s"'$w'").mkString(", ")
     val keepLine = """l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
       OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
       AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> len(x) > 0)) >= 5
       AND NOT contains(lower(l), 'javascript')""".replaceAll("\n\\s*", " ")
-    s"""WITH m AS (
+    s"""c4m AS (
        |  SELECT doc_id, text,
        |    regexp_split_to_array(text, '\\n') AS ls,
        |    list_filter(regexp_split_to_array(text, '\\n'), $keepLine) AS kept
        |  FROM documents),
-       |r AS (
+       |c4r AS (
+       |  SELECT doc_id, n_lines, n_lines_kept, kept_text, n_sentences,
+       |    has_lorem, has_brace, has_blockword,
+       |    (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+       |      AND NOT has_blockword) AS keep
+       |  FROM (
        |  SELECT doc_id,
        |    CAST(len(ls) AS BIGINT) AS n_lines,
        |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
@@ -395,21 +403,25 @@ object TextAnalysis {
        |    len(list_intersect(list_distinct(list_filter(
        |      regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)),
        |      [$block])) > 0 AS has_blockword
-       |  FROM m)
-       |SELECT doc_id, n_lines, n_lines_kept, kept_text, n_sentences,
-       |  has_lorem, has_brace, has_blockword,
-       |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
-       |    AND NOT has_blockword) AS keep
-       |FROM r ORDER BY doc_id""".stripMargin
+       |  FROM c4m) t)""".stripMargin
   }
+
+  val taC4Sql: String =
+    s"""WITH $c4SqlCte
+       |SELECT doc_id, n_lines, n_lines_kept, kept_text, n_sentences,
+       |  has_lorem, has_brace, has_blockword, keep
+       |FROM c4r ORDER BY doc_id""".stripMargin
 
   def ta_gopher_rules(s: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
-  val taGopherSql: String = {
+  /** CTE chain (gm, gr) — gr carries every Gopher stat, the per-rule
+    * verdicts, and the `keep` conjunction; ONE SQL definition shared by
+    * [[taGopherSql]] and the curation-pipeline oracle. */
+  val gopherSqlCte: String = {
     val t = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
     val stops = gopherStops.map(w => s"'$w'").mkString(", ")
-    s"""WITH m AS (
+    s"""gm AS (
        |  SELECT doc_id,
        |    CAST(len($t) AS BIGINT) AS n_words,
        |    CAST(coalesce(list_sum(list_transform($t, x -> length(x))), 0) AS BIGINT) AS sum_len,
@@ -423,7 +435,7 @@ object TextAnalysis {
        |    CAST(len(list_filter($t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
        |    CAST(len(list_intersect(list_distinct($t), [$stops])) AS BIGINT) AS n_stop_hits
        |  FROM documents),
-       |r AS (
+       |gr0 AS (
        |  SELECT doc_id, n_words,
        |    CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
        |    CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS symbol_word_ratio,
@@ -431,24 +443,36 @@ object TextAnalysis {
        |    n_ell_line / n_lines AS ellipsis_line_frac,
        |    CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS alpha_word_frac,
        |    n_stop_hits
-       |  FROM m)
+       |  FROM gm),
+       |gr AS (
+       |  SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       |    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+       |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+       |    (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+       |    (bullet_line_frac <= 0.9) AS r_bullet_lines,
+       |    (ellipsis_line_frac <= 0.3) AS r_ellipsis_lines,
+       |    (alpha_word_frac >= 0.8) AS r_alpha_words,
+       |    (n_stop_hits >= 2) AS r_stop_words,
+       |    ((n_words >= 50 AND n_words <= 100000)
+       |      AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       |      AND (symbol_word_ratio <= 0.1)
+       |      AND (bullet_line_frac <= 0.9)
+       |      AND (ellipsis_line_frac <= 0.3)
+       |      AND (alpha_word_frac >= 0.8)
+       |      AND (n_stop_hits >= 2)) AS keep
+       |  FROM gr0)""".stripMargin
+  }
+
+  val taGopherSql: String = {
+    val t = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+    val stops = gopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH $gopherSqlCte
        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
-       |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
-       |  (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
-       |  (bullet_line_frac <= 0.9) AS r_bullet_lines,
-       |  (ellipsis_line_frac <= 0.3) AS r_ellipsis_lines,
-       |  (alpha_word_frac >= 0.8) AS r_alpha_words,
-       |  (n_stop_hits >= 2) AS r_stop_words,
-       |  ((n_words >= 50 AND n_words <= 100000)
-       |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-       |    AND (symbol_word_ratio <= 0.1)
-       |    AND (bullet_line_frac <= 0.9)
-       |    AND (ellipsis_line_frac <= 0.3)
-       |    AND (alpha_word_frac >= 0.8)
-       |    AND (n_stop_hits >= 2)) AS keep
-       |FROM r ORDER BY doc_id""".stripMargin
+       |  r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+       |  r_ellipsis_lines, r_alpha_words, r_stop_words, keep
+       |FROM gr ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
