@@ -55,14 +55,43 @@ object Stats {
     * columns), one broadcast range-join for every (column, probability)
     * bracket. Job count is constant in the number of columns. */
   def exactPercentilesMulti(df: DataFrame, cols: Seq[String],
-      probs: Seq[Double]): Map[String, Seq[Double]] = {
-    val spark = df.sparkSession
+      probs: Seq[Double]): Map[String, Seq[Double]] =
+    exactPercentilesAndDistinct(df, cols, probs)._1
+
+  /** [[exactPercentilesMulti]] plus each column's DISTINCT count for
+    * free: the pass already aggregates to one row per (column, value),
+    * so n_distinct is a row count per column of that relation — no
+    * separate count(DISTINCT) scan and, critically at scale, no
+    * Catalyst Expand multiplying the corpus ×|cols| through a second
+    * shuffle (the job ml_col_stats used to pay; its removal measured
+    * the gate's 10× slope 0.70 → see SCALE.md). */
+  def exactPercentilesAndDistinct(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double]): (Map[String, Seq[Double]], Map[String, Long]) =
+    percentilesAndDistinctFromCounts(
+      stackedCounts(df, cols).filter(col("v").isNotNull && !isnan(col("v"))),
+      cols, probs)
+
+  /** ONE stacked corpus scan → (cname, v, cnt), null/NaN value groups
+    * RETAINED (callers that want order statistics filter them; the
+    * analyze pass reads its missing counts from them). This relation is
+    * the whole analyze pass's data source: scalar moments are exact
+    * weighted sums over it (dec(v)·cnt ≡ the row-wise decimal sum,
+    * bit-for-bit), order statistics ride its prefix sum, and distinct
+    * counts are its row counts — so the corpus is scanned once, not
+    * once per statistic family. */
+  private def stackedCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
     val stackExpr = s"stack(${cols.size}, " +
       cols.map(c => s"'${c.replace("'", "''")}', CAST(`$c` AS DOUBLE)").mkString(", ") +
       ") AS (cname, v)"
-    val counts = df.selectExpr(stackExpr)
-      .filter(col("v").isNotNull && !isnan(col("v")))
+    df.selectExpr(stackExpr)
       .groupBy(col("cname"), col("v")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The percentile + distinct machinery over an already-built clean
+    * (cname, v, cnt) relation. */
+  private def percentilesAndDistinctFromCounts(counts: DataFrame,
+      cols: Seq[String],
+      probs: Seq[Double]): (Map[String, Seq[Double]], Map[String, Long]) = {
     // two-phase partition-prefix sum: parallelism is bounded by the range
     // partitioning of (cname, v), not by the number of columns — the
     // per-column cumsum window capped parallelism at |cols| and put each
@@ -101,23 +130,29 @@ object Stats {
       val res = brackets.map { case (c, i, lo, hi, frac) =>
         (c, i) -> ((1.0 - frac) * matched((c, lo)) + frac * matched((c, hi)))
       }.toMap
-      cols.map(c => c -> probs.indices.map(i => res((c, i))).toSeq).toMap
+      val distinct = cum.groupBy(col("cname")).agg(count(lit(1)).as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (cols.map(c => c -> probs.indices.map(i => res((c, i))).toSeq).toMap,
+        cols.map(c => c -> distinct.getOrElse(c, 0L)).toMap)
     } finally cum.unpersist()
   }
 
   /** Scalar stats + percentiles for the given numeric columns.
     *
-    * Two agg passes, deliberately: mixing `count(DISTINCT)` with the
-    * other aggregates forces Catalyst's Expand (one duplicated row-set
-    * per distinct column), which also multiplies the exact-percentile
-    * sort buffers — measured 40s+ at sf0.1 vs ~2s split. Pass 1 carries
-    * everything non-distinct (map-side partial aggs + percentile
-    * buffers once), pass 2 is distinct counts only (cheap). */
+    * Exact path (default): ONE stacked corpus scan into the shared
+    * (cname, v, cnt) relation, from which every statistic family
+    * derives — scalar moments as exact weighted decimal sums, order
+    * statistics via the two-phase prefix sum, distinct counts as row
+    * counts, missing as the null/NaN groups' mass. History: the r2
+    * shape mixed count(DISTINCT) into one agg (Catalyst Expand ×|cols|,
+    * 40s+ at sf0.1); the split shape paid three corpus scans; r16
+    * measured the scalar scan at 18 s of the 19.5 s gate at 10× and
+    * folded it into the counts relation. */
   def analyzeNumeric(df: DataFrame, cols: Seq[String],
       useExactPercentiles: Boolean = true,
       withVentiles: Boolean = true): Seq[NumericStats] = {
-    // the three passes (scalar aggs, distinct counts, percentiles) are
-    // independent jobs — run them concurrently from driver threads
+    // approx fallback path runs its independent jobs concurrently; the
+    // exact path below is single-scan and needs no overlap
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -132,22 +167,63 @@ object Stats {
         count(when(c.isNull || isnan(c), 1)).as(s"${c0}__missing"),
         count(c).as(s"${c0}__n"))
     }
-    val rowF = Future(df.agg(aggs.head, aggs.tail: _*).head())
-    val dAggs = cols.map(c0 => countDistinct(col(c0).cast("double")).as(s"${c0}__distinct"))
-    val dRowF = Future(df.agg(dAggs.head, dAggs.tail: _*).head())
     val allProbs = if (withVentiles) 0.5 +: ventileProbs else Seq(0.5)
-    val pctsF: Future[Map[String, Seq[Double]]] = Future {
-      if (useExactPercentiles) exactPercentilesMulti(df, cols, allProbs)
-      else {
+    if (useExactPercentiles) {
+      // single-scan exact path: ONE stacked (cname, v, cnt) relation
+      // (cached) feeds everything — scalar moments as exact weighted
+      // decimal sums (dec(v)·cnt ≡ the row-wise decimal sum bit-exact,
+      // since the per-value quantization and the total are identical),
+      // order statistics via the prefix sum, distinct = row counts,
+      // missing = the null/NaN groups' mass. The previous shape paid a
+      // SECOND full corpus scan for the scalar aggregates (measured
+      // 18 s of the analyze gate's 19.5 s at 10× sf0.1) and, before
+      // r16, a THIRD for count(DISTINCT) with a ×|cols| Expand.
+      val all = stackedCounts(df, cols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val ok = col("v").isNotNull && !isnan(col("v"))
+        val statRows = all.groupBy(col("cname")).agg(
+          min(when(ok, col("v"))).as("mn"),
+          max(when(ok, col("v"))).as("mx"),
+          max(when(ok, abs(col("v")))).as("mxa"),
+          sum(when(ok, col("v").cast(dec4) * col("cnt"))).cast("double").as("sm"),
+          sum(when(ok, (col("v") * col("v")).cast(dec6) * col("cnt")))
+            .cast("double").as("smsq"),
+          coalesce(sum(when(!ok, col("cnt"))), lit(0L)).as("missing"),
+          coalesce(sum(when(ok, col("cnt"))), lit(0L)).as("n"),
+          count(when(ok, lit(1))).as("nd"))
+          .collect().map(r => r.getString(0) -> r).toMap
+        val (pctsByCol, _) = percentilesAndDistinctFromCounts(
+          all.filter(ok), cols, allProbs)
+        return cols.map { c =>
+          val r = statRows(c)
+          val n = r.getAs[Long]("n")
+          val mean = r.getAs[Double]("sm") / n
+          val variance = r.getAs[Double]("smsq") / n - mean * mean
+          val pcts = pctsByCol(c)
+          NumericStats(c, r.getAs[Double]("mn"), r.getAs[Double]("mx"),
+            r.getAs[Double]("mxa"), mean, pcts.head, variance,
+            math.sqrt(variance), r.getAs[Long]("missing"),
+            r.getAs[Long]("nd"), pcts.tail.toSeq)
+        }
+      } finally all.unpersist()
+    }
+    val rowF = Future(df.agg(aggs.head, aggs.tail: _*).head())
+    val pctsF: Future[(Map[String, Seq[Double]], Map[String, Long])] = Future {
+      {
         val pa = cols.map(c0 => expr(
           s"approx_percentile($c0, array(${allProbs.mkString(",")}), 10000)")
           .as(s"${c0}__pcts"))
+        val dAggs = cols.map(c0 =>
+          countDistinct(col(c0).cast("double")).as(s"${c0}__distinct"))
         val pr = df.agg(pa.head, pa.tail: _*).head()
-        cols.map(c => c -> pr.getAs[scala.collection.Seq[Double]](s"${c}__pcts").toSeq).toMap
+        val dRow = df.agg(dAggs.head, dAggs.tail: _*).head()
+        (cols.map(c => c -> pr.getAs[scala.collection.Seq[Double]](s"${c}__pcts").toSeq).toMap,
+          cols.map(c => c -> dRow.getAs[Long](s"${c}__distinct")).toMap)
       }
     }
-    val (row, dRow, pctsByCol) = Await.result(
-      for (a <- rowF; b <- dRowF; c <- pctsF) yield (a, b, c), Duration.Inf)
+    val (row, (pctsByCol, distinctByCol)) = Await.result(
+      for (a <- rowF; c <- pctsF) yield (a, c), Duration.Inf)
     cols.map { c =>
       def d(f: String) = row.getAs[Double](s"${c}__$f")
       def l(f: String) = row.getAs[Long](s"${c}__$f")
@@ -157,7 +233,7 @@ object Stats {
       val pcts = pctsByCol(c)
       NumericStats(c, d("min"), d("max"), d("maxabs"), mean, pcts.head,
         variance, math.sqrt(variance), l("missing"),
-        dRow.getAs[Long](s"${c}__distinct"), pcts.tail.toSeq)
+        distinctByCol(c), pcts.tail.toSeq)
     }
   }
 
