@@ -45,7 +45,23 @@ import org.apache.spark.sql.functions._
   * the cross-stage composition itself is oracle-checked, not just the
   * pieces. */
 object Curation {
-  def ds_curation_e2e(s: SparkSession, dir: String): DataFrame = {
+  def ds_curation_e2e(s: SparkSession, dir: String): DataFrame =
+    ledger(s, dir, Similarity.semanticPairsLcg(s, dir, 0.45))
+
+  /** The SCALE path through the same pipeline: identical ledger with
+    * the semantic stage's pair set from the TRAINED chooseK quantizer
+    * (bounded cell population at any corpus size) instead of the fixed
+    * LCG oracle grid, whose quadratic pair space trips its fan-out
+    * guard past ~10k vectors (measured at the 10× corpus — the guard
+    * names this exact route). k-means is not ANSI-SQL-expressible →
+    * rows-only; the hash-exact twin is [[ds_curation_e2e]], and the
+    * standalone dd_semantic_dedup_trained gate owns the trained pair
+    * set's recall floor. */
+  def ds_curation_e2e_trained(s: SparkSession, dir: String): DataFrame =
+    ledger(s, dir, Similarity.semanticPairsTrained(s, dir, 0.45))
+
+  private def ledger(s: SparkSession, dir: String,
+      semPairsAll: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val all = Tables.documents(s, dir)
@@ -98,7 +114,7 @@ object Curation {
 
     // stage 5: semantic duplicate clusters (vec_id ↔ doc_id)
     val ids4 = pool4.select($"doc_id")
-    val semPairs = Similarity.semanticPairsLcg(s, dir, 0.45)
+    val semPairs = semPairsAll
       .join(ids4.select($"doc_id".as("da")), "da")
       .join(ids4.select($"doc_id".as("db")), "db")
     val semDrop = Components.connectedComponents(semPairs, "da", "db")
@@ -281,7 +297,8 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ds_curation_e2e" -> ds_curation_e2e _
+    "ds_curation_e2e" -> ds_curation_e2e _,
+    "ds_curation_e2e_trained" -> ds_curation_e2e_trained _
   )
 
   lazy val oracles: Map[String, String] = Map(

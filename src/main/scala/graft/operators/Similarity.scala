@@ -325,6 +325,23 @@ object Similarity {
   def semanticPairsLcg(s: SparkSession, dir: String, tau: Double): DataFrame =
     withinCellPairs(emb(s, dir), LcgQuantizer, tau, 20000000L)
 
+  /** The trained-quantizer twin of [[semanticPairsLcg]] — the pair set
+    * the curation pipeline's semantic stage uses at SCALE: chooseK
+    * bounds cell population as the corpus grows (the LCG grid is a
+    * fixed 4 cells, so its pair space goes quadratic and its fan-out
+    * guard correctly refuses past ~10k vectors — measured at the 10×
+    * corpus), with the adaptive boundary-band probe recovering
+    * cell-boundary pairs. Same trimmed fit as the dd trained gate. */
+  def semanticPairsTrained(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).localCheckpoint()
+    val n = e.count()
+    val quant = KMeansQuantizer.fitSampled(e,
+      KMeansQuantizer.chooseK(n, targetCellRows = 250L), n, maxIter = 10,
+      pointsPerCell = 192)
+    withinCellPairs(e, quant, tau, maxFanout = 80000000L, probeRatio = 0.5)
+  }
+
   def semanticDedup(s: SparkSession, e: DataFrame, quant: CoarseQuantizer,
       tau: Double, maxFanout: Long = 20000000L, nprobe: Int = 1,
       probeRatio: Double = 0.0): DataFrame = {
