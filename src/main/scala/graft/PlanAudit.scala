@@ -54,7 +54,11 @@ object PlanAudit {
       "ds_token_budget" -> "per-source token budget: seeded-shuffle selection rides the two-phase grouped prefix sum — no Window operator",
       "ta_gopher_rules" -> "Gopher rule filter: per-doc HOF verdicts entirely inside the map stage (single scan, no exchange before the oracle sort)",
       "ta_c4_rules" -> "C4 rule filter: line retention + page kills as one map stage over (doc_id, text)",
-      "ml_metrics_auc" -> "rank-sweep AUC: per-distinct-score collapse is ONE map-combinable hash aggregate (native json extraction, no ScalaUDF)")
+      "ml_metrics_auc" -> "rank-sweep AUC: per-distinct-score collapse is ONE map-combinable hash aggregate (native json extraction, no ScalaUDF)",
+      "ta_unigram_encode" -> "quantized Viterbi encode: seed vocab from one corpus scan, broadcast-closure encode of the distinct-word table",
+      "ds_heavy_hitters_sketch" -> "space-saving sketch: bounded O(k) aggregate, partial-combined map-side — state never scales with vocabulary",
+      "curation_base_stage" -> "curation pipeline stages compose without breaking pushdown: corpus filter reaches the scan under the c4+gopher joins",
+      "knn_graph_multiprobe" -> "multi-probe kNN graph: probe-set equi-join + map-combinable bounded top-k ranking (no window sort, no dedupe exchange)")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.PlanAudit)\n\n")
@@ -134,6 +138,38 @@ object PlanAudit {
           val h = graft.operators.Similarity.preparePqIndex(spark, path)
           graft.operators.Similarity.annIvfPqServeIndexed(spark, h,
             e.filter(col("vec_id") < 5), topK = 5)
+        } else if (name == "ds_heavy_hitters_sketch") {
+          // audit the OPERATOR frame: the gate localCheckpoints its
+          // output for the inline contract check, collapsing lineage
+          graft.functions.GraftFunctions.register(spark)
+          graft.operators.CorpusQuality.heavyHittersSketch(
+            Tables.documents(spark, sfDir), 32)
+        } else if (name == "curation_base_stage") {
+          // the gate checkpoints each pool; audit the stage-1/2
+          // composition pre-checkpoint — the property claimed is that
+          // the rule joins leave the corpus filter + column pruning on
+          // the scan intact
+          import org.apache.spark.sql.functions.col
+          val all = Tables.documents(spark, sfDir)
+          val c4 = graft.operators.TextAnalysis.c4Rules(all)
+            .select(col("doc_id"), (!col("has_lorem") && !col("has_brace") &&
+              !col("has_blockword")).as("c4_keep"))
+          val go = graft.operators.TextAnalysis.gopherRules(all)
+            .select(col("doc_id"), col("keep").as("go_keep"))
+          all.filter(col("doc_id") >= 20)
+            .select(col("doc_id"), col("source"), col("text"))
+            .join(c4, "doc_id").join(go, "doc_id")
+            .filter(col("c4_keep") && col("go_keep"))
+        } else if (name == "knn_graph_multiprobe") {
+          import org.apache.spark.sql.functions.col
+          graft.functions.GraftFunctions.register(spark)
+          val e = Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+            .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+              org.apache.spark.sql.functions.call_function(
+                "graft_dot", col("v"), col("v"))))
+          graft.operators.Similarity.knnGraph(e,
+            graft.operators.LcgQuantizer, topK = 3, nprobe = 3)
         } else SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -276,6 +312,37 @@ object PlanAudit {
           checks += (("AUC scoring uses the native graft_json_long extractor, not the general parser or a UDF",
             plan.contains("graft_json_long") && !plan.contains("ScalaUDF") &&
               !plan.contains("get_json_object"), name))
+        case "ta_unigram_encode" =>
+          checks += (("unigram encode: no pair space — no cross/nested-loop join anywhere",
+            !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+            name))
+          checks += (("unigram encode: no Window operator (vocab ranking is bounded driver work)",
+            !plan.contains("Window"), name))
+        case "ds_heavy_hitters_sketch" =>
+          // TypedImperativeAggregate plans as ObjectHashAggregate; the
+          // partial (map-side) instance must exist so per-partition
+          // state is O(k) BEFORE the single-partition exchange
+          checks += (("space-saving sketch partial-aggregates map-side (ObjectHashAggregate x2)",
+            "ObjectHashAggregate".r.findAllIn(plan).size >= 2, name))
+          checks += (("space-saving sketch: exactly one single-partition exchange (the k-sized buffers)",
+            "Exchange SinglePartition".r.findAllIn(plan).size <= 1 &&
+              !plan.contains("Exchange hashpartitioning"), name))
+        case "curation_base_stage" =>
+          checks += (("curation stages keep the corpus filter pushed to the scan",
+            plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,20)]"),
+            name))
+          checks += (("curation base reads only (doc_id, source, text) — no lang/n_chars",
+            !plan.contains("lang:string") && !plan.contains("n_chars"), name))
+          checks += (("curation rule stages run native expressions, not boxed UDFs",
+            !plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), name))
+        case "knn_graph_multiprobe" =>
+          checks += (("multi-probe kNN: candidates meet via cell equi-join, never a cross join",
+            !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+            name))
+          checks += (("multi-probe kNN: ranking is the bounded graft_topk_min aggregate, no Window sort",
+            plan.contains("graft_topk_min") && !plan.contains("Window"), name))
+          checks += (("multi-probe kNN: no (src,dst) dedupe exchange — dupes collapse inside the k*probes array",
+            plan.contains("array_distinct"), name))
         case _ => ()
       }
     }
