@@ -153,6 +153,111 @@ object WordPiece {
     (chars ++ merges.map(_.merged)).distinct.sorted
   }
 
+  /** Closed-form ONE-SHOT vocabulary for the hash-exact ENCODE gate
+    * (the WordPiece analogue of [[Bpe.initialPairMerges]]): every
+    * position symbol of the initial character table (plain word-start
+    * chars + ##-prefixed continuation chars) plus the top-`n` adjacent
+    * pairs by likelihood score on that INITIAL table, merged. Unlike
+    * BPE's greedy replay, the WordPiece ENCODER consumes only the
+    * vocabulary SET (longest-prefix match), so the one-shot list needs
+    * no overlap caveats at all; scores are one IEEE division of exact
+    * integer counts — bit-identical ordering in DuckDB — with ties →
+    * (l, r) lexicographic. True ITERATIVE training stays
+    * ta_wordpiece_train's surface. */
+  def initialVocab(s: SparkSession, docs: DataFrame, n: Int,
+      textCol: String = "text"): Seq[String] = {
+    val words = wordTable(docs, textCol)
+    val sc = symCounts(words)
+    val chars = sc.select(col("t")).collect().map(_.getString(0))
+    val merges = pairCounts(words)
+      .join(broadcast(sc.select(col("t").as("l"), col("c").as("cl"))), Seq("l"))
+      .join(broadcast(sc.select(col("t").as("r"), col("c").as("cr"))), Seq("r"))
+      .select(col("l"), col("r"),
+        (col("cnt").cast("double") /
+          (col("cl").cast("double") * col("cr").cast("double"))).as("score"))
+      .orderBy(col("score").desc, col("l"), col("r"))
+      .head(n)
+      .map(row => row.getString(0) + strip(row.getString(1)))
+    (chars ++ merges).distinct.sorted
+  }
+
+  /** Hash-exact ENCODE gate: longest-prefix-match encode of every
+    * distinct corpus word under the one-shot [[initialVocab]]; the
+    * DuckDB twin derives the identical vocabulary in SQL and replays
+    * longest-match as a recursive CTE over word positions (candidates
+    * tried longest-first against the vocabulary list). Completes the
+    * encoder trio under oracles (ta_bpe_encode greedy-merge replay,
+    * ta_unigram_encode quantized Viterbi, this longest-match). */
+  def ta_wordpiece_encode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val enc = encodeCol(initialVocab(s, docs, 20))
+    docs
+      .select(explode_outer(filter(split(trim(lower($"text")), "\\s+"),
+        t => length(t) > 0)).as("w"))
+      .filter($"w".isNotNull).distinct()
+      .withColumn("sym", enc($"w"))
+      .select($"w".as("word"), size($"sym").cast("long").as("n_sym"),
+        array_join($"sym", " ").as("encoded"))
+      .orderBy($"word")
+  }
+
+  val taWordPieceEncodeSql: String =
+    """WITH RECURSIVE
+      |tk AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> len(x) > 0)) AS w
+      |    FROM documents) GROUP BY w),
+      |syms AS (
+      |  SELECT w, freq,
+      |    list_transform(range(1, length(w) + 1),
+      |      i -> CASE WHEN i = 1 THEN substring(w, i, 1)
+      |                ELSE '##' || substring(w, i, 1) END) AS sym
+      |  FROM tk),
+      |symcnt AS (
+      |  SELECT t, CAST(sum(freq) AS BIGINT) AS c
+      |  FROM (SELECT freq, unnest(sym) AS t FROM syms)
+      |  GROUP BY t),
+      |paircnt AS (
+      |  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq,
+      |          unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS p
+      |        FROM syms WHERE len(sym) >= 2)
+      |  GROUP BY 1, 2),
+      |merges AS (
+      |  SELECT pc.l || replace(pc.r, '##', '') AS t
+      |  FROM paircnt pc
+      |  JOIN symcnt a ON a.t = pc.l JOIN symcnt b ON b.t = pc.r
+      |  ORDER BY CAST(pc.cnt AS DOUBLE) / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) DESC,
+      |    pc.l, pc.r
+      |  LIMIT 20),
+      |vocab AS (SELECT DISTINCT t FROM (
+      |  SELECT t FROM symcnt UNION ALL SELECT t FROM merges)),
+      |vl AS (SELECT list(t) AS vs FROM vocab),
+      |wd AS (SELECT DISTINCT w FROM tk),
+      |enc AS (
+      |  SELECT w, 1 AS i, CAST('' AS VARCHAR) AS path FROM wd
+      |  UNION ALL
+      |  SELECT w, i + CASE WHEN length(hit) >= 1 THEN length(hit)
+      |                     - CASE WHEN i = 1 THEN 0 ELSE 2 END END AS i,
+      |    CASE WHEN path = '' THEN hit ELSE path || ' ' || hit END AS path
+      |  FROM (
+      |    SELECT w, i, path,
+      |      (list_filter(list_transform([2, 1],
+      |        L -> CASE WHEN i + L - 1 <= length(w)
+      |             THEN (CASE WHEN i = 1 THEN '' ELSE '##' END)
+      |               || substring(w, i, L) END),
+      |        x -> x IS NOT NULL AND list_contains(vl.vs, x)))[1] AS hit
+      |    FROM enc, vl WHERE i <= length(w)) t
+      |  WHERE hit IS NOT NULL),
+      |res AS (SELECT w, path AS encoded FROM enc WHERE i = length(w) + 1)
+      |SELECT w AS word,
+      |  CAST(len(string_split(encoded, ' ')) AS BIGINT) AS n_sym,
+      |  encoded
+      |FROM res ORDER BY word""".stripMargin
+
   /** Gate: 20 likelihood-gain merges on the documents corpus.
     * Rows-only (the iterative global argmax has no ANSI-SQL twin, the
     * ta_bpe_train precedent); deterministic by construction —
@@ -168,8 +273,11 @@ object WordPiece {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ta_wordpiece_train" -> ta_wordpiece_train _
+    "ta_wordpiece_train"  -> ta_wordpiece_train _,
+    "ta_wordpiece_encode" -> ta_wordpiece_encode _
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "ta_wordpiece_encode" -> taWordPieceEncodeSql
+  )
 }

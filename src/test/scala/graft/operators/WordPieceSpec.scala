@@ -54,6 +54,20 @@ class WordPieceSpec extends AnyFunSuite {
     assert(out(4) === List("[UNK]"))
   }
 
+  test("encode gate: longest-match under the one-shot vocab round-trips every word") {
+    val df = WordPiece.ta_wordpiece_encode(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pieces = r.getString(2).split(" ").toSeq
+      assert(pieces.length.toLong == r.getLong(1))
+      // stripping continuation prefixes restores the word
+      assert(pieces.map(_.stripPrefix("##")).mkString == r.getString(0))
+      // no [UNK]: every character symbol is in the vocabulary
+      assert(!pieces.contains("[UNK]"))
+    }
+  }
+
   test("gate returns a ranked merge table on the corpus") {
     val df = WordPiece.ta_wordpiece_train(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
