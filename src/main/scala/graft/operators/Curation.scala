@@ -45,8 +45,11 @@ import org.apache.spark.sql.functions._
   * the cross-stage composition itself is oracle-checked, not just the
   * pieces. */
 object Curation {
-  def ds_curation_e2e(s: SparkSession, dir: String): DataFrame =
+  def ds_curation_e2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     ledger(s, dir, Similarity.semanticPairsLcg(s, dir, 0.45))
+      .orderBy($"doc_id")
+  }
 
   /** The SCALE path through the same pipeline: identical ledger with
     * the semantic stage's pair set from the TRAINED chooseK quantizer
@@ -57,8 +60,23 @@ object Curation {
     * rows-only; the hash-exact twin is [[ds_curation_e2e]], and the
     * standalone dd_semantic_dedup_trained gate owns the trained pair
     * set's recall floor. */
-  def ds_curation_e2e_trained(s: SparkSession, dir: String): DataFrame =
-    ledger(s, dir, Similarity.semanticPairsTrained(s, dir, 0.45))
+  def ds_curation_e2e_trained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val led = ledger(s, dir, Similarity.semanticPairsTrained(s, dir, 0.45))
+      .localCheckpoint()
+    // Inline structural floor (the rows-only discipline — every gate
+    // without a SQL twin must be able to EMPTY itself on a quality
+    // miss): the ledger must PARTITION the corpus — every doc_id ≥ 20
+    // exactly once, no doc lost between stages, no doc claimed by two
+    // stages. The hash-exact LCG twin gets this from its oracle; here
+    // the checkpointed ledger is counted directly (the materialization
+    // is work the gate's consumer forces anyway).
+    val n = led.count()
+    val distinctN = led.select($"doc_id").distinct().count()
+    val corpusN = Tables.documents(s, dir).filter($"doc_id" >= 20).count()
+    if (n == corpusN && distinctN == n) led.orderBy($"doc_id")
+    else led.limit(0)
+  }
 
   private def ledger(s: SparkSession, dir: String,
       semPairsAll: DataFrame): DataFrame = {
@@ -163,7 +181,6 @@ object Curation {
         .select($"doc_id", lit("mix_out").as("stage_dropped"), nullPack))
       .unionByName(packed
         .select($"doc_id", lit("kept").as("stage_dropped"), $"pack_id"))
-      .orderBy($"doc_id")
   }
 
   /** The whole ledger replayed in DuckDB: the stage CTEs are the
