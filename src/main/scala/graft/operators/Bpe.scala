@@ -196,9 +196,12 @@ object Bpe {
       .orderBy($"word")
   }
 
-  val taBpeEncodeSql: String =
-    """WITH RECURSIVE
-      |tk AS (
+  /** CTE chain (tk … enc, wenc) — wenc = every distinct corpus word
+    * with its fully-merged symbol array; ONE SQL definition shared by
+    * [[taBpeEncodeSql]] and the tokenizer-aware packing oracle
+    * ([[PipelineOps.dsPackBpeTokensSql]]). */
+  val bpeEncodeSqlCte: String =
+    """tk AS (
       |  SELECT w, count(*) AS freq FROM (
       |    SELECT unnest(list_filter(
       |      regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -233,10 +236,14 @@ object Bpe {
       |                ELSE s[1] END),
       |      x -> x IS NOT NULL) AS sym,
       |    e.r + 1 AS r
-      |  FROM enc e JOIN merges m ON m.rank = e.r)
-      |SELECT w AS word, CAST(len(sym) AS BIGINT) AS n_sym,
-      |  array_to_string(sym, ' ') AS encoded
-      |FROM enc WHERE r = (SELECT n FROM nm) ORDER BY word""".stripMargin
+      |  FROM enc e JOIN merges m ON m.rank = e.r),
+      |wenc AS (SELECT w, sym FROM enc WHERE r = (SELECT n FROM nm))""".stripMargin
+
+  val taBpeEncodeSql: String =
+    s"""WITH RECURSIVE $bpeEncodeSqlCte
+       |SELECT w AS word, CAST(len(sym) AS BIGINT) AS n_sym,
+       |  array_to_string(sym, ' ') AS encoded
+       |FROM wenc ORDER BY word""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_train"  -> ta_bpe_train _,

@@ -96,6 +96,63 @@ object PipelineOps {
        |  (cum_tokens - n_tokens) // $PACK_BUDGET AS pack_id
        |FROM cum ORDER BY doc_id""".stripMargin
 
+  /** TOKENIZER-AWARE sequence packing (r16): the same concat-and-chunk
+    * prefix-sum pack as [[ds_pack_sequences]], but budgeted in TRAINED
+    * BPE tokens instead of whitespace words — what a real pretraining
+    * pipeline packs by, since the context window is measured in
+    * tokenizer units, not words. Composition shape: the encoder runs
+    * ONCE PER DISTINCT WORD (vocabulary-sized UDF work, the same
+    * one-shot merge list as ta_bpe_encode), per-doc token counts come
+    * from one corpus-sized equi-join of the doc word list against that
+    * word→length table plus a map-combinable per-doc sum, and the pack
+    * ids ride the two-phase distributed prefix sum. Hash-exact: the
+    * DuckDB twin reuses the ta_bpe_encode oracle's own CTE chain for
+    * the word table and replays the join + prefix sum. */
+  def ds_pack_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val enc = Bpe.encodeCol(Bpe.initialPairMerges(docs, 20))
+    val toksCol =
+      filter(split(trim(lower($"text")), "\\s+"), t => length(t) > 0)
+    // vocabulary-sized: one encode per distinct word
+    val wordLens = docs
+      .select(explode_outer(toksCol).as("w"))
+      .filter($"w".isNotNull).distinct()
+      .select($"w", size(enc($"w")).cast("long").as("n_sym"))
+    val docTokens = docs
+      .select($"doc_id", explode_outer(toksCol).as("w"))
+      .join(wordLens, Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(coalesce(sum($"n_sym"), lit(0L)).as("n_tokens"))
+    Distributed.groupedPrefixSum(docTokens, Seq.empty, Seq($"doc_id"),
+        "n_tokens", "cum_tokens")
+      .withColumn("pack_id", expr(s"(cum_tokens - n_tokens) div $PACK_BUDGET"))
+      .select($"doc_id", $"n_tokens", $"cum_tokens", $"pack_id")
+      .orderBy($"doc_id")
+  }
+
+  val dsPackBpeTokensSql: String =
+    s"""WITH RECURSIVE ${Bpe.bpeEncodeSqlCte},
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |dt AS (
+       |  SELECT d.doc_id, coalesce(CAST(sum(len(e.sym)) AS BIGINT), 0) AS n_tokens
+       |  FROM documents d
+       |  LEFT JOIN dw ON dw.doc_id = d.doc_id
+       |  LEFT JOIN wenc e ON e.w = dw.w
+       |  GROUP BY d.doc_id),
+       |cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM dt)
+       |SELECT doc_id, n_tokens, cum_tokens,
+       |  (cum_tokens - n_tokens) // $PACK_BUDGET AS pack_id
+       |FROM cum ORDER BY doc_id""".stripMargin
+
   /** Per-source token budget for ds_token_budget (how many tokens each
     * source may contribute to the mix). */
   val TOKEN_BUDGET = 800L
@@ -564,6 +621,7 @@ object PipelineOps {
     "ds_pii_scrub"      -> ds_pii_scrub _,
     "ds_mix_sample"     -> ds_mix_sample _,
     "ds_pack_sequences" -> ds_pack_sequences _,
+    "ds_pack_bpe_tokens" -> ds_pack_bpe_tokens _,
     "ds_token_budget"   -> ds_token_budget _,
     "ds_corpus_stats"   -> ds_corpus_stats _,
     "dd_contamination"  -> dd_contamination _
@@ -574,6 +632,7 @@ object PipelineOps {
     "ds_pii_scrub"      -> dsPiiScrubSql,
     "ds_mix_sample"     -> dsMixSampleSql,
     "ds_pack_sequences" -> dsPackSequencesSql,
+    "ds_pack_bpe_tokens" -> dsPackBpeTokensSql,
     "ds_token_budget"   -> dsTokenBudgetSql,
     "ds_corpus_stats"   -> dsCorpusStatsSql,
     "dd_contamination"  -> ddContaminationSql
