@@ -16,9 +16,27 @@ quiet machine (tools/adjudicate_bench.sh, 5 iters, median) and patches
 the verdicts into bench_regressions.json plus the isolated-baseline
 merge into bench_isolated_baseline.json.
 
-Verdict bands (unchanged, idle-vs-idle per the two-vector discipline):
-  noise       — isolated median within 1.25x of the stored isolated
-                baseline (slower flags) / above 0.75x (faster flags)
+Drift normalization (VERDICT r16 item 1): the 1.25x band is tighter
+than the repo's own measured idle-to-idle machine variance (up to
+1.55x per gate, bench_adjudication_r15.json), and in r16 a 1.21x
+global machine-state drift made the raw band rule five
+unchanged-code sub-half-second gates "real". Before banding, this
+script now re-runs the pinned sentinel set (tools/bench_sentinels
+.json — flat relational gates whose code never changes) isolated on
+the same box, computes median(isolated/baseline) over them = the
+machine-state multiplier, and divides every pending flag's isolated
+reading by that multiplier. Banding then compares DRIFT-NORMALIZED
+readings against the frozen idle baseline, and the normalized value
+is also what merges into the baseline (so the baseline stays in the
+idle reference frame instead of ratcheting with machine weather).
+The multiplier is clamped to [0.7, 4.0] and falls back to 1.0 when
+fewer than 3 sentinels produce a usable ratio.
+
+Verdict bands (idle-vs-idle per the two-vector discipline, applied
+to the drift-normalized reading):
+  noise       — normalized isolated median within 1.25x of the stored
+                isolated baseline (slower flags) / above 0.75x
+                (faster flags)
   real        — outside the band, in the flagged direction
   real_intentional — outside the band, but the gate is declared in
                 tools/intentional_regressions.json (a deliberate
@@ -27,7 +45,22 @@ Verdict bands (unchanged, idle-vs-idle per the two-vector discipline):
                 artifact is self-contained, and the new isolated
                 median DOES become the baseline — an intentional new
                 cost is the comparison point for the next round, while
-                an unexplained regression never ratchets it
+                an unexplained regression never ratchets it.
+                Declarations are ONE-SHOT (ADVICE r16): the entry is
+                marked consumed after its first real_intentional
+                verdict, so a future unrelated slowdown on the same
+                gate cannot be auto-relabeled with a stale reason.
+  env_shift   — bands "real", but `git log <baseline-commit>..HEAD --
+                src/main` is EMPTY (tools/baseline_meta.json records
+                the freeze commit): with zero engine-source commits a
+                code regression is impossible by construction, so the
+                elevation is environment (box weather or the driver's
+                per-round testdata regeneration — r17 observed orders/
+                lineitem-selectivity gates shift ~1.9x on regenerated
+                parquet while 5 sentinels on other tables held 1.00x).
+                The drift-normalized reading re-freezes that gate's
+                baseline; no-ratchet is preserved because the check is
+                conservative — ANY src/main commit keeps "real".
   no_baseline — first isolated observation; recorded as the comparison
                 point for the next flag on this query
   failed      — the rerun produced no JSON
@@ -47,6 +80,80 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REG = os.path.join(REPO, "bench_regressions.json")
 BASE = os.path.join(REPO, "bench_isolated_baseline.json")
 INTENTIONAL = os.path.join(REPO, "tools", "intentional_regressions.json")
+SENTINELS = os.path.join(REPO, "tools", "bench_sentinels.json")
+BASE_META = os.path.join(REPO, "tools", "baseline_meta.json")
+DRIFT_ARTIFACT = os.path.join(REPO, "bench_drift_latest.json")
+
+
+def src_unchanged_since_freeze() -> bool:
+    """True iff no engine-source commit has landed since the baseline
+    freeze commit — in which case a 'real' (code-regression) verdict is
+    impossible by construction and the flag is an environment shift."""
+    try:
+        with open(BASE_META) as f:
+            commit = json.load(f)["commit"]
+    except (OSError, ValueError, KeyError):
+        return False
+    try:
+        out = subprocess.run(
+            ["git", "log", "--oneline", f"{commit}..HEAD", "--",
+             "src/main"],
+            capture_output=True, text=True, cwd=REPO, check=True).stdout
+    except subprocess.CalledProcessError:
+        return False
+    return out.strip() == ""
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2.0
+
+
+def run_isolated(queries, sf_dir):
+    """Re-run each query alone in a fresh JVM; return {q: seconds|None}."""
+    out = subprocess.run(
+        ["bash", os.path.join(REPO, "tools", "adjudicate_bench.sh")]
+        + list(queries),
+        env={**os.environ, "ADJ_SF_DIR": sf_dir},
+        capture_output=True, text=True, cwd=REPO).stdout
+    res = {}
+    for line in out.splitlines():
+        parts = line.split()
+        if len(parts) == 3 and parts[0] == "ISOLATED":
+            res[parts[1]] = None if parts[2] == "FAILED" else float(parts[2])
+    return res
+
+
+def measure_drift(iso_base, sf_dir):
+    """Machine-state multiplier from the pinned sentinel set.
+
+    median(isolated/baseline) over sentinels with a stored baseline;
+    clamped to [0.7, 4.0]; 1.0 when <3 usable ratios (can't estimate).
+    Returns (multiplier, {sentinel: {isolated, baseline, ratio}}).
+    """
+    try:
+        with open(SENTINELS) as f:
+            names = json.load(f)["sentinels"]
+    except (OSError, ValueError, KeyError):
+        return 1.0, {}
+    usable = [q for q in names if q in iso_base]
+    if len(usable) < 3:
+        return 1.0, {}
+    readings = run_isolated(usable, sf_dir)
+    detail, ratios = {}, []
+    for q in usable:
+        iso = readings.get(q)
+        if iso is None:
+            continue
+        r = iso / iso_base[q]
+        ratios.append(r)
+        detail[q] = {"isolated": iso, "baseline": iso_base[q],
+                     "ratio": round(r, 4)}
+    if len(ratios) < 3:
+        return 1.0, detail
+    mult = max(0.7, min(4.0, _median(ratios)))
+    return mult, detail
 
 
 def wait_for_pid(pid: int, timeout_sec: int = 1800) -> None:
@@ -99,46 +206,69 @@ def main() -> int:
     except (OSError, ValueError):
         intentional = {}
 
+    # Estimate the current machine-state multiplier BEFORE banding
+    # (VERDICT r16 item 1): sentinels are unchanged-code gates, so any
+    # systematic shift in their isolated readings is box weather, not
+    # a regression, and every pending reading is corrected by it.
+    drift, sentinel_detail = measure_drift(iso_base, sf_dir)
+    print(f"machine-drift multiplier from {len(sentinel_detail)} "
+          f"sentinel(s): {drift:.3f}x")
+    frozen_src = src_unchanged_since_freeze()
+    if frozen_src:
+        print("no src/main commits since the baseline freeze — "
+              "'real' verdicts will downgrade to env_shift")
+
     print(f"adjudicating {len(pending)} pending flag(s) on the quiet box: "
           f"{' '.join(pending)}")
-    out = subprocess.run(
-        ["bash", os.path.join(REPO, "tools", "adjudicate_bench.sh")] + pending,
-        env={**os.environ, "ADJ_SF_DIR": sf_dir},
-        capture_output=True, text=True, cwd=REPO).stdout
+    readings = run_isolated(pending, sf_dir)
 
     merged = dict(iso_base)
-    for line in out.splitlines():
-        parts = line.split()
-        if len(parts) != 3 or parts[0] != "ISOLATED":
-            continue
-        q, val = parts[1], parts[2]
-        if q not in reg:
+    intentional_dirty = False
+    for q in pending:
+        if q not in readings:
             continue
         kind = reg[q].get("kind", "slower")
-        if val == "FAILED":
+        iso = readings[q]
+        if iso is None:
             reg[q]["isolated"], reg[q]["verdict"] = -1.0, "failed"
             continue
-        iso = float(val)
+        norm = iso / drift
         if q not in iso_base:
             verdict = "no_baseline"
         elif kind == "faster":
-            verdict = "real" if iso < iso_base[q] * 0.75 else "noise"
+            verdict = "real" if norm < iso_base[q] * 0.75 else "noise"
         else:
-            verdict = "real" if iso > iso_base[q] * 1.25 else "noise"
-        if verdict == "real" and kind != "faster" and q in intentional:
+            verdict = "real" if norm > iso_base[q] * 1.25 else "noise"
+        decl = intentional.get(q)
+        if (verdict == "real" and kind != "faster" and decl is not None
+                and not decl.get("consumed", False)):
             # declared quality-for-time trade: self-contained verdict
-            # (commit + reason travel in the artifact), and the new cost
-            # becomes the baseline for the next round
+            # (commit + reason travel in the artifact), the new cost
+            # becomes the baseline for the next round, and the
+            # declaration is consumed (one-shot — a later unrelated
+            # slowdown must not inherit a stale reason)
             verdict = "real_intentional"
-            reg[q]["commit"] = intentional[q].get("commit", "")
-            reg[q]["reason"] = intentional[q].get("reason", "")
+            reg[q]["commit"] = decl.get("commit", "")
+            reg[q]["reason"] = decl.get("reason", "")
+            decl["consumed"] = True
+            intentional_dirty = True
+        if verdict == "real" and kind != "faster" and frozen_src:
+            # zero engine-source commits since the freeze: a code
+            # regression is impossible; the elevation is environment
+            # (box weather / regenerated testdata) and the normalized
+            # reading becomes the gate's new baseline
+            verdict = "env_shift"
         reg[q]["isolated"], reg[q]["verdict"] = iso, verdict
+        reg[q]["isolated_norm"] = round(norm, 6)
+        reg[q]["drift_mult"] = round(drift, 4)
         # merge rule: confirmed-real UNEXPLAINED slowdowns keep the old
         # baseline (else incremental slowdowns would ratchet it);
-        # intentional ones merge — they ARE the new comparison point
+        # everything else merges the DRIFT-NORMALIZED value so the
+        # baseline stays in the idle reference frame
         if not (verdict == "real" and kind != "faster"):
-            merged[q] = iso
+            merged[q] = round(norm, 6)
         print(f"  ADJUDICATED {q:<28s} isolated={iso:.3f}s "
+              f"norm={norm:.3f}s "
               f"base={iso_base.get(q, float('nan')):.3f}s -> {verdict}")
 
     with open(REG, "w") as f:
@@ -148,6 +278,20 @@ def main() -> int:
         with open(BASE, "w") as f:
             f.write("{" + ",".join(
                 f'"{k}":{v}' for k, v in sorted(merged.items())) + "}\n")
+    if intentional_dirty:
+        with open(INTENTIONAL, "w") as f:
+            json.dump(intentional, f, indent=2)
+            f.write("\n")
+    # Self-contained drift record: what the sentinel set read, the
+    # multiplier applied, and which flags it adjudicated this run.
+    with open(DRIFT_ARTIFACT, "w") as f:
+        json.dump({
+            "drift_multiplier": round(drift, 4),
+            "sentinels": sentinel_detail,
+            "band": 1.25,
+            "adjudicated": {q: reg[q].get("verdict") for q in pending},
+        }, f, indent=1)
+        f.write("\n")
     left = [q for q, v in reg.items() if v.get("verdict") == "pending"]
     if left:
         print(f"WARN: still pending (rerun emitted nothing): {left}",
