@@ -245,12 +245,74 @@ object Bpe {
        |  array_to_string(sym, ' ') AS encoded
        |FROM wenc ORDER BY word""".stripMargin
 
+  /** Bounded-round hash-exact TRAIN gate (VERDICT r16 item 2): the
+    * first 3 merges of the PRODUCTION trainer ([[train]] itself — a
+    * wrong-but-deterministic trainer can no longer pass on determinism
+    * alone), hash-exact against a DuckDB twin that replays each round
+    * as one pair-count aggregate + the (cnt desc, l, r) argmax + a
+    * sequential left-to-right merge fold. The fold is a per-word
+    * recursive CTE over symbol positions — the positionally-independent
+    * zip trick of [[bpeEncodeSqlCte]] is exact only for l ≠ r, while
+    * the production argmax may pick a self-pair, so the twin replays
+    * [[train]]'s non-overlapping `aggregate` fold literally (rows ≈
+    * vocabulary × word length per round — vocabulary-bounded, never
+    * corpus-bounded). The full 20-merge gate stays ta_bpe_train. */
+  def ta_bpe_train3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    train(s, Tables.documents(s, dir), numMerges = 3)
+      .toDF().select($"rank".cast("long").as("rank"), $"left", $"right",
+        concat($"left", $"right").as("merged"), $"freq")
+      .orderBy($"rank")
+  }
+
+  /** One merge round of the DuckDB TRAIN twin over words table w{i}. */
+  private def bpeRoundCte(i: Int): String =
+    s"""pc$i AS (
+       |  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS p
+       |        FROM w$i WHERE len(sym) >= 2)
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |f$i AS (
+       |  SELECT w, freq, sym, CAST([] AS VARCHAR[]) AS acc, 1 AS i FROM w$i
+       |  UNION ALL
+       |  SELECT f.w, f.freq, f.sym,
+       |    CASE WHEN len(f.acc) > 0 AND f.acc[len(f.acc)] = m.l AND f.sym[f.i] = m.r
+       |         THEN list_concat(f.acc[1:len(f.acc)-1], [m.l || m.r])
+       |         ELSE list_append(f.acc, f.sym[f.i]) END,
+       |    f.i + 1
+       |  FROM f$i f, m$i m WHERE f.i <= len(f.sym)),
+       |w${i + 1} AS (SELECT w, freq, acc AS sym FROM f$i WHERE i = len(sym) + 1)""".stripMargin
+
+  val taBpeTrain3Sql: String =
+    s"""WITH RECURSIVE
+       |tk AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> len(x) > 0)) AS w
+       |    FROM documents) GROUP BY w),
+       |w0 AS (
+       |  SELECT w, freq,
+       |    list_concat(
+       |      list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)),
+       |      ['</w>']) AS sym
+       |  FROM tk),
+       |${(0 until 3).map(bpeRoundCte).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS rank, l AS "left", r AS "right", l || r AS merged, cnt AS freq FROM m0
+       |  UNION ALL SELECT 1, l, r, l || r, cnt FROM m1
+       |  UNION ALL SELECT 2, l, r, l || r, cnt FROM m2)
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ta_bpe_train"  -> ta_bpe_train _,
-    "ta_bpe_encode" -> ta_bpe_encode _
+    "ta_bpe_train"   -> ta_bpe_train _,
+    "ta_bpe_train3"  -> ta_bpe_train3 _,
+    "ta_bpe_encode"  -> ta_bpe_encode _
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_bpe_train3" -> taBpeTrain3Sql,
     "ta_bpe_encode" -> taBpeEncodeSql
   )
 }

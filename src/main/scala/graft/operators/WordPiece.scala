@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
   * counts — bit-stable across re-runs.
   */
 object WordPiece {
+  /** `cl`/`cr` are the score's denominator unigram counts — kept as
+    * exact integers so the bounded-round TRAIN oracle can hash the
+    * full selection evidence without a double column. */
   final case class Merge(rank: Int, left: String, right: String,
-      merged: String, freq: Long, score: Double)
+      merged: String, freq: Long, score: Double, cl: Long, cr: Long)
 
   /** Continuation prefix: a symbol that does not start its word. */
   val CONT = "##"
@@ -88,7 +91,8 @@ object WordPiece {
         .join(broadcast(sc.select(col("t").as("r"), col("c").as("cr"))), Seq("r"))
         .select(col("l"), col("r"), col("cnt"),
           (col("cnt").cast("double") /
-            (col("cl").cast("double") * col("cr").cast("double"))).as("score"))
+            (col("cl").cast("double") * col("cr").cast("double"))).as("score"),
+          col("cl"), col("cr"))
         .orderBy(col("score").desc, col("l"), col("r"))
         .head(1)
       if (top.isEmpty) exhausted = true
@@ -96,7 +100,8 @@ object WordPiece {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         val (cnt, score) = (top(0).getLong(2), top(0).getDouble(3))
         val m = l + strip(r)
-        merges += Merge(rank, l, r, m, cnt, score)
+        merges += Merge(rank, l, r, m, cnt, score,
+          top(0).getLong(4), top(0).getLong(5))
         val lc = lit(l); val rc = lit(r); val joined = lit(m)
         // left-to-right non-overlapping replacement, previous round's
         // checkpoint unpersisted once the new one is live (the Bpe
@@ -116,27 +121,52 @@ object WordPiece {
     merges.toSeq
   }
 
+  /** A word as one string per CODE POINT — the encoder must segment
+    * the way training's `substr` and the DuckDB twin's `substring`
+    * do (code points), not by UTF-16 unit (ADVICE r16: a UTF-16
+    * substring splits surrogate pairs on non-BMP text, every
+    * candidate misses the vocabulary, and the whole word collapses
+    * to [UNK]); the [[Bpe.encodeCol]] precedent. */
+  private def codePoints(w: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      buf += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    buf.toArray
+  }
+
   /** The production WordPiece ENCODER (BERT's): greedy longest-prefix
     * match against the trained vocabulary, continuation pieces tried
     * with the `##` prefix, whole word → `[UNK]` when any position has
-    * no match. A broadcast-closure pure map — encode never shuffles. */
+    * no match. A broadcast-closure pure map — encode never shuffles.
+    * Candidate lengths are measured in code points, matching the
+    * code-point-based trainer and oracle. */
   def encodeCol(vocab: Seq[String], unk: String = "[UNK]"): Column => Column = {
     val vset = vocab.toSet
-    val maxLen = if (vocab.isEmpty) 1 else vocab.map(strip(_).length).max
+    val maxLen = if (vocab.isEmpty) 1
+      else vocab.map { v =>
+        val s = strip(v); s.codePointCount(0, s.length)
+      }.max
     val enc = udf { (w: String) =>
+      val cs = codePoints(w)
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
       var dead = false
-      while (i < w.length && !dead) {
-        var len = math.min(maxLen, w.length - i)
+      while (i < cs.length && !dead) {
+        var len = math.min(maxLen, cs.length - i)
         var hit: String = null
+        var hitLen = 0
         while (len >= 1 && hit == null) {
-          val cand = (if (i == 0) "" else CONT) + w.substring(i, i + len)
-          if (vset.contains(cand)) hit = cand
+          val cand = (if (i == 0) "" else CONT) +
+            cs.slice(i, i + len).mkString
+          if (vset.contains(cand)) { hit = cand; hitLen = len }
           len -= 1
         }
         if (hit == null) dead = true
-        else { out += hit; i += strip(hit).length }
+        else { out += hit; i += hitLen }
       }
       if (dead) Seq(unk) else out.toSeq
     }
@@ -272,12 +302,86 @@ object WordPiece {
       .orderBy($"rank")
   }
 
+  /** Bounded-round hash-exact TRAIN gate (VERDICT r16 item 2): the
+    * first 3 merges of the PRODUCTION trainer ([[train]] itself, not a
+    * one-shot surrogate), hash-exact against a DuckDB twin that
+    * replays each round as one symbol-count aggregate + one pair-count
+    * aggregate + the (score desc, l, r) argmax — the score the same
+    * single IEEE division of exact integer counts proven bit-identical
+    * by ta_wordpiece_encode — + a sequential left-to-right merge fold
+    * (a per-word recursive CTE replicating [[train]]'s non-overlapping
+    * `aggregate` fold). Output carries the selection evidence as exact
+    * integers (freq, cl, cr) — no double column to hash. The full
+    * 20-merge iterative gate stays ta_wordpiece_train. */
+  def ta_wordpiece_train3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    train(s, Tables.documents(s, dir), numMerges = 3)
+      .toDF().select($"rank".cast("long").as("rank"), $"left", $"right",
+        $"merged", $"freq", $"cl", $"cr")
+      .orderBy($"rank")
+  }
+
+  /** One merge round of the DuckDB TRAIN twin over words table w{i}:
+    * unigram counts, pair counts, the score argmax (prefix-correct
+    * `##` strip — `replace` would also eat an INTERIOR `##` in words
+    * containing literal `#` characters), and the sequential fold. */
+  private def wpRoundCte(i: Int): String =
+    s"""sc$i AS (
+       |  SELECT t, CAST(sum(freq) AS BIGINT) AS c
+       |  FROM (SELECT freq, unnest(sym) AS t FROM w$i) GROUP BY t),
+       |pc$i AS (
+       |  SELECT p[1] AS l, p[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS p
+       |        FROM w$i WHERE len(sym) >= 2)
+       |  GROUP BY 1, 2),
+       |m$i AS (
+       |  SELECT pc.l, pc.r,
+       |    pc.l || (CASE WHEN pc.r LIKE '##%' THEN substring(pc.r, 3) ELSE pc.r END) AS merged,
+       |    pc.cnt, a.c AS cl, b.c AS cr
+       |  FROM pc$i pc JOIN sc$i a ON a.t = pc.l JOIN sc$i b ON b.t = pc.r
+       |  ORDER BY CAST(pc.cnt AS DOUBLE) / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) DESC,
+       |    pc.l, pc.r
+       |  LIMIT 1),
+       |f$i AS (
+       |  SELECT w, freq, sym, CAST([] AS VARCHAR[]) AS acc, 1 AS i FROM w$i
+       |  UNION ALL
+       |  SELECT f.w, f.freq, f.sym,
+       |    CASE WHEN len(f.acc) > 0 AND f.acc[len(f.acc)] = m.l AND f.sym[f.i] = m.r
+       |         THEN list_concat(f.acc[1:len(f.acc)-1], [m.merged])
+       |         ELSE list_append(f.acc, f.sym[f.i]) END,
+       |    f.i + 1
+       |  FROM f$i f, m$i m WHERE f.i <= len(f.sym)),
+       |w${i + 1} AS (SELECT w, freq, acc AS sym FROM f$i WHERE i = len(sym) + 1)""".stripMargin
+
+  val taWordPieceTrain3Sql: String =
+    s"""WITH RECURSIVE
+       |tk AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      x -> len(x) > 0)) AS w
+       |    FROM documents) GROUP BY w),
+       |w0 AS (
+       |  SELECT w, freq,
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> CASE WHEN i = 1 THEN substring(w, i, 1)
+       |                ELSE '##' || substring(w, i, 1) END) AS sym
+       |  FROM tk),
+       |${(0 until 3).map(wpRoundCte).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS rank, l AS "left", r AS "right", merged, cnt AS freq, cl, cr FROM m0
+       |  UNION ALL SELECT 1, l, r, merged, cnt, cl, cr FROM m1
+       |  UNION ALL SELECT 2, l, r, merged, cnt, cl, cr FROM m2)
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ta_wordpiece_train"  -> ta_wordpiece_train _,
-    "ta_wordpiece_encode" -> ta_wordpiece_encode _
+    "ta_wordpiece_train"   -> ta_wordpiece_train _,
+    "ta_wordpiece_train3"  -> ta_wordpiece_train3 _,
+    "ta_wordpiece_encode"  -> ta_wordpiece_encode _
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_wordpiece_train3" -> taWordPieceTrain3Sql,
     "ta_wordpiece_encode" -> taWordPieceEncodeSql
   )
 }

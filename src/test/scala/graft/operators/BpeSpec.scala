@@ -80,6 +80,22 @@ class BpeSpec extends AnyFunSuite {
     assert(syms2 == Seq("\ud834\udd1ex" + Bpe.EOW), syms2.mkString("|"))
   }
 
+  test("train3 gate: strict prefix of the production trainer, self-pairs legal") {
+    val df = Bpe.ta_bpe_train3(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    val full = Bpe.train(spark,
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), numMerges = 3)
+    assert(rows.map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq ===
+      full.map(m => (m.left, m.right, m.freq)))
+    rows.foreach(r => assert(r.getString(3) === r.getString(1) + r.getString(2)))
+    // the production fold handles a self-pair argmax (the case the
+    // encode oracle's zip trick excludes): greedy parity on runs
+    val selfCorpus = Seq("aaa aaa aaa aaa").toDF("text")
+    val sm = Bpe.train(spark, selfCorpus, numMerges = 1)
+    assert((sm.head.left, sm.head.right) === (("a", "a")))
+  }
+
   test("initialPairMerges: count-desc rank, lexicographic ties, self-pairs excluded") {
     import spark.implicits._
     // "aab aab ccd": pairs a-a x2 (self, excluded), a-b x2, b-</w> x2,

@@ -68,6 +68,36 @@ class WordPieceSpec extends AnyFunSuite {
     }
   }
 
+  test("encoder segments by code point: non-BMP chars survive longest-match") {
+    // "𝕒" (U+1D552, surrogate pair) as a vocab char: a UTF-16-unit
+    // encoder splits the pair, misses every candidate, and collapses
+    // the word to [UNK] (ADVICE r16)
+    val vocab = Seq("𝕒", "##b", "𝕒b", "##𝕒")
+    val enc = WordPiece.encodeCol(vocab)
+    val out = Seq("𝕒b", "𝕒bb", "𝕒𝕒b")
+      .toDF("w").select(enc(org.apache.spark.sql.functions.col("w")).as("e"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) === List("𝕒b"))          // longest match spans the pair
+    assert(out(1) === List("𝕒b", "##b"))
+    assert(out(2) === List("𝕒", "##𝕒", "##b"))
+  }
+
+  test("train3 gate: first 3 production merges with exact-integer evidence") {
+    val df = WordPiece.ta_wordpiece_train3(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    // the bounded gate is a strict prefix of the full trainer
+    val full = WordPiece.train(spark,
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), numMerges = 3)
+    assert(rows.map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq ===
+      full.map(m => (m.left, m.right, m.freq)))
+    // cl/cr are the score's exact denominator: score == freq/(cl*cr)
+    rows.zip(full).foreach { case (r, m) =>
+      assert(math.abs(m.score -
+        r.getLong(4).toDouble / (r.getLong(5).toDouble * r.getLong(6).toDouble)) < 1e-15)
+    }
+  }
+
   test("gate returns a ranked merge table on the corpus") {
     val df = WordPiece.ta_wordpiece_train(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
