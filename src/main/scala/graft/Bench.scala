@@ -60,6 +60,7 @@ object Bench {
       // recomputes CC, later gates share it) — medians must measure the
       // real cost, never a memo hit from a previous pass
       graft.operators.Components.invalidateSharedLabels(spark)
+      graft.operators.Curation.invalidateStageCache(spark)
       queryList.map { case (name, fn) =>
         name -> timeOnce(fn)
       }

@@ -146,7 +146,7 @@ object Components {
   // a UUID minted per session into its (session-scoped) runtime conf —
   // a String key that cannot pin the session and can never collide with
   // a recycled identity hash
-  private def sessionKey(s: SparkSession): String = s.synchronized {
+  private[operators] def sessionKey(s: SparkSession): String = s.synchronized {
     s.conf.getOption("graft.session.uuid") match {
       case Some(u) => u
       case None =>

@@ -78,8 +78,56 @@ object Curation {
     else led.limit(0)
   }
 
-  private def ledger(s: SparkSession, dir: String,
-      semPairsAll: DataFrame): DataFrame = {
+  /** Stages 1–4 of the ledger, computed ONCE per (session, sf dir) and
+    * shared by both curation gates (VERDICT r16 item 4): the hash-exact
+    * LCG gate and the trained scale twin differ ONLY in the semantic
+    * stage's pair source, yet each used to re-pay the C4/Gopher rule
+    * maps, the quality percentile, and the MinHash-LSH cluster pass —
+    * identical work, identical results. A real pipeline computes the
+    * rule ledger once and fans out; the memo is the
+    * [[Components.simhashComponents]] discipline (checkpointed values
+    * keyed by session UUID, bounded, bench-invalidated per pass so
+    * medians never measure a memo hit across passes). */
+  private final case class Stage14(base: DataFrame, scored: DataFrame,
+      p25: Double, pool3: DataFrame, mhDrop: DataFrame)
+
+  private final class LazyStage14(thunk: () => Stage14) {
+    lazy val get: Stage14 = thunk()
+  }
+
+  private val stageMemo =
+    new java.util.LinkedHashMap[String, scala.collection.mutable.Map[String, LazyStage14]](
+      16, 0.75f, true)
+  private val evictionHooked =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]()
+  private val MAX_MEMO_SESSIONS = 8
+
+  /** Bench calls this per timing pass (next to
+    * [[Components.invalidateSharedLabels]]) so each pass pays the
+    * stage-1–4 cost exactly once. */
+  def invalidateStageCache(s: SparkSession): Unit =
+    stageMemo.synchronized { stageMemo.remove(Components.sessionKey(s)); () }
+
+  private def stage14(s: SparkSession, dir: String): Stage14 = {
+    val holder = stageMemo.synchronized {
+      if (evictionHooked.put(s.sparkContext, java.lang.Boolean.TRUE) == null) {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            stageMemo.synchronized { stageMemo.clear() }
+        })
+      }
+      val key = Components.sessionKey(s)
+      if (!stageMemo.containsKey(key) && stageMemo.size >= MAX_MEMO_SESSIONS) {
+        stageMemo.remove(stageMemo.keySet().iterator().next())
+      }
+      stageMemo.computeIfAbsent(key, _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, new LazyStage14(() => computeStage14(s, dir)))
+    }
+    holder.get
+  }
+
+  private def computeStage14(s: SparkSession, dir: String): Stage14 = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val all = Tables.documents(s, dir)
@@ -128,6 +176,13 @@ object Curation {
     val mhDrop = Components.connectedComponents(mhPairs, "da", "db")
       .filter($"id" =!= $"comp").select($"id".as("doc_id"))
       .localCheckpoint()
+    Stage14(base, scored, p25, pool3, mhDrop)
+  }
+
+  private def ledger(s: SparkSession, dir: String,
+      semPairsAll: DataFrame): DataFrame = {
+    import s.implicits._
+    val Stage14(base, scored, p25, pool3, mhDrop) = stage14(s, dir)
     val pool4 = pool3.join(mhDrop, Seq("doc_id"), "left_anti")
 
     // stage 5: semantic duplicate clusters (vec_id ↔ doc_id)

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -165,15 +163,125 @@ object KMeansQuantizer {
     * cell centers converge on a sample; assignment of the full corpus
     * is the map-only `graft_cell` pass) and `k` is sized as
     * corpus_rows / target_cell_rows so the downstream in-cell joins
-    * stay bounded. Deterministic under a fixed seed.
-    */
+    * stay bounded.
+    *
+    * The Lloyd iterations run ON THE DRIVER over the collected sample —
+    * the FAISS coarse-quantizer discipline (train locally on a bounded
+    * sample, assign distributedly): the sample is already bounded to
+    * O(k·pointsPerCell) vectors by [[fitSampled]], and a distributed
+    * k-means pays one scheduler round-trip PER ITERATION for work that
+    * is milliseconds of arithmetic (measured ~3 s of pure job latency
+    * for 10 MLlib iterations on a 3 840-point sample — the dominant
+    * cost of every trained-quantizer gate). Deterministic by
+    * construction, not by seed: the collected sample is sorted
+    * lexicographically (collect order falls out), init is farthest-first
+    * traversal (ties → lowest index), and Lloyd ties break to the lower
+    * cell id — identical centroids on every rerun. `seed` only drives
+    * the corpus sample split. */
   def fit(e: DataFrame, k: Int, seed: Long = 42L,
       sampleFraction: Double = 1.0, maxIter: Int = 20): KMeansQuantizer = {
     val sample = if (sampleFraction >= 1.0) e else e.sample(sampleFraction, seed)
-    val feats = sample.select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(feats)
-    new KMeansQuantizer(model.clusterCenters.map(_.toArray))
+    val pts = sample.select(col("v").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(pts.nonEmpty, "KMeansQuantizer.fit on an empty relation")
+    // deterministic regardless of partition/collect order
+    java.util.Arrays.sort(pts, lexOrder)
+    new KMeansQuantizer(localLloyd(pts, math.min(k, pts.length), maxIter))
+  }
+
+  private val lexOrder: java.util.Comparator[Array[Double]] =
+    (a: Array[Double], b: Array[Double]) => {
+      var i = 0
+      var r = 0
+      val n = math.min(a.length, b.length)
+      while (i < n && r == 0) {
+        r = java.lang.Double.compare(a(i), b(i))
+        i += 1
+      }
+      if (r != 0) r else Integer.compare(a.length, b.length)
+    }
+
+  private def sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Farthest-first init (deterministic 2-approx k-center spread) +
+    * Lloyd's iterations with lowest-id tie-breaks; an emptied cell is
+    * reseeded to the point farthest from its own centroid. O(k·n·d)
+    * init + O(iter·k·n·d) refinement — bounded because n is the
+    * bounded fit sample, never the corpus. */
+  private def localLloyd(pts: Array[Array[Double]], k: Int,
+      maxIter: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts(0).length
+    // farthest-first: start at the lexicographic minimum, then greedily
+    // add the point with the largest distance to its nearest center
+    val centers = new Array[Array[Double]](k)
+    centers(0) = pts(0).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var best = 0; var bestD = -1.0; var i = 0
+      while (i < n) {
+        val dd = sq(pts(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      centers(c) = pts(best).clone()
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    java.util.Arrays.fill(assign, -1)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        var bk = 0; var bd = Double.MaxValue; var kk = 0
+        while (kk < k) {
+          val dd = sq(pts(i), centers(kk))
+          if (dd < bd) { bd = dd; bk = kk } // strict < → lowest id wins ties
+          kk += 1
+        }
+        if (assign(i) != bk) { assign(i) = bk; changed = true }
+        i += 1
+      }
+      if (changed) {
+        val sums = Array.fill(k, d)(0.0)
+        val cnt = new Array[Int](k)
+        i = 0
+        while (i < n) {
+          val a = assign(i); cnt(a) += 1
+          var j = 0; while (j < d) { sums(a)(j) += pts(i)(j); j += 1 }
+          i += 1
+        }
+        var kk = 0
+        while (kk < k) {
+          if (cnt(kk) > 0) {
+            var j = 0
+            while (j < d) { centers(kk)(j) = sums(kk)(j) / cnt(kk); j += 1 }
+          } else {
+            // reseed an emptied cell to the point farthest from its own
+            // centroid (ties → lowest index) — deterministic
+            var best = 0; var bestD = -1.0; var i2 = 0
+            while (i2 < n) {
+              val dd = sq(pts(i2), centers(assign(i2)))
+              if (dd > bestD) { bestD = dd; best = i2 }
+              i2 += 1
+            }
+            centers(kk) = pts(best).clone()
+          }
+          kk += 1
+        }
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** k sized from the corpus: rows / targetCellRows, clamped to
