@@ -58,7 +58,8 @@ object PlanAudit {
       "ta_unigram_encode" -> "quantized Viterbi encode: seed vocab from one corpus scan, broadcast-closure encode of the distinct-word table",
       "ds_heavy_hitters_sketch" -> "space-saving sketch: bounded O(k) aggregate, partial-combined map-side — state never scales with vocabulary",
       "curation_base_stage" -> "curation pipeline stages compose without breaking pushdown: corpus filter reaches the scan under the c4+gopher joins",
-      "knn_graph_multiprobe" -> "multi-probe kNN graph: probe-set equi-join + map-combinable bounded top-k ranking (no window sort, no dedupe exchange)")
+      "knn_graph_multiprobe" -> "multi-probe kNN graph: probe-set equi-join + map-combinable bounded top-k ranking (no window sort, no dedupe exchange)",
+      "curation_full_enrichment" -> "full-rule curation enrichment: benchmark rows broadcast, corpus filter pushed to the scan, the derived-text transform + full C4 rules one map stage")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.PlanAudit)\n\n")
@@ -160,6 +161,13 @@ object PlanAudit {
             .select(col("doc_id"), col("source"), col("text"))
             .join(c4, "doc_id").join(go, "doc_id")
             .filter(col("c4_keep") && col("go_keep"))
+        } else if (name == "curation_full_enrichment") {
+          // audit enrichment + stage-1 pre-checkpoint: the claim is the
+          // derived corpus costs ONE broadcast join (20 benchmark rows)
+          // and the full C4 rule pass stays in the same map stage —
+          // the corpus side never shuffles
+          graft.operators.TextAnalysis.c4Rules(
+            graft.operators.Curation.enriched(spark, sfDir))
         } else if (name == "knn_graph_multiprobe") {
           import org.apache.spark.sql.functions.col
           graft.functions.GraftFunctions.register(spark)
@@ -343,6 +351,15 @@ object PlanAudit {
             plan.contains("graft_topk_min") && !plan.contains("Window"), name))
           checks += (("multi-probe kNN: no (src,dst) dedupe exchange — dupes collapse inside the k*probes array",
             plan.contains("array_distinct"), name))
+        case "curation_full_enrichment" =>
+          checks += (("full-rule enrichment: benchmark rows meet the corpus via BroadcastHashJoin only",
+            plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
+              !plan.contains("CartesianProduct"), name))
+          checks += (("full-rule enrichment: corpus never shuffles (no hash exchange) and no aggregate/window before the rules",
+            !plan.contains("Exchange hashpartitioning") &&
+              !plan.contains("HashAggregate") && !plan.contains("Window"), name))
+          checks += (("full-rule enrichment: corpus filter doc_id >= 20 pushed into the parquet scan",
+            plan.contains("GreaterThanOrEqual(doc_id,20)"), name))
         case _ => ()
       }
     }

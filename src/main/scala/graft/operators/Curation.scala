@@ -368,12 +368,307 @@ object Curation {
       "pool7", "packed"))
   }
 
+  // ------------------------------------------------------------ full-rule
+  /** Deterministic in-gate corpus enrichment (VERDICT r16 item 3): the
+    * driver's synthetic corpus is single-line unpunctuated SQL jargon,
+    * so the FULL published C4 conjunction (line retention + sentence
+    * count) and Gopher's stop-word rule would each drop 100% of it —
+    * which is why [[ds_curation_e2e]] verifies a weakened conjunction.
+    * This transform derives, with pure string expressions both engines
+    * evaluate identically, a corpus on which EVERY clause of the full
+    * rules is live and discriminating:
+    *
+    *   - body: doc_id ≡ 4 (mod 30) → a fixed high-quality passage (one
+    *     near-dup cluster exercising the MinHash stage); ≡ 16 (mod 30)
+    *     → the text of benchmark doc (doc_id % 20) doubled (clusters
+    *     whose survivors the decontamination stage must then catch);
+    *     else the doc's own text.
+    *   - line 1 = body, plus " javascript" for doc_id % 5 = 0 (the C4
+    *     javascript clause) and a terminal '.' EXCEPT doc_id % 9 = 0
+    *     (the terminal-punctuation clause).
+    *   - line 2 = "too short." — retained by punctuation, dropped by
+    *     the ≥5-words clause in every doc.
+    *   - line 3: ≡16 (mod 30) → a stop-word-rich 3-sentence tail (lifts
+    *     the contamination twins over the quality percentile);
+    *     doc_id % 11 = 0 → a stop-word-FREE 3-sentence tail (passes C4,
+    *     fails Gopher's stop-word rule — the clause the e2e gate
+    *     drops); doc_id % 3 = 0 → a 1-sentence tail (fails the
+    *     3-sentence page rule); else a stop-carrying 3-sentence tail.
+    *   - doc_id % 7 = 0 → a trailing "lorem ipsum" line (page drop).
+    *
+    * The C4 `kept_text` rewrite FEEDS EVERY DOWNSTREAM STAGE (Gopher,
+    * quality, MinHash shingles, decontamination, packing) — the
+    * composition path the e2e gate leaves unverified. */
+  private val STOP3 = "the results be of value and that have with merit. quality holds strong for all cases. more data will follow in time."
+  private val STOP1 = "the results be of value and that have with merit."
+  private val STOPFREE3 = "results show clear value regarding merit. quality holds strong here. further data arrives shortly."
+  private val STOPRICH3 = "the data is of use and to it. we have that with care in the end. all of the time is in the work."
+  private val PASSAGE = "benchmark scale holds when partition pruning keeps every scan bounded and broadcast joins carry the small side so the cluster never shuffles the corpus while adaptive execution re plans skew and the ledger records each stage verdict for audit with exact replay across engines at any size"
+
+  private[graft] def enriched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, dir)
+    val bench = all.filter($"doc_id" < 20)
+      .select($"doc_id".as("bid"), $"text".as("btext"))
+    all.filter($"doc_id" >= 20)
+      .withColumn("bid", $"doc_id" % 20)
+      .join(broadcast(bench), Seq("bid"))
+      .withColumn("body",
+        when($"doc_id" % 30 === 4, lit(PASSAGE))
+          .when($"doc_id" % 30 === 16, concat($"btext", lit(" "), $"btext"))
+          .otherwise($"text"))
+      .select($"doc_id", $"source", concat(
+        $"body",
+        when($"doc_id" % 5 === 0, lit(" javascript")).otherwise(lit("")),
+        when($"doc_id" % 9 === 0, lit("")).otherwise(lit(".")),
+        lit("\ntoo short.\n"),
+        when($"doc_id" % 30 === 16, lit(STOPRICH3))
+          .when($"doc_id" % 11 === 0, lit(STOPFREE3))
+          .when($"doc_id" % 3 === 0, lit(STOP1))
+          .otherwise(lit(STOP3)),
+        when($"doc_id" % 7 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit(""))
+      ).as("text"))
+  }
+
+  /** Semantic threshold for the full-rule gate: 0.45 leaves too few
+    * LCG pairs with both endpoints in the enriched pool (0 at sf0.01);
+    * 0.30 measured 11 in-pool drops at sf0.01 / 231 at sf0.1. */
+  private val FULL_TAU = 0.30
+
+  /** The full published pipeline over the enriched corpus, `kept_text`
+    * feeding downstream, hash-exact vs [[dsCurationFullSql]]. Inline
+    * discrimination assertion: every stage must drop ≥ 1 doc and keep
+    * ≥ 1 survivor — a non-discriminating stage throws (loud driver
+    * error, never a silently-weakened gate). */
+  def ds_curation_full(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val enr = enriched(s, dir).localCheckpoint()
+    // stage 1: FULL C4 — line retention + sentence count + page rules
+    val c4 = TextAnalysis.c4Rules(enr)
+      .select($"doc_id", $"kept_text", $"keep".as("c4_keep"))
+    val base = enr.select($"doc_id", $"source").join(c4, "doc_id")
+      .localCheckpoint()
+    val pool1 = base.filter($"c4_keep")
+      .select($"doc_id", $"source", $"kept_text")
+    // stage 2: FULL Gopher (all 7 rules) on the C4-cleaned text
+    val go = TextAnalysis.gopherRules(
+        pool1.select($"doc_id", $"kept_text".as("text")))
+      .select($"doc_id", $"keep".as("go_keep"))
+    val pool1g = pool1.join(go, "doc_id").localCheckpoint()
+    val pool2 = pool1g.filter($"go_keep")
+    // stage 3: quality prune at the surviving pool's 25th percentile
+    val scored = pool2.select($"doc_id", $"source", $"kept_text",
+      TextAnalysis.qualityScore($"kept_text").as("q"))
+    val p25 = graft.ml.Stats.exactPercentiles(scored, "q", Seq(0.25)).head
+    val pool3 = scored.filter($"q" >= p25).localCheckpoint()
+    // stage 4: MinHash-LSH on the pool's kept_text
+    val mhPairs = Dedup.minhashPairs(s,
+      pool3.select($"doc_id", $"kept_text".as("text"))).select($"da", $"db")
+    val mhDrop = Components.connectedComponents(mhPairs, "da", "db")
+      .filter($"id" =!= $"comp").select($"id".as("doc_id")).localCheckpoint()
+    val pool4 = pool3.join(mhDrop, Seq("doc_id"), "left_anti")
+    // stage 5: semantic dedup at FULL_TAU, endpoint-filtered to the pool
+    val ids4 = pool4.select($"doc_id")
+    val semPairs = Similarity.semanticPairsLcg(s, dir, FULL_TAU)
+      .join(ids4.select($"doc_id".as("da")), "da")
+      .join(ids4.select($"doc_id".as("db")), "db")
+    val semDrop = Components.connectedComponents(semPairs, "da", "db")
+      .filter($"id" =!= $"comp").select($"id".as("doc_id")).localCheckpoint()
+    val pool5 = pool4.join(semDrop, Seq("doc_id"), "left_anti")
+    // stage 6: decontamination — kept_text shingles vs benchmark RAW text
+    val ksh = Dedup.shinglesOf(s,
+      pool5.select($"doc_id", $"kept_text".as("text")))
+    val bsh = Dedup.shinglesOf(s,
+        Tables.documents(s, dir).filter($"doc_id" < 20))
+      .select($"doc_id".as("bench_id"), $"hs")
+    val contamDrop = ksh.join(broadcast(bsh), "hs")
+      .groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("n_common"))
+      .filter($"n_common" >= PipelineOps.CONTAM_MIN_SHINGLES)
+      .select($"doc_id").distinct().localCheckpoint()
+    val pool6 = pool5.join(contamDrop, Seq("doc_id"), "left_anti")
+    // stage 7: deterministic hash-rate domain mixing
+    val mixKept = PipelineOps.mixSample(s, pool6).select($"doc_id")
+    val mixDrop = pool6.join(mixKept, Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+    val pool7 = pool6.join(mixKept, "doc_id")
+    // stage 8: pack survivors by kept_text tokens
+    val withTokens = pool7.select($"doc_id",
+      size(filter(split(trim(lower($"kept_text")), "\\s+"),
+        t => length(t) > 0)).cast("long").as("n_tokens"))
+    val packed = Distributed.groupedPrefixSum(withTokens, Seq.empty,
+        Seq($"doc_id"), "n_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) div ${PipelineOps.PACK_BUDGET}"))
+      .select($"doc_id", $"pack_id")
+
+    val nullPack = lit(null).cast("long").as("pack_id")
+    val led = base.filter(!$"c4_keep")
+      .select($"doc_id", lit("c4").as("stage_dropped"), nullPack)
+      .unionByName(pool1g.filter(!$"go_keep")
+        .select($"doc_id", lit("gopher").as("stage_dropped"), nullPack))
+      .unionByName(scored.filter($"q" < p25)
+        .select($"doc_id", lit("quality").as("stage_dropped"), nullPack))
+      .unionByName(mhDrop
+        .select($"doc_id", lit("minhash_dup").as("stage_dropped"), nullPack))
+      .unionByName(semDrop
+        .select($"doc_id", lit("semantic_dup").as("stage_dropped"), nullPack))
+      .unionByName(contamDrop
+        .select($"doc_id", lit("contaminated").as("stage_dropped"), nullPack))
+      .unionByName(mixDrop
+        .select($"doc_id", lit("mix_out").as("stage_dropped"), nullPack))
+      .unionByName(packed
+        .select($"doc_id", lit("kept").as("stage_dropped"), $"pack_id"))
+      .localCheckpoint()
+    val counts = led.groupBy($"stage_dropped").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stages = Seq("c4", "gopher", "quality", "minhash_dup",
+      "semantic_dup", "contaminated", "mix_out", "kept")
+    val dark = stages.filterNot(st => counts.getOrElse(st, 0L) > 0L)
+    if (dark.nonEmpty)
+      throw new IllegalStateException(
+        s"ds_curation_full: non-discriminating stage(s) ${dark.mkString(",")}" +
+          s" — counts $counts")
+    led.orderBy($"doc_id")
+  }
+
+  /** The DuckDB twin of [[ds_curation_full]]: identical enrichment as
+    * SQL string expressions, then the full-rule pipeline composed from
+    * the standalone oracles' own parameterized CTEs
+    * ([[TextAnalysis.c4FullCteOn]], [[TextAnalysis.gopherCteOn]],
+    * [[Dedup.shinglesCteOn]]/[[Dedup.minhashCteOn]],
+    * [[Similarity.semanticPairsSqlCteAt]]), `kept_text` flowing through
+    * every stage. Same MATERIALIZED planner hints as the e2e oracle. */
+  lazy val dsCurationFullSql: String = {
+    val mixPm =
+      "(1 + coalesce(TRY_CAST(substr(source, 4, 18) AS BIGINT) % 10, 0)) * 100"
+    val mixH = Dedup.h60Sql.format("'mix|' || CAST(doc_id AS VARCHAR)")
+    val ktoks =
+      "list_filter(regexp_split_to_array(trim(lower(kept_text)), '\\s+'), x -> len(x) > 0)"
+    val raw = s"""WITH RECURSIVE
+       |enr AS (
+       |  SELECT d.doc_id, d.source,
+       |    (CASE WHEN d.doc_id % 30 = 4 THEN '$PASSAGE'
+       |          WHEN d.doc_id % 30 = 16 THEN b.text || ' ' || b.text
+       |          ELSE d.text END
+       |     || CASE WHEN d.doc_id % 5 = 0 THEN ' javascript' ELSE '' END
+       |     || CASE WHEN d.doc_id % 9 = 0 THEN '' ELSE '.' END)
+       |    || chr(10) || 'too short.'
+       |    || chr(10) || (CASE WHEN d.doc_id % 30 = 16 THEN '$STOPRICH3'
+       |                        WHEN d.doc_id % 11 = 0 THEN '$STOPFREE3'
+       |                        WHEN d.doc_id % 3 = 0 THEN '$STOP1'
+       |                        ELSE '$STOP3' END)
+       |    || (CASE WHEN d.doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+       |    AS text
+       |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id % 20
+       |  WHERE d.doc_id >= 20),
+       |${TextAnalysis.c4FullCteOn("enr", "f")},
+       |fpool1 AS (SELECT doc_id, source, kept_text FROM fc4r WHERE keep),
+       |${TextAnalysis.gopherCteOn("fpool1", "kept_text", "f")},
+       |fpool2 AS (
+       |  SELECT p.* FROM fpool1 p JOIN fgr g USING (doc_id) WHERE g.keep),
+       |fscored AS (
+       |  SELECT doc_id, source, kept_text,
+       |    ${TextAnalysis.qualityScoreSqlOn("kept_text")} AS q
+       |  FROM fpool2),
+       |fth AS (SELECT quantile_cont(q, 0.25) AS p25 FROM fscored),
+       |fpool3 AS (SELECT s.* FROM fscored s, fth WHERE s.q >= fth.p25),
+       |${Dedup.shinglesCteOn("fpool3", "kept_text", "fktok", "fksh")},
+       |${Dedup.minhashCteOn("fksh", "fkmh")},
+       |fbands AS (
+       |  SELECT doc_id, j // ${Dedup.BAND_ROWS} AS band,
+       |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS sig
+       |  FROM fkmh GROUP BY doc_id, j // ${Dedup.BAND_ROWS}),
+       |fcand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM fbands a JOIN fbands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |fmhp AS (
+       |  SELECT da, db
+       |  FROM fcand JOIN fkmh x ON x.doc_id = da JOIN fkmh y ON y.doc_id = db AND y.j = x.j
+       |  GROUP BY da, db
+       |  HAVING CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS DOUBLE) / ${Dedup.NUM_HASHES}.0 >= 0.7),
+       |fund1 AS (SELECT da AS v, db AS u FROM fmhp
+       |          UNION ALL SELECT db AS v, da AS u FROM fmhp),
+       |freach1 AS (
+       |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM fund1) n1
+       |  UNION
+       |  SELECT r.v, e1.u FROM freach1 r JOIN fund1 e1 ON e1.v = r.u),
+       |fmhdrop AS (
+       |  SELECT v AS doc_id FROM freach1 GROUP BY v HAVING min(u) <> v),
+       |fpool4 AS (SELECT * FROM fpool3
+       |           WHERE doc_id NOT IN (SELECT doc_id FROM fmhdrop)),
+       |${Similarity.semanticPairsSqlCteAt(FULL_TAU)},
+       |fsmp AS (
+       |  SELECT da, db FROM sempairs
+       |  WHERE da IN (SELECT doc_id FROM fpool4)
+       |    AND db IN (SELECT doc_id FROM fpool4)),
+       |fund2 AS (SELECT da AS v, db AS u FROM fsmp
+       |          UNION ALL SELECT db AS v, da AS u FROM fsmp),
+       |freach2 AS (
+       |  SELECT v, v AS u FROM (SELECT DISTINCT v FROM fund2) n2
+       |  UNION
+       |  SELECT r.v, e2.u FROM freach2 r JOIN fund2 e2 ON e2.v = r.u),
+       |fsemdrop AS (
+       |  SELECT v AS doc_id FROM freach2 GROUP BY v HAVING min(u) <> v),
+       |fpool5 AS (SELECT * FROM fpool4
+       |           WHERE doc_id NOT IN (SELECT doc_id FROM fsemdrop)),
+       |bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+       |${Dedup.shinglesCteOn("bdocs", "text", "fbtok", "fbsh")},
+       |fcontamdrop AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM fksh c JOIN fbsh b ON c.hs = b.hs
+       |  WHERE c.doc_id IN (SELECT doc_id FROM fpool5)
+       |  GROUP BY c.doc_id, b.doc_id
+       |  HAVING count(*) >= ${PipelineOps.CONTAM_MIN_SHINGLES}),
+       |fpool6 AS (SELECT * FROM fpool5
+       |           WHERE doc_id NOT IN (SELECT doc_id FROM fcontamdrop)),
+       |fmixkept AS (SELECT doc_id FROM fpool6 WHERE $mixH % 1000 < $mixPm),
+       |fpool7 AS (SELECT * FROM fpool6
+       |           WHERE doc_id IN (SELECT doc_id FROM fmixkept)),
+       |fpacked AS (
+       |  SELECT doc_id,
+       |    (CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |     - n_tokens) // ${PipelineOps.PACK_BUDGET} AS pack_id
+       |  FROM (SELECT doc_id, CAST(len($ktoks) AS BIGINT) AS n_tokens
+       |        FROM fpool7) t)
+       |SELECT doc_id, stage_dropped, pack_id FROM (
+       |  SELECT doc_id, 'c4' AS stage_dropped, CAST(NULL AS BIGINT) AS pack_id
+       |  FROM fc4r WHERE NOT keep
+       |  UNION ALL
+       |  SELECT p.doc_id, 'gopher', NULL FROM fpool1 p JOIN fgr g USING (doc_id)
+       |  WHERE NOT g.keep
+       |  UNION ALL
+       |  SELECT s.doc_id, 'quality', NULL FROM fscored s, fth WHERE s.q < fth.p25
+       |  UNION ALL
+       |  SELECT doc_id, 'minhash_dup', NULL FROM fmhdrop
+       |  UNION ALL
+       |  SELECT doc_id, 'semantic_dup', NULL FROM fsemdrop
+       |  UNION ALL
+       |  SELECT doc_id, 'contaminated', NULL FROM fcontamdrop
+       |  UNION ALL
+       |  SELECT doc_id, 'mix_out', NULL FROM fpool6
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM fmixkept)
+       |  UNION ALL
+       |  SELECT doc_id, 'kept', pack_id FROM fpacked) l
+       |ORDER BY doc_id""".stripMargin
+    materialize(raw, Seq("enr", "fc4m", "fc4r", "fpool1", "fgm", "fgr0",
+      "fgr", "fpool2", "fscored", "fth", "fpool3", "fktok", "fksh", "fkmh",
+      "fbands", "fcand", "fmhp", "fund1", "fmhdrop", "fpool4", "e", "n",
+      "scells", "sempairs", "fsmp", "fund2", "fsemdrop", "fpool5", "fbtok",
+      "fbsh", "fcontamdrop", "fpool6", "fmixkept", "fpool7", "fpacked"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_curation_e2e" -> ds_curation_e2e _,
-    "ds_curation_e2e_trained" -> ds_curation_e2e_trained _
+    "ds_curation_e2e_trained" -> ds_curation_e2e_trained _,
+    "ds_curation_full" -> ds_curation_full _
   )
 
   lazy val oracles: Map[String, String] = Map(
-    "ds_curation_e2e" -> dsCurationSql
+    "ds_curation_e2e" -> dsCurationSql,
+    "ds_curation_full" -> dsCurationFullSql
   )
 }

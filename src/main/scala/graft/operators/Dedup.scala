@@ -43,10 +43,16 @@ object Dedup {
     * text keys triple it for no semantic gain — a 60-bit space holds
     * trillions of distinct shingles below birthday-collision odds).
     * Docs with <3 tokens produce no shingles (mirrored in oracle SQL). */
-  private[operators] def shingles(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(s, Tables.documents(s, dir))
+
+  /** Shingles of an arbitrary (doc_id, text) frame — the full-rule
+    * curation oracle shingles the C4-cleaned `kept_text` of its pool,
+    * not the raw corpus. */
+  private[operators] def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", toks($"text").as("t"))
       .filter(size($"t") >= 3)
       .select($"doc_id", explode(array_distinct(
@@ -56,12 +62,19 @@ object Dedup {
               element_at($"t", i + 2)))))).as("hs"))
   }
 
-  private[operators] val shinglesSqlCte =
-    """tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-      |        FROM documents WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-      |         i -> CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS UBIGINT)::BIGINT))) AS hs
-      |       FROM tok)""".stripMargin
+  private[operators] val shinglesSqlCte: String =
+    shinglesCteOn("documents", "text", "tok", "sh")
+
+  /** The same shingle chain over relation `rel`'s `textCol`, emitted
+    * under caller-chosen CTE names so two shingle sets (pool kept_text
+    * vs benchmark raw text) compose in one oracle. */
+  private[operators] def shinglesCteOn(rel: String, textCol: String,
+      tokName: String, shName: String): String =
+    s"""$tokName AS (SELECT doc_id, regexp_split_to_array(trim(lower($textCol)), '\\s+') AS t
+       |        FROM $rel WHERE len(regexp_split_to_array(trim(lower($textCol)), '\\s+')) >= 3),
+       |$shName AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+       |         i -> CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS UBIGINT)::BIGINT))) AS hs
+       |       FROM $tokName)""".stripMargin
 
   /** 60-bit integer hash of a string via md5 prefix (identical in
     * DuckDB). Served by the native codegen expression `graft_h60`
@@ -162,14 +175,17 @@ object Dedup {
     * shingle rows, map-side combinable) instead of a 32× row explosion —
     * the shuffle carries one 32-long partial state per doc per partition.
     * Unpivoted to (doc_id, j, mh) for the band/verify joins. */
-  private def minhashes(s: SparkSession, dir: String): DataFrame = {
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    minhashesOf(s, shingles(s, dir))
+
+  private def minhashesOf(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
     val aggs = (0 until NUM_HASHES).map { j =>
       val a = ((j + 1) * 2654435761L) % P
       val b = ((j + 1) * 40503L + 17L) % P
       min((lit(a) * $"hm" + lit(b)) % P).as(s"mh$j")
     }
-    val wide = shingles(s, dir)
+    val wide = sh
       .withColumn("hm", $"hs" % P)
       .groupBy($"doc_id")
       .agg(aggs.head, aggs.tail: _*)
@@ -178,11 +194,16 @@ object Dedup {
       .select($"doc_id", $"pos".cast("int").as("j"), $"col".as("mh"))
   }
 
-  private[operators] val minhashSqlCte =
-    s"""mh AS (
+  private[operators] val minhashSqlCte: String = minhashCteOn("sh", "mh")
+
+  /** The minhash signature CTE over shingle relation `shName`, emitted
+    * as `mhName` — parameterized for the full-rule curation oracle's
+    * pool-restricted kept_text signatures. */
+  private[operators] def minhashCteOn(shName: String, mhName: String): String =
+    s"""$mhName AS (
        |  SELECT doc_id, j,
        |    min((((j + 1) * 2654435761 % ${P}) * hm + ((j + 1) * 40503 + 17) % ${P}) % ${P}) AS mh
-       |  FROM (SELECT doc_id, hs % ${P} AS hm FROM sh) q,
+       |  FROM (SELECT doc_id, hs % ${P} AS hm FROM $shName) q,
        |       (SELECT unnest(range(0, ${NUM_HASHES})) AS j) js
        |  GROUP BY doc_id, j)""".stripMargin
 
@@ -190,9 +211,16 @@ object Dedup {
     * generate candidates; estimated Jaccard = matching-minhash fraction
     * computed by comparing the two signature ARRAYS elementwise
     * (zip_with) — no per-hash re-join; emit pairs with estimate ≥ 0.7. */
-  def dd_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+  def dd_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, Tables.documents(s, dir))
+
+  /** MinHash+LSH near-dup pairs of an arbitrary (doc_id, text) frame —
+    * the banded candidate generation + signature-array verify of
+    * [[dd_minhash_lsh]], reusable over the full-rule curation
+    * pipeline's pool-restricted kept_text. */
+  private[operators] def minhashPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val sigArr = minhashes(s, dir)
+    val sigArr = minhashesOf(s, shinglesOf(s, docs))
       .groupBy($"doc_id")
       .agg(transform(array_sort(collect_list(struct($"j", $"mh"))),
         x => x.getField("mh")).as("sig"))

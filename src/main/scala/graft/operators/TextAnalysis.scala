@@ -49,14 +49,18 @@ object TextAnalysis {
         when(nChar > 0, (nPunct / nChar) * lit(10.0)).otherwise(lit(0.0))))
   }
 
-  /** The same score as DuckDB SQL over a `text` column (oracle twin). */
-  private[operators] val qualityScoreSql: String = {
-    val t = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  /** The same score as DuckDB SQL over a `text` column (oracle twin).
+    * The `(textCol)` form scores the full-rule curation oracle's
+    * C4-cleaned `kept_text`. */
+  private[operators] val qualityScoreSql: String = qualityScoreSqlOn("text")
+
+  private[operators] def qualityScoreSqlOn(textCol: String): String = {
+    val t = s"regexp_split_to_array(trim(lower($textCol)), '\\s+')"
     val stops = enStops.map(w => s"'$w'").mkString(", ")
     s"""0.4 * least(1.0, CAST(len($t) AS DOUBLE) / 60.0)
        |  + 0.3 * least(1.0, (CAST(len(list_filter($t, x -> x IN ($stops))) AS DOUBLE) / len($t)) * 5.0)
-       |  + 0.3 * (1.0 - least(1.0, CASE WHEN length(text) > 0
-       |      THEN (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)) * 10.0
+       |  + 0.3 * (1.0 - least(1.0, CASE WHEN length($textCol) > 0
+       |      THEN (CAST(length(regexp_replace($textCol, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length($textCol)) * 10.0
        |      ELSE 0.0 END))""".stripMargin
   }
 
@@ -372,15 +376,49 @@ object TextAnalysis {
   def ta_c4_rules(s: SparkSession, dir: String): DataFrame =
     c4Rules(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  /** The C4 line-retention lambda (DuckDB) — ONE definition shared by
+    * [[c4SqlCte]] and the full-rule curation oracle
+    * ([[Curation.dsCurationFullSql]]). */
+  private[operators] val c4KeepLineSql: String =
+    """l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+      OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+      AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> len(x) > 0)) >= 5
+      AND NOT contains(lower(l), 'javascript')""".replaceAll("\n\\s*", " ")
+
+  private[operators] val c4BlocklistSql: String =
+    Seq("viagra", "casino", "xxx").map(w => s"'$w'").mkString(", ")
+
+  /** Compact C4 chain over relation `rel` (which must carry doc_id,
+    * source, text): `${p}c4r` = (doc_id, source, kept_text, keep) with
+    * the FULL page conjunction — the full-rule curation oracle's stage
+    * 1, kept_text feeding every later stage. */
+  private[operators] def c4FullCteOn(rel: String, p: String): String =
+    s"""${p}c4m AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(regexp_split_to_array(text, '\\n'), $c4KeepLineSql) AS kept
+       |  FROM $rel),
+       |${p}c4r AS (
+       |  SELECT doc_id, source, kept_text,
+       |    (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+       |      AND NOT has_blockword) AS keep
+       |  FROM (
+       |  SELECT doc_id, source,
+       |    coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+       |    CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+       |      - length(regexp_replace(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
+       |    len(list_intersect(list_distinct(list_filter(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)),
+       |      [$c4BlocklistSql])) > 0 AS has_blockword
+       |  FROM ${p}c4m) t)""".stripMargin
+
   /** CTE chain (c4m, c4r) — c4r carries every C4 stat plus the `keep`
     * verdict; ONE SQL definition shared by [[taC4Sql]] and the
     * curation-pipeline oracle ([[Curation.dsCurationSql]]). */
   val c4SqlCte: String = {
-    val block = Seq("viagra", "casino", "xxx").map(w => s"'$w'").mkString(", ")
-    val keepLine = """l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
-      OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
-      AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> len(x) > 0)) >= 5
-      AND NOT contains(lower(l), 'javascript')""".replaceAll("\n\\s*", " ")
+    val block = c4BlocklistSql
+    val keepLine = c4KeepLineSql
     s"""c4m AS (
        |  SELECT doc_id, text,
        |    regexp_split_to_array(text, '\\n') AS ls,
@@ -417,25 +455,31 @@ object TextAnalysis {
 
   /** CTE chain (gm, gr) — gr carries every Gopher stat, the per-rule
     * verdicts, and the `keep` conjunction; ONE SQL definition shared by
-    * [[taGopherSql]] and the curation-pipeline oracle. */
-  val gopherSqlCte: String = {
-    val t = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+    * [[taGopherSql]] and the curation-pipeline oracle. The `(rel,
+    * textCol, p)` form lets the full-rule curation oracle score the
+    * C4-cleaned `kept_text` of its pool relation under prefixed names. */
+  val gopherSqlCte: String = gopherCteOn("documents", "text", "")
+
+  private[operators] def gopherCteOn(rel: String, textCol: String,
+      p: String): String = {
+    val text = textCol
+    val t = s"list_filter(regexp_split_to_array(trim(lower($text)), '\\s+'), x -> len(x) > 0)"
     val stops = gopherStops.map(w => s"'$w'").mkString(", ")
-    s"""gm AS (
+    s"""${p}gm AS (
        |  SELECT doc_id,
        |    CAST(len($t) AS BIGINT) AS n_words,
        |    CAST(coalesce(list_sum(list_transform($t, x -> length(x))), 0) AS BIGINT) AS sum_len,
-       |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) AS n_hash,
-       |    CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS BIGINT) AS n_ell,
-       |    CAST(len(regexp_split_to_array(text, '\\n')) AS DOUBLE) AS n_lines,
-       |    CAST(len(list_filter(regexp_split_to_array(text, '\\n'),
+       |    CAST(length($text) - length(regexp_replace($text, '#', '', 'g')) AS BIGINT) AS n_hash,
+       |    CAST((length($text) - length(regexp_replace($text, '\\.\\.\\.', '', 'g'))) // 3 AS BIGINT) AS n_ell,
+       |    CAST(len(regexp_split_to_array($text, '\\n')) AS DOUBLE) AS n_lines,
+       |    CAST(len(list_filter(regexp_split_to_array($text, '\\n'),
        |      l -> regexp_matches(l, '^[ \\t]*[-*•]'))) AS DOUBLE) AS n_bullet,
-       |    CAST(len(list_filter(regexp_split_to_array(text, '\\n'),
+       |    CAST(len(list_filter(regexp_split_to_array($text, '\\n'),
        |      l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE) AS n_ell_line,
        |    CAST(len(list_filter($t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
        |    CAST(len(list_intersect(list_distinct($t), [$stops])) AS BIGINT) AS n_stop_hits
-       |  FROM documents),
-       |gr0 AS (
+       |  FROM $rel),
+       |${p}gr0 AS (
        |  SELECT doc_id, n_words,
        |    CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
        |    CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS symbol_word_ratio,
@@ -443,8 +487,8 @@ object TextAnalysis {
        |    n_ell_line / n_lines AS ellipsis_line_frac,
        |    CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS alpha_word_frac,
        |    n_stop_hits
-       |  FROM gm),
-       |gr AS (
+       |  FROM ${p}gm),
+       |${p}gr AS (
        |  SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
        |    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
        |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
@@ -461,7 +505,7 @@ object TextAnalysis {
        |      AND (ellipsis_line_frac <= 0.3)
        |      AND (alpha_word_frac >= 0.8)
        |      AND (n_stop_hits >= 2)) AS keep
-       |  FROM gr0)""".stripMargin
+       |  FROM ${p}gr0)""".stripMargin
   }
 
   val taGopherSql: String = {

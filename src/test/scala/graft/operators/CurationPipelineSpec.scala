@@ -73,6 +73,32 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(survivorsPerCluster <= 1L)
   }
 
+  test("ds_curation_full: every full-rule stage discriminates and the ledger partitions the corpus") {
+    import org.apache.spark.sql.functions._
+    val led = Curation.ds_curation_full(spark, sf).cache()
+    val total = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 20).count()
+    // partition: every corpus doc exactly once
+    assert(led.count() === total)
+    assert(led.select(col("doc_id")).distinct().count() === total)
+    // all 8 stages live (the gate itself throws if any is dark; the
+    // spec pins the property so a corpus regeneration that silences a
+    // stage fails HERE too, with the counts visible)
+    val counts = led.groupBy(col("stage_dropped")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("c4", "gopher", "quality", "minhash_dup", "semantic_dup",
+      "contaminated", "mix_out", "kept").foreach { st =>
+      assert(counts.getOrElse(st, 0L) > 0L, s"stage $st dark: $counts")
+      assert(counts(st) < total, s"stage $st dropped everything: $counts")
+    }
+    // kept docs carry a pack id, dropped docs never do
+    assert(led.filter(col("stage_dropped") === "kept" &&
+      col("pack_id").isNull).count() === 0L)
+    assert(led.filter(col("stage_dropped") =!= "kept" &&
+      col("pack_id").isNotNull).count() === 0L)
+    led.unpersist()
+  }
+
   test("spanDedup: corpus-duplicated blocks vanish from every carrier, unique blocks survive in order") {
     // blocks are 2 tokens; "dup dup" appears in docs 1 AND 2 (df=2 →
     // removed from BOTH); every other block is unique and must survive
