@@ -104,8 +104,11 @@ object Stats {
       // no extra aggregation pass over the cumulative relation
       val ns: Map[String, Long] =
         totals.map { case (k, n) => k.head.asInstanceOf[String] -> n }
+      // a column absent from the totals has no non-null rows (empty or
+      // all-null relation — ADVICE r16): no order statistic exists, so
+      // no bracket is emitted and its percentiles default to NaN below
       val brackets: Seq[(String, Int, Long, Long, Double)] = for {
-        c <- cols
+        c <- cols if ns.contains(c)
         (p, i) <- probs.zipWithIndex
       } yield {
         val pos = p * (ns(c) - 1) // 0-based fractional order statistic
@@ -132,7 +135,8 @@ object Stats {
       }.toMap
       val distinct = cum.groupBy(col("cname")).agg(count(lit(1)).as("nd"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      (cols.map(c => c -> probs.indices.map(i => res((c, i))).toSeq).toMap,
+      (cols.map(c => c -> probs.indices.map(i =>
+        res.getOrElse((c, i), Double.NaN)).toSeq).toMap,
         cols.map(c => c -> distinct.getOrElse(c, 0L)).toMap)
     } finally cum.unpersist()
   }
@@ -196,6 +200,17 @@ object Stats {
         val (pctsByCol, _) = percentilesAndDistinctFromCounts(
           all.filter(ok), cols, allProbs)
         return cols.map { c =>
+          // empty or all-null relation → zero groups (or only null
+          // groups) in the stacked counts (ADVICE r16: the pre-r16 agg
+          // path returned a null row here and degraded; the single-scan
+          // path must not throw on a lookup miss or a null unboxing) —
+          // surface the degenerate stats explicitly
+          if (!statRows.contains(c) || statRows(c).getAs[Long]("n") == 0L) {
+            val nan = Double.NaN
+            val miss = statRows.get(c).map(_.getAs[Long]("missing")).getOrElse(0L)
+            NumericStats(c, nan, nan, nan, nan, nan, nan, nan, miss, 0L,
+              allProbs.tail.map(_ => nan))
+          } else {
           val r = statRows(c)
           val n = r.getAs[Long]("n")
           val mean = r.getAs[Double]("sm") / n
@@ -205,6 +220,7 @@ object Stats {
             r.getAs[Double]("mxa"), mean, pcts.head, variance,
             math.sqrt(variance), r.getAs[Long]("missing"),
             r.getAs[Long]("nd"), pcts.tail.toSeq)
+          }
         }
       } finally all.unpersist()
     }

@@ -179,13 +179,42 @@ object Curation {
     Stage14(base, scored, p25, pool3, mhDrop)
   }
 
+  /** The vec_id == doc_id join convention, ASSERTED (ADVICE r16): every
+    * embedding id must BE a document id (subset, not equality — at
+    * sf0.1 the driver ships 2 000 embeddings against 5 000 docs, so the
+    * semantic stage covers the embedded prefix by design). An id-scheme
+    * drift (embeddings renumbered 0..n-1 against sparse doc_ids) would
+    * otherwise silently restrict/drop the WRONG documents, and both
+    * engines share the assumption, so no hash-exact twin can catch it.
+    * One vocabulary-sized anti-join count. */
+  private def assertVecDocAligned(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val orphanVecs = Similarity.emb(s, dir).select($"vec_id".as("doc_id"))
+      .join(Tables.documents(s, dir).select($"doc_id"), Seq("doc_id"),
+        "left_anti").count()
+    if (orphanVecs > 0L)
+      throw new IllegalStateException(
+        s"curation semantic stage: $orphanVecs embedding vec_ids are not " +
+          "document doc_ids — the vec_id == doc_id join convention is broken")
+  }
+
   private def ledger(s: SparkSession, dir: String,
       semPairsAll: DataFrame): DataFrame = {
     import s.implicits._
     val Stage14(base, scored, p25, pool3, mhDrop) = stage14(s, dir)
     val pool4 = pool3.join(mhDrop, Seq("doc_id"), "left_anti")
 
-    // stage 5: semantic duplicate clusters (vec_id ↔ doc_id)
+    // stage 5: semantic duplicate clusters. The pair set is keyed by
+    // vec_id and joined on doc_id — valid only under the testdata
+    // convention vec_id == doc_id. That convention is ASSERTED, not
+    // assumed (ADVICE r16): every embedding id must BE a document id
+    // (subset, not equality — at sf0.1 the driver ships 2 000
+    // embeddings against 5 000 docs, so the semantic stage covers the
+    // embedded prefix by design). An id-scheme drift (e.g. embeddings
+    // renumbered 0..n-1 against sparse doc_ids) would otherwise
+    // silently restrict/drop the WRONG documents — and both engines
+    // share the assumption, so the hash-exact twin cannot catch it.
+    assertVecDocAligned(s, dir)
     val ids4 = pool4.select($"doc_id")
     val semPairs = semPairsAll
       .join(ids4.select($"doc_id".as("da")), "da")
@@ -470,6 +499,7 @@ object Curation {
       .filter($"id" =!= $"comp").select($"id".as("doc_id")).localCheckpoint()
     val pool4 = pool3.join(mhDrop, Seq("doc_id"), "left_anti")
     // stage 5: semantic dedup at FULL_TAU, endpoint-filtered to the pool
+    assertVecDocAligned(s, dir)
     val ids4 = pool4.select($"doc_id")
     val semPairs = Similarity.semanticPairsLcg(s, dir, FULL_TAU)
       .join(ids4.select($"doc_id".as("da")), "da")

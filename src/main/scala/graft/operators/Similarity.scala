@@ -46,7 +46,7 @@ object Similarity {
     * the trained-quantizer and PQ paths adapt to any dim. */
   private val checkedDims = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private def emb(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val df = Tables.embeddings(s, dir)

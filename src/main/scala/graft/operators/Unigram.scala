@@ -169,6 +169,16 @@ object Unigram {
       .head(math.max(0, seedSize - chars.length))
       .map(r => (r.getString(0), r.getLong(1)))
     val seedMass = (chars ++ multis).map(_._2).sum.toDouble
+    // Residual cross-engine risk (ADVICE r16): the floor quantization
+    // removes libm sensitivity only AWAY from integer boundaries — a
+    // 1-ulp ln() difference between the JVM and DuckDB flips the floor
+    // exactly when log(c/mass)·1e6 lands on an integer, giving an
+    // off-by-one micro-nat vocab score and a spurious hash mismatch.
+    // The window is ~1 ulp wide per piece (≈10⁻¹⁰ relative), has never
+    // reproduced across either engine pair here, and a deterministic
+    // integer-only log would cost a rational-arithmetic ladder per
+    // piece; if a mismatch ever reproduces, derive logq by comparing
+    // c·2^k against mass thresholds in exact BigInt instead.
     (chars ++ multis).map { case (t, c) =>
       t -> math.floor(math.log(c.toDouble / seedMass) * 1e6).toLong
     }.toMap

@@ -195,4 +195,18 @@ class PreprocessSpec extends AnyFunSuite {
     val scored = loaded.transform(Seq((Some("a"), Some(1.5), 0.0)).toDF("c", "x", "y"))
     assert(scored.columns.contains("prediction") && scored.count() == 1)
   }
+
+  test("analyzeNumeric degrades on empty and all-null relations (ADVICE r16)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", DoubleType, nullable = true)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val se = Stats.analyzeNumeric(empty, Seq("x")).head
+    assert(se.missing == 0L && se.distinct == 0L && se.mean.isNaN)
+    val allNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(null), org.apache.spark.sql.Row(null))), schema)
+    val sn = Stats.analyzeNumeric(allNull, Seq("x")).head
+    assert(sn.missing == 2L && sn.distinct == 0L && sn.mean.isNaN)
+  }
 }
