@@ -47,36 +47,18 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
 object NearestCentroid {
   /** Static codegen target. Null on: empty centroid list, null element
     * anywhere, or a centroid whose length mismatches `v` — the same
-    * strict null propagation as the VectorFold primitives. */
+    * strict null propagation as the VectorFold primitives. Since r17
+    * the per-row work runs on the thread-memoized [[CentroidIndex]]:
+    * primitive extraction once per task, and for k ≥ 64 exact
+    * branch-and-bound group pruning — O((√k + scanned)·d) per row
+    * instead of O(k·d), identical results (argmin, lowest-index ties,
+    * null contract). */
   def assign(v: ArrayData, cents: ArrayData): java.lang.Long = {
-    val k = cents.numElements()
-    if (k == 0) return null
-    val dim = v.numElements()
-    var best = Double.PositiveInfinity
-    var bestK = -1L
-    var c = 0
-    while (c < k) {
-      if (cents.isNullAt(c)) return null
-      val cent = cents.getArray(c)
-      if (cent.numElements() != dim) return null
-      var s = 0.0
-      var i = 0
-      while (i < dim && s < best) {
-        if (v.isNullAt(i) || cent.isNullAt(i)) return null
-        val d = v.getDouble(i) - cent.getDouble(i)
-        s += d * d
-        i += 1
-      }
-      // finish the null scan even after early exit so null semantics
-      // don't depend on the running minimum
-      while (i < dim) {
-        if (v.isNullAt(i) || cent.isNullAt(i)) return null
-        i += 1
-      }
-      if (s < best) { best = s; bestK = c }
-      c += 1
-    }
-    java.lang.Long.valueOf(bestK)
+    val idx = CentroidIndex.forCentroids(cents)
+    if (!idx.valid) return null
+    val vv = CentroidIndex.extract(v, idx.dim)
+    if (vv == null) return null
+    java.lang.Long.valueOf(idx.assign(vv))
   }
 }
 
@@ -126,39 +108,19 @@ case class HaloCells(first: Expression, second: Expression, third: Expression)
 
 object HaloCells {
   /** Static codegen target. Null propagation identical to
-    * [[NearestCentroid.assign]]; additionally null for eps < 0. */
+    * [[NearestCentroid.assign]]; additionally null for eps < 0.
+    * r17: runs on the thread-memoized [[CentroidIndex]] — the exact
+    * owner distance and the ≤-cut membership sweep both group-prune
+    * for k ≥ 64 (a group whose lower bound exceeds the cut cannot
+    * contribute a halo cell — triangle inequality), output still the
+    * ascending cell list. */
   def halo(v: ArrayData, cents: ArrayData, eps: Double): ArrayData = {
-    val k = cents.numElements()
-    if (k == 0 || eps < 0 || java.lang.Double.isNaN(eps)) return null
-    val dim = v.numElements()
-    val d2 = new Array[Double](k)
-    var best = Double.PositiveInfinity
-    var c = 0
-    while (c < k) {
-      if (cents.isNullAt(c)) return null
-      val cent = cents.getArray(c)
-      if (cent.numElements() != dim) return null
-      var s = 0.0
-      var i = 0
-      while (i < dim) {
-        if (v.isNullAt(i) || cent.isNullAt(i)) return null
-        val d = v.getDouble(i) - cent.getDouble(i)
-        s += d * d
-        i += 1
-      }
-      d2(c) = s
-      if (s < best) best = s
-      c += 1
-    }
-    val cutRoot = math.sqrt(best) + 2.0 * eps
-    val cut = cutRoot * cutRoot
-    var n = 0
-    c = 0
-    while (c < k) { if (d2(c) <= cut) n += 1; c += 1 }
-    val out = new Array[Long](n)
-    var o = 0
-    c = 0
-    while (c < k) { if (d2(c) <= cut) { out(o) = c.toLong; o += 1 }; c += 1 }
-    new GenericArrayData(out)
+    if (eps < 0 || java.lang.Double.isNaN(eps)) return null
+    val idx = CentroidIndex.forCentroids(cents)
+    if (!idx.valid) return null
+    val vv = CentroidIndex.extract(v, idx.dim)
+    if (vv == null) return null
+    val cutRoot = math.sqrt(idx.minDist2(vv)) + 2.0 * eps
+    new GenericArrayData(idx.halo(vv, cutRoot * cutRoot))
   }
 }

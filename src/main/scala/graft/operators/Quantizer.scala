@@ -208,17 +208,69 @@ object KMeansQuantizer {
     s
   }
 
-  /** Farthest-first init (deterministic 2-approx k-center spread) +
-    * Lloyd's iterations with lowest-id tie-breaks; an emptied cell is
-    * reseeded to the point farthest from its own centroid. O(k·n·d)
-    * init + O(iter·k·n·d) refinement — bounded because n is the
+  /** Deterministic local k-means: Lloyd's iterations from TWO inits —
+    * sample-strided (every (n/k)-th point of the sorted sample, the
+    * quantile-spread seeding that tracks data MASS) and farthest-first
+    * (2-approx k-center spread that covers isolated modes) — keeping
+    * the lower-inertia result. Farthest-first alone anchored centroids
+    * at outliers on the concentrated 64-dim gate embeddings and
+    * produced a lopsided split (trained kNN co-cell recall 0.68 vs the
+    * spec's 0.9 floor); strided alone can miss a small isolated
+    * cluster. Lowest-id tie-breaks; an emptied cell is reseeded to the
+    * point farthest from its own centroid. O(k·n·d) init +
+    * O(iter·k·n·d) refinement per init — bounded because n is the
     * bounded fit sample, never the corpus. */
   private def localLloyd(pts: Array[Array[Double]], k: Int,
       maxIter: Int): Array[Array[Double]] = {
+    val strided = Array.tabulate(k)(c => pts((c.toLong * pts.length / k).toInt).clone())
+    val inits = Seq(strided, farthestFirst(pts, k),
+      kppInit(pts, k, 42L), kppInit(pts, k, 4242L))
+    inits.map(lloydFrom(pts, _, maxIter)).minBy(_._2)._1
+  }
+
+  /** k-means++ D²-weighted seeding (Arthur & Vassilvitskii 2007) under
+    * `java.util.Random(seed)` — the JDK generator's algorithm is
+    * spec-fixed, so the init (and hence the whole fit) is bit-stable
+    * across JVMs given the sorted sample. */
+  private def kppInit(pts: Array[Array[Double]], k: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
     val n = pts.length
-    val d = pts(0).length
-    // farthest-first: start at the lexicographic minimum, then greedily
-    // add the point with the largest distance to its nearest center
+    val centers = new Array[Array[Double]](k)
+    centers(0) = pts(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = sq(pts(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        total += minD(i)
+        i += 1
+      }
+      var pick = 0
+      if (total > 0) {
+        val target = rng.nextDouble() * total
+        var acc = 0.0
+        i = 0
+        var found = -1
+        while (i < n && found < 0) {
+          acc += minD(i)
+          if (acc >= target) found = i
+          i += 1
+        }
+        pick = if (found >= 0) found else n - 1
+      }
+      centers(c) = pts(pick).clone()
+      c += 1
+    }
+    centers
+  }
+
+  /** Farthest-first traversal from the lexicographic minimum. */
+  private def farthestFirst(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val n = pts.length
     val centers = new Array[Array[Double]](k)
     centers(0) = pts(0).clone()
     val minD = Array.fill(n)(Double.MaxValue)
@@ -234,6 +286,16 @@ object KMeansQuantizer {
       centers(c) = pts(best).clone()
       c += 1
     }
+    centers
+  }
+
+  /** Lloyd's from the given init; returns (centers, inertia). */
+  private def lloydFrom(pts: Array[Array[Double]], init: Array[Array[Double]],
+      maxIter: Int): (Array[Array[Double]], Double) = {
+    val n = pts.length
+    val d = pts(0).length
+    val k = init.length
+    val centers = init.map(_.clone())
     val assign = new Array[Int](n)
     java.util.Arrays.fill(assign, -1)
     var iter = 0
@@ -281,7 +343,10 @@ object KMeansQuantizer {
       }
       iter += 1
     }
-    centers
+    var inertia = 0.0
+    var i = 0
+    while (i < n) { inertia += sq(pts(i), centers(assign(i))); i += 1 }
+    (centers, inertia)
   }
 
   /** k sized from the corpus: rows / targetCellRows, clamped to

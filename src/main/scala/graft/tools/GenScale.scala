@@ -61,6 +61,22 @@ object GenScale {
 
   private val ID_STRIDE = 1000000000L
 
+  /** Replica stride for a table whose keys reach `maxId`: the fixed
+    * 10^9 while keys fit under it, else the next power of ten. A fixed
+    * stride COLLIDED under repeated application (r17 find): applying
+    * GenScale twice put replica (r1, r2) at id + (r1+r2)·10^9, so all
+    * (r1, r2) pairs with equal sum mapped the same base id to the SAME
+    * output id — up to 10 duplicate doc_id/vec_id rows per id in the
+    * 100× corpus, which quadratically inflated any id-keyed pair or CC
+    * structure measured on it. Adaptive stride keeps the first
+    * application byte-identical (ids < 10^9) and makes every further
+    * decade collision-free. */
+  private def strideFor(maxId: Long): Long = {
+    var s = ID_STRIDE
+    while (s <= maxId) s *= 10
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir, kStr) = args
     val k = kStr.toInt
@@ -76,9 +92,33 @@ object GenScale {
     // documents: regexp_replace needs a literal replacement string, so
     // each replica is its own no-shuffle scan+map branch, unioned — K is
     // tiny (≤10) and union of maps stays one stage.
+    // ONE stride across every table: cross-table key conventions
+    // (vec_id == doc_id, o_custkey == c_custkey, lineitem FKs) survive
+    // replication only when every id family offsets identically.
+    val allMaxima = scala.collection.mutable.ArrayBuffer.empty[Long]
+    allMaxima += spark.read.parquet(s"$srcDir/documents.parquet")
+      .agg(max($"doc_id")).head.getLong(0)
+    allMaxima += spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .agg(max($"vec_id")).head.getLong(0)
+    if (new java.io.File(s"$srcDir/events.parquet").exists())
+      allMaxima += graft.Tables.eventsRaw(spark, srcDir)
+        .agg(greatest(max($"user_id"), max($"event_id"))).head.getLong(0)
+    val tpchKeys = Map(
+      "customer" -> Seq("c_custkey"),
+      "orders"   -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "part"     -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey"))
+    for ((table, keys) <- tpchKeys
+         if new java.io.File(s"$srcDir/$table.parquet").exists())
+      allMaxima += spark.read.parquet(s"$srcDir/$table.parquet")
+        .agg(keys.map(k2 => max(col(k2))).reduce(greatest(_, _)))
+        .head.getLong(0)
+    val stride = strideFor(allMaxima.max)
+
     (0 until k).map { r =>
       val base = spark.read.parquet(s"$srcDir/documents.parquet")
-        .withColumn("doc_id", $"doc_id" + lit(r.toLong * ID_STRIDE))
+        .withColumn("doc_id", $"doc_id" + lit(r.toLong * stride))
       if (r == 0) base
       else base.withColumn("text", regexp_replace($"text", "(\\S+)", s"$$1_r$r"))
     }.reduce(_ unionAll _)
@@ -104,7 +144,7 @@ object GenScale {
     }
     val replicas = (0 until k).toDF("replica")
     srcEmb.crossJoin(broadcast(replicas))
-      .withColumn("vec_id", $"vec_id" + $"replica" * ID_STRIDE)
+      .withColumn("vec_id", $"vec_id" + $"replica" * stride)
       .withColumn("embedding", rotate($"embedding", $"replica"))
       .drop("replica")
       .write.mode(SaveMode.Overwrite).parquet(s"$destDir/embeddings.parquet")
@@ -119,8 +159,8 @@ object GenScale {
     // Tables.eventsRaw so both historical ts encodings normalize.
     if (new java.io.File(s"$srcDir/events.parquet").exists()) {
       graft.Tables.eventsRaw(spark, srcDir).crossJoin(broadcast(replicas))
-        .withColumn("user_id", $"user_id" + $"replica" * ID_STRIDE)
-        .withColumn("event_id", $"event_id" + $"replica" * ID_STRIDE)
+        .withColumn("user_id", $"user_id" + $"replica" * stride)
+        .withColumn("event_id", $"event_id" + $"replica" * stride)
         .drop("replica")
         .write.mode(SaveMode.Overwrite).parquet(s"$destDir/events.parquet")
     }
@@ -131,18 +171,11 @@ object GenScale {
     // holds within each replica and join fan-outs scale linearly.
     // nation/region are fixed vocabularies (like a real deployment) and
     // copy through unchanged.
-    val keyCols = Map(
-      "customer" -> Seq("c_custkey"),
-      "orders"   -> Seq("o_orderkey", "o_custkey"),
-      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-      "part"     -> Seq("p_partkey"),
-      "supplier" -> Seq("s_suppkey"))
-    for ((table, keys) <- keyCols
+    for ((table, keys) <- tpchKeys
          if new java.io.File(s"$srcDir/$table.parquet").exists()) {
-      keys.foldLeft(
-        spark.read.parquet(s"$srcDir/$table.parquet")
-          .crossJoin(broadcast(replicas))) { (df, k) =>
-        df.withColumn(k, col(k) + $"replica" * ID_STRIDE)
+      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      keys.foldLeft(src.crossJoin(broadcast(replicas))) { (df, k) =>
+        df.withColumn(k, col(k) + $"replica" * stride)
       }.drop("replica")
         .write.mode(SaveMode.Overwrite).parquet(s"$destDir/$table.parquet")
     }
