@@ -266,22 +266,40 @@ private[functions] object CentroidIndex {
     s
   }
 
-  // per-thread one-slot memo keyed on the literal's identity: the
+  // per-thread SMALL memo keyed on the literal's identity: the
   // centroid operand is constant-folded, so within a task every row
-  // passes the SAME ArrayData instance; a second distinct literal in
-  // the same thread (two quantizers in one stage) would thrash — the
-  // engine never does that, and thrashing is only a slowdown, never a
-  // wrong result
-  private val slot = new ThreadLocal[(ArrayData, CentroidIndex)]
+  // passes the SAME ArrayData instance per expression — but one
+  // projection can carry SEVERAL such expressions (assignedCells
+  // evaluates graft_cell AND graft_halo_cells per row, each with its
+  // own literal object), so a one-slot cache would rebuild the index
+  // on EVERY row (measured: the 100× DBSCAN decade went from 113 s to
+  // >16 min on exactly that thrash). Four slots with move-to-front
+  // cover any realistic expression mix; a miss is only a slowdown,
+  // never a wrong result.
+  private val SLOTS = 4
+  private val slot = new ThreadLocal[Array[(ArrayData, CentroidIndex)]] {
+    override def initialValue(): Array[(ArrayData, CentroidIndex)] =
+      new Array[(ArrayData, CentroidIndex)](SLOTS)
+  }
 
   def forCentroids(cents: ArrayData): CentroidIndex = {
-    val cached = slot.get()
-    if (cached != null && (cached._1 eq cents)) cached._2
-    else {
-      val idx = new CentroidIndex(cents)
-      slot.set((cents, idx))
-      idx
+    val s = slot.get()
+    var i = 0
+    while (i < SLOTS) {
+      val e = s(i)
+      if (e != null && (e._1 eq cents)) {
+        if (i != 0) { // move-to-front so the hot pair stays cheap
+          System.arraycopy(s, 0, s, 1, i)
+          s(0) = e
+        }
+        return e._2
+      }
+      i += 1
     }
+    val idx = new CentroidIndex(cents)
+    System.arraycopy(s, 0, s, 1, SLOTS - 1)
+    s(0) = (cents, idx)
+    idx
   }
 
   /** v extracted to primitives; null when v has nulls or wrong length. */
