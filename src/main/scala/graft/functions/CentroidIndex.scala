@@ -248,8 +248,11 @@ private[functions] final class CentroidIndex(cents: ArrayData) {
 }
 
 private[functions] object CentroidIndex {
-  /** Below this k the flat primitive scan wins (group overhead ≥ k·d). */
-  val GROUP_THRESHOLD = 64
+  /** Below this k the flat primitive scan wins (group overhead ≥ k·d —
+    * and the build cost matters on a cache miss: PQ codebooks are
+    * k=64 × d=4, where grouping buys nothing and the mini-k-means
+    * build costs more than it saves). */
+  val GROUP_THRESHOLD = 128
 
   private def sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

@@ -38,11 +38,11 @@ class QuantizerSpec extends AnyFunSuite {
   }
 
   test("graft_cell / graft_halo_cells above the group threshold equal the flat forms (BB pruning exact)") {
-    // 96 centroids > CentroidIndex.GROUP_THRESHOLD (64): assignment and
+    // 160 centroids > CentroidIndex.GROUP_THRESHOLD (128): assignment and
     // halo run the branch-and-bound group path — results must be
     // IDENTICAL to the composable flat argmin / threshold sweep,
     // including lowest-index ties
-    val cents = (0 until 96).map { c =>
+    val cents = (0 until 160).map { c =>
       (0 until 64).map { i =>
         ((1103515245L * (c * 64 + i) + 12345L) % 2147483648L).toDouble /
           2147483648.0 - 0.5
