@@ -33,7 +33,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * call = executor thread, one-time O(k·√k·d)), so super-centroids
   * track real centroid geometry and radii stay tight.
   */
-private[functions] final class CentroidIndex(cents: ArrayData) {
+private[functions] final class CentroidIndex(cents: ArrayData,
+    allowGrouping: Boolean = true) {
   val k: Int = cents.numElements()
   /** False when any centroid is null, any element is null, or dims are
     * inconsistent — the callers' strict null contract. */
@@ -64,8 +65,11 @@ private[functions] final class CentroidIndex(cents: ArrayData) {
     out
   }
 
-  // ---- group structure (k ≥ GROUP_THRESHOLD only) ----
-  val grouped: Boolean = valid && k >= CentroidIndex.GROUP_THRESHOLD
+  // ---- group structure (k ≥ GROUP_THRESHOLD only; disabled on the
+  // per-row no-memo path, where the mini-k-means build would run for
+  // every row instead of once per task) ----
+  val grouped: Boolean =
+    allowGrouping && valid && k >= CentroidIndex.GROUP_THRESHOLD
   var numGroups: Int = 0
   var superCents: Array[Array[Double]] = null
   var radius: Array[Double] = null
@@ -284,6 +288,17 @@ private[functions] object CentroidIndex {
     override def initialValue(): Array[(ArrayData, CentroidIndex)] =
       new Array[(ArrayData, CentroidIndex)](SLOTS)
   }
+
+  /** Memoized (grouped) index when the caller has PROVEN the centroids
+    * operand is a constant-folded literal (`expr.foldable` — one
+    * immutable ArrayData instance per task, so reference identity is a
+    * sound cache key); otherwise a fresh FLAT index per call: the
+    * identity assumption cannot hold for a per-row operand (a reused
+    * mutable ArrayData would silently serve stale centroids), and the
+    * O(k^1.5·d) group build must not run per row (ADVICE r17). */
+  def forCentroids(cents: ArrayData, foldable: Boolean): CentroidIndex =
+    if (foldable) forCentroids(cents)
+    else new CentroidIndex(cents, allowGrouping = false)
 
   def forCentroids(cents: ArrayData): CentroidIndex = {
     val s = slot.get()

@@ -29,13 +29,14 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "graft_cell"
 
   override protected def nullSafeEval(v: Any, cents: Any): Any =
-    NearestCentroid.assign(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+    NearestCentroid.assign(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData],
+      right.foldable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, c) => {
       val r = ctx.freshName("cell")
       s"""
-         |java.lang.Long $r = graft.functions.NearestCentroid.assign($v, $c);
+         |java.lang.Long $r = graft.functions.NearestCentroid.assign($v, $c, ${right.foldable});
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
        """.stripMargin
     })
@@ -49,17 +50,27 @@ object NearestCentroid {
     * anywhere, or a centroid whose length mismatches `v` — the same
     * strict null propagation as the VectorFold primitives. Since r17
     * the per-row work runs on the thread-memoized [[CentroidIndex]]:
-    * primitive extraction once per task, and for k ≥ 64 exact
-    * branch-and-bound group pruning — O((√k + scanned)·d) per row
-    * instead of O(k·d), identical results (argmin, lowest-index ties,
-    * null contract). */
-  def assign(v: ArrayData, cents: ArrayData): java.lang.Long = {
-    val idx = CentroidIndex.forCentroids(cents)
+    * primitive extraction once per task, and for
+    * k ≥ [[CentroidIndex.GROUP_THRESHOLD]] exact branch-and-bound
+    * group pruning — O((√k + scanned)·d) per row instead of O(k·d),
+    * identical results (argmin, lowest-index ties, null contract).
+    * `centsFoldable` is the expression's proof that the centroids
+    * operand is a constant-folded literal; false bypasses the
+    * identity memo (flat scan, no grouping) — see
+    * [[CentroidIndex.forCentroids]]. */
+  def assign(v: ArrayData, cents: ArrayData,
+      centsFoldable: Boolean): java.lang.Long = {
+    val idx = CentroidIndex.forCentroids(cents, centsFoldable)
     if (!idx.valid) return null
     val vv = CentroidIndex.extract(v, idx.dim)
     if (vv == null) return null
     java.lang.Long.valueOf(idx.assign(vv))
   }
+
+  /** Back-compat entry (memoized path) for existing call sites/tests
+    * that pass a literal-backed ArrayData. */
+  def assign(v: ArrayData, cents: ArrayData): java.lang.Long =
+    assign(v, cents, centsFoldable = true)
 }
 
 /** Native Catalyst expression: `graft_halo_cells(v, centroids, eps)` =
@@ -89,14 +100,14 @@ case class HaloCells(first: Expression, second: Expression, third: Expression)
 
   override protected def nullSafeEval(v: Any, cents: Any, eps: Any): Any =
     HaloCells.halo(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData],
-      eps.asInstanceOf[Double])
+      eps.asInstanceOf[Double], second.foldable)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, c, e) => {
       val r = ctx.freshName("halo")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $r =
-         |  graft.functions.HaloCells.halo($v, $c, $e);
+         |  graft.functions.HaloCells.halo($v, $c, $e, ${second.foldable});
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
@@ -111,16 +122,22 @@ object HaloCells {
     * [[NearestCentroid.assign]]; additionally null for eps < 0.
     * r17: runs on the thread-memoized [[CentroidIndex]] — the exact
     * owner distance and the ≤-cut membership sweep both group-prune
-    * for k ≥ 64 (a group whose lower bound exceeds the cut cannot
-    * contribute a halo cell — triangle inequality), output still the
-    * ascending cell list. */
-  def halo(v: ArrayData, cents: ArrayData, eps: Double): ArrayData = {
+    * for k ≥ [[CentroidIndex.GROUP_THRESHOLD]] (a group whose lower
+    * bound exceeds the cut cannot contribute a halo cell — triangle
+    * inequality), output still the ascending cell list.
+    * `centsFoldable` as in [[NearestCentroid.assign]]. */
+  def halo(v: ArrayData, cents: ArrayData, eps: Double,
+      centsFoldable: Boolean): ArrayData = {
     if (eps < 0 || java.lang.Double.isNaN(eps)) return null
-    val idx = CentroidIndex.forCentroids(cents)
+    val idx = CentroidIndex.forCentroids(cents, centsFoldable)
     if (!idx.valid) return null
     val vv = CentroidIndex.extract(v, idx.dim)
     if (vv == null) return null
     val cutRoot = math.sqrt(idx.minDist2(vv)) + 2.0 * eps
     new GenericArrayData(idx.halo(vv, cutRoot * cutRoot))
   }
+
+  /** Back-compat entry (memoized path), as with NearestCentroid. */
+  def halo(v: ArrayData, cents: ArrayData, eps: Double): ArrayData =
+    halo(v, cents, eps, centsFoldable = true)
 }

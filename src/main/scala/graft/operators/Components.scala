@@ -30,14 +30,32 @@ import org.apache.spark.sql.functions._
   * column slots into the same max(struct(...)) aggregate.
   */
 object Components {
+  /** Runtime routing bound for [[connectedComponents]]: at or below
+    * this many edges the fixpoint runs as a driver-side union-find —
+    * the AQE discipline (pick the physical strategy from the RUNTIME
+    * size, as Spark itself swaps a sort-merge join for a broadcast
+    * join once the build side measures small). A ≤500k-edge graph is
+    * ≤ ~8 MB of ids; the distributed label-propagation loop pays
+    * 3+ rounds × (2 shuffles + 2 checkpoints + a count) of pure
+    * scheduler latency for arithmetic the driver finishes in
+    * milliseconds — the same measured trade that moved the bounded
+    * k-means fit driver-side in r17. Above the bound the iterative
+    * pointer-jumping loop below is the scale path (near-dup edge sets
+    * at 100 TB are data-sized and must never be collected). */
+  val SMALL_GRAPH_EDGES = 500000L
+
   /** Labels every node that appears in `edges` with the minimum node id
     * reachable from it. Returns (id, comp). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      smallGraphBound: Long = SMALL_GRAPH_EDGES): DataFrame = {
     // materialize the (possibly expensive) pair plan ONCE — the union
     // below reads both directions from this cache, not two plan runs
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .localCheckpoint()
+    // the count is metadata on the just-checkpointed blocks, not a
+    // recompute; it buys the runtime route decision
+    if (e.count() <= smallGraphBound) return smallGraphComponents(e)
     val und = e.select(col("a").as("v"), col("b").as("u"))
       .union(e.select(col("b").as("v"), col("a").as("u")))
       .cache()
@@ -95,6 +113,62 @@ object Components {
         "(labels still moving); raise maxIter — convergence needs " +
         "~log2(graph diameter) pointer-jumping rounds")
     labels
+  }
+
+  /** Exact driver-side route for graphs under [[SMALL_GRAPH_EDGES]]:
+    * union-find with path compression + union by size (O(E·α(E))),
+    * then per-root min-id so labels are IDENTICAL to the distributed
+    * fixpoint's (comp = min reachable node id — roots chosen by the
+    * union order are an implementation detail that never leaks).
+    * Result is a LocalTableScan — label sets this small broadcast into
+    * every downstream join for free. */
+  private def smallGraphComponents(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val pairs = e.as[(Long, Long)].collect() // bounded by the route guard
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](pairs.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    val size = new scala.collection.mutable.ArrayBuffer[Int]()
+    def nodeOf(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue()
+      else {
+        val n = ids.length
+        idx.put(id, n); ids += id; parent += n; size += 1
+        n
+      }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(nodeOf(a)); val rb = find(nodeOf(b))
+      if (ra != rb) {
+        if (size(ra) >= size(rb)) { parent(rb) = ra; size(ra) += size(rb) }
+        else { parent(ra) = rb; size(rb) += size(ra) }
+      }
+    }
+    val minOfRoot = new java.util.HashMap[java.lang.Integer, java.lang.Long]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOfRoot.get(r)
+      if (cur == null || ids(i) < cur.longValue()) minOfRoot.put(r, ids(i))
+      i += 1
+    }
+    val out = new Array[(Long, Long)](ids.length)
+    i = 0
+    while (i < ids.length) {
+      out(i) = (ids(i), minOfRoot.get(find(i)).longValue())
+      i += 1
+    }
+    out.toSeq.toDF("id", "comp")
   }
 
   /** The share point of the dedup pipeline: simhash near-dup CC labels

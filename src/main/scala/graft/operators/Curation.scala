@@ -91,22 +91,55 @@ object Curation {
   private final case class Stage14(base: DataFrame, scored: DataFrame,
       p25: Double, pool3: DataFrame, mhDrop: DataFrame)
 
+  /** Frees the storage blocks behind a localCheckpoint'd frame — the
+    * Dataset-level `unpersist` only reaches CacheManager entries, never
+    * the checkpoint RDD, so evicted memo entries used to hold their
+    * blocks until the ContextCleaner happened to run (ADVICE r17). The
+    * checkpointed RDD sits in the plan as a LogicalRDD leaf. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private final class LazyStage14(thunk: () => Stage14) {
-    lazy val get: Stage14 = thunk()
+    @volatile private var forced = false
+    lazy val get: Stage14 = { val st = thunk(); forced = true; st }
+    /** Eagerly frees the checkpoint blocks IF the stages were computed.
+      * Caller contract (same as the bench's): only invalidate a cache
+      * no in-flight query still reads — a freed localCheckpoint cannot
+      * be recomputed (lineage is truncated by design). */
+    def freeIfForced(): Unit = if (forced) {
+      val st = get
+      Seq(st.base, st.pool3, st.mhDrop).foreach(unpersistCheckpoint)
+    }
   }
 
   private val stageMemo =
-    new java.util.LinkedHashMap[String, scala.collection.mutable.Map[String, LazyStage14]](
+    new java.util.LinkedHashMap[String, java.util.LinkedHashMap[String, LazyStage14]](
       16, 0.75f, true)
   private val evictionHooked =
     new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]()
   private val MAX_MEMO_SESSIONS = 8
+  /** Inner per-dir bound (ADVICE r17): a long-lived session sweeping
+    * many sf dirs must not pin one Stage14 checkpoint set per dir. */
+  private val MAX_MEMO_DIRS = 4
+
+  private def freeAll(dirs: java.util.LinkedHashMap[String, LazyStage14]): Unit = {
+    val it = dirs.values().iterator()
+    while (it.hasNext) it.next().freeIfForced()
+  }
 
   /** Bench calls this per timing pass (next to
     * [[Components.invalidateSharedLabels]]) so each pass pays the
-    * stage-1–4 cost exactly once. */
+    * stage-1–4 cost exactly once. Frees the invalidated entries'
+    * checkpoint blocks eagerly. */
   def invalidateStageCache(s: SparkSession): Unit =
-    stageMemo.synchronized { stageMemo.remove(Components.sessionKey(s)); () }
+    stageMemo.synchronized {
+      val dirs = stageMemo.remove(Components.sessionKey(s))
+      if (dirs != null) freeAll(dirs)
+    }
 
   private def stage14(s: SparkSession, dir: String): Stage14 = {
     val holder = stageMemo.synchronized {
@@ -119,10 +152,21 @@ object Curation {
       }
       val key = Components.sessionKey(s)
       if (!stageMemo.containsKey(key) && stageMemo.size >= MAX_MEMO_SESSIONS) {
-        stageMemo.remove(stageMemo.keySet().iterator().next())
+        val evicted = stageMemo.remove(stageMemo.keySet().iterator().next())
+        if (evicted != null) freeAll(evicted)
       }
-      stageMemo.computeIfAbsent(key, _ => scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(dir, new LazyStage14(() => computeStage14(s, dir)))
+      val dirs = stageMemo.computeIfAbsent(key,
+        _ => new java.util.LinkedHashMap[String, LazyStage14](8, 0.75f, true))
+      var h = dirs.get(dir)
+      if (h == null) {
+        if (dirs.size >= MAX_MEMO_DIRS) {
+          val lruDir = dirs.keySet().iterator().next()
+          dirs.remove(lruDir).freeIfForced() // access-ordered → LRU dir
+        }
+        h = new LazyStage14(() => computeStage14(s, dir))
+        dirs.put(dir, h)
+      }
+      h
     }
     holder.get
   }

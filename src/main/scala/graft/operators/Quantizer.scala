@@ -177,10 +177,30 @@ object KMeansQuantizer {
     * lexicographically (collect order falls out), init is farthest-first
     * traversal (ties → lowest index), and Lloyd ties break to the lower
     * cell id — identical centroids on every rerun. `seed` only drives
-    * the corpus sample split. */
+    * the corpus sample split.
+    *
+    * The collected sample is ALWAYS bounded (ADVICE r17): with the
+    * default `sampleFraction = 1.0` the relation is first counted and,
+    * past [[FIT_POINTS_PER_CELL]]·k rows, down-sampled to that target —
+    * a direct `fit()` on a corpus-sized frame costs one extra count
+    * job instead of a driver OOM. Callers that already know the row
+    * count should use [[fitSampled]], which skips the count. */
   def fit(e: DataFrame, k: Int, seed: Long = 42L,
       sampleFraction: Double = 1.0, maxIter: Int = 20): KMeansQuantizer = {
-    val sample = if (sampleFraction >= 1.0) e else e.sample(sampleFraction, seed)
+    val sample =
+      if (sampleFraction < 1.0) e.sample(sampleFraction, seed)
+      else {
+        val target = FIT_POINTS_PER_CELL.toLong * k
+        val rows = e.count()
+        if (rows <= target) e else e.sample(target.toDouble / rows, seed)
+      }
+    fitCollected(sample, k, maxIter)
+  }
+
+  /** Collect + deterministic local Lloyd over an ALREADY-BOUNDED frame
+    * — the shared tail of [[fit]] / [[fitSampled]]. */
+  private def fitCollected(sample: DataFrame, k: Int,
+      maxIter: Int): KMeansQuantizer = {
     val pts = sample.select(col("v").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(pts.nonEmpty, "KMeansQuantizer.fit on an empty relation")
@@ -188,6 +208,10 @@ object KMeansQuantizer {
     java.util.Arrays.sort(pts, lexOrder)
     new KMeansQuantizer(localLloyd(pts, math.min(k, pts.length), maxIter))
   }
+
+  /** FAISS-style coarse-quantizer training budget: centroids converge
+    * on ~256 points per cell; everything past that is collect cost. */
+  val FIT_POINTS_PER_CELL = 256
 
   private val lexOrder: java.util.Comparator[Array[Double]] =
     (a: Array[Double], b: Array[Double]) => {
@@ -208,11 +232,11 @@ object KMeansQuantizer {
     s
   }
 
-  /** Deterministic local k-means: Lloyd's iterations from TWO inits —
+  /** Deterministic local k-means: Lloyd's iterations from FOUR inits —
     * sample-strided (every (n/k)-th point of the sorted sample, the
-    * quantile-spread seeding that tracks data MASS) and farthest-first
-    * (2-approx k-center spread that covers isolated modes) — keeping
-    * the lower-inertia result. Farthest-first alone anchored centroids
+    * quantile-spread seeding that tracks data MASS), farthest-first
+    * (2-approx k-center spread that covers isolated modes), and two
+    * fixed-seed k-means++ draws — keeping the lowest-inertia result. Farthest-first alone anchored centroids
     * at outliers on the concentrated 64-dim gate embeddings and
     * produced a lopsided split (trained kNN co-cell recall 0.68 vs the
     * spec's 0.9 floor); strided alone can miss a small isolated
@@ -366,7 +390,7 @@ object KMeansQuantizer {
   def fitSampled(e: DataFrame, k: Int, rows: Long, seed: Long = 42L,
       pointsPerCell: Int = 256, maxIter: Int = 20): KMeansQuantizer = {
     val target = pointsPerCell.toLong * k
-    val frac = if (rows <= target) 1.0 else target.toDouble / rows
-    fit(e, k, seed, sampleFraction = frac, maxIter = maxIter)
+    if (rows <= target) fitCollected(e, k, maxIter) // bound known — no recount
+    else fit(e, k, seed, sampleFraction = target.toDouble / rows, maxIter = maxIter)
   }
 }

@@ -966,7 +966,8 @@ object Similarity {
     * codegen'd), encode the corpus, answer the standard 10 queries by
     * ADC top-10, and emit per-query recall against the EXACT L2
     * top-10 computed in the same pass — quality-floored on mean
-    * recall at 0.6 (measured 0.96 at sf0.01, 0.85 at sf0.1). */
+    * recall at 0.6 (r18, shortlist 100: measured mean 0.99 / min 0.90
+    * at sf0.01, mean 0.95 / min 0.90 at sf0.1). */
   def sim_ann_pq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
@@ -997,8 +998,13 @@ object Similarity {
       .partitionBy($"qid").orderBy($"adc".asc, $"cid")
     val wE = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"ex".asc, $"cid")
+    // shortlist 100 (was 50 through r17): the sf0.1 MINIMUM recall sat
+    // exactly on the 0.6 floor — one unlucky query on regenerated
+    // testdata away from an empty gate (VERDICT r17 item 3). Matching
+    // IVF-PQ's depth is a constant factor on an already-bounded frame;
+    // the same change on IVF-PQ measured a NEGATIVE cost delta.
     val answered = scored.withColumn("rnA", row_number().over(wA))
-      .filter($"rnA" <= 50)
+      .filter($"rnA" <= 100)
       .withColumn("rnR", row_number().over(wE)) // exact rerank WITHIN shortlist
       .filter($"rnR" <= 10).select($"qid", $"cid")
     val truth = scored.withColumn("rnE", row_number().over(wE))
@@ -1010,8 +1016,9 @@ object Similarity {
       .select($"qid", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
       .withColumn("recall", $"n_overlap".cast("double") / lit(10.0))
     // floor raised with the IVF-PQ gate's (VERDICT r13 item 5):
-    // measured mean recall 0.96 at sf0.01 / 0.85 at sf0.1 — 0.6 trips
-    // on a real shortlist/ADC regression instead of coasting at 0.3
+    // measured mean recall 0.99/0.95 and MIN 0.90/0.90 at sf0.01/0.1
+    // with the 100-deep shortlist (r18) — 0.6 trips on a real
+    // shortlist/ADC regression instead of coasting at 0.3
     val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.6)
     filled.join(broadcast(bar)).drop("__m").orderBy($"qid")
   }

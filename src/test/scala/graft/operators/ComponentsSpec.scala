@@ -43,4 +43,22 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(5L -> 2L, 2L -> 2L, 9L -> 2L))
   }
+
+  test("driver union-find route and distributed fixpoint route agree") {
+    // a mixed graph: two chains, one clique, singleton edges, and ids
+    // far apart so root choice vs min-id labeling would diverge if the
+    // union-find leaked its roots
+    val rnd = new scala.util.Random(7)
+    val edges = ((0 until 200).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (a, b + 200L)
+    } ++ Seq((1000L, 2000L), (2000L, 3L))).toDF("a", "b")
+    val viaDriver = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDistributed = Components
+      .connectedComponents(edges, "a", "b", smallGraphBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver.nonEmpty)
+  }
 }

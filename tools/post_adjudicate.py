@@ -16,21 +16,29 @@ quiet machine (tools/adjudicate_bench.sh, 5 iters, median) and patches
 the verdicts into bench_regressions.json plus the isolated-baseline
 merge into bench_isolated_baseline.json.
 
-Drift normalization (VERDICT r16 item 1): the 1.25x band is tighter
-than the repo's own measured idle-to-idle machine variance (up to
-1.55x per gate, bench_adjudication_r15.json), and in r16 a 1.21x
-global machine-state drift made the raw band rule five
-unchanged-code sub-half-second gates "real". Before banding, this
-script now re-runs the pinned sentinel set (tools/bench_sentinels
-.json — flat relational gates whose code never changes) isolated on
-the same box, computes median(isolated/baseline) over them = the
-machine-state multiplier, and divides every pending flag's isolated
-reading by that multiplier. Banding then compares DRIFT-NORMALIZED
-readings against the frozen idle baseline, and the normalized value
-is also what merges into the baseline (so the baseline stays in the
-idle reference frame instead of ratcheting with machine weather).
-The multiplier is clamped to [0.7, 4.0] and falls back to 1.0 when
-fewer than 3 sentinels produce a usable ratio.
+Drift normalization (VERDICT r16 item 1, refined per-table in r18):
+the 1.25x band is tighter than the repo's own measured idle-to-idle
+machine variance (up to 1.55x per gate), so before banding this
+script re-runs the pinned sentinel set (tools/bench_sentinels.json)
+isolated on the same box and normalizes every pending reading by a
+machine-state multiplier. r17's own sentinel data proved the drift is
+PER-TABLE (driver-regenerated testdata shifted orders/lineitem gates
+~1.9-5.9x while other tables held ~1.0x), so a single scalar median
+could launder a genuine regression on an unshifted gate. The
+sentinels are therefore GROUPED BY BASE TABLE; each pending flag is
+normalized by ITS table group's median(isolated/baseline), falling
+back to the global median when the group has <2 usable ratios.
+
+Engine-independence cross-check (ADVICE r17): the sentinels run on
+the same engine build, so an ENGINE-WIDE real regression (shared
+infra, session config, registration path) would slow them identically
+and normalize itself away. Any group multiplier above
+PROBE_CORROBORATION_CAP (1.5x) must be corroborated by an
+engine-independent CPU probe (a fixed sha256 workload timed against a
+frozen probe baseline in bench_sentinels.json): without corroboration
+(probe ratio < 0.6 x multiplier) the multiplier is clamped to
+max(1.5, probe ratio) so a uniform engine slowdown cannot be
+auto-dismissed as box weather.
 
 Verdict bands (idle-vs-idle per the two-vector discipline, applied
 to the drift-normalized reading):
@@ -40,36 +48,32 @@ to the drift-normalized reading):
   real        — outside the band, in the flagged direction
   real_intentional — outside the band, but the gate is declared in
                 tools/intentional_regressions.json (a deliberate
-                quality-for-time trade, e.g. a recall floor); the
-                verdict carries the declared commit + reason so the
-                artifact is self-contained, and the new isolated
-                median DOES become the baseline — an intentional new
-                cost is the comparison point for the next round, while
-                an unexplained regression never ratchets it.
-                Declarations are ONE-SHOT (ADVICE r16): the entry is
-                marked consumed after its first real_intentional
-                verdict, so a future unrelated slowdown on the same
-                gate cannot be auto-relabeled with a stale reason.
-  env_shift   — bands "real", but `git log <baseline-commit>..HEAD --
-                src/main` is EMPTY (tools/baseline_meta.json records
-                the freeze commit): with zero engine-source commits a
-                code regression is impossible by construction, so the
-                elevation is environment (box weather or the driver's
-                per-round testdata regeneration — r17 observed orders/
-                lineitem-selectivity gates shift ~1.9x on regenerated
-                parquet while 5 sentinels on other tables held 1.00x).
-                The drift-normalized reading re-freezes that gate's
-                baseline; no-ratchet is preserved because the check is
-                conservative — ANY src/main commit keeps "real".
-  no_baseline — first isolated observation; recorded as the comparison
-                point for the next flag on this query
+                quality-for-time trade); the verdict carries the
+                declared commit + reason, the new isolated median
+                becomes the baseline, and the declaration is consumed
+                (ONE-SHOT, ADVICE r16).
+  env_shift   — bands "real", but since the baseline freeze commit
+                (tools/baseline_meta.json) git shows ZERO commits
+                touching THE GATE'S OWN source scope (its operator
+                file family + the shared infra every gate rides —
+                r18: per-gate scoping so an unrelated engine commit
+                no longer blocks the downgrade): a code regression is
+                impossible by construction, so the elevation is
+                environment (box weather or the driver's testdata
+                regeneration). The drift-normalized reading
+                re-freezes that gate's baseline.
+  no_baseline — first isolated observation; recorded as the
+                comparison point for the next flag on this query
   failed      — the rerun produced no JSON
 
 Baseline merge rule (unchanged): every adjudicated isolated median is
 merged into bench_isolated_baseline.json EXCEPT a confirmed-real
 slowdown, which keeps comparing against the pre-regression baseline
 until fixed (else incremental slowdowns would ratchet the baseline).
+env_shift trusts COMMITTED history only — run adjudication from a
+clean tree (ADVICE r17).
 """
+import hashlib
 import json
 import os
 import subprocess
@@ -84,20 +88,98 @@ SENTINELS = os.path.join(REPO, "tools", "bench_sentinels.json")
 BASE_META = os.path.join(REPO, "tools", "baseline_meta.json")
 DRIFT_ARTIFACT = os.path.join(REPO, "bench_drift_latest.json")
 
+BAND = 1.25
+# a group multiplier above this needs engine-independent corroboration
+PROBE_CORROBORATION_CAP = 1.5
 
-def src_unchanged_since_freeze() -> bool:
-    """True iff no engine-source commit has landed since the baseline
-    freeze commit — in which case a 'real' (code-regression) verdict is
+# ---------------------------------------------------------------- grouping
+# Gate -> sentinel-group routing. Prefix rules cover the families
+# (longest prefix wins); EXPLICIT entries override for gates whose
+# dominant table differs from their family's (e.g. the semantic-dedup
+# dd_ gates read embeddings, not documents). A gate that matches
+# nothing normalizes by the GLOBAL median — never un-normalized.
+GROUP_PREFIXES = {
+    "q_events": "events",
+    "q_sessionize": "events",
+    "q_json": "events",
+    "q_asof": "events",
+    "q": "orders_lineitem",
+    "ml_": "orders_lineitem",
+    "dd_": "documents",
+    "ds_": "documents",
+    "ta_": "documents",
+    "lm_": "documents",
+    "ft_": "documents",
+    "llm_": "documents",
+    "mm_": "documents",
+    "sim_": "embeddings",
+}
+GROUP_EXPLICIT = {
+    "dd_semantic_dedup": "embeddings",
+    "dd_semantic_dedup_trained": "embeddings",
+    "dd_semantic_contamination": "embeddings",
+    "ft_conversation_ann": "embeddings",
+}
+
+
+def group_of(gate):
+    if gate in GROUP_EXPLICIT:
+        return GROUP_EXPLICIT[gate]
+    best = None
+    for p, g in GROUP_PREFIXES.items():
+        if gate.startswith(p) and (best is None or len(p) > len(best[0])):
+            best = (p, g)
+    return best[1] if best else None
+
+
+# ------------------------------------------------------------- env_shift
+# Per-gate source scope for the env_shift downgrade (VERDICT r17 item
+# 2): a "real" verdict downgrades to env_shift only when git shows NO
+# commit touching the gate's own scope since the baseline freeze. The
+# scope is deliberately a SUPERSET (family files + the shared infra
+# every gate rides) — too-narrow scoping would launder a real
+# regression; too-wide scoping merely keeps a flag "real" for a human
+# to look at, which is the conservative failure mode.
+SHARED_PATHS = [
+    "src/main/scala/graft/Tables.scala",
+    "src/main/scala/graft/Bench.scala",
+    "src/main/scala/graft/SparkEntry.scala",
+    "src/main/scala/graft/functions",
+    "src/main/scala/graft/plans",
+]
+FAMILY_PATHS = {
+    "orders_lineitem": ["src/main/scala/graft/operators/Relational.scala",
+                        "src/main/scala/graft/operators/AsOfJoin.scala",
+                        "src/main/scala/graft/operators/Distributed.scala",
+                        "src/main/scala/graft/operators/MLQueries.scala",
+                        "src/main/scala/graft/ml"],
+    "events": ["src/main/scala/graft/operators/Relational.scala",
+               "src/main/scala/graft/operators/AsOfJoin.scala",
+               "src/main/scala/graft/operators/Distributed.scala"],
+    # the document/embedding pipelines compose most of operators/ plus
+    # the llm and ml layers — scope them broadly (conservative)
+    "documents": ["src/main/scala/graft/operators",
+                  "src/main/scala/graft/llm",
+                  "src/main/scala/graft/ml"],
+    "embeddings": ["src/main/scala/graft/operators",
+                   "src/main/scala/graft/ml"],
+}
+
+
+def src_unchanged_since_freeze(gate):
+    """True iff no commit since the baseline freeze touches this gate's
+    source scope — in which case a 'real' (code-regression) verdict is
     impossible by construction and the flag is an environment shift."""
     try:
         with open(BASE_META) as f:
             commit = json.load(f)["commit"]
     except (OSError, ValueError, KeyError):
         return False
+    grp = group_of(gate)
+    paths = SHARED_PATHS + FAMILY_PATHS.get(grp, ["src/main"])
     try:
         out = subprocess.run(
-            ["git", "log", "--oneline", f"{commit}..HEAD", "--",
-             "src/main"],
+            ["git", "log", "--oneline", f"{commit}..HEAD", "--"] + paths,
             capture_output=True, text=True, cwd=REPO, check=True).stdout
     except subprocess.CalledProcessError:
         return False
@@ -125,38 +207,106 @@ def run_isolated(queries, sf_dir):
     return res
 
 
-def measure_drift(iso_base, sf_dir):
-    """Machine-state multiplier from the pinned sentinel set.
+def cpu_probe_seconds():
+    """Engine-independent machine probe: a fixed sha256 chain. Pure CPU,
+    no JVM, no Spark, no parquet — its ratio against the frozen probe
+    baseline corroborates (or refutes) large sentinel multipliers.
+    min-of-3 is the robust statistic for a CPU-bound probe."""
+    def once():
+        t0 = time.perf_counter()
+        h = b"\x00" * 64
+        for _ in range(200000):
+            h = hashlib.sha256(h).digest()
+        return time.perf_counter() - t0
+    return min(once() for _ in range(3))
 
-    median(isolated/baseline) over sentinels with a stored baseline;
-    clamped to [0.7, 4.0]; 1.0 when <3 usable ratios (can't estimate).
-    Returns (multiplier, {sentinel: {isolated, baseline, ratio}}).
-    """
+
+def clamp_mult(mult, probe_ratio):
+    """ADVICE r17: refuse to APPLY a multiplier above 1.5x unless the
+    engine-independent probe corroborates it (an engine-wide real
+    regression slows the sentinels but not the probe)."""
+    if mult <= PROBE_CORROBORATION_CAP:
+        return mult, False
+    if probe_ratio is not None and probe_ratio >= 0.6 * mult:
+        return mult, False  # corroborated: the box really is that slow
+    return max(PROBE_CORROBORATION_CAP, probe_ratio or 1.0), True
+
+
+def group_multipliers(detail, groups):
+    """Per-group median(isolated/baseline) from measured sentinel detail
+    {sentinel: {ratio}}; groups = {group: [sentinels]}. Returns
+    ({group: mult|None}, global_mult). A group needs >=2 usable ratios;
+    the global median needs >=3 (else 1.0 — can't estimate)."""
+    all_ratios = [d["ratio"] for d in detail.values()]
+    glob = _median(all_ratios) if len(all_ratios) >= 3 else 1.0
+    per = {}
+    for g, names in groups.items():
+        rs = [detail[q]["ratio"] for q in names if q in detail]
+        per[g] = _median(rs) if len(rs) >= 2 else None
+    return per, glob
+
+
+def measure_drift(iso_base, sf_dir):
+    """Machine-state multipliers from the pinned sentinel set, grouped
+    by base table. Returns (per_group, global_mult, detail, probe)."""
     try:
         with open(SENTINELS) as f:
-            names = json.load(f)["sentinels"]
+            cfg = json.load(f)
+        groups = cfg["groups"]
+        probe_base = cfg.get("probe_baseline_sec")
     except (OSError, ValueError, KeyError):
-        return 1.0, {}
+        return {}, 1.0, {}, {}
+    names = sorted({q for qs in groups.values() for q in qs})
     usable = [q for q in names if q in iso_base]
     if len(usable) < 3:
-        return 1.0, {}
+        return {}, 1.0, {}, {}
     readings = run_isolated(usable, sf_dir)
-    detail, ratios = {}, []
+    detail = {}
     for q in usable:
         iso = readings.get(q)
         if iso is None:
             continue
-        r = iso / iso_base[q]
-        ratios.append(r)
         detail[q] = {"isolated": iso, "baseline": iso_base[q],
-                     "ratio": round(r, 4)}
-    if len(ratios) < 3:
-        return 1.0, detail
-    mult = max(0.7, min(4.0, _median(ratios)))
-    return mult, detail
+                     "ratio": round(iso / iso_base[q], 4)}
+    per, glob = group_multipliers(detail, groups)
+    probe_sec = cpu_probe_seconds()
+    probe_ratio = (probe_sec / probe_base) if probe_base else None
+    probe = {"seconds": round(probe_sec, 4),
+             "baseline": probe_base,
+             "ratio": round(probe_ratio, 4) if probe_ratio else None}
+    clamped = {}
+    for g, m in per.items():
+        if m is None:
+            clamped[g] = None
+            continue
+        m = max(0.7, min(4.0, m))
+        m, was = clamp_mult(m, probe_ratio)
+        clamped[g] = round(m, 4)
+        if was:
+            print(f"group {g}: multiplier clamped to {m:.3f} — the CPU "
+                  f"probe (ratio {probe_ratio}) does not corroborate the "
+                  "sentinel elevation", file=sys.stderr)
+    glob = max(0.7, min(4.0, glob))
+    glob, _ = clamp_mult(glob, probe_ratio)
+    return clamped, round(glob, 4), detail, probe
 
 
-def wait_for_pid(pid: int, timeout_sec: int = 1800) -> None:
+def band_verdict(norm, baseline, kind):
+    """Pure banding rule on a drift-normalized reading."""
+    if baseline is None:
+        return "no_baseline"
+    if kind == "faster":
+        return "real" if norm < baseline * 0.75 else "noise"
+    return "real" if norm > baseline * BAND else "noise"
+
+
+def mult_for(gate, per_group, glob):
+    g = group_of(gate)
+    m = per_group.get(g) if g else None
+    return m if m is not None else glob
+
+
+def wait_for_pid(pid, timeout_sec=1800):
     """Block until the suite JVM is gone (so reruns see a quiet box)."""
     deadline = time.time() + timeout_sec
     while time.time() < deadline:
@@ -169,7 +319,7 @@ def wait_for_pid(pid: int, timeout_sec: int = 1800) -> None:
           file=sys.stderr)
 
 
-def main() -> int:
+def main():
     sf_dir = "/root/testdata/sf0.1"
     args = sys.argv[1:]
     i = 0
@@ -206,17 +356,10 @@ def main() -> int:
     except (OSError, ValueError):
         intentional = {}
 
-    # Estimate the current machine-state multiplier BEFORE banding
-    # (VERDICT r16 item 1): sentinels are unchanged-code gates, so any
-    # systematic shift in their isolated readings is box weather, not
-    # a regression, and every pending reading is corrected by it.
-    drift, sentinel_detail = measure_drift(iso_base, sf_dir)
-    print(f"machine-drift multiplier from {len(sentinel_detail)} "
-          f"sentinel(s): {drift:.3f}x")
-    frozen_src = src_unchanged_since_freeze()
-    if frozen_src:
-        print("no src/main commits since the baseline freeze — "
-              "'real' verdicts will downgrade to env_shift")
+    per_group, glob, sentinel_detail, probe = measure_drift(iso_base, sf_dir)
+    print(f"machine-drift multipliers from {len(sentinel_detail)} "
+          f"sentinel(s): per-group {per_group}, global {glob:.3f}x, "
+          f"probe {probe}")
 
     print(f"adjudicating {len(pending)} pending flag(s) on the quiet box: "
           f"{' '.join(pending)}")
@@ -232,13 +375,9 @@ def main() -> int:
         if iso is None:
             reg[q]["isolated"], reg[q]["verdict"] = -1.0, "failed"
             continue
+        drift = mult_for(q, per_group, glob)
         norm = iso / drift
-        if q not in iso_base:
-            verdict = "no_baseline"
-        elif kind == "faster":
-            verdict = "real" if norm < iso_base[q] * 0.75 else "noise"
-        else:
-            verdict = "real" if norm > iso_base[q] * 1.25 else "noise"
+        verdict = band_verdict(norm, iso_base.get(q), kind)
         decl = intentional.get(q)
         if (verdict == "real" and kind != "faster" and decl is not None
                 and not decl.get("consumed", False)):
@@ -252,15 +391,17 @@ def main() -> int:
             reg[q]["reason"] = decl.get("reason", "")
             decl["consumed"] = True
             intentional_dirty = True
-        if verdict == "real" and kind != "faster" and frozen_src:
-            # zero engine-source commits since the freeze: a code
-            # regression is impossible; the elevation is environment
-            # (box weather / regenerated testdata) and the normalized
-            # reading becomes the gate's new baseline
+        if verdict == "real" and kind != "faster" \
+                and src_unchanged_since_freeze(q):
+            # zero commits in the GATE'S OWN source scope since the
+            # freeze: a code regression is impossible; the elevation is
+            # environment (box weather / regenerated testdata) and the
+            # normalized reading becomes the gate's new baseline
             verdict = "env_shift"
         reg[q]["isolated"], reg[q]["verdict"] = iso, verdict
         reg[q]["isolated_norm"] = round(norm, 6)
         reg[q]["drift_mult"] = round(drift, 4)
+        reg[q]["drift_group"] = group_of(q)
         # merge rule: confirmed-real UNEXPLAINED slowdowns keep the old
         # baseline (else incremental slowdowns would ratchet it);
         # everything else merges the DRIFT-NORMALIZED value so the
@@ -268,7 +409,7 @@ def main() -> int:
         if not (verdict == "real" and kind != "faster"):
             merged[q] = round(norm, 6)
         print(f"  ADJUDICATED {q:<28s} isolated={iso:.3f}s "
-              f"norm={norm:.3f}s "
+              f"norm={norm:.3f}s (x{drift:.3f}, {group_of(q)}) "
               f"base={iso_base.get(q, float('nan')):.3f}s -> {verdict}")
 
     with open(REG, "w") as f:
@@ -283,12 +424,15 @@ def main() -> int:
             json.dump(intentional, f, indent=2)
             f.write("\n")
     # Self-contained drift record: what the sentinel set read, the
-    # multiplier applied, and which flags it adjudicated this run.
+    # per-group multipliers applied, the probe corroboration, and
+    # which flags it adjudicated this run.
     with open(DRIFT_ARTIFACT, "w") as f:
         json.dump({
-            "drift_multiplier": round(drift, 4),
+            "drift_multiplier_global": glob,
+            "drift_multipliers_per_group": per_group,
+            "cpu_probe": probe,
             "sentinels": sentinel_detail,
-            "band": 1.25,
+            "band": BAND,
             "adjudicated": {q: reg[q].get("verdict") for q in pending},
         }, f, indent=1)
         f.write("\n")

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Synthetic tests for the per-table drift adjudication (VERDICT r17
+item 2 'done' criterion: prove a shifted-table flag and an
+unshifted-table flag normalize DIFFERENTLY, plus the ADVICE r17 probe
+corroboration clamp). Pure-python, no Spark: exercises the routing /
+multiplier / banding functions post_adjudicate exposes.
+
+Run: python3 tools/test_post_adjudicate.py  (exit 0 = all pass)
+"""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+import post_adjudicate as pa  # noqa: E402
+
+
+def test_per_table_normalization_differs():
+    # sentinel detail: orders/lineitem shifted 2x by testdata
+    # regeneration, events steady at 1.0x
+    detail = {
+        "q1_pricing_summary": {"ratio": 2.0},
+        "q_top_orders": {"ratio": 1.9},
+        "q_pivot_status": {"ratio": 2.1},
+        "q_events_funnel": {"ratio": 1.0},
+        "q_json_events": {"ratio": 1.02},
+        "q_events_rolling": {"ratio": 0.98},
+    }
+    groups = {
+        "orders_lineitem": ["q1_pricing_summary", "q_top_orders",
+                            "q_pivot_status"],
+        "events": ["q_events_funnel", "q_json_events", "q_events_rolling"],
+    }
+    per, glob = pa.group_multipliers(detail, groups)
+    assert abs(per["orders_lineitem"] - 2.0) < 1e-9, per
+    assert abs(per["events"] - 1.0) < 1e-9, per
+
+    # a 1.5x-elevated reading on an ORDERS gate (whose table shifted
+    # 2x) normalizes to 0.75x -> noise; the SAME reading on an EVENTS
+    # gate (unshifted table) stays 1.5x -> real. Under the old global
+    # scalar both would have banded identically.
+    base = 1.0
+    reading = 1.5
+    m_orders = pa.mult_for("q_priority_by_status", per, glob)
+    m_events = pa.mult_for("q_events_hourly", per, glob)
+    assert m_orders != m_events, (m_orders, m_events)
+    v_orders = pa.band_verdict(reading / m_orders, base, "slower")
+    v_events = pa.band_verdict(reading / m_events, base, "slower")
+    assert v_orders == "noise", v_orders
+    assert v_events == "real", v_events
+
+
+def test_group_fallback_to_global():
+    # a group with <2 usable sentinels falls back to the global median
+    detail = {
+        "q1_pricing_summary": {"ratio": 1.4},
+        "q_top_orders": {"ratio": 1.4},
+        "ta_lang_id": {"ratio": 1.0},
+    }
+    groups = {
+        "orders_lineitem": ["q1_pricing_summary", "q_top_orders"],
+        "documents": ["ta_lang_id", "ta_fingerprint"],  # only 1 usable
+    }
+    per, glob = pa.group_multipliers(detail, groups)
+    assert per["documents"] is None
+    assert pa.mult_for("dd_exact", per, glob) == glob
+
+
+def test_probe_clamp_refuses_uncorroborated_multiplier():
+    # sentinel multiplier 3.0x but the CPU probe reads 1.0x — an
+    # engine-wide regression scenario: the multiplier must clamp to
+    # 1.5x instead of laundering the slowdown
+    m, clamped = pa.clamp_mult(3.0, 1.0)
+    assert clamped and m == 1.5, (m, clamped)
+    # corroborated: the box genuinely is 3x slower (probe agrees)
+    m, clamped = pa.clamp_mult(3.0, 2.5)
+    assert not clamped and m == 3.0, (m, clamped)
+    # small multipliers never need corroboration
+    m, clamped = pa.clamp_mult(1.3, None)
+    assert not clamped and m == 1.3, (m, clamped)
+
+
+def test_gate_routing():
+    assert pa.group_of("q_events_hourly") == "events"
+    assert pa.group_of("q_sessionize") == "events"
+    assert pa.group_of("q3_segment_revenue") == "orders_lineitem"
+    assert pa.group_of("ml_metrics_reg") == "orders_lineitem"
+    assert pa.group_of("dd_minhash_lsh") == "documents"
+    assert pa.group_of("dd_semantic_dedup") == "embeddings"  # explicit
+    assert pa.group_of("sim_ann_pq") == "embeddings"
+    assert pa.group_of("ft_conversation_ann") == "embeddings"  # explicit
+    assert pa.group_of("ta_bpe_train3") == "documents"
+
+
+if __name__ == "__main__":
+    for name, fn in sorted(globals().items()):
+        if name.startswith("test_"):
+            fn()
+            print(f"PASS {name}")
+    print("all post_adjudicate synthetic tests pass")
