@@ -378,9 +378,12 @@ object Unigram {
       .orderBy($"word")
   }
 
-  val taUnigramEncodeSql: String =
-    """WITH RECURSIVE
-      |tk AS (
+  /** Shared CTE prefix of BOTH unigram oracles: word table → quantized
+    * 120-piece seed vocabulary → per-word Viterbi paths (`res`). One
+    * lattice-DP definition, two consumers ([[taUnigramEncodeSql]] and
+    * [[taUnigramTrain1Sql]]). */
+  private val latticeCtePrefix: String =
+    """tk AS (
       |  SELECT w, count(*) AS freq FROM (
       |    SELECT unnest(list_filter(
       |      regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -438,18 +441,138 @@ object Unigram {
       |                  END))) AS cand
       |    FROM vit WHERE j < length(w))),
       |res AS (SELECT w, paths[length(w) + 1] AS encoded
-      |        FROM vit WHERE j = length(w))
-      |SELECT w AS word,
-      |  CAST(len(string_split(encoded, ' ')) AS BIGINT) AS n_sym,
-      |  encoded
-      |FROM res ORDER BY word""".stripMargin
+      |        FROM vit WHERE j = length(w))""".stripMargin
+
+  val taUnigramEncodeSql: String =
+    s"""WITH RECURSIVE
+       |$latticeCtePrefix
+       |SELECT w AS word,
+       |  CAST(len(string_split(encoded, ' ')) AS BIGINT) AS n_sym,
+       |  encoded
+       |FROM res ORDER BY word""".stripMargin
+
+  /** Hash-exact TRAIN gate (VERDICT r17 item 4, the unigram member of
+    * the train3 family): replay ONE hard-EM round of the trainer —
+    * E-step, M-step, and the prune loss ranking — on integer micro-nat
+    * arithmetic, so a wrong-but-deterministic EM/prune can no longer
+    * pass on determinism alone. The full iterative
+    * [[ta_unigram_train]] (true forward–backward EM) stays the
+    * rows-only surface; this gate pins the round MECHANICS the trainer
+    * shares across modes:
+    *
+    *   - E-step: hard expected counts — each distinct corpus word
+    *     contributes its [[viterbiQ]] segmentation (the DP
+    *     [[ta_unigram_encode]] already proves hash-exact at this exact
+    *     vocabulary) times its frequency; counts are exact BIGINTs.
+    *     (Viterbi/hard EM is the classic degenerate-posterior EM
+    *     variant; the full trainer's soft E-step replaces the argmax
+    *     path with the lattice posterior — transcendental, hence
+    *     rows-only.)
+    *   - M-step: logq₁(t) = ⌊ln(cnt/total)·1e6⌋ — ONE libm call on an
+    *     exact integer ratio per piece, the [[seedPiecesQ]]
+    *     quantization with the same documented 1-ulp boundary window.
+    *     Characters that lost all mass keep the −30 e6 alphabet floor
+    *     ([[floorChars]]'s invariant: every word stays segmentable);
+    *     multi-char pieces with zero mass are dead and dropped, as in
+    *     [[emStep]].
+    *   - Prune loss: loss(t) = cnt(t) × (logq₁(t) − altq(t)) for every
+    *     multi-char piece, where altq = the best segmentation score of
+    *     t's OWN string under (vocab − t) with post-EM scores — the
+    *     production prune formula (count × (lp − alt)) in exact
+    *     integers; hashing EVERY piece's loss is strictly stronger
+    *     than pinning the argmax alone, ties included.
+    *
+    * The DuckDB twin replays all three phases as recursive CTEs over
+    * the same (word, freq) table — the encode gate's lattice DP for
+    * the E-step, and a second per-piece DP (arcs exclude the piece
+    * itself) for the loss. */
+  def ta_unigram_train1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vocabQ = seedPiecesQ(docs, seedSize = 120)
+    val charSet = vocabQ.keySet.filter(t => cps(t).length == 1)
+    val vb = s.sparkContext.broadcast(vocabQ)
+    val segUdf = udf { (w: String) => viterbiQ(w, vb.value, 6) }
+    // E-step: one distributed pass over the word table; the explode
+    // keeps per-occurrence rows, so sum(freq) = Σ freq × multiplicity
+    val cnts = wordFreqs(docs, "text")
+      .select(explode(segUdf(col("w"))).as("t"), col("freq"))
+      .groupBy(col("t")).agg(sum(col("freq")).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // M-step + loss: O(|vocab|) driver arithmetic, the trainer's own
+    // discipline (rounds cost vocabulary, never corpus)
+    val total = cnts.values.sum.toDouble
+    val alive = vocabQ.keys.filter(t => charSet(t) || cnts.contains(t)).toSeq
+    val logq1: Map[String, Long] = alive.map { t =>
+      val c = cnts.getOrElse(t, 0L)
+      t -> (if (c == 0L) -30000000L
+            else math.floor(math.log(c.toDouble / total) * 1e6).toLong)
+    }.toMap
+    val rows = alive.sorted.map { t =>
+      val c = cnts.getOrElse(t, 0L)
+      val loss: Option[Long] = if (charSet(t)) None else {
+        val rest = logq1 - t
+        val altq = viterbiQ(t, rest, 6).map(rest(_)).sum
+        Some(c * (logq1(t) - altq))
+      }
+      (t, c, logq1(t), loss)
+    }
+    rows.toDF("token", "cnt", "logq1", "lossq").orderBy($"token")
+  }
+
+  val taUnigramTrain1Sql: String =
+    s"""WITH RECURSIVE
+       |$latticeCtePrefix,
+       |occ AS (
+       |  SELECT unnest(string_split(r.encoded, ' ')) AS t, r.w
+       |  FROM res r),
+       |ecnt AS (
+       |  SELECT o.t, CAST(sum(tk.freq) AS BIGINT) AS cnt
+       |  FROM occ o JOIN tk ON tk.w = o.w GROUP BY o.t),
+       |vocab1 AS (
+       |  SELECT v.t, CAST(coalesce(e.cnt, 0) AS BIGINT) AS cnt,
+       |    CASE WHEN e.cnt IS NULL THEN CAST(-30000000 AS BIGINT)
+       |         ELSE CAST(floor(ln(CAST(e.cnt AS DOUBLE) /
+       |           (SELECT CAST(sum(cnt) AS DOUBLE) FROM ecnt)) * 1000000)
+       |           AS BIGINT)
+       |    END AS logq1
+       |  FROM vocab v LEFT JOIN ecnt e ON e.t = v.t
+       |  WHERE length(v.t) = 1 OR e.cnt IS NOT NULL),
+       |mp AS (SELECT t AS p FROM vocab1 WHERE length(t) > 1),
+       |larcs AS (
+       |  SELECT m.p, u1.i + u2.l - 1 AS j, u2.l AS len, v.logq1 AS lq
+       |  FROM mp m,
+       |    unnest(range(1, length(m.p) + 1)) AS u1(i),
+       |    unnest(range(1, 7)) AS u2(l)
+       |  JOIN vocab1 v ON v.t = substring(m.p, u1.i, u2.l) AND v.t <> m.p
+       |  WHERE u1.i + u2.l - 1 <= length(m.p)),
+       |larcl AS (
+       |  SELECT p, list(struct_pack(j := j, len := len, lq := lq)) AS al
+       |  FROM larcs GROUP BY p),
+       |lvit AS (
+       |  SELECT p, 0 AS j, [CAST(0 AS BIGINT)] AS bests, al FROM larcl
+       |  UNION ALL
+       |  SELECT p, j + 1,
+       |    list_append(bests, -(list_sort(list_transform(
+       |      list_filter(al, a -> a.j = j + 1),
+       |      a -> -(bests[j + 2 - a.len] + a.lq)))[1])), al
+       |  FROM lvit WHERE j < length(p)),
+       |alt AS (SELECT p, bests[length(p) + 1] AS altq
+       |        FROM lvit WHERE j = length(p))
+       |SELECT v.t AS token, v.cnt AS cnt, v.logq1 AS logq1,
+       |  CASE WHEN length(v.t) > 1
+       |       THEN v.cnt * (v.logq1 - a.altq) END AS lossq
+       |FROM vocab1 v LEFT JOIN alt a ON a.p = v.t
+       |ORDER BY token""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_unigram_train"  -> ta_unigram_train _,
+    "ta_unigram_train1" -> ta_unigram_train1 _,
     "ta_unigram_encode" -> ta_unigram_encode _
   )
 
   val oracles: Map[String, String] = Map(
-    "ta_unigram_encode" -> taUnigramEncodeSql
+    "ta_unigram_encode" -> taUnigramEncodeSql,
+    "ta_unigram_train1" -> taUnigramTrain1Sql
   )
 }

@@ -97,6 +97,42 @@ class UnigramSpec extends AnyFunSuite {
     assert(UnigramTestAccess.viterbiQ("zq", Map("a" -> -1L), 6) == Seq("zq"))
   }
 
+  test("train1 gate: one hard-EM round — counts, M-step floor, prune losses") {
+    val out = Unigram.ta_unigram_train1(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val toks = out.map(_.getString(0)).toSeq
+    assert(toks == toks.sorted && toks.distinct.size == toks.size)
+    val byTok = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // every single character of the corpus alphabet survives the round
+    // (the floorChars invariant): chars present, lossq NULL for chars,
+    // and a zero-count char carries the -30e6 alphabet floor
+    byTok.foreach { case (t, (cnt, logq1, loss)) =>
+      if (t.codePointCount(0, t.length) == 1) {
+        assert(loss.isEmpty, s"char $t must have no prune loss")
+        if (cnt == 0L) assert(logq1 == -30000000L, s"char $t floor")
+        else assert(logq1 < 0L)
+      } else {
+        assert(cnt > 0L, s"dead multi-char piece $t must be dropped")
+        assert(loss.nonEmpty, s"multi $t needs a prune loss")
+        // loss = cnt * (logq1 - altq) with altq <= logq1 by optimality
+        // of the piece's own single arc in its own lattice... altq can
+        // exceed logq1 only if segmenting t WITHOUT t beats t's own
+        // score — then loss is negative and t is the first to prune.
+        // Either way the magnitude is bounded by cnt * |score range|.
+        assert(math.abs(loss.get) <= cnt * 200000000L)
+      }
+    }
+    // counts conserve corpus mass: sum over pieces of cnt equals the
+    // total piece occurrences of the corpus segmentation (>= total
+    // word occurrences, <= chars-per-word bound)
+    val totalCnt = byTok.values.map(_._1).sum
+    assert(totalCnt > 0L)
+    // deterministic retrain
+    val again = Unigram.ta_unigram_train1(spark, "/root/testdata/sf0.001").collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("encode gate: distinct corpus words, deterministic, vocabulary round-trip") {
     val out = Unigram.ta_unigram_encode(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
