@@ -211,6 +211,61 @@ private[functions] final class CentroidIndex(cents: ArrayData,
     out
   }
 
+  /** Exact two nearest centroids under lexicographic (distance², index)
+    * order — the adaptive-2-probe kernel. Returns (k1, d1, k2, d2);
+    * k2 = -1 when k == 1. Group pruning bounds against the CURRENT
+    * second-best (a group whose lower bound exceeds d2 can contain
+    * neither of the two smallest), so per-row work stays
+    * O((√k + scanned)·d); tie discipline identical to sorting (d, k)
+    * structs ascending — the composable `array_sort` form this
+    * replaces. */
+  def top2(v: Array[Double]): (Int, Double, Int, Double) = {
+    var d1 = Double.PositiveInfinity; var k1 = -1
+    var d2 = Double.PositiveInfinity; var k2 = -1
+    def offer(c: Int, s: Double): Unit = {
+      if (s < d1 || (s == d1 && (k1 < 0 || c < k1))) {
+        d2 = d1; k2 = k1; d1 = s; k1 = c
+      } else if (s < d2 || (s == d2 && (k2 < 0 || c < k2))) {
+        d2 = s; k2 = c
+      }
+    }
+    if (!grouped) {
+      var c = 0
+      while (c < k) {
+        val s = CentroidIndex.sqBounded(v, flat(c), d2)
+        if (s <= d2) offer(c, s)
+        c += 1
+      }
+    } else {
+      val lb = new Array[Double](numGroups)
+      var gg = 0
+      while (gg < numGroups) {
+        val dg = math.sqrt(CentroidIndex.sq(v, superCents(gg)))
+        val l = dg - radius(gg)
+        lb(gg) = if (l > 0) l * l else 0.0
+        gg += 1
+      }
+      val order = Array.range(0, numGroups).sortBy(lb)
+      var oi = 0
+      while (oi < numGroups) {
+        val g2 = order(oi)
+        if (lb(g2) > d2) oi = numGroups // every later bound is larger
+        else {
+          val ms = members(g2)
+          var mi = 0
+          while (mi < ms.length) {
+            val c = ms(mi)
+            val s = CentroidIndex.sqBounded(v, flat(c), d2)
+            if (s <= d2) offer(c, s)
+            mi += 1
+          }
+        }
+        oi += 1
+      }
+    }
+    (k1, d1, k2, d2)
+  }
+
   /** Exact min distance² (no pruning) — the halo owner distance. */
   def minDist2(v: Array[Double]): Double = {
     var best = Double.PositiveInfinity

@@ -67,6 +67,7 @@ object GraftFunctions {
   val sqdistInfo = new ExpressionInfo(classOf[SumSqDiff].getName, "graft_sqdist")
   val cellInfo = new ExpressionInfo(classOf[NearestCentroid].getName, "graft_cell")
   val haloInfo = new ExpressionInfo(classOf[HaloCells].getName, "graft_halo_cells")
+  val probe2Info = new ExpressionInfo(classOf[ProbeCells].getName, "graft_probe2")
   val overlapInfo = new ExpressionInfo(classOf[ClippedOverlap].getName, "graft_overlap")
   val bloomAggInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -98,6 +99,11 @@ object GraftFunctions {
   private val buildHalo: Seq[Expression] => Expression = { children =>
     require(children.size == 3, "graft_halo_cells takes (v, centroids, eps)")
     HaloCells(Cast(children(0), arrD), Cast(children(1), arrArrD),
+      Cast(children(2), DoubleType))
+  }
+  private val buildProbe2: Seq[Expression] => Expression = { children =>
+    require(children.size == 3, "graft_probe2 takes (v, centroids, ratio)")
+    ProbeCells(Cast(children(0), arrD), Cast(children(1), arrArrD),
       Cast(children(2), DoubleType))
   }
   private val buildOverlap: Seq[Expression] => Expression = { children =>
@@ -154,6 +160,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist)
     reg.registerFunction(FunctionIdentifier("graft_cell"), cellInfo, buildCell)
     reg.registerFunction(FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo)
+    reg.registerFunction(FunctionIdentifier("graft_probe2"), probe2Info, buildProbe2)
     reg.registerFunction(FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap)
     reg.registerFunction(FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg)
     reg.registerFunction(FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight)
@@ -167,6 +174,7 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sqdist"), sqdistInfo, buildSqdist),
     (FunctionIdentifier("graft_cell"), cellInfo, buildCell),
     (FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo),
+    (FunctionIdentifier("graft_probe2"), probe2Info, buildProbe2),
     (FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap),
     (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg),
     (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight),

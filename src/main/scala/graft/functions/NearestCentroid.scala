@@ -141,3 +141,65 @@ object HaloCells {
   def halo(v: ArrayData, cents: ArrayData, eps: Double): ArrayData =
     halo(v, cents, eps, centsFoldable = true)
 }
+
+/** Native Catalyst expression: `graft_probe2(v, centroids, ratio)` =
+  * the ADAPTIVE 2-probe cell list — `[owner]` when the vector sits
+  * deep inside its cell (owner d² < ratio · runner-up d²), `[owner,
+  * runnerUp]` in the boundary band (owner d² ≥ ratio · runner-up d²).
+  *
+  * This replaces the composable form (k `graft_sqdist` structs →
+  * `array_sort` → slice) on the CORPUS side: that form's generated
+  * code grows linearly with k and falls out of whole-stage codegen
+  * past a few dozen centroids, after which every row pays an
+  * INTERPRETED k-struct sort (measured: the trained semantic-pair scan
+  * at k=80 spent ~25 s/pass in the interpreted probe at the 10× decade
+  * — 3× evaluated, it dominated the stage). Here the probe is one
+  * static call on the thread-memoized [[CentroidIndex]]: exact top-2
+  * with branch-and-bound group pruning for k ≥ GROUP_THRESHOLD, tie
+  * discipline identical to the struct sort's (distance, index)
+  * ascending order. The composable form stays the query-side default
+  * ([[graft.operators.CoarseQuantizer.probeAdaptiveCol]]); trained
+  * quantizers override to this expression. */
+case class ProbeCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  // input typing handled by the registry builder, as with graft_cell
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_probe2"
+
+  override protected def nullSafeEval(v: Any, cents: Any, ratio: Any): Any =
+    ProbeCells.probe2(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData],
+      ratio.asInstanceOf[Double], second.foldable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, r) => {
+      val out = ctx.freshName("probe")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.ProbeCells.probe2($v, $c, $r, ${second.foldable});
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ProbeCells =
+    copy(first = f, second = s, third = t)
+}
+
+object ProbeCells {
+  /** Static codegen target. Null propagation identical to
+    * [[NearestCentroid.assign]]. Two-cell condition replicates the
+    * composable `when(d1 >= ratio * d2, ...)` exactly — including its
+    * NaN-ratio behavior (comparison false → single cell). */
+  def probe2(v: ArrayData, cents: ArrayData, ratio: Double,
+      centsFoldable: Boolean): ArrayData = {
+    val idx = CentroidIndex.forCentroids(cents, centsFoldable)
+    if (!idx.valid) return null
+    val vv = CentroidIndex.extract(v, idx.dim)
+    if (vv == null) return null
+    val (k1, d1, k2, d2) = idx.top2(vv)
+    if (k2 >= 0 && d1 >= ratio * d2)
+      new GenericArrayData(Array(k1.toLong, k2.toLong))
+    else new GenericArrayData(Array(k1.toLong))
+  }
+}

@@ -154,6 +154,17 @@ final class KMeansQuantizer(val centroids: Array[Array[Double]]) extends CoarseQ
   override def cellCol(v: Column): Column = call_function("graft_cell", v, centLit)
 
   override def probeCol(v: Column, nprobe: Int): Column = probeBySort(v, nprobe)
+
+  /** Native corpus-side adaptive probe (r18): the trait's composable
+    * form (numCells sqdist structs → array_sort) generates code linear
+    * in k and falls out of whole-stage codegen past a few dozen
+    * centroids — measured ~25 s/pass of INTERPRETED struct sorting at
+    * k=80 on the 10× decade corpus, 3× evaluated per pair stage. One
+    * `graft_probe2` call keeps the scan codegen at any k and rides the
+    * same branch-and-bound centroid index as `graft_cell` (exact top-2,
+    * identical tie order to the struct sort). */
+  override def probeAdaptiveCol(v: Column, ratio: Double): Column =
+    call_function("graft_probe2", v, centLit, lit(ratio))
 }
 
 object KMeansQuantizer {
@@ -190,7 +201,7 @@ object KMeansQuantizer {
     val sample =
       if (sampleFraction < 1.0) e.sample(sampleFraction, seed)
       else {
-        val target = FIT_POINTS_PER_CELL.toLong * k
+        val target = math.min(FIT_POINTS_PER_CELL.toLong * k, MAX_FIT_POINTS)
         val rows = e.count()
         if (rows <= target) e else e.sample(target.toDouble / rows, seed)
       }
@@ -232,6 +243,26 @@ object KMeansQuantizer {
     s
   }
 
+  /** Squared distance with early exit once the partial sum exceeds
+    * `bound` — exits only on non-minimal candidates, so every argmin
+    * (and its distance) is bit-identical to the full sum. */
+  private def sqBounded(a: Array[Double], b: Array[Double], bound: Double): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n && s <= bound) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Parallel per-index loop over the fit sample (JVM common pool) —
+    * used ONLY where iterations are independent and write disjoint
+    * slots, so the result is bit-identical to the sequential loop. The
+    * driver-side fit is the one stage whose flop count grows as
+    * k·sample (both linear in the corpus under chooseK), so at the
+    * 100× decade the sequential Lloyd was minutes of single-threaded
+    * arithmetic on a 32-core driver. */
+  private def parRange(n: Int)(f: Int => Unit): Unit =
+    java.util.stream.IntStream.range(0, n).parallel().forEach(i => f(i))
+
   /** Deterministic local k-means: Lloyd's iterations from FOUR inits —
     * sample-strided (every (n/k)-th point of the sorted sample, the
     * quantile-spread seeding that tracks data MASS), farthest-first
@@ -265,14 +296,14 @@ object KMeansQuantizer {
     val minD = Array.fill(n)(Double.MaxValue)
     var c = 1
     while (c < k) {
+      val prev = centers(c - 1)
+      parRange(n) { i =>
+        val dd = sqBounded(pts(i), prev, minD(i))
+        if (dd < minD(i)) minD(i) = dd
+      }
       var total = 0.0
       var i = 0
-      while (i < n) {
-        val dd = sq(pts(i), centers(c - 1))
-        if (dd < minD(i)) minD(i) = dd
-        total += minD(i)
-        i += 1
-      }
+      while (i < n) { total += minD(i); i += 1 } // fixed-order sum
       var pick = 0
       if (total > 0) {
         val target = rng.nextDouble() * total
@@ -300,10 +331,13 @@ object KMeansQuantizer {
     val minD = Array.fill(n)(Double.MaxValue)
     var c = 1
     while (c < k) {
-      var best = 0; var bestD = -1.0; var i = 0
-      while (i < n) {
-        val dd = sq(pts(i), centers(c - 1))
+      val prev = centers(c - 1)
+      parRange(n) { i =>
+        val dd = sqBounded(pts(i), prev, minD(i))
         if (dd < minD(i)) minD(i) = dd
+      }
+      var best = 0; var bestD = -1.0; var i = 0
+      while (i < n) { // fixed-order argmax → lowest index on ties
         if (minD(i) > bestD) { bestD = minD(i); best = i }
         i += 1
       }
@@ -324,23 +358,23 @@ object KMeansQuantizer {
     java.util.Arrays.fill(assign, -1)
     var iter = 0
     var changed = true
+    val changedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
     while (iter < maxIter && changed) {
-      changed = false
-      var i = 0
-      while (i < n) {
+      changedFlag.set(false)
+      parRange(n) { i =>
         var bk = 0; var bd = Double.MaxValue; var kk = 0
         while (kk < k) {
-          val dd = sq(pts(i), centers(kk))
+          val dd = sqBounded(pts(i), centers(kk), bd)
           if (dd < bd) { bd = dd; bk = kk } // strict < → lowest id wins ties
           kk += 1
         }
-        if (assign(i) != bk) { assign(i) = bk; changed = true }
-        i += 1
+        if (assign(i) != bk) { assign(i) = bk; changedFlag.set(true) }
       }
+      changed = changedFlag.get()
       if (changed) {
         val sums = Array.fill(k, d)(0.0)
         val cnt = new Array[Int](k)
-        i = 0
+        var i = 0
         while (i < n) {
           val a = assign(i); cnt(a) += 1
           var j = 0; while (j < d) { sums(a)(j) += pts(i)(j); j += 1 }
@@ -387,9 +421,22 @@ object KMeansQuantizer {
     * known corpus count (every call site has just counted for
     * [[chooseK]]), so bounding adds no extra pass. Deterministic under
     * the fixed seed. */
+  /** Absolute training-set cap on top of the per-cell budget: k grows
+    * linearly with the corpus under [[chooseK]], so pointsPerCell·k —
+    * and with it the O(k·points·d·iters) Lloyd cost — grows
+    * QUADRATICALLY across decades (measured: 3.5 s at the 10× decade's
+    * k=80 → 55 s at 100×'s k=800 even with the parallel assignment).
+    * FAISS applies the same discipline (subsample past
+    * max_points_per_centroid, cap total training points): 65 536
+    * points is ≥ 80/cell up to k=800 — far above the ~39/cell
+    * convergence guideline — and pins the fit cost CONSTANT per
+    * decade; gate-scale fits (≤ 65k target) are unchanged, and the
+    * trained gates' inline recall floors are the quality check. */
+  val MAX_FIT_POINTS: Long = 65536L
+
   def fitSampled(e: DataFrame, k: Int, rows: Long, seed: Long = 42L,
       pointsPerCell: Int = 256, maxIter: Int = 20): KMeansQuantizer = {
-    val target = pointsPerCell.toLong * k
+    val target = math.min(pointsPerCell.toLong * k, MAX_FIT_POINTS)
     if (rows <= target) fitCollected(e, k, maxIter) // bound known — no recount
     else fit(e, k, seed, sampleFraction = target.toDouble / rows, maxIter = maxIter)
   }

@@ -279,9 +279,19 @@ object Similarity {
     * intersect, which recovers the near-duplicate pairs a hard
     * assignment cuts at cell boundaries — measured 0.38 → 0.90 recall
     * at sf0.1 for the trained gate — at a ≤ nprobe² fan-out factor. */
+  /** `maxFanout` caps the TOTAL within-cell pair space — right for the
+    * fixed-cell oracle quantizers, whose pair space growing with the
+    * corpus IS the failure to refuse. `maxPairsPerRow > 0` replaces it
+    * with the SCALE-FREE guard for trained chooseK quantizers: their
+    * total pair volume legitimately grows linearly (cells ∝ corpus at
+    * bounded population), so an absolute cap wrongly refuses a healthy
+    * linear route at some fixed scale (measured: the 80M cap tripped
+    * the 100× decade at a steady ~500 candidates/row), while
+    * candidates-per-row is the quantity that actually signals the
+    * quadratic failure mode (a fat cell) at ANY corpus size. */
   private def withinCellPairs(e: DataFrame, quant: CoarseQuantizer,
       tau: Double, maxFanout: Long, nprobe: Int = 1,
-      probeRatio: Double = 0.0): DataFrame = {
+      probeRatio: Double = 0.0, maxPairsPerRow: Double = 0.0): DataFrame = {
     import e.sparkSession.implicits._
     // probeRatio ∈ (0,1) takes precedence: ADAPTIVE 2-probe — only
     // vectors in the boundary band (owner distance within ratio of the
@@ -291,11 +301,19 @@ object Similarity {
     // the recall-carrying probes survive while interior fan-out
     // (most of a CLUSTERED corpus) is skipped.
     val multiProbe = probeRatio > 0.0 || nprobe > 1
-    val cells =
+    val assigned =
       if (probeRatio > 0.0)
         e.withColumn("cell", explode(quant.probeAdaptiveCol($"v", probeRatio)))
       else if (nprobe > 1) e.withColumn("cell", explode(quant.probeCol($"v", nprobe)))
       else e.withColumn("cell", quant.cellCol($"v"))
+    // assign ONCE: the frame below is consumed three times (fan-out
+    // guard + both join sides), and a trained quantizer's assignment
+    // is O(numCells·d) per row — the "assign once, fan out" discipline
+    // KMeansQuantizer's scaladoc prescribes. Cheap closed-form
+    // quantizers (the 4-cell LCG grid) recompute instead of paying a
+    // fat-vector checkpoint write (cheapAssignment contract).
+    val cells =
+      if (quant.cheapAssignment) assigned else assigned.localCheckpoint()
     // fan-out guard, same discipline as ngramJaccardPairs: the
     // within-cell pair space is Σ cellRows² of KB-sized vector rows —
     // a FIXED-cell quantizer (the LCG oracle twin) goes quadratic as
@@ -303,9 +321,20 @@ object Similarity {
     // and refuse past the cap instead of melting the join; the trained
     // chooseK quantizer bounds cellRows and stays linear (the scale
     // path, measured in SCALE.md).
-    val fanout = cells.groupBy($"cell").agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum($"n" * $"n"), lit(0L))).head().getLong(0)
-    require(fanout <= maxFanout,
+    val fanStats = cells.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum($"n" * $"n"), lit(0L)).as("fan"),
+        coalesce(sum($"n"), lit(0L)).as("rows")).head()
+    val fanout = fanStats.getLong(0)
+    val memberRows = fanStats.getLong(1)
+    if (maxPairsPerRow > 0.0) {
+      val perRow = if (memberRows == 0L) 0.0 else fanout.toDouble / memberRows
+      require(perRow <= maxPairsPerRow,
+        f"semanticDedup would score $perRow%.0f candidate pairs per row " +
+          f"(> $maxPairsPerRow%.0f) — a cell population far above the " +
+          "chooseK target; refit the quantizer (fat cells are the " +
+          "quadratic failure mode; TOTAL volume growing with the corpus " +
+          "is expected and linear)")
+    } else require(fanout <= maxFanout,
       s"semanticDedup would score $fanout within-cell pairs (> $maxFanout); " +
         "use a trained quantizer sized by KMeansQuantizer.chooseK " +
         "(bounded cell population) as dd_semantic_dedup_trained does")
@@ -339,14 +368,16 @@ object Similarity {
     val quant = KMeansQuantizer.fitSampled(e,
       KMeansQuantizer.chooseK(n, targetCellRows = 250L), n, maxIter = 10,
       pointsPerCell = 192)
-    withinCellPairs(e, quant, tau, maxFanout = 80000000L, probeRatio = 0.5)
+    withinCellPairs(e, quant, tau, maxFanout = Long.MaxValue,
+      probeRatio = 0.5, maxPairsPerRow = 4000.0)
   }
 
   def semanticDedup(s: SparkSession, e: DataFrame, quant: CoarseQuantizer,
       tau: Double, maxFanout: Long = 20000000L, nprobe: Int = 1,
-      probeRatio: Double = 0.0): DataFrame = {
+      probeRatio: Double = 0.0, maxPairsPerRow: Double = 0.0): DataFrame = {
     import s.implicits._
-    val pairs = withinCellPairs(e, quant, tau, maxFanout, nprobe, probeRatio)
+    val pairs = withinCellPairs(e, quant, tau, maxFanout, nprobe, probeRatio,
+      maxPairsPerRow)
     val labels = Components.connectedComponents(pairs, "da", "db")
       .select($"id".as("vec_id"), $"comp".as("group_id"))
     e.select($"vec_id").join(labels, Seq("vec_id"), "left")
@@ -397,11 +428,13 @@ object Similarity {
     val quant = KMeansQuantizer.fitSampled(e,
       KMeansQuantizer.chooseK(n, targetCellRows = 250L), n, maxIter = 10,
       pointsPerCell = 192)
-    // the default 2·10⁷ fan-out cap is sized for nprobe=1; 2-probe
-    // multiplies the worst-case pair space ≤4× while chooseK holds the
-    // per-vector candidate count constant, so the guard scales with it
-    val out = semanticDedup(s, e, quant, 0.45, maxFanout = 80000000L,
-      nprobe = nprobe, probeRatio = probeRatio).localCheckpoint()
+    // trained chooseK path → the SCALE-FREE per-row guard (r18): total
+    // pair volume grows linearly with the corpus by design; what must
+    // stay bounded is candidates per row (~500 measured at every
+    // decade; 4000 trips a fat-cell pathology at any scale)
+    val out = semanticDedup(s, e, quant, 0.45, maxFanout = Long.MaxValue,
+      nprobe = nprobe, probeRatio = probeRatio,
+      maxPairsPerRow = 4000.0).localCheckpoint()
     // Inline quality floor (VERDICT r14 item 5): duplicate-RECALL
     // against the LCG reference grid's exact within-cell ≥tau pair set
     // (the hash-exact twin's own truth — bounded by the same fan-out

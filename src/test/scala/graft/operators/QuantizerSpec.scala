@@ -89,6 +89,53 @@ class QuantizerSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("graft_cell / graft_halo_cells with a NON-FOLDABLE per-row centroid operand bypass the memo and stay exact") {
+    GraftFunctions.register(spark)
+    // per-row centroid arrays (built from the row's own values — not a
+    // constant-foldable literal): ADVICE r17 — the identity memo must
+    // not be consulted, results must equal the literal-operand path
+    val df = spark.range(0, 50).selectExpr(
+      "CAST(id AS DOUBLE) AS x")
+    val viaRowCents = df.selectExpr(
+      // centroids differ per row: [[x], [x+10]] — nearest is always cell 0
+      "graft_cell(array(x + 1.0d), array(array(x), array(x + 10.0d))) AS c",
+      "graft_halo_cells(array(x + 1.0d), array(array(x), array(x + 10.0d)), 0.1d) AS h")
+      .collect()
+    viaRowCents.foreach { r =>
+      assert(r.getLong(0) == 0L)
+      assert(r.getSeq[Long](1) == Seq(0L))
+    }
+    // and a wide-eps per-row halo returns both cells, ascending
+    val both = df.limit(5).selectExpr(
+      "graft_halo_cells(array(x + 1.0d), array(array(x), array(x + 10.0d)), 5.0d) AS h")
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == Seq(0L, 1L)))
+  }
+
+  test("native graft_probe2 equals the composable sorted-struct adaptive probe") {
+    GraftFunctions.register(spark)
+    // both below and above the group threshold, on trained centroids
+    // 8 below / 160 above CentroidIndex.GROUP_THRESHOLD (128)
+    for (k <- Seq(8, 160)) {
+      val q = KMeansQuantizer.fit(emb, k)
+      // the trait's composable form, invoked explicitly (the override
+      // would route to the native expression)
+      val composable = new CoarseQuantizer {
+        override def numCells: Int = q.numCells
+        override def centroid(c: Int): Seq[Double] = q.centroid(c)
+        override def cellCol(v: org.apache.spark.sql.Column) = q.cellCol(v)
+        override def probeCol(v: org.apache.spark.sql.Column, n: Int) = q.probeCol(v, n)
+      }
+      for (ratio <- Seq(0.25, 0.5, 0.9)) {
+        val native = emb.select($"vec_id", q.probeAdaptiveCol($"v", ratio).as("p"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val viaSort = emb.select($"vec_id", composable.probeAdaptiveCol($"v", ratio).as("p"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(native == viaSort, s"k=$k ratio=$ratio")
+      }
+    }
+  }
+
   test("max cell population shrinks as k grows") {
     def maxCell(k: Int): Long = {
       val q = KMeansQuantizer.fit(emb, k)
