@@ -59,6 +59,7 @@ object PlanAudit {
       "ds_heavy_hitters_sketch" -> "space-saving sketch: bounded O(k) aggregate, partial-combined map-side — state never scales with vocabulary",
       "curation_base_stage" -> "curation pipeline stages compose without breaking pushdown: corpus filter reaches the scan under the c4+gopher joins",
       "knn_graph_multiprobe" -> "multi-probe kNN graph: probe-set equi-join + map-combinable bounded top-k ranking (no window sort, no dedupe exchange)",
+      "trained_adaptive_probe" -> "trained-quantizer adaptive probe: ONE native graft_probe2 call per row (codegen at any k) — never the k-struct array_sort that falls out of codegen past a few dozen centroids",
       "curation_full_enrichment" -> "full-rule curation enrichment: benchmark rows broadcast, corpus filter pushed to the scan, the derived-text transform + full C4 rules one map stage")
 
     val sb = new StringBuilder
@@ -168,6 +169,15 @@ object PlanAudit {
           // the corpus side never shuffles
           graft.operators.TextAnalysis.c4Rules(
             graft.operators.Curation.enriched(spark, sfDir))
+        } else if (name == "trained_adaptive_probe") {
+          // audit the ASSIGNMENT map itself (withinCellPairs checkpoints
+          // this frame, which collapses the lineage the assertion needs)
+          import org.apache.spark.sql.functions.{col, explode}
+          graft.functions.GraftFunctions.register(spark)
+          val e = Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          val q2 = graft.operators.KMeansQuantizer.fit(e, 4)
+          e.withColumn("cell", explode(q2.probeAdaptiveCol(col("v"), 0.5)))
         } else if (name == "knn_graph_multiprobe") {
           import org.apache.spark.sql.functions.col
           graft.functions.GraftFunctions.register(spark)
@@ -351,6 +361,12 @@ object PlanAudit {
             plan.contains("graft_topk_min") && !plan.contains("Window"), name))
           checks += (("multi-probe kNN: no (src,dst) dedupe exchange — dupes collapse inside the k*probes array",
             plan.contains("array_distinct"), name))
+        case "trained_adaptive_probe" =>
+          checks += (("trained probe is the native graft_probe2 expression",
+            plan.contains("graft_probe2"), name))
+          checks += (("trained probe plan carries no k-struct sort (the interpreted form) and no boxed UDF",
+            !plan.contains("array_sort") && !plan.contains("sort_array") &&
+              !plan.contains("ScalaUDF"), name))
         case "curation_full_enrichment" =>
           checks += (("full-rule enrichment: benchmark rows meet the corpus via BroadcastHashJoin only",
             plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
