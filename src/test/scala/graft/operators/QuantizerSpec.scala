@@ -136,6 +136,30 @@ class QuantizerSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_probe2 exact-tie discipline: equal distances order by centroid index") {
+    GraftFunctions.register(spark)
+    // centroids 0 and 1 IDENTICAL, centroid 2 far: owner=0, runner-up=1
+    // at d1 == d2 exactly — the two-cell band condition (d1 >= ratio*d2)
+    // holds for any ratio <= 1, and the pair must come back [0, 1]
+    val r = spark.sql(
+      """SELECT graft_probe2(array(1.0d, 2.0d),
+        |  array(array(1.0d, 1.0d), array(1.0d, 1.0d), array(9.0d, 9.0d)),
+        |  0.5d) AS p""".stripMargin).head().getSeq[Long](0)
+    assert(r == Seq(0L, 1L))
+    // v equidistant from two DIFFERENT centroids (symmetric): same rule
+    val r2 = spark.sql(
+      """SELECT graft_probe2(array(0.0d),
+        |  array(array(-1.0d), array(1.0d), array(10.0d)), 0.9d) AS p""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(r2 == Seq(0L, 1L))
+    // deep-interior vector with ratio near 1: single cell
+    val r3 = spark.sql(
+      """SELECT graft_probe2(array(1.0d, 1.0d),
+        |  array(array(1.0d, 1.0d), array(9.0d, 9.0d)), 0.5d) AS p""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(r3 == Seq(0L))
+  }
+
   test("max cell population shrinks as k grows") {
     def maxCell(k: Int): Long = {
       val q = KMeansQuantizer.fit(emb, k)
