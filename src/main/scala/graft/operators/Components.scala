@@ -50,8 +50,14 @@ object Components {
       maxIter: Int = 25,
       smallGraphBound: Long = SMALL_GRAPH_EDGES): DataFrame = {
     // materialize the (possibly expensive) pair plan ONCE — the union
-    // below reads both directions from this cache, not two plan runs
+    // below reads both directions from this cache, not two plan runs.
+    // Null endpoints are dropped HERE, before the route split, so both
+    // routes see the identical edge set: the driver union-find decodes
+    // (Long, Long) and would throw on a null, while the distributed
+    // fixpoint would silently skip it — behavior must not differ by
+    // route or by edge count (ADVICE r18).
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .na.drop()
       .localCheckpoint()
     // the count is metadata on the just-checkpointed blocks, not a
     // recompute; it buys the runtime route decision

@@ -109,7 +109,13 @@ object Curation {
     /** Eagerly frees the checkpoint blocks IF the stages were computed.
       * Caller contract (same as the bench's): only invalidate a cache
       * no in-flight query still reads — a freed localCheckpoint cannot
-      * be recomputed (lineage is truncated by design). */
+      * be recomputed (lineage is truncated by design). ONLY
+      * [[invalidateStageCache]] may call this (ADVICE r18): capacity
+      * eviction fires on an unrelated session/dir's ACCESS, with no
+      * way to know whether a concurrent query still reads the evicted
+      * entry — eagerly freeing there turns a safe leak (ContextCleaner
+      * reclaims the blocks once the frame is unreachable) into a hard
+      * failure on a frame that cannot be recomputed. */
     def freeIfForced(): Unit = if (forced) {
       val st = get
       Seq(st.base, st.pool3, st.mhDrop).foreach(unpersistCheckpoint)
@@ -152,8 +158,14 @@ object Curation {
       }
       val key = Components.sessionKey(s)
       if (!stageMemo.containsKey(key) && stageMemo.size >= MAX_MEMO_SESSIONS) {
-        val evicted = stageMemo.remove(stageMemo.keySet().iterator().next())
-        if (evicted != null) freeAll(evicted)
+        // capacity eviction drops the map entry WITHOUT freeing blocks
+        // (ADVICE r18): a concurrent query may still hold the evicted
+        // Stage14 frames, and a freed localCheckpoint cannot be
+        // recomputed. The frames become unreachable once their holders
+        // drop them; the ContextCleaner then reclaims the blocks — the
+        // bounded, safe leak. Eager frees stay confined to
+        // invalidateStageCache, whose caller contract is explicit.
+        stageMemo.remove(stageMemo.keySet().iterator().next())
       }
       val dirs = stageMemo.computeIfAbsent(key,
         _ => new java.util.LinkedHashMap[String, LazyStage14](8, 0.75f, true))
@@ -161,7 +173,7 @@ object Curation {
       if (h == null) {
         if (dirs.size >= MAX_MEMO_DIRS) {
           val lruDir = dirs.keySet().iterator().next()
-          dirs.remove(lruDir).freeIfForced() // access-ordered → LRU dir
+          dirs.remove(lruDir) // access-ordered → LRU dir; no eager free
         }
         h = new LazyStage14(() => computeStage14(s, dir))
         dirs.put(dir, h)

@@ -104,8 +104,8 @@ object CurationProfile {
       lap("mix+pack+ledger")
       val counts = led.groupBy($"stage_dropped").count().collect()
       lap("counts")
-      val n = led.orderBy($"doc_id").collect().length
-      lap("final-orderBy")
+      val n = led.count()
+      lap("final-count")
       println(s"ROWS $n COUNTS ${counts.mkString(",")}")
     } finally s.stop()
   }

@@ -287,8 +287,10 @@ object Similarity {
     * bounded population), so an absolute cap wrongly refuses a healthy
     * linear route at some fixed scale (measured: the 80M cap tripped
     * the 100× decade at a steady ~500 candidates/row), while
-    * candidates-per-row is the quantity that actually signals the
-    * quadratic failure mode (a fat cell) at ANY corpus size. */
+    * candidates-per-row IN THE FATTEST CELL (max cell population) is
+    * the quantity that actually signals the quadratic failure mode at
+    * ANY corpus size — the corpus-wide mean dilutes a single fat cell
+    * (ADVICE r18). */
   private def withinCellPairs(e: DataFrame, quant: CoarseQuantizer,
       tau: Double, maxFanout: Long, nprobe: Int = 1,
       probeRatio: Double = 0.0, maxPairsPerRow: Double = 0.0): DataFrame = {
@@ -323,17 +325,24 @@ object Similarity {
     // path, measured in SCALE.md).
     val fanStats = cells.groupBy($"cell").agg(count(lit(1)).as("n"))
       .agg(coalesce(sum($"n" * $"n"), lit(0L)).as("fan"),
-        coalesce(sum($"n"), lit(0L)).as("rows")).head()
+        coalesce(max($"n"), lit(0L)).as("maxCell")).head()
     val fanout = fanStats.getLong(0)
-    val memberRows = fanStats.getLong(1)
+    val maxCell = fanStats.getLong(1)
     if (maxPairsPerRow > 0.0) {
-      val perRow = if (memberRows == 0L) 0.0 else fanout.toDouble / memberRows
-      require(perRow <= maxPairsPerRow,
-        f"semanticDedup would score $perRow%.0f candidate pairs per row " +
-          f"(> $maxPairsPerRow%.0f) — a cell population far above the " +
-          "chooseK target; refit the quantizer (fat cells are the " +
-          "quadratic failure mode; TOTAL volume growing with the corpus " +
-          "is expected and linear)")
+      // guard the MAX cell population, not the corpus-wide mean
+      // (ADVICE r18): a row in a cell of population n scores n
+      // candidates, and averaging sum(n²)/sum(n) dilutes one fat cell
+      // below the cap at large N — at 1e8 rows a 300k-row cell
+      // (~4.5e10 within-cell pairs) reads ~900 mean candidates/row and
+      // would pass. max(n) is the per-row candidate count in the
+      // worst cell; it trips on that cell at ANY corpus size while
+      // still admitting linear total-volume growth.
+      require(maxCell <= maxPairsPerRow,
+        f"semanticDedup's fattest cell holds $maxCell%d rows — every row " +
+          f"there scores $maxCell%d candidate pairs (> ${maxPairsPerRow}%.0f); " +
+          "a cell population far above the chooseK target; refit the " +
+          "quantizer (fat cells are the quadratic failure mode; TOTAL " +
+          "volume growing with the corpus is expected and linear)")
     } else require(fanout <= maxFanout,
       s"semanticDedup would score $fanout within-cell pairs (> $maxFanout); " +
         "use a trained quantizer sized by KMeansQuantizer.chooseK " +

@@ -91,6 +91,17 @@ DRIFT_ARTIFACT = os.path.join(REPO, "bench_drift_latest.json")
 BAND = 1.25
 # a group multiplier above this needs engine-independent corroboration
 PROBE_CORROBORATION_CAP = 1.5
+# within-group sentinel agreement (VERDICT r18 item 1): sentinels in
+# one group measure the SAME table on the SAME box, so their ratios
+# should agree — a spread beyond this factor means at least one
+# baseline is mis-frozen (r18: ta_lang_id frozen at 0.733 s vs
+# 0.35-0.37 s reproducible poisoned the documents multiplier to 0.72
+# and manufactured 19 phantom env_shift verdicts)
+GROUP_AGREEMENT_SPREAD = 1.3
+# the per-gate time budget graft.Bench enforces on the LIVE vector;
+# VERDICT r18 item 2: the round closes on the ISOLATED budget state
+# this script emits, not on live shared-JVM readings
+BUDGET_SEC = 12.0
 
 # ---------------------------------------------------------------- grouping
 # Gate -> sentinel-group routing. Prefix rules cover the families
@@ -221,12 +232,25 @@ def cpu_probe_seconds():
     return min(once() for _ in range(3))
 
 
-def clamp_mult(mult, probe_ratio):
+def clamp_mult(mult, probe_ratio, testdata_regenerated=False):
     """ADVICE r17: refuse to APPLY a multiplier above 1.5x unless the
     engine-independent probe corroborates it (an engine-wide real
-    regression slows the sentinels but not the probe)."""
+    regression slows the sentinels but not the probe).
+
+    ADVICE r18 refinement: the dominant documented drift mode — the
+    driver regenerating testdata, which has shifted table gates
+    1.9-5.9x — is INVISIBLE to a CPU probe, so when the parquet under
+    the sentinel baselines demonstrably postdates the freeze the
+    corroboration requirement is waived (the sentinels and the pending
+    gates read the SAME regenerated data, so a data-driven group
+    multiplier is exactly what normalization exists for). The policy
+    backstop stays: the caller prints a loud re-freeze directive,
+    because per bench_sentinels.json sentinel baselines MUST be
+    re-frozen after every regeneration."""
     if mult <= PROBE_CORROBORATION_CAP:
         return mult, False
+    if testdata_regenerated:
+        return mult, False  # data shift: probe cannot see it by design
     if probe_ratio is not None and probe_ratio >= 0.6 * mult:
         return mult, False  # corroborated: the box really is that slow
     return max(PROBE_CORROBORATION_CAP, probe_ratio or 1.0), True
@@ -235,31 +259,92 @@ def clamp_mult(mult, probe_ratio):
 def group_multipliers(detail, groups):
     """Per-group median(isolated/baseline) from measured sentinel detail
     {sentinel: {ratio}}; groups = {group: [sentinels]}. Returns
-    ({group: mult|None}, global_mult). A group needs >=2 usable ratios;
-    the global median needs >=3 (else 1.0 — can't estimate)."""
-    all_ratios = [d["ratio"] for d in detail.values()]
+    ({group: mult|None}, global_mult, {group: [dropped sentinels]}).
+
+    Within-group agreement (VERDICT r18 item 1): same-group sentinels
+    measure the same table on the same box and must agree. If a
+    group's ratio spread (max/min) exceeds GROUP_AGREEMENT_SPREAD:
+      - with >=3 sentinels, the single ratio farthest (in log space)
+        from the group median is discarded as a poisoned baseline; if
+        the survivors agree, their median serves;
+      - with 2 sentinels the outlier is unidentifiable, and with a
+        still-disagreeing remainder nothing is trustworthy — the group
+        falls back to the global median + CPU probe (mult None).
+    Dropped ratios are also excluded from the global median. A group
+    needs >=2 agreeing ratios; the global median needs >=3 (else 1.0 —
+    can't estimate)."""
+    import math
+    dropped = {}
+    kept = {}
+    for g, names in groups.items():
+        rs = [(q, detail[q]["ratio"]) for q in names if q in detail]
+        if len(rs) >= 2:
+            spread = max(r for _, r in rs) / min(r for _, r in rs)
+            if spread > GROUP_AGREEMENT_SPREAD and len(rs) >= 3:
+                med = _median([r for _, r in rs])
+                out = max(rs, key=lambda t: abs(math.log(t[1] / med)))
+                dropped.setdefault(g, []).append(out[0])
+                rs = [t for t in rs if t[0] != out[0]]
+                spread = max(r for _, r in rs) / min(r for _, r in rs)
+            if spread > GROUP_AGREEMENT_SPREAD:
+                # 2-way disagreement (or survivors still spread): the
+                # outlier cannot be identified — distrust the group
+                dropped.setdefault(g, []).extend(q for q, _ in rs)
+                rs = []
+        kept[g] = rs
+    flat_dropped = {q for qs in dropped.values() for q in qs}
+    all_ratios = [d["ratio"] for q, d in detail.items()
+                  if q not in flat_dropped]
     glob = _median(all_ratios) if len(all_ratios) >= 3 else 1.0
     per = {}
-    for g, names in groups.items():
-        rs = [detail[q]["ratio"] for q in names if q in detail]
-        per[g] = _median(rs) if len(rs) >= 2 else None
-    return per, glob
+    for g in groups:
+        rs = kept.get(g, [])
+        per[g] = _median([r for _, r in rs]) if len(rs) >= 2 else None
+    return per, glob, dropped
+
+
+def testdata_regenerated_since_freeze(sf_dir):
+    """True when any parquet under sf_dir postdates the baseline
+    freeze (ADVICE r18): data-driven drift is invisible to the CPU
+    probe, so the clamp must not launder it into phantom 'real'
+    verdicts. Freeze time = explicit `frozen_at_epoch` in
+    baseline_meta.json when present, else the freeze commit's
+    committer timestamp (baselines are recorded immediately before
+    that commit, so commit time is a tight upper bound)."""
+    try:
+        with open(BASE_META) as f:
+            meta = json.load(f)
+        frozen_at = meta.get("frozen_at_epoch")
+        if frozen_at is None:
+            frozen_at = int(subprocess.run(
+                ["git", "show", "-s", "--format=%ct", meta["commit"]],
+                capture_output=True, text=True, cwd=REPO,
+                check=True).stdout.strip())
+    except (OSError, ValueError, KeyError, subprocess.CalledProcessError):
+        return False
+    try:
+        newest = max(os.path.getmtime(os.path.join(sf_dir, p))
+                     for p in os.listdir(sf_dir) if p.endswith(".parquet"))
+    except (OSError, ValueError):
+        return False
+    return newest > frozen_at
 
 
 def measure_drift(iso_base, sf_dir):
     """Machine-state multipliers from the pinned sentinel set, grouped
-    by base table. Returns (per_group, global_mult, detail, probe)."""
+    by base table. Returns (per_group, global_mult, detail, probe,
+    diagnostics)."""
     try:
         with open(SENTINELS) as f:
             cfg = json.load(f)
         groups = cfg["groups"]
         probe_base = cfg.get("probe_baseline_sec")
     except (OSError, ValueError, KeyError):
-        return {}, 1.0, {}, {}
+        return {}, 1.0, {}, {}, {}
     names = sorted({q for qs in groups.values() for q in qs})
     usable = [q for q in names if q in iso_base]
     if len(usable) < 3:
-        return {}, 1.0, {}, {}
+        return {}, 1.0, {}, {}, {}
     readings = run_isolated(usable, sf_dir)
     detail = {}
     for q in usable:
@@ -268,7 +353,20 @@ def measure_drift(iso_base, sf_dir):
             continue
         detail[q] = {"isolated": iso, "baseline": iso_base[q],
                      "ratio": round(iso / iso_base[q], 4)}
-    per, glob = group_multipliers(detail, groups)
+    per, glob, dropped = group_multipliers(detail, groups)
+    for g, qs in dropped.items():
+        print(f"group {g}: sentinel ratio disagreement > "
+              f"{GROUP_AGREEMENT_SPREAD}x — discarded {qs} as "
+              "mis-frozen baseline(s); re-freeze them (VERDICT r18 "
+              "item 1)", file=sys.stderr)
+    regen = testdata_regenerated_since_freeze(sf_dir)
+    if regen:
+        print("WARN: testdata under "
+              f"{sf_dir} postdates the baseline freeze — sentinel "
+              "baselines are STALE per the re-freeze policy in "
+              "bench_sentinels.json; multipliers are exempt from the "
+              "probe clamp this run (data drift is probe-invisible), "
+              "RE-FREEZE the sentinel baselines now", file=sys.stderr)
     probe_sec = cpu_probe_seconds()
     probe_ratio = (probe_sec / probe_base) if probe_base else None
     probe = {"seconds": round(probe_sec, 4),
@@ -280,15 +378,37 @@ def measure_drift(iso_base, sf_dir):
             clamped[g] = None
             continue
         m = max(0.7, min(4.0, m))
-        m, was = clamp_mult(m, probe_ratio)
+        m, was = clamp_mult(m, probe_ratio, testdata_regenerated=regen)
         clamped[g] = round(m, 4)
         if was:
             print(f"group {g}: multiplier clamped to {m:.3f} — the CPU "
                   f"probe (ratio {probe_ratio}) does not corroborate the "
                   "sentinel elevation", file=sys.stderr)
     glob = max(0.7, min(4.0, glob))
-    glob, _ = clamp_mult(glob, probe_ratio)
-    return clamped, round(glob, 4), detail, probe
+    glob, _ = clamp_mult(glob, probe_ratio, testdata_regenerated=regen)
+    diag = {"dropped_sentinels": dropped,
+            "testdata_regenerated_since_freeze": regen}
+    return clamped, round(glob, 4), detail, probe, diag
+
+
+def over_budget_isolated(live_queries, iso_readings, budget=BUDGET_SEC):
+    """The budget verdict the round closes on (VERDICT r18 item 2):
+    graft.Bench's live check runs inside the shared 123-gate JVM, so a
+    loaded box flags gates the isolated discipline then exonerates
+    (r18: ft_qa_train 12.39 live / 7.99 isolated). A gate is
+    over-budget ONLY if its isolated median exceeds the budget; a
+    live-over gate with no isolated reading stays flagged (unmeasured
+    must never pass silently)."""
+    over = set()
+    for q, sec in (live_queries or {}).items():
+        if sec > budget:
+            iso = iso_readings.get(q)
+            if iso is None or iso > budget:
+                over.add(q)
+    for q, iso in iso_readings.items():
+        if iso is not None and iso > budget:
+            over.add(q)
+    return sorted(over)
 
 
 def band_verdict(norm, baseline, kind):
@@ -356,10 +476,11 @@ def main():
     except (OSError, ValueError):
         intentional = {}
 
-    per_group, glob, sentinel_detail, probe = measure_drift(iso_base, sf_dir)
+    per_group, glob, sentinel_detail, probe, diag = \
+        measure_drift(iso_base, sf_dir)
     print(f"machine-drift multipliers from {len(sentinel_detail)} "
           f"sentinel(s): per-group {per_group}, global {glob:.3f}x, "
-          f"probe {probe}")
+          f"probe {probe}, diagnostics {diag}")
 
     print(f"adjudicating {len(pending)} pending flag(s) on the quiet box: "
           f"{' '.join(pending)}")
@@ -412,6 +533,29 @@ def main():
               f"norm={norm:.3f}s (x{drift:.3f}, {group_of(q)}) "
               f"base={iso_base.get(q, float('nan')):.3f}s -> {verdict}")
 
+    # ---- isolated budget adjudication (VERDICT r18 item 2): re-judge
+    # the live over_budget list on isolated medians; any live-over gate
+    # not already isolated this run gets its own quiet rerun.
+    try:
+        with open(os.path.join(REPO, "bench_results.json")) as f:
+            live_queries = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        live_queries = {}
+    live_over = [q for q, sec in live_queries.items() if sec > BUDGET_SEC]
+    missing = [q for q in live_over
+               if readings.get(q) is None]
+    extra = run_isolated(missing, sf_dir) if missing else {}
+    iso_all = {**{q: v for q, v in readings.items() if v is not None},
+               **{q: v for q, v in extra.items() if v is not None}}
+    over_adj = over_budget_isolated(live_queries, iso_all)
+    if live_over or over_adj:
+        print(f"budget adjudication: live over_budget {sorted(live_over)} "
+              f"-> isolated over_budget_adjudicated {over_adj}")
+    for q in over_adj:
+        print(f"BENCH BUDGET EXCEEDED (isolated): {q} "
+              f"{iso_all.get(q, float('nan')):.3f}s > {BUDGET_SEC:.0f}s",
+              file=sys.stderr)
+
     with open(REG, "w") as f:
         json.dump(reg, f)
         f.write("\n")
@@ -432,7 +576,13 @@ def main():
             "drift_multipliers_per_group": per_group,
             "cpu_probe": probe,
             "sentinels": sentinel_detail,
+            "dropped_sentinels": diag.get("dropped_sentinels", {}),
+            "testdata_regenerated_since_freeze":
+                diag.get("testdata_regenerated_since_freeze", False),
             "band": BAND,
+            "budget_sec": BUDGET_SEC,
+            "over_budget_live": sorted(live_over),
+            "over_budget_adjudicated": over_adj,
             "adjudicated": {q: reg[q].get("verdict") for q in pending},
         }, f, indent=1)
         f.write("\n")

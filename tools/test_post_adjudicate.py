@@ -29,7 +29,8 @@ def test_per_table_normalization_differs():
                             "q_pivot_status"],
         "events": ["q_events_funnel", "q_json_events", "q_events_rolling"],
     }
-    per, glob = pa.group_multipliers(detail, groups)
+    per, glob, dropped = pa.group_multipliers(detail, groups)
+    assert not dropped, dropped
     assert abs(per["orders_lineitem"] - 2.0) < 1e-9, per
     assert abs(per["events"] - 1.0) < 1e-9, per
 
@@ -59,7 +60,7 @@ def test_group_fallback_to_global():
         "orders_lineitem": ["q1_pricing_summary", "q_top_orders"],
         "documents": ["ta_lang_id", "ta_fingerprint"],  # only 1 usable
     }
-    per, glob = pa.group_multipliers(detail, groups)
+    per, glob, dropped = pa.group_multipliers(detail, groups)
     assert per["documents"] is None
     assert pa.mult_for("dd_exact", per, glob) == glob
 
@@ -76,6 +77,81 @@ def test_probe_clamp_refuses_uncorroborated_multiplier():
     # small multipliers never need corroboration
     m, clamped = pa.clamp_mult(1.3, None)
     assert not clamped and m == 1.3, (m, clamped)
+
+
+def test_poisoned_sentinel_discarded():
+    # VERDICT r18 item 1 'done' criterion: a mis-frozen baseline (the
+    # r18 ta_lang_id scenario — frozen ~2x its reproducible reading,
+    # so its RATIO reads ~0.5x while its group-mates read ~1.0x) must
+    # be discarded, not averaged into the group multiplier.
+    detail = {
+        "ta_lang_id": {"ratio": 0.51},      # poisoned (stale baseline)
+        "ta_fingerprint": {"ratio": 0.98},
+        "ta_quality": {"ratio": 1.03},
+        "q1_pricing_summary": {"ratio": 1.0},
+        "q_top_orders": {"ratio": 1.01},
+        "q_pivot_status": {"ratio": 0.99},
+    }
+    groups = {
+        "documents": ["ta_lang_id", "ta_fingerprint", "ta_quality"],
+        "orders_lineitem": ["q1_pricing_summary", "q_top_orders",
+                            "q_pivot_status"],
+    }
+    per, glob, dropped = pa.group_multipliers(detail, groups)
+    assert dropped.get("documents") == ["ta_lang_id"], dropped
+    # the surviving pair agrees -> their median serves, ~1.0x, so a
+    # documents-family gate is no longer inflated by /0.72
+    assert abs(per["documents"] - 1.005) < 1e-9, per
+    # the poisoned ratio is also excluded from the global median
+    assert 0.98 <= glob <= 1.01, glob
+
+
+def test_two_sentinel_disagreement_falls_back_to_global():
+    # with only 2 sentinels the outlier is unidentifiable: the group
+    # must fall back to the global median rather than trust either
+    detail = {
+        "ta_lang_id": {"ratio": 0.5},
+        "ta_fingerprint": {"ratio": 1.0},
+        "q1_pricing_summary": {"ratio": 1.0},
+        "q_top_orders": {"ratio": 1.02},
+        "q_pivot_status": {"ratio": 0.98},
+    }
+    groups = {
+        "documents": ["ta_lang_id", "ta_fingerprint"],
+        "orders_lineitem": ["q1_pricing_summary", "q_top_orders",
+                            "q_pivot_status"],
+    }
+    per, glob, dropped = pa.group_multipliers(detail, groups)
+    assert per["documents"] is None, per
+    assert set(dropped.get("documents", [])) == {"ta_lang_id",
+                                                 "ta_fingerprint"}
+    assert pa.mult_for("dd_exact", per, glob) == glob
+
+
+def test_testdata_regen_exempts_probe_clamp():
+    # ADVICE r18: a 2.5x data-driven multiplier (testdata regenerated,
+    # probe blind at 1.0x) must be APPLIED, not clamped to 1.5x
+    m, clamped = pa.clamp_mult(2.5, 1.0, testdata_regenerated=True)
+    assert not clamped and m == 2.5, (m, clamped)
+    # without the regen evidence the old clamp still bites
+    m, clamped = pa.clamp_mult(2.5, 1.0, testdata_regenerated=False)
+    assert clamped and m == 1.5, (m, clamped)
+
+
+def test_over_budget_isolated():
+    live = {"ft_qa_train": 12.39, "ft_translate_train": 15.28,
+            "ds_curation_full": 7.8, "slowpoke": 13.0, "nojson": 12.5}
+    iso = {"ft_qa_train": 7.99, "ft_translate_train": 9.09,
+           "slowpoke": 12.7}
+    over = pa.over_budget_isolated(live, iso, budget=12.0)
+    # live-over gates exonerated by isolated medians drop out;
+    # a gate isolated-over stays; an UNMEASURED live-over gate must
+    # never pass silently
+    assert over == ["nojson", "slowpoke"], over
+    # a gate whose isolated reading is over budget is flagged even if
+    # its live reading somehow was not (defensive)
+    over2 = pa.over_budget_isolated({}, {"x": 12.4}, budget=12.0)
+    assert over2 == ["x"], over2
 
 
 def test_gate_routing():
