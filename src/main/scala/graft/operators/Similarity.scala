@@ -1145,13 +1145,16 @@ object Similarity {
     // with the corpus (per-query candidates = nprobe·targetCellRows =
     // O(√n·cellRows): recall holds while work stays strongly sublinear;
     // a FIXED nprobe keeps work constant but lets recall decay toward
-    // nprobe/numCells on weakly clustered corpora). Minimum 3 (r16 item
-    // 5): at the sf0.1 4-cell configuration nprobe=2 measured 0.59 mean
-    // top-10 recall vs the exact truth — the floor could only sit at
-    // 0.45; 3 probes + the 100-deep shortlist measure ≥0.75, so the
-    // gate floors at 0.6 like every other trained gate. Constant
-    // factors only — the √numCells asymptote is unchanged.
-    val nprobe = math.max(3, math.ceil(math.sqrt(quant.numCells)).toInt)
+    // nprobe/numCells on weakly clustered corpora). Minimum 4 (r16
+    // item 5 set 3; VERDICT r18 item 5 raised it): at the sf0.1 4-cell
+    // configuration nprobe=2 measured 0.59 mean top-10 recall vs the
+    // exact truth and nprobe=3 left the MINIMUM recall sitting exactly
+    // on the 0.6 floor (one unlucky query from an empty gate); 4
+    // probes buy measured min-recall headroom above the floor at a
+    // constant-factor cost (at 4 cells it is an exhaustive coarse
+    // scan — still m-byte ADC, not full vectors). Constant factors
+    // only — the √numCells asymptote is unchanged.
+    val nprobe = math.max(4, math.ceil(math.sqrt(quant.numCells)).toInt)
     val q = e.filter(queryPred)
       .select($"vec_id".as("qid"), $"v".as("vq"))
       .withColumn("cell", explode(quant.probeAmongCol($"vq", nprobe, nonEmpty)))
@@ -1311,7 +1314,10 @@ object Similarity {
     val nonEmpty = handle.nonEmpty
     val np =
       if (nprobe > 0) nprobe
-      else math.max(2, math.ceil(math.sqrt(quant.numCells)).toInt)
+      // same minimum-4 rule as annIvfPqServe (VERDICT r18 item 5): the
+      // indexed path serves the identical family and shares the
+      // one-unlucky-query exposure at small cell counts
+      else math.max(4, math.ceil(math.sqrt(quant.numCells)).toInt)
     val codes = s.read
       .schema("vec_id BIGINT, pq_codes ARRAY<BIGINT>, cell BIGINT")
       .parquet(indexPath)
