@@ -281,6 +281,16 @@ object PlanAudit {
           checks += (("conversation serve: bounded query batch broadcast over the index scan — no shuffle/sort of the pool, with or without AQE",
             plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
             name))
+          // r19: the conv probe itself runs BEFORE the batch's
+          // localCheckpoint, so this plan cannot show it — the native
+          // graft_probek pin for the shared KMeansQuantizer
+          // .probeAmongCol override (the fix for the conv decade row's
+          // 1.27 exponent) is asserted on the ivfpq serve plans below,
+          // where the probe is lineage-visible, and tie-for-tie
+          // equality is spec-pinned in QuantizerSpec at k=8/k=160
+          checks += (("conversation serve: no interpreted struct sort or boxed UDF anywhere in the serve plan",
+            !plan.contains("array_sort") && !plan.contains("sort_array") &&
+              !plan.contains("ScalaUDF"), name))
         case "dd_exact_substring" =>
           checks += (("exact-substring dedup: shingles meet their df counts via equi-join, never a cross/nested-loop join",
             !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -308,6 +318,15 @@ object PlanAudit {
           checks += (("IVF-PQ serve: residual encode + ADC run as native expressions, not boxed UDFs",
             plan.contains("graft_pq_adc") && !plan.contains("ScalaUDF") &&
               !plan.contains("BatchEvalPython"), name))
+          // r19: KMeansQuantizer.probeAmongCol is the native
+          // graft_probek expression — the composable k-struct
+          // array_sort form ran INTERPRETED at pool-proportional k on
+          // the conversation serve (corpus-sized query batches) and
+          // dominated that decade row's 1.27 exponent; this plan is
+          // where the shared override is lineage-visible
+          checks += (("IVF-PQ serve: multi-probe is ONE native graft_probek call (codegen at any k), never the k-struct array_sort",
+            plan.contains("graft_probek") && !plan.contains("array_sort") &&
+              !plan.contains("sort_array"), name))
         case "sim_ann_ivfpq_indexed" =>
           checks += (("indexed IVF-PQ: the ADC pass scans pq_codes WITHOUT the full-vector column (column pruning)",
             "ReadSchema: [^\n]*pq_codes".r.findAllIn(plan)

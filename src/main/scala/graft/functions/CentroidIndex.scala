@@ -266,6 +266,79 @@ private[functions] final class CentroidIndex(cents: ArrayData,
     (k1, d1, k2, d2)
   }
 
+  /** Exact `n` nearest centroids under lexicographic (distance², index)
+    * order, restricted to cells whose id is set in `allowed` (null =
+    * every cell) — the query-side multi-probe kernel behind
+    * `graft_probek` (r19). Tie discipline is identical to sorting
+    * (d, k) structs ascending (the composable `probeAmongCol` form
+    * this replaces): a bounded insertion list keeps the current n best
+    * ordered by (d², id), and branch-and-bound group pruning bounds
+    * against the CURRENT worst of the full list — a group whose lower
+    * bound exceeds it can contribute nothing (triangle inequality), so
+    * per-row work stays O((√k + scanned)·d) instead of O(k·d).
+    * Returns ids nearest-first, length min(n, allowed population). */
+  def topK(v: Array[Double], n: Int, allowed: Array[Boolean]): Array[Long] = {
+    if (n <= 0) return Array.emptyLongArray
+    val cap = math.min(n, k)
+    val ds = new Array[Double](cap)
+    val ids = new Array[Int](cap)
+    var size = 0
+    // worst accepted (d², id) — the prune bound once the list is full
+    def worst: Double = if (size < cap) Double.PositiveInfinity else ds(size - 1)
+    def offer(c: Int, s: Double): Unit = {
+      if (size == cap &&
+        (s > ds(size - 1) || (s == ds(size - 1) && c > ids(size - 1)))) return
+      var i = if (size < cap) { size += 1; size - 1 } else size - 1
+      while (i > 0 && (ds(i - 1) > s || (ds(i - 1) == s && ids(i - 1) > c))) {
+        ds(i) = ds(i - 1); ids(i) = ids(i - 1); i -= 1
+      }
+      ds(i) = s; ids(i) = c
+    }
+    @inline def ok(c: Int): Boolean = allowed == null || allowed(c)
+    if (!grouped) {
+      var c = 0
+      while (c < k) {
+        if (ok(c)) {
+          val s = CentroidIndex.sqBounded(v, flat(c), worst)
+          if (s <= worst) offer(c, s)
+        }
+        c += 1
+      }
+    } else {
+      val lb = new Array[Double](numGroups)
+      var gg = 0
+      while (gg < numGroups) {
+        val dg = math.sqrt(CentroidIndex.sq(v, superCents(gg)))
+        val l = dg - radius(gg)
+        lb(gg) = if (l > 0) l * l else 0.0
+        gg += 1
+      }
+      val order = Array.range(0, numGroups).sortBy(lb)
+      var oi = 0
+      while (oi < numGroups) {
+        val g2 = order(oi)
+        if (lb(g2) > worst) oi = numGroups // every later bound is larger
+        else {
+          val ms = members(g2)
+          var mi = 0
+          while (mi < ms.length) {
+            val c = ms(mi)
+            if (ok(c)) {
+              val s = CentroidIndex.sqBounded(v, flat(c), worst)
+              if (s <= worst) offer(c, s)
+            }
+            mi += 1
+          }
+        }
+        oi += 1
+      }
+    }
+    val out = new Array[Long](size)
+    var i = 0
+    while (i < size) { out(i) = ids(i).toLong; i += 1 }
+    out
+  }
+
   /** Exact min distance² (no pruning) — the halo owner distance. */
   def minDist2(v: Array[Double]): Double = {
     var best = Double.PositiveInfinity

@@ -68,6 +68,7 @@ object GraftFunctions {
   val cellInfo = new ExpressionInfo(classOf[NearestCentroid].getName, "graft_cell")
   val haloInfo = new ExpressionInfo(classOf[HaloCells].getName, "graft_halo_cells")
   val probe2Info = new ExpressionInfo(classOf[ProbeCells].getName, "graft_probe2")
+  val probeKInfo = new ExpressionInfo(classOf[ProbeKCells].getName, "graft_probek")
   val overlapInfo = new ExpressionInfo(classOf[ClippedOverlap].getName, "graft_overlap")
   val bloomAggInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -105,6 +106,12 @@ object GraftFunctions {
     require(children.size == 3, "graft_probe2 takes (v, centroids, ratio)")
     ProbeCells(Cast(children(0), arrD), Cast(children(1), arrArrD),
       Cast(children(2), DoubleType))
+  }
+  private val buildProbeK: Seq[Expression] => Expression = { children =>
+    require(children.size == 4,
+      "graft_probek takes (v, centroids, nprobe, allowed)")
+    ProbeKCells(Cast(children(0), arrD), Cast(children(1), arrArrD),
+      Cast(children(2), IntegerType), Cast(children(3), ArrayType(LongType)))
   }
   private val buildOverlap: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "graft_overlap takes exactly two arguments")
@@ -161,6 +168,7 @@ object GraftFunctions {
     reg.registerFunction(FunctionIdentifier("graft_cell"), cellInfo, buildCell)
     reg.registerFunction(FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo)
     reg.registerFunction(FunctionIdentifier("graft_probe2"), probe2Info, buildProbe2)
+    reg.registerFunction(FunctionIdentifier("graft_probek"), probeKInfo, buildProbeK)
     reg.registerFunction(FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap)
     reg.registerFunction(FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg)
     reg.registerFunction(FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight)
@@ -175,6 +183,7 @@ object GraftFunctions {
     (FunctionIdentifier("graft_cell"), cellInfo, buildCell),
     (FunctionIdentifier("graft_halo_cells"), haloInfo, buildHalo),
     (FunctionIdentifier("graft_probe2"), probe2Info, buildProbe2),
+    (FunctionIdentifier("graft_probek"), probeKInfo, buildProbeK),
     (FunctionIdentifier("graft_overlap"), overlapInfo, buildOverlap),
     (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, buildBloomAgg),
     (FunctionIdentifier("graft_might_contain"), bloomMightInfo, buildBloomMight),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -201,5 +201,83 @@ object ProbeCells {
     if (k2 >= 0 && d1 >= ratio * d2)
       new GenericArrayData(Array(k1.toLong, k2.toLong))
     else new GenericArrayData(Array(k1.toLong))
+  }
+}
+
+/** Native Catalyst expression: `graft_probek(v, centroids, nprobe,
+  * allowed)` = the `nprobe` nearest centroid ids AMONG the `allowed`
+  * cell set, nearest first — the multi-probe list
+  * [[graft.operators.CoarseQuantizer.probeAmongCol]] builds
+  * composably (k sqdist structs → array_sort → slice → transform).
+  *
+  * The composable form's generated code grows linearly with k — the
+  * same defect `graft_probe2` fixed on the corpus-side adaptive probe
+  * (r18): past Janino's limit every row pays an INTERPRETED k-struct
+  * sort. That was survivable while only 10-query batches probed, but
+  * the conversation retrieval eval probes a CORPUS-sized context
+  * batch against an index whose cell count grows with the pool
+  * (k = pool/500), so the probe is n·k = quadratic-over-500 work and
+  * it ran interpreted — the dominant term of the ft_conversation
+  * decade row's 1.27 second-decade exponent (r19). One static call on
+  * the thread-memoized [[CentroidIndex]] keeps the scan in
+  * whole-stage codegen at any k, and branch-and-bound group pruning
+  * makes per-row work O((√k + scanned)·d). Tie discipline is
+  * identical to the struct sort: (distance², index) ascending;
+  * output length = min(nprobe, |allowed|). */
+case class ProbeKCells(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  // input typing handled by the registry builder, as with graft_cell
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_probek"
+
+  override protected def nullSafeEval(
+      v: Any, cents: Any, n: Any, allowed: Any): Any =
+    ProbeKCells.probeK(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int], allowed.asInstanceOf[ArrayData], second.foldable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c, n, a) => {
+      val out = ctx.freshName("probek")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.ProbeKCells.probeK($v, $c, $n, $a, ${second.foldable});
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): ProbeKCells =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object ProbeKCells {
+  /** Static codegen target. Null propagation identical to
+    * [[NearestCentroid.assign]]; additionally null when `allowed`
+    * contains a null or an id outside [0, k) — the composable form
+    * would have failed at plan build on such an id, so a defensive
+    * null (never a silent skip) keeps the strict contract. An empty
+    * probe (nprobe ≤ 0) returns an empty array, mirroring
+    * `slice(..., 1, 0)`. */
+  def probeK(v: ArrayData, cents: ArrayData, nprobe: Int,
+      allowed: ArrayData, centsFoldable: Boolean): ArrayData = {
+    val idx = CentroidIndex.forCentroids(cents, centsFoldable)
+    if (!idx.valid) return null
+    val vv = CentroidIndex.extract(v, idx.dim)
+    if (vv == null) return null
+    var mask: Array[Boolean] = null
+    if (allowed != null) {
+      val na = allowed.numElements()
+      mask = new Array[Boolean](idx.k)
+      var i = 0
+      while (i < na) {
+        if (allowed.isNullAt(i)) return null
+        val id = allowed.getLong(i)
+        if (id < 0 || id >= idx.k) return null
+        mask(id.toInt) = true
+        i += 1
+      }
+    }
+    new GenericArrayData(idx.topK(vv, nprobe, mask))
   }
 }

@@ -165,6 +165,23 @@ final class KMeansQuantizer(val centroids: Array[Array[Double]]) extends CoarseQ
     * identical tie order to the struct sort). */
   override def probeAdaptiveCol(v: Column, ratio: Double): Column =
     call_function("graft_probe2", v, centLit, lit(ratio))
+
+  /** Native multi-probe (r19): the trait's composable struct-sort form
+    * generates code linear in k — survivable for 10-query ANN batches,
+    * but the conversation retrieval eval probes a CORPUS-sized context
+    * batch against an index whose cell count grows with the pool
+    * (k = pool/targetCellRows), so at the 100× decade the probe ran as
+    * an INTERPRETED 940-struct sort per row and dominated the gate's
+    * 1.27 second-decade exponent. One `graft_probek` call keeps the
+    * probe in whole-stage codegen at any k and rides the same
+    * branch-and-bound centroid index as `graft_cell`/`graft_probe2`
+    * (exact top-nprobe among the allowed cells, tie order identical to
+    * the struct sort — QuantizerSpec pins equality at k=8 and k=160). */
+  override def probeAmongCol(v: Column, nprobe: Int, allowed: Seq[Int]): Column = {
+    require(allowed.nonEmpty, "probeAmongCol needs at least one allowed cell")
+    call_function("graft_probek", v, centLit, lit(nprobe),
+      typedlit(allowed.map(_.toLong)))
+  }
 }
 
 object KMeansQuantizer {

@@ -301,6 +301,21 @@ object TextMetricsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Pool-size bound for the conversation eval's EXACT brute-force
+    * retrieval route (r19, measured by the ft decade row): the
+    * broadcast-matrix argmax is nCtx × nCand dot products — quadratic
+    * when both grow with the corpus (1× 10.4 s → 10× 139 s at the
+    * 50k-candidate guard, exponent 1.13). Above this bound the eval
+    * routes to [[graft.llm.Finetune.respondTextAnn]] — per-query work
+    * = probed-cell population, independent of pool size — the same
+    * route-by-runtime-size discipline as
+    * [[Components.connectedComponents]]'s union-find bound. 20 000
+    * keeps exact retrieval wherever it is genuinely affordable
+    * (≤ 400 M dots, a ~10 MB broadcast) and switches before the
+    * quadratic wall; the graded sf corpora sit far below it, so the
+    * gate's exact behavior there is byte-identical to r18. */
+  val CONV_EVAL_BRUTE_FORCE_POOL_MAX = 20000L
+
   /** The TRAINED conversation path end to end (rows-only gate, sibling
     * of `ft_qa_train`): finetune a dual-encoder response-selection head
     * on (system, user, assistant) triples built from the documents
@@ -308,7 +323,11 @@ object TextMetricsQueries {
     * tokens 9–18 (same-doc template vocabulary makes the true response
     * retrievable above chance) — then respond to every context by
     * retrieval over the full assistant pool and emit per-doc EM +
-    * token F1 of the RETRIEVED responses vs gold. */
+    * token F1 of the RETRIEVED responses vs gold. Retrieval is ADAPTIVE
+    * (see [[CONV_EVAL_BRUTE_FORCE_POOL_MAX]]): exact broadcast argmax
+    * while the pool is small, IVF maximum-inner-product search above —
+    * LLMSpec pins probe-all ANN retrieval exactly equal to the exact
+    * route, and the same 0.2 F1 floor applies on either route. */
   def ft_conversation_train(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
@@ -322,9 +341,17 @@ object TextMetricsQueries {
       data = Some(d.select($"system", $"user", $"assistant")),
       textCol = "system", text2Col = "user", labelCol = "assistant",
       dim = 64, hyperparams = Map("max_iter" -> "10")))
-    val resp = graft.llm.Finetune.respondText(s, cat, "ConvGate",
-      d.select($"system", $"user"), "system", "user",
-      candidates = d.select($"assistant".as("response")))
+    // O(1)-result agg buys the route decision (the Components pattern)
+    val nPool = d.select($"assistant").distinct().count()
+    val resp =
+      if (nPool <= CONV_EVAL_BRUTE_FORCE_POOL_MAX)
+        graft.llm.Finetune.respondText(s, cat, "ConvGate",
+          d.select($"system", $"user"), "system", "user",
+          candidates = d.select($"assistant".as("response")))
+      else
+        graft.llm.Finetune.respondTextAnn(s, cat, "ConvGate",
+          d.select($"system", $"user"), "system", "user",
+          candidates = d.select($"assistant".as("response")), nprobe = 2)
     qualityFloor("conversation",
       d.join(resp, Seq("system", "user"))
         .select($"doc_id",

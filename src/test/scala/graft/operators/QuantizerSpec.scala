@@ -160,6 +160,67 @@ class QuantizerSpec extends AnyFunSuite {
     assert(r3 == Seq(0L))
   }
 
+  test("native graft_probek equals the composable sorted-struct multi-probe") {
+    GraftFunctions.register(spark)
+    // 8 below / 160 above CentroidIndex.GROUP_THRESHOLD (128) — the
+    // branch-and-bound path must be tie-for-tie identical to the
+    // array_sort form at both routes
+    for (k <- Seq(8, 160)) {
+      val q = KMeansQuantizer.fit(emb, k)
+      val composable = new CoarseQuantizer {
+        override def numCells: Int = q.numCells
+        override def centroid(c: Int): Seq[Double] = q.centroid(c)
+        override def cellCol(v: org.apache.spark.sql.Column) = q.cellCol(v)
+        override def probeCol(v: org.apache.spark.sql.Column, n: Int) =
+          probeAmongCol(v, n, 0 until numCells)
+      }
+      // full cell set and a restricted allowed subset; nprobe beyond
+      // the allowed population must return all allowed, nearest first
+      val subsets = Seq(0 until k, 0 until k by 3)
+      for (allowed <- subsets; nprobe <- Seq(1, 2, 5, allowed.length + 3)) {
+        val native = emb.select($"vec_id",
+          q.probeAmongCol($"v", nprobe, allowed).as("p"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val viaSort = emb.select($"vec_id",
+          composable.probeAmongCol($"v", nprobe, allowed).as("p"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(native == viaSort, s"k=$k nprobe=$nprobe |allowed|=${allowed.length}")
+      }
+    }
+  }
+
+  test("graft_probek exact-tie discipline and strict null contract") {
+    GraftFunctions.register(spark)
+    // centroids 0 and 1 IDENTICAL: equal distances order by index
+    val r = spark.sql(
+      """SELECT graft_probek(array(1.0d, 2.0d),
+        |  array(array(1.0d, 1.0d), array(1.0d, 1.0d), array(9.0d, 9.0d)),
+        |  2, array(0L, 1L, 2L)) AS p""".stripMargin).head().getSeq[Long](0)
+    assert(r == Seq(0L, 1L))
+    // symmetric equidistance from two DIFFERENT centroids: same rule
+    val r2 = spark.sql(
+      """SELECT graft_probek(array(0.0d),
+        |  array(array(-1.0d), array(1.0d), array(10.0d)),
+        |  2, array(0L, 1L, 2L)) AS p""".stripMargin).head().getSeq[Long](0)
+    assert(r2 == Seq(0L, 1L))
+    // the allowed set excludes the nearest cell: ranking is among the rest
+    val r3 = spark.sql(
+      """SELECT graft_probek(array(0.0d, 0.0d),
+        |  array(array(0.0d, 0.0d), array(1.0d, 0.0d), array(2.0d, 0.0d)),
+        |  2, array(1L, 2L)) AS p""".stripMargin).head().getSeq[Long](0)
+    assert(r3 == Seq(1L, 2L))
+    // nprobe = 0 mirrors slice(..., 1, 0): empty, not null
+    val r4 = spark.sql(
+      """SELECT graft_probek(array(0.0d), array(array(1.0d)), 0, array(0L))
+        | AS p""".stripMargin).head().getSeq[Long](0)
+    assert(r4 == Seq.empty)
+    // an out-of-range allowed id is a defensive NULL, never a skip
+    val r5 = spark.sql(
+      """SELECT graft_probek(array(0.0d), array(array(1.0d)), 1, array(5L))
+        | AS p""".stripMargin).head()
+    assert(r5.isNullAt(0))
+  }
+
   test("max cell population shrinks as k grows") {
     def maxCell(k: Int): Long = {
       val q = KMeansQuantizer.fit(emb, k)
