@@ -61,4 +61,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(viaDriver == viaDistributed)
     assert(viaDriver.nonEmpty)
   }
+
+  test("null edge endpoints drop identically on both routes (ADVICE r18)") {
+    // a null endpoint used to throw on the driver route (non-nullable
+    // (Long, Long) decode) while the distributed fixpoint silently
+    // skipped it — behavior differed by route and hence by edge count.
+    // Nulls now drop BEFORE the route split: both routes must agree
+    // with each other and with the pre-filtered graph.
+    val edges = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(9L)),
+      (java.lang.Long.valueOf(7L), java.lang.Long.valueOf(8L))
+    ).toDF("a", "b")
+    val clean = Seq((1L, 2L), (7L, 8L)).toDF("a", "b")
+    val expected = Components.connectedComponents(clean, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDistributed = Components
+      .connectedComponents(edges, "a", "b", smallGraphBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == expected)
+    assert(viaDistributed == expected)
+    assert(expected == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
 }
