@@ -573,17 +573,30 @@ object Generative {
     * gate) and its groups are sentence-length-bounded (skew-safe); the
     * per-e totals stay a join (see inline note on skew). The t-table
     * localCheckpoints per iteration. */
-  private def ibm1Em(pairs: DataFrame, srcCol: String, tgtCol: String,
-      iters: Int): DataFrame = {
+  /** The (sid, j, ne, f, e) Model-1 alignment frame shared by
+    * [[ibm1Em]] and the round-1 exact twin [[ibm1Round1CountsQ]]:
+    * es = NULL ++ source tokens (duplicates KEPT — a source word
+    * appearing twice gets twice the alignment mass, Brown 1993 §4),
+    * one row per (target position j, source slot). `ne` = |es| rides
+    * along so the twin can form the round-1 posterior 1/ne without
+    * re-deriving sentence lengths. */
+  private def ibm1Exploded(pairs: DataFrame, srcCol: String,
+      tgtCol: String): DataFrame = {
     val src = TextMetrics.tokens(col(srcCol))
     val tgt = TextMetrics.tokens(col(tgtCol))
-    val exploded = pairs
+    pairs
       .select(monotonically_increasing_id().as("sid"),
         concat(array(lit(NULL_TOKEN)), src).as("es"), tgt.as("fs"))
       .filter(size(col("fs")) > 0 && size(col("es")) > 1)
-      .select(col("sid"), col("es"), posexplode(col("fs")).as(Seq("j", "f")))
-      .select(col("sid"), col("j"), col("f"), explode(col("es")).as("e"))
-      .localCheckpoint()
+      .select(col("sid"), col("es"), size(col("es")).as("ne"),
+        posexplode(col("fs")).as(Seq("j", "f")))
+      .select(col("sid"), col("j"), col("ne"), col("f"),
+        explode(col("es")).as("e"))
+  }
+
+  private def ibm1Em(pairs: DataFrame, srcCol: String, tgtCol: String,
+      iters: Int): DataFrame = {
+    val exploded = ibm1Exploded(pairs, srcCol, tgtCol).localCheckpoint()
     val vf = exploded.select("f").distinct().count()
     require(vf > 0, "translation finetune needs non-empty sentence pairs")
     val init = 1.0 / vf
@@ -616,6 +629,36 @@ object Generative {
       it += 1
     }
     t
+  }
+
+  /** ONE exact EM round of [[ibm1Em]] from the uniform init, on
+    * scaled-integer arithmetic — the hash-exact train twin
+    * (`ta_unigram_train1` pattern). At round 1 every t(f|e) is the
+    * same constant, so the per-row posterior d = tv / Σ_es tv = 1/ne
+    * EXACTLY — the 1/|V_f| init cancels and never touches the result.
+    * Scaling by 2520 = lcm(1..10) makes every per-row weight an exact
+    * BIGINT (the sentence builder must cap source length at 9 tokens;
+    * a longer sentence raises an error rather than silently rounding),
+    * so the expected counts cnt(e,f) = Σ 2520/ne, their per-e totals,
+    * and the quantized lexicon score tq = ⌊cnt·10⁶/ce⌋ (identical to
+    * the production round-1 t(f|e) up to the common 2520 factor, which
+    * cancels in the ratio) are all order-independent integer sums and
+    * divisions a SQL oracle replays bit-for-bit. Hashing the FULL
+    * (e, f, cnt, ce, tq) table pins the frame construction (NULL slot,
+    * duplicate source slots, empty-pair filters) and the E/M algebra —
+    * strictly stronger than pinning the per-e argmax alone. */
+  def ibm1Round1CountsQ(pairs: DataFrame, srcCol: String,
+      tgtCol: String): DataFrame = {
+    val ex = ibm1Exploded(pairs, srcCol, tgtCol)
+      .withColumn("w",
+        when(col("ne") > 10, raise_error(lit(
+          "ibm1Round1CountsQ: >9 source tokens breaks lcm-2520 exactness")))
+          .otherwise(lit(2520.0) / col("ne")).cast("long"))
+    val cnt = ex.groupBy("e", "f").agg(sum("w").as("cnt"))
+    val ce = cnt.groupBy("e").agg(sum("cnt").as("ce"))
+    cnt.join(ce, "e")
+      .select(col("e"), col("f"), col("cnt"), col("ce"),
+        expr("(cnt * 1000000L) div ce").as("tq"))
   }
 
   /** Word-by-word argmax decode of `textCol` through a lexical table

@@ -626,6 +626,51 @@ object TextMetricsQueries {
       .orderBy($"doc_id")
   }
 
+  /** Hash-exact TRAIN twin of [[ft_translate_train]] (the
+    * `ta_unigram_train1` pattern, VERDICT r19 item 1): replay ONE EM
+    * round of IBM Model 1 from the uniform init on the SAME
+    * sentence-pair construction (lead-8-token source, reversed-word
+    * cipher target), where the round-1 posterior is the exact rational
+    * 1/|es| per alignment slot — see
+    * [[graft.llm.Generative.ibm1Round1CountsQ]] for the integer-scaling
+    * argument. The full iterative trainer stays the rows-only
+    * metric-floored surface; this gate pins the alignment-frame
+    * mechanics (NULL slot, duplicate slots, empty filters) and the
+    * E-step/M-step algebra bit-for-bit against a DuckDB replay.
+    * Reference anchor: the tune path transformers.py:876-968 whose
+    * translation lifecycle these gates reproduce. */
+  def ft_translate_train1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = Tables.documents(s, dir).select($"doc_id",
+      concat_ws(" ", slice(t, 1, 8)).as("src"))
+      .withColumn("tgt", concat_ws(" ",
+        transform(split($"src", " "), w => reverse(w))))
+    graft.llm.Generative.ibm1Round1CountsQ(d.select($"src", $"tgt"),
+      "src", "tgt")
+      .orderBy($"e", $"f")
+  }
+
+  private val ftTranslateTrain1Sql: String =
+    """WITH tk AS (
+      |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                     x -> len(x) > 0)[1:8] AS srcs
+      |  FROM documents),
+      |prep AS (
+      |  SELECT list_prepend(chr(1) || 'NULL' || chr(1), srcs) AS es,
+      |         list_transform(srcs, w -> reverse(w)) AS fs
+      |  FROM tk WHERE len(srcs) > 0),
+      |ex AS (
+      |  SELECT u2.e, u1.f, 2520 // len(p.es) AS w
+      |  FROM prep p, unnest(p.fs) AS u1(f), unnest(p.es) AS u2(e)),
+      |cnt AS (
+      |  SELECT e, f, CAST(sum(w) AS BIGINT) AS cnt FROM ex GROUP BY e, f),
+      |tot AS (
+      |  SELECT e, CAST(sum(cnt) AS BIGINT) AS ce FROM cnt GROUP BY e)
+      |SELECT c.e, c.f, c.cnt, t.ce, (c.cnt * 1000000) // t.ce AS tq
+      |FROM cnt c JOIN tot t USING (e)
+      |ORDER BY e, f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_rouge_pairs"        -> lm_rouge_pairs _,
     "lm_bleu_corpus"        -> lm_bleu_corpus _,
@@ -638,7 +683,8 @@ object TextMetricsQueries {
     "ft_conversation_train" -> ft_conversation_train _,
     "ft_conversation_ann"   -> ft_conversation_ann _,
     "ft_generate_train"     -> ft_generate_train _,
-    "ft_translate_train"    -> ft_translate_train _
+    "ft_translate_train"    -> ft_translate_train _,
+    "ft_translate_train1"   -> ft_translate_train1 _
   )
 
   val oracles: Map[String, String] = Map(
@@ -647,6 +693,7 @@ object TextMetricsQueries {
     "lm_exact_match"        -> lmExactMatchSql,
     "lm_perplexity_unigram" -> lmPerplexitySql,
     "ft_summarize_eval"     -> ftSummarizeSql,
-    "ft_qa_eval"            -> ftQaSql
+    "ft_qa_eval"            -> ftQaSql,
+    "ft_translate_train1"   -> ftTranslateTrain1Sql
   )
 }

@@ -229,4 +229,40 @@ class GenerativeSpec extends AnyFunSuite {
     assert(Generative.generateTextCfg(spark, c, "GenGuard", prompts,
       config = Map("num_beams" -> "2")).count() == 1L)
   }
+
+  test("ibm1Round1CountsQ: exact hand-computed round-1 table") {
+    // s1: es=[NULL,a,b] ne=3 w=840, fs=[x,y]; s2: es=[NULL,a] ne=2
+    // w=1260, fs=[z] — every cnt/ce/tq below is hand arithmetic
+    val pairs = Seq(("a b", "x y"), ("a", "z")).toDF("src", "tgt")
+    val rows = Generative.ibm1Round1CountsQ(pairs, "src", "tgt")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val N = "\u0001NULL\u0001"
+    assert(rows((N, "x")) == ((840L, 2940L, 285714L)))
+    assert(rows(("a", "x")) == ((840L, 2940L, 285714L)))
+    assert(rows(("b", "x")) == ((840L, 1680L, 500000L)))
+    assert(rows(("a", "z")) == ((1260L, 2940L, 428571L)))
+    assert(rows((N, "z")) == ((1260L, 2940L, 428571L)))
+    assert(rows.size == 8)
+  }
+
+  test("ibm1Round1CountsQ: duplicate source slots keep double mass") {
+    // "a a" → es=[NULL,a,a]: the duplicate slot is NOT deduped (Brown
+    // 1993 §4 — alignment mass is per SLOT), so cnt(a,x)=2·840
+    val pairs = Seq(("a a", "x")).toDF("src", "tgt")
+    val rows = Generative.ibm1Round1CountsQ(pairs, "src", "tgt")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    assert(rows(("a", "x")) == ((1680L, 1000000L)))
+    assert(rows(("\u0001NULL\u0001", "x")) == ((840L, 1000000L)))
+  }
+
+  test("ibm1Round1CountsQ: >9 source tokens raises (lcm-2520 guard)") {
+    val long = (1 to 10).map(i => s"w$i").mkString(" ")
+    val pairs = Seq((long, "x")).toDF("src", "tgt")
+    val ex = intercept[Exception] {
+      Generative.ibm1Round1CountsQ(pairs, "src", "tgt").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
