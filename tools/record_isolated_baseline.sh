@@ -17,6 +17,12 @@
 # e.g.
 #   tools/record_isolated_baseline.sh .r15wt/target/scala-2.13/classes \
 #     /tmp/gates_112.txt bench_isolated_baseline_r15.json
+#
+# VERDICT r19 item 2: this script (at round close) is the ONLY writer
+# of bench_isolated_baseline.json — post_adjudicate.py merges into
+# bench_isolated_latest.json and bands against the freeze COMMIT.
+# After recording, run tools/freeze_baseline_meta.py (stamps commit,
+# frozen_at_epoch, testdata content fingerprints) and COMMIT both.
 set -u
 cd "$(dirname "$0")/.."
 CLASSES="$1"; LIST="$2"; OUT="$3"

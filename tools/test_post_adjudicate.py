@@ -166,6 +166,111 @@ def test_gate_routing():
     assert pa.group_of("ta_bpe_train3") == "documents"
 
 
+def test_freeze_immutable_to_session_writes():
+    # VERDICT r19 item 2 'done' criterion: a full adjudication session's
+    # write phase (persist_outputs is EVERY file write a session does)
+    # must leave bench_isolated_baseline.json byte-identical, and the
+    # merged readings must land in bench_isolated_latest.json instead.
+    import json
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        old = (pa.REG, pa.BASE, pa.LATEST, pa.INTENTIONAL,
+               pa.DRIFT_ARTIFACT)
+        try:
+            pa.REG = os.path.join(td, "bench_regressions.json")
+            pa.BASE = os.path.join(td, "bench_isolated_baseline.json")
+            pa.LATEST = os.path.join(td, "bench_isolated_latest.json")
+            pa.INTENTIONAL = os.path.join(td, "intentional.json")
+            pa.DRIFT_ARTIFACT = os.path.join(td, "drift.json")
+            frozen = '{"dd_bloom_membership":1.376679381,"q_top_orders":0.41}\n'
+            with open(pa.BASE, "w") as f:
+                f.write(frozen)
+            # a session that measured dd_bloom_membership at 1.21 —
+            # the exact r19 rewrite scenario
+            reg = {"dd_bloom_membership": {"verdict": "noise",
+                                           "isolated": 1.21}}
+            pa.persist_outputs(reg, {"dd_bloom_membership": 1.209598},
+                               None, {"band": pa.BAND})
+            with open(pa.BASE) as f:
+                assert f.read() == frozen, "freeze file was rewritten!"
+            with open(pa.LATEST) as f:
+                assert json.load(f) == {"dd_bloom_membership": 1.209598}
+            with open(pa.REG) as f:
+                assert json.load(f) == reg
+        finally:
+            (pa.REG, pa.BASE, pa.LATEST, pa.INTENTIONAL,
+             pa.DRIFT_ARTIFACT) = old
+
+
+def test_banding_anchor_is_freeze_committed_not_working_tree():
+    # The anchor must come from git (the last commit touching the
+    # baseline), so an on-disk rewrite — committed by NOBODY — cannot
+    # move it. Build a real throwaway git repo to prove it.
+    import json
+    import os
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        env = {**os.environ, "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL":
+               "t@t", "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL":
+               "t@t", "HOME": td}
+        def git(*a):
+            subprocess.run(["git"] + list(a), cwd=td, env=env,
+                           check=True, capture_output=True)
+        git("init", "-q")
+        base = os.path.join(td, "bench_isolated_baseline.json")
+        with open(base, "w") as f:
+            f.write('{"g": 1.377}\n')
+        git("add", "bench_isolated_baseline.json")
+        git("commit", "-q", "-m", "freeze")
+        with open(base, "w") as f:  # uncommitted poison
+            f.write('{"g": 0.9}\n')
+        old_repo, old_base = pa.REPO, pa.BASE
+        try:
+            pa.REPO, pa.BASE = td, base
+            vals, commit = pa.freeze_committed_baseline()
+            assert vals == {"g": 1.377}, vals
+            assert commit is not None
+        finally:
+            pa.REPO, pa.BASE = old_repo, old_base
+        # and the poisoned on-disk value is still there (the reader
+        # never "fixes" the file; it just refuses to anchor on it)
+        with open(base) as f:
+            assert json.load(f) == {"g": 0.9}
+
+
+def test_regen_detection_keys_on_content_not_mtime():
+    # ADVICE r19: touching/copying parquet (mtime change, same bytes)
+    # must NOT open the probe-clamp waiver; changed bytes MUST.
+    import json
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        sf = os.path.join(td, "sf0.1")
+        os.makedirs(sf)
+        with open(os.path.join(sf, "documents.parquet"), "wb") as f:
+            f.write(b"PAR1-original-bytes")
+        fp = pa.testdata_fingerprint(sf)
+        meta = {"commit": "deadbeef", "frozen_at_epoch": 0,
+                "testdata_fingerprint": {"sf0.1": fp}}
+        old_meta = pa.BASE_META
+        try:
+            pa.BASE_META = os.path.join(td, "baseline_meta.json")
+            with open(pa.BASE_META, "w") as f:
+                json.dump(meta, f)
+            # mtime bumped far past the freeze, bytes unchanged
+            os.utime(os.path.join(sf, "documents.parquet"),
+                     (2000000000, 2000000000))
+            assert pa.testdata_regenerated_since_freeze(sf) is False
+            # bytes changed -> regenerated
+            with open(os.path.join(sf, "documents.parquet"), "wb") as f:
+                f.write(b"PAR1-regenerated-bytes")
+            assert pa.testdata_regenerated_since_freeze(sf) is True
+        finally:
+            pa.BASE_META = old_meta
+
+
 if __name__ == "__main__":
     for name, fn in sorted(globals().items()):
         if name.startswith("test_"):
