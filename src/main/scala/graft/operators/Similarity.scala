@@ -486,12 +486,13 @@ object Similarity {
     import s.implicits._
     // Adaptive boundary-band probe (ratio 0.5): measured recall 1.0 at
     // sf0.01 / 0.81 at sf0.1 — identical to full 2-probe on this
-    // corpus — while only band vectors pay the probe fan-out. The 0.6
-    // floor still separates healthy from the 0.38 nprobe=1
+    // corpus — while only band vectors pay the probe fan-out. Floor =
+    // measured-minus-margin (VERDICT r19 item 3): 0.7 sits ~0.1 under
+    // the worst measured value and still clears the 0.38 nprobe=1
     // boundary-miss mode with margin on both sides.
     val (out, recall) = trainedSemanticDedupWithRecall(s, dir,
       nprobe = 1, probeRatio = 0.5)
-    if (recall >= 0.6) out.orderBy($"vec_id") else out.limit(0)
+    if (recall >= 0.7) out.orderBy($"vec_id") else out.limit(0)
   }
 
   /** Semantic decontamination — the embedding-space analogue of the
@@ -968,14 +969,15 @@ object Similarity {
       .localCheckpoint()
     // Inline quality floor (the SemDeDup floor's sibling): 3-NN edge
     // recall against the EXACT graph on a strided query subsample.
-    // Healthy measures 0.96 (sf0.1) / 1.0 (sf0.01); the nprobe=1
-    // boundary-miss regression mode measures 0.34/0.99, so 0.6
-    // separates healthy from broken (k-means, probe, join, ranking)
-    // with margin on both sides at the scale where boundaries bite. A
-    // broken graph EMPTIES the gate instead of shipping
-    // silently-missing edges.
+    // Floor = measured-minus-margin (VERDICT r19 item 3, rule in
+    // SCALE.md): healthy re-measured r20 at 0.957 (sf0.1) / 1.0
+    // (sf0.01); the nprobe=1 boundary-miss regression mode measures
+    // 0.34/0.99. 0.85 sits ~0.1 under the worst measured value — a
+    // regression losing a tenth of the edges trips it (the old 0.6
+    // tolerated losing a third). A broken graph EMPTIES the gate
+    // instead of shipping silently-missing edges.
     val recall = knnEdgeRecall(e, out, topK = 3)
-    if (recall >= 0.6) out.orderBy($"src", $"rank") else out.limit(0)
+    if (recall >= 0.85) out.orderBy($"src", $"rank") else out.limit(0)
   }
 
   val simKnnGraphSql: String = {
@@ -1057,11 +1059,12 @@ object Similarity {
     val filled = allQ.join(per, Seq("qid"), "left")
       .select($"qid", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
       .withColumn("recall", $"n_overlap".cast("double") / lit(10.0))
-    // floor raised with the IVF-PQ gate's (VERDICT r13 item 5):
-    // measured mean recall 0.99/0.95 and MIN 0.90/0.90 at sf0.01/0.1
-    // with the 100-deep shortlist (r18) — 0.6 trips on a real
-    // shortlist/ADC regression instead of coasting at 0.3
-    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.6)
+    // floor = measured-minus-margin (VERDICT r19 item 3, rule in
+    // SCALE.md): mean recall re-measured r20 at 0.99/0.95 (min
+    // 0.90/0.90) at sf0.01/0.1 with the 100-deep shortlist — the floor
+    // sits ~0.1 under the worst measured mean, so losing a tenth of
+    // the quality trips it (0.6 could coast through a one-third loss)
+    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.85)
     filled.join(broadcast(bar)).drop("__m").orderBy($"qid")
   }
 
@@ -1369,12 +1372,13 @@ object Similarity {
     val filled = allQ.select($"qid").join(per, Seq("qid"), "left")
       .select($"qid", coalesce($"n_overlap", lit(0L)).as("n_overlap"))
       .withColumn("recall", $"n_overlap".cast("double") / lit(10.0))
-    // floor at 0.6 (r16 item 5): the 0.45 floor predated the exact-truth
-    // re-measurement discipline — with nprobe min 3 + shortlist 100 the
-    // measured mean recall is 0.98 at sf0.01 / ≥0.75 at sf0.1, so the
-    // gate floors at 0.6 like every other trained gate and trips on a
-    // real codebook/residual regression instead of coasting
-    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.6)
+    // floor = measured-minus-margin (VERDICT r19 item 3, rule in
+    // SCALE.md): with nprobe min 4 + shortlist 100 the mean recall
+    // re-measured r20 at 1.00/0.98 (min 1.00/0.90) at sf0.01/0.1 — the
+    // floor sits ~0.1 under the worst measured mean so a codebook /
+    // residual / probe regression that costs a tenth of the quality
+    // empties the gate instead of coasting
+    val bar = filled.agg(avg($"recall").as("__m")).filter($"__m" >= 0.85)
     filled.join(broadcast(bar)).drop("__m").orderBy($"qid")
   }
 
