@@ -223,7 +223,11 @@ object ProbeCells {
   * whole-stage codegen at any k, and branch-and-bound group pruning
   * makes per-row work O((√k + scanned)·d). Tie discipline is
   * identical to the struct sort: (distance², index) ascending;
-  * output length = min(nprobe, |allowed|). */
+  * output length = min(nprobe, |allowed|). `allowed` must be a
+  * DISTINCT id set (enforced by `KMeansQuantizer.probeAmongCol`,
+  * ADVICE r19): with a repeated id the struct-sort form would emit
+  * the duplicate cell twice where this mask-based form dedups —
+  * the equality claim holds only on distinct sets. */
 case class ProbeKCells(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
   // input typing handled by the registry builder, as with graft_cell

@@ -756,7 +756,7 @@ object Finetune {
   def respondTextAnn(spark: SparkSession, catalog: Catalog, project: String,
       df: DataFrame, systemCol: String = "system", userCol: String = "user",
       candidates: DataFrame, candidateCol: String = "response",
-      targetCellRows: Long = 500L, nprobe: Int = 2): DataFrame = {
+      targetCellRows: Long = 500L, nprobe: Int = 0): DataFrame = {
     // resolve the head ONCE for prepare + serve: each resolution is two
     // small catalog collects, measurable when the gate serves per-pass
     val head = conversationHead(spark, catalog, project)
@@ -836,17 +836,28 @@ object Finetune {
   def respondTextAnnIndexed(spark: SparkSession, catalog: Catalog,
       project: String, df: DataFrame, systemCol: String = "system",
       userCol: String = "user", handle: ConvIndexHandle,
-      nprobe: Int = 2): DataFrame =
+      nprobe: Int = 0): DataFrame =
     serveConvResolved(spark, conversationHead(spark, catalog, project),
       df, systemCol, userCol, handle, nprobe)
+
+  /** The recall-stability probe rule shared with `annIvfPqServe`
+    * (ADVICE r19): as numCells grows with the pool (k = pool /
+    * targetCellRows), a FIXED nprobe lets recall decay toward
+    * nprobe/numCells — √numCells probes hold recall while per-query
+    * work stays O(√n · cellRows), strongly sublinear; the minimum 4 is
+    * the r18 discipline (below it, one boundary query can sit on the
+    * quality floor). `nprobe <= 0` in the serve entries means "this". */
+  def autoNprobe(numCells: Int): Int =
+    math.max(4, math.ceil(math.sqrt(numCells.toDouble)).toInt)
 
   private def serveConvResolved(spark: SparkSession,
       head: (Array[Double], Double, Int, String), df: DataFrame,
       systemCol: String, userCol: String, handle: ConvIndexHandle,
-      nprobe: Int): DataFrame = {
+      nprobe0: Int): DataFrame = {
     val (w, b, dim, runtime) = head
     val wLit = typedlit(w.toSeq)
     val quant = handle.quant
+    val nprobe = if (nprobe0 > 0) nprobe0 else autoNprobe(quant.numCells)
     val nonEmpty = handle.nonEmpty
     val idxDir = handle.idxDir
 

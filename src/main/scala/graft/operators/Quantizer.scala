@@ -179,6 +179,14 @@ final class KMeansQuantizer(val centroids: Array[Array[Double]]) extends CoarseQ
     * the struct sort — QuantizerSpec pins equality at k=8 and k=160). */
   override def probeAmongCol(v: Column, nprobe: Int, allowed: Seq[Int]): Column = {
     require(allowed.nonEmpty, "probeAmongCol needs at least one allowed cell")
+    // ADVICE r19: `allowed` must be DISTINCT for the documented
+    // tie-for-tie equality with the composable struct-sort form — the
+    // native boolean mask dedups a repeated id while the struct sort
+    // would emit the duplicate cell twice. Every caller passes a
+    // distinct cell set; enforce it so the stated equivalence stays
+    // honest rather than silently diverging.
+    require(allowed.distinct.length == allowed.length,
+      "probeAmongCol: allowed cell ids must be distinct")
     call_function("graft_probek", v, centLit, lit(nprobe),
       typedlit(allowed.map(_.toLong)))
   }

@@ -349,9 +349,12 @@ object TextMetricsQueries {
           d.select($"system", $"user"), "system", "user",
           candidates = d.select($"assistant".as("response")))
       else
+        // auto nprobe = max(4, ceil(sqrt(numCells))) — the shared
+        // recall-stability rule (ADVICE r19: a fixed 2 of k=pool/500
+        // cells decays toward 2/numCells recall as the pool grows)
         graft.llm.Finetune.respondTextAnn(s, cat, "ConvGate",
           d.select($"system", $"user"), "system", "user",
-          candidates = d.select($"assistant".as("response")), nprobe = 2)
+          candidates = d.select($"assistant".as("response")))
     qualityFloor("conversation",
       d.join(resp, Seq("system", "user"))
         .select($"doc_id",
@@ -410,7 +413,7 @@ object TextMetricsQueries {
         dim = 64, hyperparams = Map("max_iter" -> "10")))
     val resp = graft.llm.Finetune.respondTextAnn(s, cat, "ConvGateAnn",
       d.select($"system", $"user"), "system", "user",
-      candidates = d.select($"assistant".as("response")), nprobe = 2)
+      candidates = d.select($"assistant".as("response")))
     qualityFloor("conversation_ann",
       d.join(resp, Seq("system", "user"))
         .select($"doc_id",
