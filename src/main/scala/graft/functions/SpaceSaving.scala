@@ -78,6 +78,26 @@ private[functions] final class SpaceSavingBuf(val k: Int) {
   * The VALUES of the bounds (not their validity) depend on partial-
   * aggregation merge order, like every sketch: consumers read the
   * interval, not a point. */
+object SpaceSaving {
+  /** Sequential replay of the PRODUCTION counter algebra over an
+    * ordered term stream: the single-stream special case of the
+    * aggregate (no merges), returning the final counters in the
+    * aggregate's own eval order (upper desc, term asc) as
+    * (term, lower, upper). This is what makes a hash-exact twin of the
+    * sketch possible (`ds_heavy_hitters_sketch1`): given a pinned
+    * stream order the ICDT-2005 update rule is deterministic, and the
+    * twin replays THIS code — the same `addOne` increments, inserts,
+    * and min-upper/lexicographically-largest-tie evictions the
+    * distributed aggregate runs per partition — so a DuckDB recursive
+    * CTE over the same ordered stream can hash-check the algebra. */
+  def replay(terms: Iterator[String], k: Int): Seq[(String, Long, Long)] = {
+    val b = new SpaceSavingBuf(k)
+    terms.foreach(b.addOne)
+    b.m.toSeq.sortBy { case (t, (u, _)) => (-u, t) }
+      .map { case (t, (u, l)) => (t, l, u) }
+  }
+}
+
 case class SpaceSaving(term: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SpaceSavingBuf] {

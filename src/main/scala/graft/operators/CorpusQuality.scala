@@ -200,6 +200,80 @@ object CorpusQuality {
     else sketch.limit(0)
   }
 
+  /** Hash-exact TWIN of the space-saving sketch (VERDICT r19 item 4,
+    * the `ta_unigram_train1` pattern): the sketch's bounds depend on
+    * partial-merge order, but the UPDATE RULE itself (increment /
+    * insert / evict-min-upper with the lexicographically-largest tie
+    * rule, Metwally 2005) is deterministic given a stream order — so
+    * pin one. The stream is the first `B` corpus tokens in canonical
+    * (doc_id, pos) order, built distributed (TakeOrdered — the sort
+    * and limit push to the scan side); the replay itself runs the
+    * PRODUCTION [[graft.functions.SpaceSavingBuf]] algebra over those
+    * B collected terms — a BOUNDED O(B) driver cost, the
+    * `ta_unigram_train1` driver-arithmetic discipline (rounds cost a
+    * constant, never the corpus). k=8 ≪ vocabulary so eviction and its
+    * tie rule fire on most steps — the algebra the rows-only
+    * [[ds_heavy_hitters_sketch]] gate can only interval-check is here
+    * pinned bit-for-bit against a DuckDB recursive-CTE replay of the
+    * same ordered stream. The distributed mergeable path stays the
+    * production surface; this gate exists to falsify its per-stream
+    * update arithmetic. */
+  def ds_heavy_hitters_sketch1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 2000
+    val terms = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(toksNE($"text")).as(Seq("pos", "term")))
+      .orderBy($"doc_id", $"pos").limit(B)
+      .collect().map(_.getString(2))
+    graft.functions.SpaceSaving.replay(terms.iterator, 8)
+      .zipWithIndex
+      .map { case ((t, l, u), i) => (i + 1L, t, l, u) }
+      .toDF("rank", "term", "count_lower", "count_upper")
+      .orderBy($"rank")
+  }
+
+  val dsHeavyHittersSketch1Sql: String =
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, u.i AS pos, t[u.i] AS term
+       |  FROM (SELECT doc_id, $toksNESql AS t FROM documents) d,
+       |       unnest(range(1, len(d.t) + 1)) AS u(i)),
+       |stream AS MATERIALIZED (
+       |  SELECT sid, term FROM (
+       |    SELECT row_number() OVER (ORDER BY doc_id, pos) AS sid, term
+       |    FROM tok) WHERE sid <= 2000),
+       |nmax AS MATERIALIZED (SELECT max(sid) AS n FROM stream),
+       |sk AS (
+       |  SELECT CAST(0 AS BIGINT) AS i,
+       |         CAST([] AS STRUCT(term VARCHAR, u BIGINT, l BIGINT)[]) AS st
+       |  UNION ALL
+       |  SELECT sk.i + 1,
+       |    CASE
+       |      WHEN len(list_filter(sk.st, s -> s.term = strm.term)) > 0 THEN
+       |        list_transform(sk.st, s -> CASE WHEN s.term = strm.term
+       |          THEN {'term': s.term, 'u': s.u + 1, 'l': s.l + 1} ELSE s END)
+       |      WHEN len(sk.st) < 8 THEN
+       |        list_append(sk.st, {'term': strm.term,
+       |          'u': CAST(1 AS BIGINT), 'l': CAST(1 AS BIGINT)})
+       |      ELSE
+       |        list_append(
+       |          list_filter(sk.st, s -> s.term <>
+       |            list_max(list_transform(
+       |              list_filter(sk.st, s2 -> s2.u =
+       |                list_min(list_transform(sk.st, s3 -> s3.u))),
+       |              s2 -> s2.term))),
+       |          {'term': strm.term,
+       |           'u': list_min(list_transform(sk.st, s3 -> s3.u)) + 1,
+       |           'l': CAST(1 AS BIGINT)})
+       |    END
+       |  FROM sk JOIN stream strm ON strm.sid = sk.i + 1
+       |  WHERE sk.i < (SELECT n FROM nmax)),
+       |fin AS (SELECT st FROM sk WHERE i = (SELECT n FROM nmax)),
+       |ex AS (SELECT unnest(st) AS s FROM fin)
+       |SELECT CAST(row_number() OVER (ORDER BY s.u DESC, s.term) AS BIGINT)
+       |    AS rank,
+       |  s.term AS term, s.l AS count_lower, s.u AS count_upper
+       |FROM ex ORDER BY rank""".stripMargin
+
   // ----------------------------------------------------- TF-IDF keywords
   /** Top-3 keywords per document by TF-IDF (linear idf = N/df — see the
     * object scaladoc for why not ln). df(term) is a term-keyed
@@ -277,6 +351,7 @@ object CorpusQuality {
     "ta_repetition"     -> ta_repetition _,
     "ds_heavy_hitters"  -> ds_heavy_hitters _,
     "ds_heavy_hitters_sketch" -> ds_heavy_hitters_sketch _,
+    "ds_heavy_hitters_sketch1" -> ds_heavy_hitters_sketch1 _,
     "ds_tfidf_keywords" -> ds_tfidf_keywords _,
     "ds_quality_prune"  -> ds_quality_prune _
   )
@@ -284,6 +359,7 @@ object CorpusQuality {
   val oracles: Map[String, String] = Map(
     "ta_repetition"     -> taRepetitionSql,
     "ds_heavy_hitters"  -> dsHeavyHittersSql,
+    "ds_heavy_hitters_sketch1" -> dsHeavyHittersSketch1Sql,
     "ds_tfidf_keywords" -> dsTfidfKeywordsSql,
     "ds_quality_prune"  -> dsQualityPruneSql
   )

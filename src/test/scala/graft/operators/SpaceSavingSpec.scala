@@ -69,4 +69,30 @@ class SpaceSavingSpec extends AnyFunSuite {
     val uppers = rows.map(_.getLong(3)).toSeq
     assert(uppers === uppers.sorted.reverse)
   }
+
+  test("replay: hand-computed eviction with the lexicographic tie rule") {
+    // k=2: b, a fill the counters; c must evict — both have u=1, the
+    // tie evicts the lexicographically LARGEST term (b), and c
+    // inherits upper = minU+1 = 2 with lower = 1
+    val out = graft.functions.SpaceSaving.replay(
+      Iterator("b", "a", "c"), k = 2)
+    assert(out === Seq(("c", 1L, 2L), ("a", 1L, 1L)))
+    // increment path: a repeated term bumps BOTH bounds
+    val out2 = graft.functions.SpaceSaving.replay(
+      Iterator("a", "a", "b"), k = 2)
+    assert(out2 === Seq(("a", 2L, 2L), ("b", 1L, 1L)))
+  }
+
+  test("replay equals the single-partition aggregate on an ordered stream") {
+    // the twin's premise: replay() IS the aggregate's update path when
+    // there is exactly one partition consuming the stream in order
+    graft.functions.GraftFunctions.register(spark)
+    val terms = Seq("x", "y", "x", "z", "w", "x", "y", "q", "z", "x")
+    val viaAgg = terms.toDF("term").coalesce(1)
+      .agg(call_function("graft_space_saving", $"term", lit(3)).as("hh"))
+      .select(explode($"hh").as("h"))
+      .select($"h.term", $"h.count_lower", $"h.count_upper")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaAgg === graft.functions.SpaceSaving.replay(terms.iterator, 3))
+  }
 }
