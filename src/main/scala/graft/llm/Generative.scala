@@ -89,6 +89,36 @@ object Generative {
     (uni, bi, tri)
   }
 
+  /** Per-context argmax tables of the trigram stupid-backoff LM that
+    * [[finetuneGeneration]] trains, as one queryable frame — the
+    * hash-exact train-twin seam for the generation lifecycle (the
+    * [[ibm1Round1CountsQ]] pattern). Runs the PRODUCTION [[countNgrams]]
+    * on the given corpus (the lifecycle's random train split stays on
+    * the rows-only gate) and the PRODUCTION decode tie rule —
+    * `max(struct(cnt, w))`: highest count, ties to the
+    * lexicographically greatest continuation — that [[loadLm]]
+    * broadcasts for greedy decode. n-gram counting and the argmax are
+    * exact integer arithmetic a SQL oracle replays bit-for-bit, so
+    * hashing (n, ctx, w, cnt) for every trigram and bigram context plus
+    * the global unigram top (n=1, ctx = "") pins the tokenizer, the
+    * SEP framing, and the entire greedy decode policy in one pass.
+    * Scale: one row per DISTINCT context — shuffles on ctx with
+    * map-side partial aggregation; the corpus itself never shuffles.
+    * Reference anchor: the causal-LM tune path
+    * `transformers.py:639-644,911-917` whose train step these counts
+    * realize. */
+  def lmArgmaxTablesQ(docs: DataFrame, textCol: String): DataFrame = {
+    val (uni, bi, tri) = countNgrams(docs, textCol)
+    def pick(counts: DataFrame, n: Int): DataFrame = counts
+      .groupBy("ctx").agg(max(struct(col("cnt"), col("w"))).as("m"))
+      .select(lit(n).as("n"), col("ctx"), col("m.w").as("w"),
+        col("m.cnt").as("cnt"))
+    val top = uni.agg(max(struct(col("cnt"), col("w"))).as("m"))
+      .select(lit(1).as("n"), lit("").as("ctx"), col("m.w").as("w"),
+        col("m.cnt").as("cnt"))
+    pick(tri, 3).unionByName(pick(bi, 2)).unionByName(top)
+  }
+
   /** Held-out stupid-backoff perplexity: exp(−avg ln S) over every
     * position with a full trigram context. S is the Brants score —
     * trigram MLE, else 0.4·bigram MLE, else 0.4²·unigram MLE, else

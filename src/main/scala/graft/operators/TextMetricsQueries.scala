@@ -674,6 +674,55 @@ object TextMetricsQueries {
       |FROM cnt c JOIN tot t USING (e)
       |ORDER BY e, f""".stripMargin
 
+  /** Hash-exact TRAIN twin of [[ft_generate_train]] (the
+    * [[ft_translate_train1]] pattern, same round): the trigram/bigram
+    * per-context argmax tables plus the global unigram top that
+    * [[graft.llm.Generative.finetuneGeneration]] trains and greedy
+    * decode serves — see [[graft.llm.Generative.lmArgmaxTablesQ]] —
+    * replayed on the SAME corpus by a DuckDB count + window-argmax
+    * oracle. n-gram counts are exact integers and the production tie
+    * rule (max count, ties to the greater token — Spark's struct max)
+    * is `ORDER BY cnt DESC, w DESC` in SQL, so the full (n, ctx, w,
+    * cnt) model hashes bit-for-bit. The full lifecycle (random split,
+    * held-out perplexity, deploy policy) stays the rows-only
+    * metric-floored surface of [[ft_generate_train]]. */
+  def ft_generate_train1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.llm.Generative.lmArgmaxTablesQ(
+      Tables.documents(s, dir).select($"text"), "text")
+      .orderBy($"n", $"ctx")
+  }
+
+  private val ftGenerateTrain1Sql: String =
+    """WITH tk AS (
+      |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                     x -> len(x) > 0) AS t
+      |  FROM documents),
+      |tri AS (
+      |  SELECT t[i] || chr(1) || t[i+1] AS ctx, t[i+2] AS w, count(*) AS cnt
+      |  FROM tk, unnest(range(1, len(t) - 1)) AS u(i) GROUP BY 1, 2),
+      |bi AS (
+      |  SELECT t[i] AS ctx, t[i+1] AS w, count(*) AS cnt
+      |  FROM tk, unnest(range(1, len(t))) AS u(i) GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT u.w AS w, count(*) AS cnt FROM tk, unnest(t) AS u(w)
+      |  GROUP BY 1),
+      |p3 AS (SELECT 3 AS n, ctx, w, cnt, row_number()
+      |         OVER (PARTITION BY ctx ORDER BY cnt DESC, w DESC) AS rn
+      |       FROM tri),
+      |p2 AS (SELECT 2 AS n, ctx, w, cnt, row_number()
+      |         OVER (PARTITION BY ctx ORDER BY cnt DESC, w DESC) AS rn
+      |       FROM bi),
+      |p1 AS (SELECT 1 AS n, '' AS ctx, w, cnt, row_number()
+      |         OVER (ORDER BY cnt DESC, w DESC) AS rn
+      |       FROM uni)
+      |SELECT n, ctx, w, CAST(cnt AS BIGINT) AS cnt FROM p3 WHERE rn = 1
+      |UNION ALL
+      |SELECT n, ctx, w, CAST(cnt AS BIGINT) AS cnt FROM p2 WHERE rn = 1
+      |UNION ALL
+      |SELECT n, ctx, w, CAST(cnt AS BIGINT) AS cnt FROM p1 WHERE rn = 1
+      |ORDER BY n, ctx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_rouge_pairs"        -> lm_rouge_pairs _,
     "lm_bleu_corpus"        -> lm_bleu_corpus _,
@@ -687,7 +736,8 @@ object TextMetricsQueries {
     "ft_conversation_ann"   -> ft_conversation_ann _,
     "ft_generate_train"     -> ft_generate_train _,
     "ft_translate_train"    -> ft_translate_train _,
-    "ft_translate_train1"   -> ft_translate_train1 _
+    "ft_translate_train1"   -> ft_translate_train1 _,
+    "ft_generate_train1"    -> ft_generate_train1 _
   )
 
   val oracles: Map[String, String] = Map(
@@ -697,6 +747,7 @@ object TextMetricsQueries {
     "lm_perplexity_unigram" -> lmPerplexitySql,
     "ft_summarize_eval"     -> ftSummarizeSql,
     "ft_qa_eval"            -> ftQaSql,
-    "ft_translate_train1"   -> ftTranslateTrain1Sql
+    "ft_translate_train1"   -> ftTranslateTrain1Sql,
+    "ft_generate_train1"    -> ftGenerateTrain1Sql
   )
 }

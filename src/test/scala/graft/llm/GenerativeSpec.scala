@@ -265,4 +265,37 @@ class GenerativeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("lmArgmaxTablesQ: hand-computed argmax tables + production tie rule") {
+    // corpus: "a b c", "a b d", "a b d" — tri ctx a␁b: c×1 vs d×2 → d;
+    // bi ctx a: b×3; bi ctx b: c×1 vs d×2 → d; uni top: a/b ×3 tie →
+    // max(struct(cnt, w)) takes the GREATER word, b (the rule greedy
+    // decode broadcasts — a min-word tie-break here would mean the twin
+    // no longer pins the production policy)
+    val docs = Seq("a b c", "a b d", "a b d").toDF("text")
+    val rows = Generative.lmArgmaxTablesQ(docs, "text")
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(rows((3, "ab")) == (("d", 2L)))
+    assert(rows((2, "a")) == (("b", 3L)))
+    assert(rows((2, "b")) == (("d", 2L)))
+    assert(rows((1, "")) == (("b", 3L)))
+    // exactly one row per distinct context; "c"/"d" end their docs so
+    // neither ever starts a bigram
+    assert(rows.keySet.filter(_._1 == 3) == Set((3, "ab")))
+    assert(rows.keySet.filter(_._1 == 2) == Set((2, "a"), (2, "b")))
+  }
+
+  test("lmArgmaxTablesQ: short and empty docs contribute only what exists") {
+    // "a" has no bigram/trigram; "" has nothing; "x y" has one bigram
+    val docs = Seq("a", "", "x y").toDF("text")
+    val rows = Generative.lmArgmaxTablesQ(docs, "text")
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(rows.keySet.filter(_._1 == 3).isEmpty)
+    assert(rows.keySet.filter(_._1 == 2) == Set((2, "x")))
+    assert(rows((2, "x")) == (("y", 1L)))
+    // uni tie a/x/y ×1 → greatest word y
+    assert(rows((1, "")) == (("y", 1L)))
+  }
 }
