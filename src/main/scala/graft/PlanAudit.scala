@@ -60,7 +60,8 @@ object PlanAudit {
       "curation_base_stage" -> "curation pipeline stages compose without breaking pushdown: corpus filter reaches the scan under the c4+gopher joins",
       "knn_graph_multiprobe" -> "multi-probe kNN graph: probe-set equi-join + map-combinable bounded top-k ranking (no window sort, no dedupe exchange)",
       "trained_adaptive_probe" -> "trained-quantizer adaptive probe: ONE native graft_probe2 call per row (codegen at any k) — never the k-struct array_sort that falls out of codegen past a few dozen centroids",
-      "curation_full_enrichment" -> "full-rule curation enrichment: benchmark rows broadcast, corpus filter pushed to the scan, the derived-text transform + full C4 rules one map stage")
+      "curation_full_enrichment" -> "full-rule curation enrichment: benchmark rows broadcast, corpus filter pushed to the scan, the derived-text transform + full C4 rules one map stage",
+      "ft_generate_train1" -> "trigram-LM train twin: n-gram counts + per-context argmax are map-combinable hash aggregates on ctx — no window, no cross join, no boxed UDF")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.PlanAudit)\n\n")
@@ -395,6 +396,13 @@ object PlanAudit {
               !plan.contains("HashAggregate") && !plan.contains("Window"), name))
           checks += (("full-rule enrichment: corpus filter doc_id >= 20 pushed into the parquet scan",
             plan.contains("GreaterThanOrEqual(doc_id,20)"), name))
+        case "ft_generate_train1" =>
+          checks += (("ft_generate_train1: n-gram counts + argmax partial-aggregate map-side (the Brants 2007 distributed-counting claim)",
+            plan.contains("partial_"), name))
+          checks += (("ft_generate_train1: no Window / cross join / boxed UDF anywhere in the model build",
+            !plan.contains("Window") && !plan.contains("CartesianProduct") &&
+              !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("ScalaUDF"),
+            name))
         case _ => ()
       }
     }
