@@ -905,13 +905,40 @@ object Finetune {
     // this shape even where AQE is unavailable (measured: the same
     // join as a static sort-merge was 10× slower through the
     // checkpoint/toRdd path at 10× scale, SMJ buffering every per-cell
-    // match group)
-    broadcast(q).join(idx, Seq("cell"))
-      .withColumn("score",
-        call_function("graft_dot", col("wq"), col("v")) + lit(b))
-      .groupBy(col(systemCol), col(userCol))
-      .agg(max(struct(col("score"), col("resp"))).as("m"))
-      .select(col(systemCol), col(userCol), col("m.resp").as("response"))
+    // match group).
+    //
+    // SLICE GUARD (r20, measured): the broadcast payload is
+    // nQueries × nprobe rows each carrying a (dim+1)-double probe
+    // vector — a corpus-wide eval batch at 100× with √numCells probes
+    // measured ~8 GB and DIED on Spark's 8 GB HashedRelation cap
+    // (r19's fixed nprobe=2 sat at ~0.5 GB, which is why it never
+    // tripped). Rather than refuse, serve oversized batches in hash
+    // slices of the QUERY KEYS through the SAME broadcast plan: each
+    // slice's payload fits, slices partition queries exactly (xxhash64
+    // on the key pair), and the per-slice groupBy stays correct
+    // because a query's probe rows never straddle slices. The pruned
+    // index scan is re-read once per slice — the route-by-runtime-size
+    // trade (the adaptive-CC discipline): linear re-reads beat an 8 GB
+    // driver broadcast failure. Slice budget is configurable
+    // (spark.graft.convServeSliceBytes); a handle-first serving job
+    // with caller-bounded batches never slices.
+    val sliceBytes = spark.conf.getOption("spark.graft.convServeSliceBytes")
+      .map(_.toLong).getOrElse(1500L << 20)
+    val bytesPerRow = (dim + 2) * 8L + 96L // wq + keys + row overhead
+    val slices = math.min(64L,
+      (q.count() * bytesPerRow + sliceBytes - 1) / sliceBytes).toInt
+    def serveSlice(qs: DataFrame): DataFrame =
+      broadcast(qs).join(idx, Seq("cell"))
+        .withColumn("score",
+          call_function("graft_dot", col("wq"), col("v")) + lit(b))
+        .groupBy(col(systemCol), col(userCol))
+        .agg(max(struct(col("score"), col("resp"))).as("m"))
+        .select(col(systemCol), col(userCol), col("m.resp").as("response"))
+    if (slices <= 1) serveSlice(q)
+    else (0 until slices).map { i =>
+      serveSlice(q.where(pmod(xxhash64(col(systemCol), col(userCol)),
+        lit(slices.toLong)) === i))
+    }.reduce(_.unionByName(_))
   }
 
   private val CONV_INDEX_DONE = "_GRAFT_INDEX_DONE"

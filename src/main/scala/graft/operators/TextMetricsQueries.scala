@@ -316,6 +316,22 @@ object TextMetricsQueries {
     * gate's exact behavior there is byte-identical to r18. */
   val CONV_EVAL_BRUTE_FORCE_POOL_MAX = 20000L
 
+  /** MEASURED nprobe operating point for the conversation EVAL gates
+    * (`graft.tools.ConvRecall`, r20 — the measurement ADVICE r19 named
+    * as the alternative to √numCells scaling): at 10× corpus scale
+    * (96 cells, 50 000 queries) mean token-F1 is FLAT across nprobe —
+    * 0.1984 at 2, 0.1994 at 4, 0.1989 at auto(10) — because the
+    * k-means cells localize these queries (the standard IVF picture,
+    * not the adversarial nprobe/numCells decay bound), while eval cost
+    * scaled 23 → 88 → 112 s and the √-rule's probe-exploded broadcast
+    * DIED on Spark's 8 GB HashedRelation cap at 100× (now also
+    * slice-guarded in `serveConvResolved`). 4 keeps the r18 minimum-4
+    * quality discipline at a broadcast payload that stays ~1 GB even
+    * at 100×; the LIBRARY serve default remains auto-√numCells — a
+    * serving deployment tunes nprobe against its own recall target,
+    * an eval harness pins the measured point. */
+  val CONV_EVAL_NPROBE = 4
+
   /** The TRAINED conversation path end to end (rows-only gate, sibling
     * of `ft_qa_train`): finetune a dual-encoder response-selection head
     * on (system, user, assistant) triples built from the documents
@@ -349,12 +365,10 @@ object TextMetricsQueries {
           d.select($"system", $"user"), "system", "user",
           candidates = d.select($"assistant".as("response")))
       else
-        // auto nprobe = max(4, ceil(sqrt(numCells))) — the shared
-        // recall-stability rule (ADVICE r19: a fixed 2 of k=pool/500
-        // cells decays toward 2/numCells recall as the pool grows)
         graft.llm.Finetune.respondTextAnn(s, cat, "ConvGate",
           d.select($"system", $"user"), "system", "user",
-          candidates = d.select($"assistant".as("response")))
+          candidates = d.select($"assistant".as("response")),
+          nprobe = CONV_EVAL_NPROBE)
     qualityFloor("conversation",
       d.join(resp, Seq("system", "user"))
         .select($"doc_id",
@@ -413,7 +427,8 @@ object TextMetricsQueries {
         dim = 64, hyperparams = Map("max_iter" -> "10")))
     val resp = graft.llm.Finetune.respondTextAnn(s, cat, "ConvGateAnn",
       d.select($"system", $"user"), "system", "user",
-      candidates = d.select($"assistant".as("response")))
+      candidates = d.select($"assistant".as("response")),
+      nprobe = CONV_EVAL_NPROBE)
     qualityFloor("conversation_ann",
       d.join(resp, Seq("system", "user"))
         .select($"doc_id",

@@ -412,6 +412,51 @@ class LLMOpsSpec extends AnyFunSuite {
     ()
   }
 
+  test("respondTextAnn slice guard: sliced serve is byte-identical to the one-broadcast serve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the 8 GB HashedRelation wall (r20, measured at 100×): a
+    // corpus-wide eval batch with √numCells probes exceeds Spark's
+    // broadcast cap, so serveConvResolved hash-slices oversized query
+    // batches through the SAME broadcast plan. Slicing must be pure
+    // mechanics: every query answered once, responses byte-identical.
+    spark.conf.set("graft.index.root",
+      java.nio.file.Files.createTempDirectory("graft_slice_idx").toString)
+    val cat = new graft.ml.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_slice").toString)
+    val t = filter(split(trim(lower($"text")), "\\s+"), x => length(x) > 0)
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", concat_ws(" ", slice(t, 1, 3)).as("system"),
+        concat_ws(" ", slice(t, 4, 5)).as("user"),
+        concat_ws(" ", slice(t, 9, 10)).as("assistant"))
+    Finetune.finetune(spark, cat, Finetune.FinetuneConfig(
+      projectName = "ConvSlice", task = "conversation", data = Some(d),
+      textCol = "system", text2Col = "user", labelCol = "assistant",
+      dim = 64, hyperparams = Map("max_iter" -> "10")))
+    graft.ml.Predict.clearCaches()
+    val ctx = d.select($"system", $"user")
+    val pool = d.select($"assistant".as("response"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    val one = shape(Finetune.respondTextAnn(spark, cat, "ConvSlice", ctx,
+      "system", "user", candidates = pool, targetCellRows = 16L, nprobe = 4))
+    // 2 KB budget forces the 64-slice cap on any real batch
+    spark.conf.set("spark.graft.convServeSliceBytes", "2048")
+    try {
+      val sliced = shape(Finetune.respondTextAnn(spark, cat, "ConvSlice",
+        ctx, "system", "user", candidates = pool, targetCellRows = 16L,
+        nprobe = 4))
+      assert(sliced.length == one.length,
+        s"sliced serve answered ${sliced.length} of ${one.length} queries")
+      assert(sliced.sameElements(one),
+        "sliced serve must be byte-identical to the one-broadcast serve")
+    } finally {
+      spark.conf.unset("spark.graft.convServeSliceBytes")
+      spark.conf.unset("graft.index.root")
+    }
+    ()
+  }
+
   test("persistent index root: a SECOND SparkSession reuses the first session's build") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
