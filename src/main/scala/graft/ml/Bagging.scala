@@ -158,6 +158,33 @@ private[ml] object BaggingCore {
     * scale, the same capped-exact discipline as the kernel opt-ins. */
   val EXACT_BOOTSTRAP_CAP = 1000000L
 
+  /** Fit `n` independent estimators with their tiny Spark stages
+    * OVERLAPPED (guide §2.6; the CrossValidator-parallelism pattern):
+    * each estimator's jobs are submitted from a pool thread so the
+    * next fit's tasks back-fill executors idled by the current fit's
+    * stragglers — on local[32] a 442-row tree fit leaves ~30 cores
+    * idle per stage otherwise. Results return ORDERED BY INDEX and
+    * each body is self-contained under its own seed, so the output is
+    * identical at any parallelism. Parallelism is bounded (2–4 in
+    * flight is enough to fill the tail — §2.6) and conf-overridable
+    * via spark.graft.baggingFitParallelism (1 = sequential). */
+  def fitIndexed[A](spark: org.apache.spark.sql.SparkSession, n: Int)(
+      body: Int => A): Seq[A] = {
+    val par = math.max(1, math.min(
+      spark.conf.getOption("spark.graft.baggingFitParallelism")
+        .map(_.toInt).getOrElse(4), n))
+    if (par <= 1) (0 until n).map(body)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence((0 until n).map(m => Future(body(m)))),
+        Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
   /** sklearn's exact resample (`bootstrap_mode=exact` opt-in): draw
     * EXACTLY k indices with replacement from a seeded generator, then
     * realize the sample distributed as per-row multiplicities joined on
@@ -259,46 +286,58 @@ class BaggingClassifier(override val uid: String)
     val nRows = df.count()
     require(nRows > 0, "bagging needs at least one training row")
     val d = df.head().getAs[Vector]("f").size
+    // Estimators are INDEPENDENT (each draws its own seeded sample and
+    // fits its own tree), so their tiny fit stages overlap (guide §2.6:
+    // submit independent jobs from a thread pool so the next fit's
+    // tasks back-fill the tail of the current one — Spark ML's own
+    // CrossValidator parallelism pattern). Results are assembled BY
+    // INDEX, and each tree's arithmetic is self-contained under its own
+    // seed, so the ensemble is bit-identical to the sequential loop at
+    // ANY parallelism (BaggingSpec determinism test pins this).
+    val fitted: Seq[(Array[Double], Map[Int, Vector])] =
+      BaggingCore.fitIndexed(df.sparkSession, $(numEstimators)) { m =>
+        val rng = new scala.util.Random($(seed) + m)
+        val featIdx = BaggingCore.drawFeatures(d, $(maxFeatures),
+          $(bootstrapFeatures), rng)
+        val sampled =
+          if ($(bootstrap) && $(bootstrapMode) == "exact")
+            BaggingCore.sampleRowsExact(df,
+              BaggingCore.resolveCount($(maxSamples), nRows.toInt).toLong,
+              $(seed) + m)
+          else BaggingCore.sampleRows(df, $(bootstrap),
+            BaggingCore.resolveFraction($(maxSamples), nRows), $(seed) + m)
+        val identity = BaggingCore.isIdentity(featIdx, d)
+        // identity subsets (the default max_features=1.0) train on the
+        // raw column — no per-row copy, sparse vectors stay sparse
+        val (trainFrame, featCol) =
+          if (identity) (sampled, "f")
+          else {
+            val idx = featIdx // stable closure capture
+            val sliceU = udf((v: Vector) => Vectors.dense(idx.map(v.apply)))
+            (sampled.withColumn("fs", sliceU(col("f"))), "fs")
+          }
+        val tree = new DecisionTreeClassifier()
+          .setFeaturesCol(featCol).setLabelCol("y")
+          .setMaxDepth($(maxDepth)).setSeed($(seed) + m)
+          .fit(trainFrame)
+        val flat = AdaBoostCore.flatten(tree.rootNode)
+        if (!identity) BaggingCore.remapFeatures(flat, featIdx)
+        // recover each leaf's class distribution from the tree's own
+        // probability output: every row in a leaf carries the same
+        // vector, so distinct((leafIndex, probability)) is one row per
+        // populated leaf — O(rows) map + O(leaves · k) collect
+        val flatLoc = flat
+        val leafU = udf((v: Vector) => BaggingCore.leafIndex(flatLoc, 0, v))
+        val leafRows = tree.transform(trainFrame)
+          .select(leafU(col("f")).as("leaf"), col("probability"))
+          .distinct().collect()
+        (flat, leafRows.map(r => r.getInt(0) -> r.getAs[Vector](1)).toMap)
+      }
+    // sequential assembly: leaf-distribution offsets depend on the
+    // global dists position, so this stays ordered by estimator index
     val trees = ArrayBuffer.empty[Array[Double]]
     val dists = ArrayBuffer.empty[Double]
-    var m = 0
-    while (m < $(numEstimators)) {
-      val rng = new scala.util.Random($(seed) + m)
-      val featIdx = BaggingCore.drawFeatures(d, $(maxFeatures),
-        $(bootstrapFeatures), rng)
-      val sampled =
-        if ($(bootstrap) && $(bootstrapMode) == "exact")
-          BaggingCore.sampleRowsExact(df,
-            BaggingCore.resolveCount($(maxSamples), nRows.toInt).toLong,
-            $(seed) + m)
-        else BaggingCore.sampleRows(df, $(bootstrap),
-          BaggingCore.resolveFraction($(maxSamples), nRows), $(seed) + m)
-      val identity = BaggingCore.isIdentity(featIdx, d)
-      // identity subsets (the default max_features=1.0) train on the
-      // raw column — no per-row copy, sparse vectors stay sparse
-      val (trainFrame, featCol) =
-        if (identity) (sampled, "f")
-        else {
-          val idx = featIdx // stable closure capture
-          val sliceU = udf((v: Vector) => Vectors.dense(idx.map(v.apply)))
-          (sampled.withColumn("fs", sliceU(col("f"))), "fs")
-        }
-      val tree = new DecisionTreeClassifier()
-        .setFeaturesCol(featCol).setLabelCol("y")
-        .setMaxDepth($(maxDepth)).setSeed($(seed) + m)
-        .fit(trainFrame)
-      val flat = AdaBoostCore.flatten(tree.rootNode)
-      if (!identity) BaggingCore.remapFeatures(flat, featIdx)
-      // recover each leaf's class distribution from the tree's own
-      // probability output: every row in a leaf carries the same
-      // vector, so distinct((leafIndex, probability)) is one row per
-      // populated leaf — O(rows) map + O(leaves · k) collect
-      val flatLoc = flat
-      val leafU = udf((v: Vector) => BaggingCore.leafIndex(flatLoc, 0, v))
-      val leafRows = tree.transform(trainFrame)
-        .select(leafU(col("f")).as("leaf"), col("probability"))
-        .distinct().collect()
-      val byLeaf = leafRows.map(r => r.getInt(0) -> r.getAs[Vector](1)).toMap
+    fitted.foreach { case (flat, byLeaf) =>
       var p = 0
       while (p < flat.length) {
         if (flat(p) < 0) { // leaf: point slot 4 at its distribution
@@ -317,7 +356,6 @@ class BaggingClassifier(override val uid: String)
         p += 5
       }
       trees += flat
-      m += 1
     }
     val offsets = ArrayBuffer(0)
     trees.foreach(t => offsets += offsets.last + t.length)
@@ -379,9 +417,10 @@ class BaggingRegressor(override val uid: String)
     val nRows = df.count()
     require(nRows > 0, "bagging needs at least one training row")
     val d = df.head().getAs[Vector]("f").size
+    // independent estimators overlap (guide §2.6) — see the classifier
+    // twin for the determinism argument; assembly is by index
     val trees = ArrayBuffer.empty[Array[Double]]
-    var m = 0
-    while (m < $(numEstimators)) {
+    trees ++= BaggingCore.fitIndexed(df.sparkSession, $(numEstimators)) { m =>
       val rng = new scala.util.Random($(seed) + m)
       val featIdx = BaggingCore.drawFeatures(d, $(maxFeatures),
         $(bootstrapFeatures), rng)
@@ -406,8 +445,7 @@ class BaggingRegressor(override val uid: String)
         .fit(trainFrame)
       val flat = AdaBoostCore.flatten(tree.rootNode)
       if (!identity) BaggingCore.remapFeatures(flat, featIdx)
-      trees += flat
-      m += 1
+      flat
     }
     val offsets = ArrayBuffer(0)
     trees.foreach(t => offsets += offsets.last + t.length)

@@ -208,48 +208,102 @@ private[ml] object HistGBCore {
     binned.count()
     raw.unpersist(blocking = false)
 
-    // ---- init margins: mean (squared), log-odds (logistic), log-prior
-    // (softmax) — sklearn HistGradientBoosting's baseline_prediction
     val k = obj.k(numClasses)
-    val init: Array[Double] = obj match {
-      case Squared => Array(binned.map(_._2).sum() / n)
-      case Logistic =>
-        val pos = binned.map(_._2).sum()
-        Array(math.log(math.max(pos, 1e-12) / math.max(n - pos, 1e-12)))
-      case Softmax =>
-        val counts = binned.map(t => (t._2.toInt, 1L)).reduceByKey(_ + _).collectAsMap()
-        Array.tabulate(k)(c =>
-          math.log(math.max(counts.getOrElse(c, 0L).toDouble, 1e-12) / n))
-    }
-
-    var margins: RDD[Array[Double]] =
-      binned.map(_ => init.clone()).persist(StorageLevel.MEMORY_AND_DISK)
-    margins.count()
-
+    // ROUTE BY RUNTIME SIZE (r20 optimization; the adaptive-CC /
+    // bounded-fit-cap discipline): a boosting fit runs
+    // rounds × levels histogram passes + one margin update per round —
+    // ~180 Spark jobs for the default 20 rounds. Over a bounded
+    // training set that is pure scheduler overhead (measured: 183 jobs
+    // / ~11 s of job wall for 442 rows at sf0.1, essentially all
+    // scheduling), and at ANY scale the driver holds `binned` rows of
+    // n×(p+8) bytes ≤ ~few MB under the cap — the same O(bounded)
+    // driver state as the k-means 65536-point fit cap. Above the cap
+    // the distributed path below is unchanged (histograms treeReduced
+    // per level — the LightGBM/XGBoost hist shape that scales). The
+    // cap is conf-overridable for clusters that want a different
+    // driver budget: spark.graft.hgbLocalFitRows (0 disables).
+    // Arithmetic is the same per-row accumulation; only the float
+    // summation ORDER differs from treeReduce merge order (HistGBSpec
+    // pins local/distributed prediction parity).
+    val localCap = ds.sparkSession.conf.getOption("spark.graft.hgbLocalFitRows")
+      .map(_.toLong).getOrElse(65536L)
     val allTrees = new ArrayBuffer[Array[Double]]   // training form (bin thresholds)
-    var r = 0
-    while (r < cfg.rounds) {
-      val roundTrees = Array.tabulate(k)(c => growTree(binned, margins, obj, c, cfg, binsPerFeat, maxB))
-      val bt = sc.broadcast(roundTrees)
-      val next = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
-        val trees = bt.value
-        it.zip(mit).map { case ((bins, _), m) =>
-          val nm = m.clone()
+    val init: Array[Double] = if (n <= localCap) {
+      val rows = binned.collect()
+      binned.unpersist(blocking = false)
+      val init0: Array[Double] = obj match {
+        case Squared =>
+          var s = 0.0; rows.foreach(s += _._2); Array(s / n)
+        case Logistic =>
+          var pos = 0.0; rows.foreach(pos += _._2)
+          Array(math.log(math.max(pos, 1e-12) / math.max(n - pos, 1e-12)))
+        case Softmax =>
+          val counts = new Array[Long](k)
+          rows.foreach(t => counts(t._2.toInt) += 1L)
+          Array.tabulate(k)(c =>
+            math.log(math.max(counts(c).toDouble, 1e-12) / n))
+      }
+      val margins = Array.fill(rows.length)(init0.clone())
+      var r = 0
+      while (r < cfg.rounds) {
+        val roundTrees = Array.tabulate(k)(c => growTreeWith(
+          (t, slotArr, nSlots) =>
+            histLocal(rows, margins, obj, c, t, slotArr, nSlots, p, maxB),
+          cfg, binsPerFeat, maxB))
+        var i = 0
+        while (i < rows.length) {
+          val m = margins(i)
           var c = 0
-          while (c < trees.length) { nm(c) += leafByBins(trees(c), bins); c += 1 }
-          nm
+          while (c < k) { m(c) += leafByBins(roundTrees(c), rows(i)._1); c += 1 }
+          i += 1
         }
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-      // cut lineage so round N's plan doesn't replay rounds 0..N−1
-      if ((r + 1) % cfg.checkpointEvery == 0) next.localCheckpoint()
-      next.count()
+        allTrees ++= roundTrees
+        r += 1
+      }
+      init0
+    } else {
+      // ---- init margins: mean (squared), log-odds (logistic), log-prior
+      // (softmax) — sklearn HistGradientBoosting's baseline_prediction
+      val init0: Array[Double] = obj match {
+        case Squared => Array(binned.map(_._2).sum() / n)
+        case Logistic =>
+          val pos = binned.map(_._2).sum()
+          Array(math.log(math.max(pos, 1e-12) / math.max(n - pos, 1e-12)))
+        case Softmax =>
+          val counts = binned.map(t => (t._2.toInt, 1L)).reduceByKey(_ + _).collectAsMap()
+          Array.tabulate(k)(c =>
+            math.log(math.max(counts.getOrElse(c, 0L).toDouble, 1e-12) / n))
+      }
+
+      var margins: RDD[Array[Double]] =
+        binned.map(_ => init0.clone()).persist(StorageLevel.MEMORY_AND_DISK)
+      margins.count()
+
+      var r = 0
+      while (r < cfg.rounds) {
+        val roundTrees = Array.tabulate(k)(c => growTree(binned, margins, obj, c, cfg, binsPerFeat, maxB))
+        val bt = sc.broadcast(roundTrees)
+        val next = binned.zipPartitions(margins, preservesPartitioning = true) { (it, mit) =>
+          val trees = bt.value
+          it.zip(mit).map { case ((bins, _), m) =>
+            val nm = m.clone()
+            var c = 0
+            while (c < trees.length) { nm(c) += leafByBins(trees(c), bins); c += 1 }
+            nm
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        // cut lineage so round N's plan doesn't replay rounds 0..N−1
+        if ((r + 1) % cfg.checkpointEvery == 0) next.localCheckpoint()
+        next.count()
+        margins.unpersist(blocking = false)
+        margins = next
+        allTrees ++= roundTrees
+        r += 1
+      }
       margins.unpersist(blocking = false)
-      margins = next
-      allTrees ++= roundTrees
-      r += 1
+      binned.unpersist(blocking = false)
+      init0
     }
-    margins.unpersist(blocking = false)
-    binned.unpersist(blocking = false)
 
     // ---- convert bin thresholds to real values and flatten
     val offsets = new ArrayBuffer[Int]
@@ -417,17 +471,57 @@ private[ml] object HistGBCore {
     * of the reduced buffer either way. */
   private def growTree(binned: RDD[(Array[Byte], Double)],
       margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
-      binsPerFeat: Array[Int], maxB: Int): Array[Double] = cfg.policy match {
-    case "leafwise" =>
-      growLeafwise(binned, margins, obj, c, cfg, binsPerFeat, maxB)
-    case "oblivious" =>
-      growOblivious(binned, margins, obj, c, cfg, binsPerFeat, maxB)
-    case _ =>
-      growDepthwise(binned, margins, obj, c, cfg, binsPerFeat, maxB)
+      binsPerFeat: Array[Int], maxB: Int): Array[Double] =
+    growTreeWith(
+      (t, slotArr, nSlots) => histPass(binned, margins, obj, c, t, slotArr,
+        nSlots, binsPerFeat.length, maxB),
+      cfg, binsPerFeat, maxB)
+
+  /** One tree under the configured growth policy over ANY histogram
+    * source — shared by the distributed (treeReduce) and bounded-size
+    * driver-local routes, so a route change can never change the
+    * growth logic. */
+  private def growTreeWith(
+      histFor: (TreeBuilder, Array[Int], Int) => Array[Double],
+      cfg: Cfg, binsPerFeat: Array[Int], maxB: Int): Array[Double] =
+    cfg.policy match {
+      case "leafwise" => growLeafwise(histFor, cfg, binsPerFeat, maxB)
+      case "oblivious" => growObliviousWith(cfg, binsPerFeat, maxB)(histFor).finish(cfg)
+      case _ => growDepthwise(histFor, cfg, binsPerFeat, maxB)
+    }
+
+  /** [[histPass]]'s driver-local twin: the identical per-row routing +
+    * (g,h) accumulation over collected (bins, label) rows — one
+    * "partition", no job. Only the float summation ORDER differs from
+    * the treeReduce merge. */
+  private def histLocal(rows: Array[(Array[Byte], Double)],
+      margins: Array[Array[Double]], obj: Objective, c: Int,
+      t: TreeBuilder, slotArr: Array[Int], nSlots: Int,
+      p: Int, maxB: Int): Array[Double] = {
+    val acc = new Array[Double](nSlots * p * maxB * 2)
+    var r = 0
+    while (r < rows.length) {
+      val (bins, y) = rows(r)
+      var i = 0
+      while (t.feat(i) >= 0)
+        i = if ((bins(t.feat(i)) & 0xff) <= t.thr(i)) t.left(i) else t.right(i)
+      val s = slotArr(i)
+      if (s >= 0) {
+        val (g, h) = obj.grad(margins(r), y, c)
+        var f = 0
+        while (f < p) {
+          val base = ((s * p + f) * maxB + (bins(f) & 0xff)) * 2
+          acc(base) += g; acc(base + 1) += h
+          f += 1
+        }
+      }
+      r += 1
+    }
+    acc
   }
 
-  private def growDepthwise(binned: RDD[(Array[Byte], Double)],
-      margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
+  private def growDepthwise(
+      histFor: (TreeBuilder, Array[Int], Int) => Array[Double], cfg: Cfg,
       binsPerFeat: Array[Int], maxB: Int): Array[Double] = {
     val p = binsPerFeat.length
     val t = new TreeBuilder
@@ -436,8 +530,7 @@ private[ml] object HistGBCore {
     while (level < cfg.maxDepth && frontier.nonEmpty) {
       val slotArr = Array.fill(t.feat.length)(-1)
       frontier.zipWithIndex.foreach { case (nid, s) => slotArr(nid) = s }
-      val hist = histPass(binned, margins, obj, c, t, slotArr,
-        frontier.length, p, maxB)
+      val hist = histFor(t, slotArr, frontier.length)
       val nextFrontier = new ArrayBuffer[Int]
       frontier.zipWithIndex.foreach { case (nid, s) =>
         val (tG, tH) = slotTotals(hist, s, p, maxB, binsPerFeat)
@@ -455,8 +548,8 @@ private[ml] object HistGBCore {
     t.finish(cfg)
   }
 
-  private def growLeafwise(binned: RDD[(Array[Byte], Double)],
-      margins: RDD[Array[Double]], obj: Objective, c: Int, cfg: Cfg,
+  private def growLeafwise(
+      histFor: (TreeBuilder, Array[Int], Int) => Array[Double], cfg: Cfg,
       binsPerFeat: Array[Int], maxB: Int): Array[Double] = {
     val p = binsPerFeat.length
     val t = new TreeBuilder
@@ -469,8 +562,7 @@ private[ml] object HistGBCore {
       if (pending.nonEmpty) {
         val slotArr = Array.fill(t.feat.length)(-1)
         pending.zipWithIndex.foreach { case (nid, s) => slotArr(nid) = s }
-        val hist = histPass(binned, margins, obj, c, t, slotArr,
-          pending.length, p, maxB)
+        val hist = histFor(t, slotArr, pending.length)
         pending.zipWithIndex.foreach { case (nid, s) =>
           val (tG, tH) = slotTotals(hist, s, p, maxB, binsPerFeat)
           t.leafG(nid) = tG; t.leafH(nid) = tH

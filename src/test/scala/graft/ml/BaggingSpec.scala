@@ -204,6 +204,29 @@ class BaggingSpec extends AnyFunSuite {
     assert(pred == 1.0f, s"separable class-1 point scored $pred")
   }
 
+  test("overlapped estimator fits are bit-identical to the sequential loop " +
+      "(r20 guide-§2.6 optimization)") {
+    import spark.implicits._
+    val df = (1 to 120).map { i =>
+      (org.apache.spark.ml.linalg.Vectors.dense(i / 10.0, (i % 7).toDouble),
+        (i % 3).toDouble)
+    }.toDF("features", "label")
+    def fitBoth() = {
+      val c = new BaggingClassifier().setNumEstimators(5).setMaxDepth(4)
+        .setSeed(7L).fit(df)
+      val r = new BaggingRegressor().setNumEstimators(5).setMaxDepth(4)
+        .setSeed(7L).fit(df.withColumn("label", $"label" * 1.5))
+      (c.getOrDefault(c.treesFlat).toSeq, c.getOrDefault(c.leafDist).toSeq,
+        r.getOrDefault(r.treesFlat).toSeq)
+    }
+    val par = fitBoth() // default parallelism 4
+    spark.conf.set("spark.graft.baggingFitParallelism", "1")
+    try {
+      val seq = fitBoth()
+      assert(par == seq, "parallel vs sequential bagging fits diverged")
+    } finally spark.conf.unset("spark.graft.baggingFitParallelism")
+  }
+
   private def avg(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.avg(c)
 }

@@ -306,4 +306,31 @@ class HistGBSpec extends AnyFunSuite {
     val v = Vectors.dense(37.0)
     assert(math.abs(back.predict(v) - m.predict(v)) < 1e-12)
   }
+
+  test("bounded-size driver route equals the distributed route " +
+      "prediction-for-prediction (r20 route-by-size optimization)") {
+    // non-trivial shape: two features, noisy-ish target, multiple
+    // rounds/depths so histogram totals and split ties are exercised
+    val data = (1 to 300).map { i =>
+      val x = i / 25.0
+      (Vectors.dense(x, (i % 5).toDouble), math.cos(x) * 2 + (i % 5) * 0.5)
+    }.toDF("features", "label")
+    val local = new HistGBRegressor().setNumRounds(12).setMaxDepth(4)
+      .setStepSize(0.3).fit(data) // n=300 <= default 65536 cap → driver route
+    spark.conf.set("spark.graft.hgbLocalFitRows", "0") // force distributed
+    try {
+      val dist = new HistGBRegressor().setNumRounds(12).setMaxDepth(4)
+        .setStepSize(0.3).fit(data)
+      val probe = Seq(0.4, 3.7, 7.2, 11.9).map(x => Vectors.dense(x, (x * 3 % 5).floor))
+      probe.foreach { v =>
+        assert(math.abs(local.predict(v) - dist.predict(v)) < 1e-6,
+          s"route divergence at $v: ${local.predict(v)} vs ${dist.predict(v)}")
+      }
+      // identical tree STRUCTURE, not just close predictions: the two
+      // routes accumulate the same (g,h) values (order aside), so every
+      // split decision should agree on this well-separated fixture
+      assert(local.getOrDefault(local.treeOffsets).toSeq ==
+        dist.getOrDefault(dist.treeOffsets).toSeq)
+    } finally spark.conf.unset("spark.graft.hgbLocalFitRows")
+  }
 }
