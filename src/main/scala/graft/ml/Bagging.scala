@@ -169,21 +169,8 @@ private[ml] object BaggingCore {
     * flight is enough to fill the tail — §2.6) and conf-overridable
     * via spark.graft.baggingFitParallelism (1 = sequential). */
   def fitIndexed[A](spark: org.apache.spark.sql.SparkSession, n: Int)(
-      body: Int => A): Seq[A] = {
-    val par = math.max(1, math.min(
-      spark.conf.getOption("spark.graft.baggingFitParallelism")
-        .map(_.toInt).getOrElse(4), n))
-    if (par <= 1) (0 until n).map(body)
-    else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence((0 until n).map(m => Future(body(m)))),
-        Duration.Inf)
-      finally pool.shutdown()
-    }
-  }
+      body: Int => A): Seq[A] =
+    FitPool.indexed(spark, n, "spark.graft.baggingFitParallelism")(body)
 
   /** sklearn's exact resample (`bootstrap_mode=exact` opt-in): draw
     * EXACTLY k indices with replacement from a seeded generator, then

@@ -56,7 +56,13 @@ object Stats {
     * bracket. Job count is constant in the number of columns. */
   def exactPercentilesMulti(df: DataFrame, cols: Seq[String],
       probs: Seq[Double]): Map[String, Seq[Double]] =
-    exactPercentilesAndDistinct(df, cols, probs)._1
+    // r20: needDistinct=false — every caller of this entry discards the
+    // distinct counts, and computing them was one whole groupBy+collect
+    // job over the (cname, v) relation per percentile call (ml_ventiles,
+    // the curation family's five p25 calls, the Huber solver's medians)
+    percentilesAndDistinctFromCounts(
+      stackedCounts(df, cols).filter(col("v").isNotNull && !isnan(col("v"))),
+      cols, probs, needDistinct = false)._1
 
   /** [[exactPercentilesMulti]] plus each column's DISTINCT count for
     * free: the pass already aggregates to one row per (column, value),
@@ -90,8 +96,8 @@ object Stats {
   /** The percentile + distinct machinery over an already-built clean
     * (cname, v, cnt) relation. */
   private def percentilesAndDistinctFromCounts(counts: DataFrame,
-      cols: Seq[String],
-      probs: Seq[Double]): (Map[String, Seq[Double]], Map[String, Long]) = {
+      cols: Seq[String], probs: Seq[Double],
+      needDistinct: Boolean = true): (Map[String, Seq[Double]], Map[String, Long]) = {
     // two-phase partition-prefix sum: parallelism is bounded by the range
     // partitioning of (cname, v), not by the number of columns — the
     // per-column cumsum window capped parallelism at |cols| and put each
@@ -133,8 +139,10 @@ object Stats {
       val res = brackets.map { case (c, i, lo, hi, frac) =>
         (c, i) -> ((1.0 - frac) * matched((c, lo)) + frac * matched((c, hi)))
       }.toMap
-      val distinct = cum.groupBy(col("cname")).agg(count(lit(1)).as("nd"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val distinct: Map[String, Long] =
+        if (!needDistinct) Map.empty
+        else cum.groupBy(col("cname")).agg(count(lit(1)).as("nd"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       (cols.map(c => c -> probs.indices.map(i =>
         res.getOrElse((c, i), Double.NaN)).toSeq).toMap,
         cols.map(c => c -> distinct.getOrElse(c, 0L)).toMap)
@@ -197,8 +205,10 @@ object Stats {
           coalesce(sum(when(ok, col("cnt"))), lit(0L)).as("n"),
           count(when(ok, lit(1))).as("nd"))
           .collect().map(r => r.getString(0) -> r).toMap
+        // needDistinct=false: n_distinct already fell out of the scalar
+        // agg above (`nd`); the percentile pass must not recount it
         val (pctsByCol, _) = percentilesAndDistinctFromCounts(
-          all.filter(ok), cols, allProbs)
+          all.filter(ok), cols, allProbs, needDistinct = false)
         return cols.map { c =>
           // empty or all-null relation → zero groups (or only null
           // groups) in the stacked counts (ADVICE r16: the pre-r16 agg

@@ -861,10 +861,15 @@ object Train {
         (combos(bestIdx), json)
       }
 
-    // one estimator per target (single-target = one stage, unchanged)
+    // one estimator per target (single-target = one stage, unchanged).
+    // Targets are INDEPENDENT regressors over the same cached frame, so
+    // their fits overlap (guide §2.6, FitPool) — stage order stays the
+    // target order, and each fit is self-contained, so the pipeline is
+    // identical at any parallelism (TrainLifecycleSpec's linnerud gate).
     val estStages =
-      if (multiTarget) cfg.yColumn.zipWithIndex.map { case (t, i) =>
-        fitOne(bestHyper, procTrain, t, predColFor(i))
+      if (multiTarget) FitPool.indexed(spark, cfg.yColumn.size,
+        "spark.graft.mlFitParallelism") { i =>
+        fitOne(bestHyper, procTrain, cfg.yColumn(i), predColFor(i))
       } else Seq(fitOne(bestHyper, procTrain))
     // all-transformer pipeline: fit() on an empty slice is a no-op that
     // packages (preprocessing, estimator models) into one persistable unit
