@@ -11,16 +11,35 @@ package graft.ml
 private[ml] object FitPool {
   def indexed[A](spark: org.apache.spark.sql.SparkSession, n: Int,
       confKey: String, defaultPar: Int = 4)(body: Int => A): Seq[A] = {
-    val par = math.max(1, math.min(
-      spark.conf.getOption(confKey).map(_.toInt).getOrElse(defaultPar), n))
+    val confPar = spark.conf.getOption(confKey).map { v =>
+      try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$confKey must be an integer, got '$v'")
+      }
+    }
+    val par = math.max(1, math.min(confPar.getOrElse(defaultPar), n))
     if (par <= 1) (0 until n).map(body)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence((0 until n).map(m => Future(body(m)))),
+      // a failed fit must not leave the OTHER in-flight bodies submitting
+      // Spark jobs after the caller has thrown (ADVICE r20): bodies check
+      // the abort flag before starting, and the failure path shutdownNow()s
+      // the pool (queued tasks dropped; running fits finish their current
+      // Spark action and exit at the next flag check)
+      val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+      try Await.result(
+        Future.sequence((0 until n).map(m => Future {
+          if (aborted.get()) throw new InterruptedException(
+            s"fit $m skipped: an earlier fit failed")
+          try body(m) catch {
+            case e: Throwable => aborted.set(true); throw e
+          }
+        })),
         Duration.Inf)
+      catch { case e: Throwable => aborted.set(true); pool.shutdownNow(); throw e }
       finally pool.shutdown()
     }
   }

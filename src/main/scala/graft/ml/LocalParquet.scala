@@ -67,15 +67,44 @@ private[graft] object LocalParquet {
     hconf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
       sqlc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
     new java.io.File(dir).mkdirs()
-    val file = new HPath(dir,
-      s"part-00000-${java.util.UUID.randomUUID()}-c000.snappy.parquet")
-    val writer = new RowWriterBuilder(file)
+    // honor the session codec the way ParquetFileFormat.prepareWrite
+    // does (ADVICE r20): files from this path must not silently differ
+    // in codec from ones a Spark write job would produce
+    val codec = sqlc.parquetCompressionCodec.toLowerCase(java.util.Locale.ROOT) match {
+      case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+      case c => CompressionCodecName.valueOf(c.toUpperCase(java.util.Locale.ROOT))
+    }
+    val ext = codec match {
+      case CompressionCodecName.UNCOMPRESSED => ""
+      case c => "." + c.name.toLowerCase(java.util.Locale.ROOT)
+    }
+    val stem = s"part-00000-${java.util.UUID.randomUUID()}-c000$ext.parquet"
+    // stage under a dot-prefixed name (hidden from Spark readers and
+    // from partCount's part- filter) and rename after close — a
+    // crash/kill mid-write must never leave a truncated footer-less
+    // parquet visible to readers (ADVICE r20; the replaced Spark
+    // committer staged under _temporary for the same reason)
+    val tmp = new java.io.File(dir, s".$stem.inprogress")
+    val writer = new RowWriterBuilder(new HPath(tmp.getPath))
       .withConf(hconf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .withWriteMode(ParquetFileWriter.Mode.CREATE)
+      .withCompressionCodec(codec)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
       .build()
-    try rows.foreach(writer.write)
-    finally writer.close()
-    file.toString
+    try {
+      rows.foreach(writer.write)
+      writer.close()
+    } catch {
+      case e: Throwable =>
+        try writer.close() catch { case _: Throwable => () }
+        tmp.delete()
+        throw e
+    }
+    val dst = new java.io.File(dir, stem)
+    if (!tmp.renameTo(dst)) {
+      tmp.delete()
+      throw new java.io.IOException(
+        s"LocalParquet: rename ${tmp.getPath} -> ${dst.getPath} failed")
+    }
+    dst.getPath
   }
 }

@@ -17,6 +17,10 @@ import scala.collection.mutable
   */
 object GateProfile {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: GateProfile <sfDir> <gate1,gate2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, gateCsv) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

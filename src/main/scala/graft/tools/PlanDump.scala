@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: PlanDump <sfDir> <outDir> <suffix> <gate1,gate2,...|all>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, gateCsv) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
