@@ -172,7 +172,7 @@ object Finetune {
         "task" -> cfg.task, "text2_col" -> (if (isPair) cfg.text2Col else "")),
       metrics, "none")
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
-    head.write.overwrite().save(path)
+    graft.ml.PipelineIO.save(head, path) // driver-side, zero jobs (r21)
     catalog.addFile(modelRow.id, path)
     catalog.addLog(modelRow.id,
       s"finetuned ${cfg.runtime} head for ${cfg.task}: " +
@@ -301,7 +301,7 @@ object Finetune {
         "top_k" -> topK.toString, "text2_col" -> ""),
       metrics, "none")
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
-    head.write.overwrite().save(path)
+    graft.ml.PipelineIO.save(head, path) // driver-side, zero jobs (r21)
     catalog.addFile(modelRow.id, path)
     catalog.addLog(modelRow.id,
       s"finetuned ${cfg.runtime} extractive summarization head: " +
@@ -447,7 +447,7 @@ object Finetune {
         "text2_col" -> cfg.text2Col),
       metrics, "none")
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
-    head.write.overwrite().save(path)
+    graft.ml.PipelineIO.save(head, path) // driver-side, zero jobs (r21)
     catalog.addFile(modelRow.id, path)
     catalog.addLog(modelRow.id,
       s"finetuned ${cfg.runtime} extractive QA head: " +
@@ -588,7 +588,7 @@ object Finetune {
         "task" -> cfg.task, "text2_col" -> cfg.text2Col),
       metrics, "none")
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
-    head.write.overwrite().save(path)
+    graft.ml.PipelineIO.save(head, path) // driver-side, zero jobs (r21)
     catalog.addFile(modelRow.id, path)
     catalog.addLog(modelRow.id,
       s"finetuned ${cfg.runtime} dual-encoder conversation head: " +

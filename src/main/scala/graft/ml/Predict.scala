@@ -56,7 +56,7 @@ object Predict {
   def findCached(catalog: Catalog, modelId: Long): PipelineModel = {
     if (modelCache.size() > CacheBound) modelCache.clear()
     modelCache.computeIfAbsent(s"${catalog.baseDir}#$modelId", _ =>
-      PipelineModel.load(catalog.modelPath(modelId).getOrElse(
+      PipelineIO.load(catalog.spark, catalog.modelPath(modelId).getOrElse(
         throw new IllegalStateException(s"Model $modelId has no persisted file"))))
   }
 

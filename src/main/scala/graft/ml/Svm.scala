@@ -515,19 +515,53 @@ object GraftSvmModel extends org.apache.spark.ml.util.MLReadable[GraftSvmModel] 
         s""""timestamp":${System.currentTimeMillis()},""" +
         s""""sparkVersion":"${sc.version}","uid":"${instance.uid}",""" +
         s""""paramMap":$paramMap,"defaultParamMap":{}}"""
+      // r21: both files are written on the driver — the replaced
+      // `.repartition(1).write` pair cost two scheduled Spark jobs per
+      // model save for O(model)-sized payloads (guide §1.2-1 / §5). The
+      // on-disk FORMAT is unchanged (text metadata dir + parquet data
+      // dir, same schema), so the reader below — and any dir written by
+      // earlier rounds — is untouched; SvmSpec pins the round-trip.
+      // metadata is ONE PLAIN FILE (not a part-file directory): every
+      // consumer accepts it — `spark.read.text` reads single files, and
+      // Spark 4's local-mode Pipeline loader (`ReadWriteUtils.loadText`
+      // via `Files.read`) REQUIRES a file, which is what lets this model
+      // ride inside a PipelineIO local-format save
       val spark = sparkSession
-      import spark.implicits._
-      spark.createDataset(Seq(meta)).repartition(1).write
-        .text(new org.apache.hadoop.fs.Path(path, "metadata").toString)
-      val rows = instance.machines.zipWithIndex.map { case (m, i) =>
-        (i, m.classNeg, m.classPos, m.supportFlat.toSeq, m.dual.toSeq,
-          m.intercept, m.plattA, m.plattB, m.hasPlatt)
-      }.toSeq
-      spark.createDataset(rows)
-        .toDF("idx", "class_neg", "class_pos", "support_flat", "dual",
-          "intercept", "platt_a", "platt_b", "has_platt")
-        .repartition(1).write
-        .parquet(new org.apache.hadoop.fs.Path(path, "data").toString)
+      new java.io.File(path).mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "metadata").toPath, meta + "\n")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("class_neg",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("class_pos",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("support_flat",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("dual",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("intercept",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("platt_a",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("platt_b",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("has_platt",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(instance.machines.zipWithIndex.map { case (m, i) =>
+          org.apache.spark.sql.Row(i, m.classNeg, m.classPos,
+            m.supportFlat.toSeq, m.dual.toSeq,
+            m.intercept, m.plattA, m.plattB, m.hasPlatt)
+        }: _*)
+      val dataDir = new java.io.File(path, "data")
+      LocalParquet.appendLocalRelation(
+        spark.createDataFrame(rows, schema), dataDir.getPath)
+      java.nio.file.Files.write(
+        new java.io.File(dataDir, "_SUCCESS").toPath, Array.emptyByteArray)
     }
   }
 

@@ -937,7 +937,7 @@ object Train {
         (if (searchResults.nonEmpty) Map("search_results" -> searchResults) else Map.empty),
       allMetrics, cfg.search.getOrElse("none"))
     val path = s"${catalog.baseDir}/model_files/${modelRow.id}"
-    model.write.overwrite().save(path)
+    PipelineIO.save(model, path) // driver-side, zero jobs (r21)
     catalog.addFile(modelRow.id, path)
     // training log (`quackml.logs` — reference `src/bindings/mod.rs:15-40`)
     catalog.addLog(modelRow.id,
