@@ -889,8 +889,13 @@ object Finetune {
     // ONLY the probed cells' directories. A small serve batch touches
     // few cells and reads a sliver of the index; a batch that probes
     // everything degrades gracefully to the full (still one-pass) read.
-    val probed = q.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // ONE aggregate job returns both the probed-cell set and the batch
+    // size the slice guard needs below — the guard's separate q.count()
+    // was one extra scheduled job per serve call (VERDICT r20 item 8)
+    val aggRow = q.agg(collect_set(col("cell")).as("cells"),
+      count(lit(1)).as("n")).head()
+    val probed = aggRow.getSeq[Long](0)
+    val nQueries = aggRow.getLong(1)
     // The explicit schema pins `cell` to BIGINT so both the IN filter
     // and the equi-join hit the partition column without a cast (a cast
     // there defeats pruning) — same discipline as Similarity.annIvfIndexed.
@@ -926,7 +931,7 @@ object Finetune {
       .map(_.toLong).getOrElse(1500L << 20)
     val bytesPerRow = (dim + 2) * 8L + 96L // wq + keys + row overhead
     val slices = math.min(64L,
-      (q.count() * bytesPerRow + sliceBytes - 1) / sliceBytes).toInt
+      (nQueries * bytesPerRow + sliceBytes - 1) / sliceBytes).toInt
     def serveSlice(qs: DataFrame): DataFrame =
       broadcast(qs).join(idx, Seq("cell"))
         .withColumn("score",

@@ -856,12 +856,21 @@ class GraftSvm(override val uid: String)
     val machines: Array[SvmMachine] = $(svmTask) match {
       case "svc" | "nusvc" =>
         // sklearn/LIBSVM one-vs-one: k(k−1)/2 binary machines over
-        // class-pair subsets, all indexing the one shared Gram
+        // class-pair subsets, all indexing the one shared Gram. The
+        // machines are INDEPENDENT driver-side solves over read-only
+        // state (km/labels/rows), so they overlap through FitPool
+        // (guide §2.6; VERDICT r20 item 6) — assembled by index, each
+        // solve self-contained, so the ensemble is identical at any
+        // parallelism (SvmSpec pins it).
         val classes = labels.distinct.sorted
         require(classes.length >= 2,
           s"classification needs at least 2 classes, got ${classes.length}")
-        (for { a <- classes.indices; b <- (a + 1) until classes.length }
-          yield classMachine(classes(a), classes(b))).toArray
+        val pairs = (for { a <- classes.indices; b <- (a + 1) until classes.length }
+          yield (classes(a), classes(b))).toIndexedSeq
+        FitPool.indexed(ds.sparkSession, pairs.size,
+          "spark.graft.svmFitParallelism") { i =>
+          classMachine(pairs(i)._1, pairs(i)._2)
+        }.toArray
       case "svr" =>
         // 2n-variable ε-SVR form; β = α − α* recovers the coefficients
         val m = 2 * n

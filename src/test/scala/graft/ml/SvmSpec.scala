@@ -193,6 +193,23 @@ class SvmSpec extends AnyFunSuite {
     assert(acc >= 0.99, s"OvO accuracy $acc")
   }
 
+  test("one-vs-one machines are bit-identical at any fit parallelism (r21 FitPool)") {
+    def fit() = new GraftSvm().setSvmTask("svc").setKernel("rbf").setRegC(1.0)
+      .setProbability(true).setLabelCol("y").setFeaturesCol("features").fit(blobs)
+    spark.conf.set("spark.graft.svmFitParallelism", "1")
+    val seq = try fit() finally spark.conf.unset("spark.graft.svmFitParallelism")
+    spark.conf.set("spark.graft.svmFitParallelism", "4")
+    val par = try fit() finally spark.conf.unset("spark.graft.svmFitParallelism")
+    assert(seq.machines.length == par.machines.length)
+    seq.machines.zip(par.machines).foreach { case (a, b) =>
+      assert(a.classNeg == b.classNeg && a.classPos == b.classPos)
+      assert(a.supportFlat.sameElements(b.supportFlat))
+      assert(a.dual.sameElements(b.dual))
+      assert(a.intercept == b.intercept)
+      assert(a.plattA == b.plattA && a.plattB == b.plattB)
+    }
+  }
+
   test("one-vs-one multiclass nu-SVC votes recover 3 blobs") {
     val m = new GraftSvm().setSvmTask("nusvc").setNu(0.2).setKernel("rbf")
       .setLabelCol("y").setFeaturesCol("features").fit(blobs)
