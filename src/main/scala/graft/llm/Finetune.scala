@@ -150,7 +150,7 @@ object Finetune {
       .setLabelCol("y").setFeaturesCol("features")
       .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
       .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
-    val head = new Pipeline().setStages(Array(lr)).fit(trainDF)
+    val head = graft.ml.LocalLogistic.fitHeadPipeline(lr, trainDF) // driver route (r21)
     val fitTime = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
@@ -276,7 +276,7 @@ object Finetune {
       .setLabelCol("y").setFeaturesCol("features")
       .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
       .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
-    val head = new Pipeline().setStages(Array(lr)).fit(trainDF)
+    val head = graft.ml.LocalLogistic.fitHeadPipeline(lr, trainDF) // driver route (r21)
     val fitTime = (System.nanoTime() - t0) / 1e9
 
     // eval on held-out docs with the task's OWN metric: ROUGE of the
@@ -419,7 +419,7 @@ object Finetune {
       .setLabelCol("y").setFeaturesCol("features")
       .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
       .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
-    val head = new Pipeline().setStages(Array(lr)).fit(trainDF)
+    val head = graft.ml.LocalLogistic.fitHeadPipeline(lr, trainDF) // driver route (r21)
     val fitTime = (System.nanoTime() - t0) / 1e9
 
     // eval: squad EM + token F1 of the predicted window vs the gold
@@ -570,7 +570,7 @@ object Finetune {
       .setLabelCol("y").setFeaturesCol("features")
       .setMaxIter(cfg.hyperparams.get("max_iter").map(_.toInt).getOrElse(100))
       .setRegParam(cfg.hyperparams.get("alpha").map(_.toDouble).getOrElse(0.0))
-    val head = new Pipeline().setStages(Array(lr)).fit(trainDF)
+    val head = graft.ml.LocalLogistic.fitHeadPipeline(lr, trainDF) // driver route (r21)
     val fitTime = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()

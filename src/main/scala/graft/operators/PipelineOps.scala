@@ -512,9 +512,13 @@ object PipelineOps {
     // deterministic 80/20 split by keyed id hash — replays identically
     val withFold = feat.withColumn("fold",
       Dedup.h60(s, concat(lit("qc|"), $"doc_id".cast("string"))) % 10)
-    val model = new org.apache.spark.ml.classification.LogisticRegression()
+    val lrEst = new org.apache.spark.ml.classification.LogisticRegression()
       .setMaxIter(30).setRegParam(1e-4)
-      .fit(withFold.filter($"fold" < 8))
+    val trainFrame = withFold.filter($"fold" < 8)
+    // driver route for the bounded seed-balanced frame (r21) — one
+    // collect instead of 1 summarizer + 30 LBFGS treeAggregate jobs
+    val model = graft.ml.LocalLogistic.fitBounded(lrEst, trainFrame)
+      .getOrElse(lrEst.fit(trainFrame))
     val heldOut = model.transform(withFold.filter($"fold" >= 8))
     val nTest = heldOut.count()
     val acc =

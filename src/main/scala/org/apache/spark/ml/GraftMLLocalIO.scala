@@ -18,4 +18,26 @@ object GraftMLLocalIO {
   def loadFromLocal[T](reader: MLReader[T], spark: SparkSession,
       path: String): T =
     reader.session(spark).loadFromLocal(path)
+
+  /** A binomial LogisticRegressionModel from driver-computed
+    * coefficients — the `private[spark]` convenience constructor the
+    * distributed `train` uses, with the SAME-uid + `copy(extractParamMap)`
+    * pattern `copyValues` relies on: the bare model shares the
+    * estimator's uid, so copying the estimator's param map onto it sets
+    * every matching param exactly as `copyValues(model)` inside `fit`
+    * would. Used by graft.ml.LocalLogistic (bounded driver-side fits). */
+  def makeBinomialLRModel(
+      lr: classification.LogisticRegression,
+      coefficients: linalg.Vector,
+      intercept: Double): classification.LogisticRegressionModel = {
+    val bare = new classification.LogisticRegressionModel(
+      lr.uid, coefficients, intercept)
+    bare.copy(lr.extractParamMap()).setParent(lr)
+  }
+
+  /** PipelineModel over already-fitted transformers — the
+    * `private[ml]` constructor `Pipeline.fit` ends in. */
+  def makePipelineModel(uid: String,
+      stages: Array[Transformer]): PipelineModel =
+    new PipelineModel(uid, stages)
 }
