@@ -63,6 +63,15 @@ object Bpe {
   def train(s: SparkSession, docs: DataFrame, numMerges: Int,
       textCol: String = "text"): Seq[Merge] = {
     var words = wordTable(docs, textCol).localCheckpoint()
+    // bounded driver route (r21): the rounds are vocabulary-sized work —
+    // bit-identical integer/argmax arithmetic, see TokenizerLocalTrain
+    TokenizerLocalTrain.collectBounded(words) match {
+      case Some(local) =>
+        val res = TokenizerLocalTrain.bpeMerges(local, numMerges)
+        words.unpersist()
+        return res
+      case None => ()
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var exhausted = false

@@ -227,6 +227,10 @@ object Unigram {
       .agg(sum(col("tc._2").cast(dec12)).as("c"))
       .collect().map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
     vb.destroy()
+    normalizeCounts(counts)
+  }
+
+  private def normalizeCounts(counts: Map[String, Double]): Map[String, Double] = {
     val total = counts.values.sum
     val logTotal = math.log(total)
     // pieces with zero expected mass this round keep a floor so a later
@@ -234,6 +238,26 @@ object Unigram {
     // keep only observed pieces (chars always re-observed via their own
     // arcs, since every lattice contains the char-only path).
     counts.map { case (t, c) => t -> (math.log(c) - logTotal) }
+  }
+
+  /** [[emStep]] on the collected word table — BIT-IDENTICAL arithmetic
+    * (r21 driver route): the same per-word expectedCounts, the same
+    * `c * freq` double product, the same DECIMAL(·,12) quantization the
+    * distributed cast applies (`BigDecimal.valueOf` = the scala
+    * `BigDecimal(double)` path, HALF_UP to scale 12), exact decimal
+    * accumulation (order-free like the distributed decimal sum), and
+    * the same normalization over an identical immutable Map. */
+  private def emStepLocal(words: Array[(String, Long)],
+      vocab: Map[String, Double], maxPieceLen: Int): Map[String, Double] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, java.math.BigDecimal]
+    words.foreach { case (w, freq) =>
+      expectedCounts(w, vocab, maxPieceLen).foreach { case (t, c) =>
+        val d = java.math.BigDecimal.valueOf(c * freq)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        acc.updateWith(t) { case Some(s) => Some(s.add(d)); case None => Some(d) }
+      }
+    }
+    normalizeCounts(acc.iterator.map { case (t, d) => t -> d.doubleValue() }.toMap)
   }
 
   /** Alphabet floor + dead-piece cleanup after an EM step. EM on a
@@ -264,27 +288,73 @@ object Unigram {
       emIters: Int = 2, shrink: Double = 0.75): Seq[Piece] = {
     val words = wordFreqs(docs, textCol).localCheckpoint()
 
+    // bounded driver route (r21, the TokenizerLocalTrain discipline):
+    // everything after the corpus pass is vocabulary-sized — when the
+    // checkpointed word table fits the cap, the seed aggregation and
+    // every EM round run driver-side with BIT-IDENTICAL arithmetic
+    // (integer seed mass, the emStep decimal quantization, utf8-binary
+    // tie-breaks); above the cap nothing changes.
+    val localWords: Option[Array[(String, Long)]] = {
+      val cap = s.conf.getOption("spark.graft.tokenizerLocalTrainWords")
+        .map(_.toInt).getOrElse(262144)
+      if (cap <= 0) None
+      else {
+        val rows = words.limit(cap + 1).collect()
+        if (rows.length > cap) None
+        else Some(rows.map(r => (r.getString(0), r.getLong(1))))
+      }
+    }
+
     // ---- seed: all ≤ maxPieceLen substrings, weighted by occurrence
     // mass (substring count × word freq) — one HOF expansion on the
     // word table, map-combinable sum, vocabulary-sized collect
-    val subCounts = seedCounts(words, maxPieceLen)
-    val chars = subCounts.filter(length(col("t")) === 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val multis = subCounts.filter(length(col("t")) > 1)
-      .orderBy(col("c").desc, col("t"))
-      .head(math.max(0, seedSize - chars.length))
-      .map(r => (r.getString(0), r.getLong(1)))
+    val (chars, multis) = localWords match {
+      case Some(lw) =>
+        val sub = scala.collection.mutable.HashMap.empty[String, Long]
+        lw.foreach { case (w, freq) =>
+          val c = cps(w)
+          for (i <- c.indices; len <- 1 to math.min(maxPieceLen, c.length - i)) {
+            val t = c.slice(i, i + len).mkString
+            sub.update(t, sub.getOrElse(t, 0L) + freq)
+          }
+        }
+        // `length(col("t")) === 1` counts code points, as cps segments
+        val ch = sub.iterator.filter { case (t, _) => cps(t).length == 1 }
+          .toArray.sortBy(_._1)(TokenizerLocalTrain.utf8Order)
+        val mu = sub.iterator.filter { case (t, _) => cps(t).length > 1 }
+          .toArray
+          .sorted(Ordering.fromLessThan[(String, Long)] { (a, b) =>
+            if (a._2 != b._2) a._2 > b._2
+            else TokenizerLocalTrain.utf8Order.compare(a._1, b._1) < 0
+          })
+          .take(math.max(0, seedSize - ch.length))
+        (ch, mu)
+      case None =>
+        val subCounts = seedCounts(words, maxPieceLen)
+        val ch = subCounts.filter(length(col("t")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val mu = subCounts.filter(length(col("t")) > 1)
+          .orderBy(col("c").desc, col("t"))
+          .head(math.max(0, seedSize - ch.length))
+          .map(r => (r.getString(0), r.getLong(1)))
+        (ch, mu)
+    }
     val seedMass = (chars ++ multis).map(_._2).sum.toDouble
     var vocab: Map[String, Double] = (chars ++ multis)
       .map { case (t, cmass) => t -> math.log(cmass / seedMass) }.toMap
     val charSet = chars.map(_._1).toSet
+    def emStepFn(v: Map[String, Double]): Map[String, Double] =
+      localWords match {
+        case Some(lw) => emStepLocal(lw, v, maxPieceLen)
+        case None => emStep(words, v, maxPieceLen)
+      }
 
     // ---- EM + prune rounds until the target size
     var done = false
     while (!done) {
       var it = 0
       while (it < emIters) {
-        vocab = floorChars(emStep(words, vocab, maxPieceLen), charSet)
+        vocab = floorChars(emStepFn(vocab), charSet)
         it += 1
       }
       val multiCount = vocab.keys.count(!charSet.contains(_))
@@ -312,7 +382,7 @@ object Unigram {
         vocab = vocab.filter { case (t, _) => charSet.contains(t) || keep(t) }
       }
     }
-    vocab = floorChars(emStep(words, vocab, maxPieceLen), charSet) // final renormalize
+    vocab = floorChars(emStepFn(vocab), charSet) // final renormalize
     words.unpersist()
     vocab.toSeq.sortBy { case (t, lp) => (-lp, t) }
       .map { case (t, lp) => Piece(t, lp) }
