@@ -104,7 +104,13 @@ object Stats {
     // column's whole distinct set in one task
     val (cum0, totals) = graft.operators.Distributed
       .groupedPrefixSumWithTotals(counts, Seq("cname"), Seq(col("v")), "cnt", "cum")
-    val cum = cum0.withColumn("prev", col("cum") - col("cnt")).cache()
+    // cache only when the distinct pass will re-read the relation —
+    // with needDistinct=false (every internal caller since r20) the
+    // rank extraction is the SOLE consumer and the cache write is
+    // pure overhead (the underlying sorted RDD is already pinned
+    // inside the prefix sum)
+    val cum1 = cum0.withColumn("prev", col("cum") - col("cnt"))
+    val cum = if (needDistinct) cum1.cache() else cum1
     try {
       // per-column row counts fall out of the prefix sum's own metadata —
       // no extra aggregation pass over the cumulative relation
@@ -146,7 +152,7 @@ object Stats {
       (cols.map(c => c -> probs.indices.map(i =>
         res.getOrElse((c, i), Double.NaN)).toSeq).toMap,
         cols.map(c => c -> distinct.getOrElse(c, 0L)).toMap)
-    } finally cum.unpersist()
+    } finally { if (needDistinct) cum.unpersist(): Unit }
   }
 
   /** Scalar stats + percentiles for the given numeric columns.
